@@ -1,0 +1,54 @@
+"""Benchmark harness — the driver runs this per-round at sf0.1.
+
+Times every registered query end-to-end (parquet scan → result
+materialization via the no-op sink, so sink/driver-transfer cost is
+excluded but the full plan executes) and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default all cores).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from flink_anomaly_spark.plans.registry import all_queries
+from flink_anomaly_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    queries = all_queries()
+
+    # warm the JVM + parquet footers once (excluded from timings)
+    queries["tpch_q1_pricing"](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+
+    timings: dict[str, float] = {}
+    for name, fn in queries.items():
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "total wall-clock sec over all registered queries",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

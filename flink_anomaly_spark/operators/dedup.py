@@ -1,0 +1,230 @@
+"""Deduplication operators for training-data pipelines.
+
+- exact: hash-groupBy on content (or md5 fingerprint at 100 TB so the
+  shuffle key is 16 bytes, not the document);
+- minhash_lsh / simhash / ngram_jaccard: near-duplicate detection, all
+  built on DETERMINISTIC md5-derived hashing expressed with built-in
+  higher-order array functions — identical results in the DuckDB oracle
+  (both engines produce the same md5 hex), and zero Python UDFs in the
+  hot path.
+
+Scale design: every pipeline is shuffle-minimal — shingle→minhash is
+per-row (narrow); candidate generation shuffles on (band, signature)
+buckets whose cardinality is tunable; verification joins only within
+buckets. This is the standard MinHash-LSH plan used at web scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 61-bit Mersenne prime — all (a*h+b) % P arithmetic stays in int64
+# without overflow concerns for h < 2^60.
+MERSENNE_P = (1 << 61) - 1
+
+#: (a, b) parameter pairs for the universal-hash permutation family.
+#: Fixed constants so Spark and the DuckDB oracle agree exactly.
+PERM_PARAMS: list[tuple[int, int]] = [
+    (a, b)
+    for a, b in zip(
+        [370373, 714481, 160597, 931211, 939167, 552463, 350111, 114649,
+         239233, 475087, 291559, 800969, 642151, 989561, 311317, 133303],
+        [841187, 242417, 563173, 175261, 129379, 703897, 867451, 440509,
+         229487, 985213, 345179, 771109, 134863, 553381, 912391, 274591],
+    )
+]
+
+
+def md5_long(col: Column) -> Column:
+    """First 15 hex chars of md5 as a BIGINT (60 bits, non-negative).
+
+    Deterministic and engine-portable: DuckDB's
+    ``CAST('0x'||substr(md5(x),1,15) AS BIGINT)`` yields the identical
+    value, which is what makes the near-dup oracles exact.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def md5_int32(col: Column) -> Column:
+    """First 8 hex chars of md5 as a BIGINT in [0, 2^32).
+
+    Small enough that ``a * h + b`` with a ≤ ~1e6 stays far inside
+    int64 — required because DuckDB raises on int64 overflow (Spark
+    would silently wrap, so staying in range keeps both engines exact
+    AND identical).
+    """
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """Word k-shingles of a text column as an array of strings.
+
+    Built-in only: split → filter empties → sliding join via transform
+    over an index sequence.
+    """
+    toks = F.filter(F.split(col, r"\s+"), lambda t: t != "")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(
+        n >= k,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def minhash_signature(shingle_col: Column, num_perm: int = 8) -> Column:
+    """MinHash signature: for each permutation p, min over shingles of
+    ``(a_p * md5_int32(shingle) + b_p) mod P``.
+
+    Pure array expressions → whole-stage codegen, no shuffle, no UDF.
+    """
+    hashes = F.transform(shingle_col, md5_int32)
+    sig = [
+        F.array_min(
+            F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_P))
+        )
+        for a, b in PERM_PARAMS[:num_perm]
+    ]
+    return F.array(*sig)
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Exact dedup via content fingerprint: one row per distinct content
+    with the (min) surviving id and the duplicate count.
+
+    Grouping on the 16-byte md5 rather than the raw content keeps the
+    shuffle narrow at 100 TB; payload columns travel as min/first aggs.
+    """
+    return (
+        df.withColumn("fingerprint", F.md5(F.col(content_col)))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k_shingle: int = 3,
+    num_perm: int = 8,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH banding near-duplicate pairs.
+
+    Plan (all narrow until the band shuffle):
+      1. per-row: shingle → minhash signature (array expressions);
+      2. explode into ``bands`` band-keys: md5 of the band's slice of
+         the signature — the band join shuffles ONLY (id, band, bucket),
+         never the shingle arrays;
+      3. self-join within band buckets → candidate id pairs (id1 < id2),
+         deduplicated across bands;
+      4. join candidates back to the (id, shingle-set) table twice and
+         verify with exact Jaccard via array_intersect/union sizes.
+
+    At 100 TB this is the standard LSH plan: candidate count is bounded
+    by bucket collisions (tunable via bands×rows), and the wide shingle
+    payload only travels for verified candidates.
+    """
+    rows_per_band = num_perm // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(F.col(text_col), k_shingle)).alias("sh"),
+    ).withColumn("sig", minhash_signature(F.col("sh"), num_perm))
+
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+
+    cand = (
+        banded.alias("l")
+        .join(banded.alias("r"), ["band", "bucket"])
+        .select(F.col("l.id").alias("id1"), F.col("r.id").alias("id2"))
+        .filter(F.col("id1") < F.col("id2"))
+        .distinct()
+    )
+    shingle_sets = sig.select("id", "sh")
+    verified = (
+        cand.join(shingle_sets.select(F.col("id").alias("id1"), F.col("sh").alias("sh1")), "id1")
+        .join(shingle_sets.select(F.col("id").alias("id2"), F.col("sh").alias("sh2")), "id2")
+    )
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    uni = F.size(F.array_union("sh1", "sh2"))
+    return (
+        verified.withColumn("jaccard", F.round(inter / uni, 4))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+def simhash60(text_col: Column, k_shingle: int = 2, n_bits: int = 60) -> Column:
+    """SimHash-style fingerprint (bit-majority over shingle hashes) on
+    the 60 bits of md5_long. Bit positions are unrolled in Python so the
+    whole expression is static Catalyst code (and 1:1 mirrorable in the
+    DuckDB oracle's list_filter form). Returned as BIGINT.
+    """
+    hashes = shingles(text_col, k_shingle)
+    hvals = F.transform(hashes, md5_long)
+    n = F.size(hvals)
+
+    def bit_term(bit: int) -> Column:
+        # NOTE: the filter lambda must take exactly ONE parameter —
+        # PySpark passes (element, index) to two-parameter lambdas,
+        # which would silently shadow a default-argument capture.
+        cnt = F.size(F.filter(hvals, lambda h: h.bitwiseAND(F.lit(bit)) != 0))
+        return F.when(cnt * 2 > n, F.lit(bit).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+
+    out = bit_term(1)
+    for b in range(1, n_bits):
+        out = out + bit_term(1 << b)
+    return out
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.3,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs within a blocking key
+    (e.g. same source) — the brute-force verifier used on its own when a
+    natural blocking column bounds the pair count.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        *([F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")]),
+        F.array_distinct(shingles(F.col(text_col), n)).alias("sh"),
+    )
+    a = sh.select(F.col("blk"), F.col("id").alias("id1"), F.col("sh").alias("sh1"))
+    b = sh.select(F.col("blk"), F.col("id").alias("id2"), F.col("sh").alias("sh2"))
+    pairs = a.join(b, "blk").filter(F.col("id1") < F.col("id2"))
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    uni = F.size(F.array_union("sh1", "sh2"))
+    return (
+        pairs.withColumn("jaccard", F.round(inter / uni, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )

@@ -1,0 +1,126 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language-ID, quality scoring, token counting, fingerprinting — all
+expressed with built-in string/array functions (JVM codegen, zero UDFs)
+so they hold up in a 100 TB document sweep and are exactly reproducible
+in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny deterministic stopword list used by the quality score
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it"]
+
+#: marker words per language for the n-gram/keyword language heuristic.
+#: (The driver's synthetic documents carry a ground-truth ``lang`` column;
+#: the heuristic exists as the operator surface for real corpora.)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "nicht"],
+    "es": ["el", "de", "que"],
+    "fr": ["le", "et", "les"],
+    "zh": ["de", "shi", "bu"],
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens, empties removed."""
+    return F.filter(F.split(col, r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (built-in size/split)."""
+    return F.size(tokens(col))
+
+
+#: BPE-ish piece pattern: ≤4-letter chunks, ≤4-digit runs, single
+#: punctuation marks. Greedy in both Java regex and RE2 → identical
+#: counts in Spark and the DuckDB oracle (no lookarounds: RE2 lacks them).
+BPE_ISH_PATTERN = r"[a-zA-Z]{1,4}|[0-9]{1,4}|[^a-zA-Z0-9\s]"
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-ish subword count: a deterministic approximation of byte-pair
+    tokenizer granularity (≈ 4 chars/piece) via regexp_extract_all.
+    """
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), 0))
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic document quality in [0,1]: combines length band,
+    mean-word-length band, and stopword presence. Deterministic,
+    SQL-portable arithmetic only.
+    """
+    toks = tokens(col)
+    n_tok = F.size(toks)
+    n_chars = F.length(col)
+    mean_wordlen = n_chars.cast("double") / F.greatest(n_tok, F.lit(1))
+    stop_hits = F.size(F.array_intersect(toks, F.array(*[F.lit(s) for s in STOPWORDS])))
+    len_band = F.when((n_tok >= 10) & (n_tok <= 1000), 1.0).otherwise(0.3)
+    word_band = F.when((mean_wordlen >= 3.0) & (mean_wordlen <= 10.0), 1.0).otherwise(0.5)
+    stop_band = F.when(stop_hits >= 1, 1.0).otherwise(0.6)
+    return F.round(len_band * 0.4 + word_band * 0.3 + stop_band * 0.3, 4)
+
+
+def lang_guess(col: Column) -> Column:
+    """Keyword-marker language guess: the language whose marker words hit
+    the token set most; 'und' (undetermined) on zero hits. Ties resolve
+    by language-code order (deterministic).
+    """
+    toks = F.array_distinct(tokens(F.lower(col)))
+    # struct ordering is lexicographic: (hits, -i) → max hits, then the
+    # EARLIEST language in sorted-code order wins ties.
+    scored = F.array(
+        *[
+            F.struct(
+                F.size(
+                    F.array_intersect(toks, F.array(*[F.lit(m) for m in marks]))
+                ).alias("hits"),
+                F.lit(-i).alias("neg_idx"),
+                F.lit(code).alias("code"),
+            )
+            for i, (code, marks) in enumerate(sorted(LANG_MARKERS.items()))
+        ]
+    )
+    best = F.array_max(scored)
+    return F.when(best["hits"] > 0, best["code"]).otherwise(F.lit("und"))
+
+
+#: fingerprint modulus — small enough that acc*31 + h32 < 2^63 always
+#: (DuckDB errors on int64 overflow; Spark would wrap silently).
+FP_MOD = 1_000_000_007
+
+
+def rolling_fingerprint(col: Column) -> Column:
+    """Order-sensitive document fingerprint: polynomial rolling hash over
+    whitespace tokens of md5-derived 32-bit token hashes,
+    ``h = (h*31 + md5_int32(tok)) mod 1e9+7``, via F.aggregate —
+    no UDF, exactly reproducible in DuckDB's list_reduce.
+    """
+    from flink_anomaly_spark.operators.dedup import md5_int32
+
+    toks = tokens(col)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: (acc * 31 + md5_int32(t)) % F.lit(FP_MOD),
+    )
+
+
+def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One-pass per-document text profile: token counts, quality,
+    language guess, fingerprint. Narrow (no shuffle): scales linearly.
+    """
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        token_count(c).alias("n_tokens"),
+        bpe_ish_token_count(c).alias("n_subwords"),
+        F.length(c).alias("n_chars_computed"),
+        quality_score(c).alias("quality"),
+        lang_guess(c).alias("lang_guess"),
+        rolling_fingerprint(c).alias("fingerprint"),
+    )

@@ -1,0 +1,370 @@
+"""North-star extension queries: dedup, text analysis, similarity
+search, anomaly detection — the LLM-training-data-pipeline surface over
+``documents``/``embeddings``/``events``.
+
+Every oracle here replicates the Spark computation EXACTLY (same md5-
+derived hashing, same fold order for float sums, same tie-breaks), so
+the driver's value-hash comparison is meaningful even for near-dup /
+similarity operators that have no canonical SQL form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_anomaly_spark.operators.anomaly import rolling_zscore_outliers, zscore_outliers
+from flink_anomaly_spark.operators.dedup import (
+    MERSENNE_P,
+    PERM_PARAMS,
+    exact_dedup,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash60,
+)
+from flink_anomaly_spark.operators.similarity import brute_force_topk
+from flink_anomaly_spark.operators.text import text_profile
+from flink_anomaly_spark.plans.registry import register
+from flink_anomaly_spark.tables import load_table
+
+# shared DuckDB fragments -----------------------------------------------------
+
+_TOKS = r"list_filter(string_split_regex(text, '\s+'), tk -> tk != '')"
+_MD5_32 = "CAST(('0x' || substr(md5({x}),1,8)) AS BIGINT)"
+_MD5_60 = "CAST(('0x' || substr(md5({x}),1,15)) AS BIGINT)"
+
+
+def _shingle_sql(k: int) -> str:
+    """DuckDB k-shingles over a `toks` list column (mirrors dedup.shingles)."""
+    return f"""
+    CASE WHEN len(toks) >= {k}
+         THEN list_transform(range(1, len(toks)-{k}+2),
+                             i -> array_to_string(toks[i:i+{k - 1}], ' '))
+         ELSE [array_to_string(toks, ' ')] END
+    """
+
+
+# ---------------------------------------------------------------------------
+# Exact deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "exact_dedup",
+    oracle="""
+    SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+    doc="Exact dedup by content fingerprint: group on 16-byte md5 so the "
+    "shuffle never carries document bodies.",
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, content_col="text", id_col="doc_id").withColumnRenamed(
+        "keep_id", "keep_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text profile (tokens / quality / language / fingerprint)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_profile",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, text, toks,
+             len(toks) AS n_tokens,
+             len(regexp_extract_all(text, '[a-zA-Z]{{1,4}}|[0-9]{{1,4}}|[^a-zA-Z0-9\s]'))
+               AS n_subwords,
+             length(text) AS n_chars_computed,
+             CAST(length(text) AS DOUBLE) / greatest(len(toks), 1) AS mean_wordlen,
+             len(list_intersect(toks, ['the','a','and','of','to','in','is','it'])) AS stop_hits,
+             list_distinct(list_filter(string_split_regex(lower(text), '\s+'), tk -> tk != ''))
+               AS ltoks
+      FROM t
+    ), q AS (
+      SELECT doc_id, n_tokens, n_subwords, n_chars_computed,
+             round((CASE WHEN n_tokens >= 10 AND n_tokens <= 1000 THEN 1.0 ELSE 0.3 END) * 0.4
+                 + (CASE WHEN mean_wordlen >= 3.0 AND mean_wordlen <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.3
+                 + (CASE WHEN stop_hits >= 1 THEN 1.0 ELSE 0.6 END) * 0.3, 4) AS quality,
+             len(list_intersect(ltoks, ['der','und','nicht'])) AS h_de,
+             len(list_intersect(ltoks, ['the','and','of']))    AS h_en,
+             len(list_intersect(ltoks, ['el','de','que']))     AS h_es,
+             len(list_intersect(ltoks, ['le','et','les']))     AS h_fr,
+             len(list_intersect(ltoks, ['de','shi','bu']))     AS h_zh,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                            list_transform(toks, tk -> {_MD5_32.format(x="tk")})),
+               (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint
+      FROM s
+    )
+    SELECT doc_id, n_tokens, n_subwords, n_chars_computed, quality,
+           CASE WHEN greatest(h_de,h_en,h_es,h_fr,h_zh) = 0 THEN 'und'
+                WHEN h_de = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'de'
+                WHEN h_en = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'en'
+                WHEN h_es = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'es'
+                WHEN h_fr = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'fr'
+                ELSE 'zh' END AS lang_guess,
+           fingerprint
+    FROM q
+    """,
+    doc="One-pass text profile: whitespace + BPE-ish token counts, "
+    "heuristic quality score, marker-word language ID, rolling-hash "
+    "fingerprint. Narrow plan (no shuffle), scales linearly.",
+)
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_profile(docs, id_col="doc_id", text_col="text")
+
+
+# ---------------------------------------------------------------------------
+# Documents rollup (lang × source)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_by_lang_source",
+    oracle="""
+    SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM documents GROUP BY lang, source
+    """,
+    doc="Corpus composition rollup — hash agg with map-side combine.",
+)
+def q_docs_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-duplicate pairs
+# ---------------------------------------------------------------------------
+
+_NUM_PERM = 8
+_BANDS = 4
+_ROWS_PER_BAND = _NUM_PERM // _BANDS
+
+
+def _minhash_oracle() -> str:
+    perm_exprs = ",\n             ".join(
+        f"list_min(list_transform(hashes, h -> ({a}*h + {b}) % {MERSENNE_P}))"
+        for a, b in PERM_PARAMS[:_NUM_PERM]
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id AS id, {_TOKS} AS toks FROM documents
+    ), base AS (
+      SELECT id, list_distinct({_shingle_sql(3)}) AS sh FROM t
+    ), hashed AS (
+      SELECT id, sh, list_transform(sh, s -> {_MD5_32.format(x="s")}) AS hashes FROM base
+    ), sigm AS (
+      SELECT id, sh,
+             [{perm_exprs}] AS sig
+      FROM hashed
+    ), banded AS (
+      SELECT id,
+             b.b AS band,
+             md5(array_to_string(sig[b.b*{_ROWS_PER_BAND}+1 : (b.b+1)*{_ROWS_PER_BAND}], ',')) AS bucket
+      FROM sigm, (SELECT unnest(range(0, {_BANDS})) AS b) b
+    ), cand AS (
+      SELECT DISTINCT l.id AS id1, r.id AS id2
+      FROM banded l JOIN banded r ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
+    )
+    SELECT id1, id2,
+           round(len(list_intersect(a.sh, b.sh))
+                 / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 4) AS jaccard
+    FROM cand
+    JOIN base a ON cand.id1 = a.id
+    JOIN base b ON cand.id2 = b.id
+    WHERE round(len(list_intersect(a.sh, b.sh))
+                 / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 4) >= 0.5
+    """
+
+
+@register(
+    "minhash_near_dup_pairs",
+    oracle=_minhash_oracle(),
+    doc="MinHash(8 perms)+LSH(4 bands) near-dup candidate pairs, "
+    "verified by exact shingle Jaccard ≥ 0.5. Deterministic md5-based "
+    "hashing → the oracle replicates the banding bit-for-bit.",
+)
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        k_shingle=3,
+        num_perm=_NUM_PERM,
+        bands=_BANDS,
+        jaccard_threshold=0.5,
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints
+# ---------------------------------------------------------------------------
+
+
+def _simhash_oracle() -> str:
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), g AS (
+      SELECT doc_id, {_shingle_sql(2)} AS grams FROM t
+    ), h AS (
+      SELECT doc_id,
+             list_transform(grams, s -> {_MD5_60.format(x="s")}) AS hs,
+             len(grams) AS n
+      FROM g
+    )
+    SELECT doc_id,
+           CAST(list_sum(list_transform(range(0, 60),
+                b -> CASE WHEN 2*len(list_filter(hs, x -> (x & (CAST(1 AS BIGINT) << b)) != 0)) > n
+                          THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END))
+             AS BIGINT) AS simhash
+    FROM h
+    """
+
+
+@register(
+    "simhash_fingerprints",
+    oracle=_simhash_oracle(),
+    doc="60-bit SimHash per document (bit-majority over 2-shingle md5 "
+    "hashes) — near-dup detection via Hamming distance on fingerprints.",
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash60(F.col("text"), k_shingle=2).alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard within a blocking key
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id AS id, source AS blk, {_TOKS} AS toks FROM documents
+    ), base AS (
+      SELECT id, blk, list_distinct({_shingle_sql(3)}) AS sh FROM t
+    )
+    SELECT a.id AS id1, b.id AS id2,
+           round(len(list_intersect(a.sh, b.sh))
+                 / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 4) AS jaccard
+    FROM base a JOIN base b ON a.blk = b.blk AND a.id < b.id
+    WHERE round(len(list_intersect(a.sh, b.sh))
+                 / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 4) >= 0.2
+    """,
+    doc="Exact 3-gram Jaccard pairs within a `source` block — brute-force "
+    "verifier shape; block key bounds the pair count at scale.",
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", n=3, threshold=0.2, block_col="source"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity search (exact cosine top-k)
+# ---------------------------------------------------------------------------
+
+_QUERY_IDS = list(range(10))
+
+
+@register(
+    "embedding_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS nid, embedding AS nvec FROM embeddings),
+         scored AS (
+           SELECT qid, nid,
+                  round(
+                    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                      list_transform(range(1, len(qvec)+1),
+                        i -> CAST(qvec[i] AS DOUBLE) * CAST(nvec[i] AS DOUBLE))), (a,b) -> a+b)
+                    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                         list_transform(range(1, len(qvec)+1),
+                           i -> CAST(qvec[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE))), (a,b) -> a+b))
+                     * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                         list_transform(range(1, len(nvec)+1),
+                           i -> CAST(nvec[i] AS DOUBLE) * CAST(nvec[i] AS DOUBLE))), (a,b) -> a+b)))
+                  , 6) AS cos_sim
+           FROM c JOIN q ON nid != qid)
+    SELECT qid, nid, cos_sim, rank FROM (
+      SELECT qid, nid, cos_sim,
+             row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid ASC) AS rank
+      FROM scored) t
+    WHERE rank <= 5
+    """,
+    doc="Exact cosine top-5 neighbors for 10 query vectors: broadcast "
+    "query side, zip_with/aggregate dot products (left-to-right fold "
+    "matches the oracle's list_reduce bit-for-bit), per-query top-k.",
+)
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, id_col="vec_id", vec_col="embedding", query_ids=_QUERY_IDS, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Anomaly detection (the reference's namesake)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "zscore_outliers",
+    oracle="""
+    SELECT event_id, user_id, event_type, value, zscore FROM (
+      SELECT event_id, user_id, event_type, value,
+             round((value - avg(value) OVER (PARTITION BY user_id))
+                   / stddev_samp(value) OVER (PARTITION BY user_id), 4) AS zscore
+      FROM events) t
+    WHERE abs(zscore) > 2.0
+    """,
+    doc="Per-user z-score outliers (|z| > 2) — unbounded analytic window, "
+    "single hash shuffle on user_id, no self-join.",
+)
+def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    out = zscore_outliers(events, key="user_id", value_col="value", threshold=2.0)
+    return out.select("event_id", "user_id", "event_type", "value", "zscore")
+
+
+@register(
+    "rolling_zscore_outliers",
+    oracle="""
+    SELECT event_id, user_id, value, trailing_n, zscore FROM (
+      SELECT event_id, user_id, value,
+             count(value) OVER w AS trailing_n,
+             round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 4) AS zscore
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    ) t WHERE trailing_n >= 5 AND abs(zscore) > 2.5
+    """,
+    doc="Trailing-window z-score anomaly (previous 20 events per user, "
+    "current row excluded) — the batch analog of the streaming detector.",
+)
+def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    out = rolling_zscore_outliers(
+        events,
+        key="user_id",
+        order_cols=["ts", "event_id"],
+        value_col="value",
+        lookback_rows=20,
+        threshold=2.5,
+    )
+    return out.select("event_id", "user_id", "value", "trailing_n", "zscore")

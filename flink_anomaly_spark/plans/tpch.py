@@ -1,0 +1,313 @@
+"""Relational-breadth queries over the TPC-H-ish star schema.
+
+The reference has none of these (SURVEY §2.9) — they are required for
+the driver's oracle checks to be non-trivial and to exercise the join /
+aggregation / sort / window machinery at scale. All pure DataFrame API;
+Catalyst plans broadcast joins for the small dims and sort-merge (with
+AQE skew handling) for fact-fact joins.
+
+Float aggregates are rounded on BOTH sides (Spark + oracle) so the
+driver's value-hash is immune to summation-order ulp drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_anomaly_spark.operators.relational import join_broadcast, top_k, top_k_per_group
+from flink_anomaly_spark.plans.registry import register
+from flink_anomaly_spark.tables import load_table
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1: pricing summary (hash agg, 8 aggregates, map-side combine)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q1_pricing",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 4)                                        AS avg_qty,
+           round(avg(l_extendedprice), 4)                                   AS avg_price,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape: scan-filter-hashagg. Predicate pushes to parquet; "
+    "partial aggregation runs map-side so the shuffle carries ≤ "
+    "|groups|×partitions rows regardless of input size.",
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join chain: revenue per nation (lineitem⋈orders⋈customer⋈nation⋈region)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "revenue_by_nation",
+    oracle="""
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5-ish join chain. nation/region broadcast (25/5 rows at "
+    "any SF); customer⋈orders⋈lineitem are key-partitioned joins that AQE "
+    "can skew-split. The r_name filter prunes via the broadcast before "
+    "the fact shuffle.",
+)
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+
+    dim = join_broadcast(
+        join_broadcast(cust, nation, F.col("c_nationkey") == F.col("n_nationkey")),
+        region,
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    joined = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).join(
+        dim, F.col("o_custkey") == F.col("c_custkey")
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customers_with_orders_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderstatus = 'F')
+    """,
+    doc="Left-semi join (EXISTS) — right side reduced to distinct keys "
+    "before the probe, far cheaper than inner+distinct at scale.",
+)
+def q_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return cust.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "customers_without_orders_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    doc="Left-anti join (NOT EXISTS).",
+)
+def q_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / top-k
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+    doc="Global top-k: Spark plans TakeOrderedAndProject (per-partition "
+    "heap + driver merge of k·p rows) — no global sort shuffle at any "
+    "scale. Tie-break on o_orderkey keeps the row set deterministic.",
+)
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return top_k(
+        orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        10,
+    )
+
+
+@register(
+    "topk_events_per_type",
+    oracle="""
+    SELECT event_type, event_id, value, rn FROM (
+      SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id ASC) AS rn
+      FROM events) t
+    WHERE rn <= 3
+    """,
+    doc="Top-k per group via ranking window: one hash shuffle on the "
+    "group key, per-partition sort, rank filter.",
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    out = top_k_per_group(
+        events.select("event_type", "event_id", "value"),
+        group_cols=["event_type"],
+        order_by=[F.col("value").desc(), F.col("event_id").asc()],
+        k=3,
+    )
+    return out.select("event_type", "event_id", "value", "rn")
+
+
+# ---------------------------------------------------------------------------
+# Distinct aggregation / grouping sets
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_distinct_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Hash aggregation with count(distinct) — Spark expands to a "
+    "two-phase partial/final plan automatically.",
+)
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "lineitem_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP grouping sets — Catalyst Expand + single hash agg.",
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ranking / analytic window functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_rank_window",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           row_number()  OVER w AS rn,
+           rank()        OVER w AS rnk,
+           dense_rank()  OVER w AS drnk,
+           round(sum(c_acctbal) OVER (PARTITION BY c_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_bal
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    doc="SQL ranking + cumulative analytic window functions (absent from "
+    "the reference, §2.9) — one shuffle on the partition key.",
+)
+def q_rank_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.sum("c_acctbal").over(wcum), 2).alias("running_bal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function library (string/date/math) — §2.9 checklist
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_functions",
+    oracle="""
+    SELECT o_orderkey,
+           upper(o_orderpriority)                        AS prio_upper,
+           length(o_orderstatus)                         AS status_len,
+           substr(o_orderpriority, 1, 1)                 AS prio_code,
+           year(o_orderdate)                             AS order_year,
+           month(o_orderdate)                            AS order_month,
+           round(sqrt(o_totalprice), 4)                  AS price_sqrt,
+           round(ln(o_totalprice + 1), 6)                AS price_ln,
+           CAST(floor(o_totalprice / 1000) AS BIGINT)    AS price_k
+    FROM orders
+    WHERE o_orderkey % 7 = 0
+    """,
+    doc="Scalar string/date/math function battery (reference has only "
+    "toUpperCase, §2.9) — all JVM-codegen built-ins.",
+)
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    return orders.select(
+        "o_orderkey",
+        F.upper("o_orderpriority").alias("prio_upper"),
+        F.length("o_orderstatus").alias("status_len"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.round(F.sqrt("o_totalprice"), 4).alias("price_sqrt"),
+        F.round(F.log(F.col("o_totalprice") + 1), 6).alias("price_ln"),
+        F.floor(F.col("o_totalprice") / 1000).cast("bigint").alias("price_k"),
+    )

@@ -1,0 +1,52 @@
+"""SparkSession factory tuned for this engine.
+
+Local test profile is ``local[N]`` (single JVM), but every setting here
+is chosen to also be correct on a large multi-executor cluster:
+
+- AQE on (runtime coalescing, skew-join splitting, dynamic join
+  strategy switch) — the primary defense against skew/mis-sized
+  shuffles at 100 TB;
+- shuffle partitions sized to cores locally; on a real cluster this
+  would be ~2-3× total executor cores, and AQE coalesces down;
+- UTC session timezone so timestamp semantics match the DuckDB oracle
+  (DuckDB timestamps are UTC-naive);
+- Arrow enabled for every pandas interchange (Pandas UDFs, toPandas).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "flink_anomaly_spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's tuned config."""
+    cpus = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

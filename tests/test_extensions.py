@@ -1,0 +1,85 @@
+"""Targeted unit tests for the training-data-pipeline operators."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_anomaly_spark.operators.dedup import (
+    exact_dedup,
+    minhash_near_dup_pairs,
+    shingles,
+    simhash60,
+)
+from flink_anomaly_spark.operators.similarity import brute_force_topk, cosine
+from flink_anomaly_spark.operators.text import text_profile
+
+
+def test_exact_dedup_finds_copies(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], "id long, text string"
+    )
+    out = {r.keep_id: r.n_copies for r in exact_dedup(df, "text", "id").collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_shingles_basic(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], "text string")
+    got = df.select(shingles(F.col("text"), 3).alias("sh")).collect()
+    assert got[0].sh == ["a b c", "b c d"]
+    assert got[1].sh == ["a b"]  # shorter than k → single whole-text shingle
+
+
+def test_minhash_identical_docs_pair(spark):
+    rows = [(1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog today"),
+            (3, "completely different words appear in this unrelated document here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_near_dup_pairs(df, "doc_id", "text").collect()
+    assert [(p.id1, p.id2, p.jaccard) for p in pairs] == [(1, 2, 1.0)]
+
+
+def test_simhash_close_for_near_dups(spark):
+    rows = [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta iota"),
+            (3, "one two three four five six seven eight")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.sh for r in df.select("doc_id", simhash60(F.col("text")).alias("sh")).collect()}
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(got[1], got[2]) < hamming(got[1], got[3])
+
+
+def test_cosine_known_values(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0])],
+        "a array<double>, b array<double>",
+    )
+    got = [r.c for r in df.select(F.round(cosine(F.col("a"), F.col("b")), 6).alias("c")).collect()]
+    assert got == [0.0, 1.0]
+
+
+def test_brute_force_topk_shape(spark):
+    import random
+
+    random.seed(7)
+    rows = [(i, [random.random() for _ in range(8)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = brute_force_topk(df, "vec_id", "embedding", query_ids=[0, 1], k=3).collect()
+    assert len(out) == 6
+    assert all(r.nid != r.qid for r in out)
+    ranks = sorted(r.rank for r in out if r.qid == 0)
+    assert ranks == [1, 2, 3]
+
+
+def test_text_profile_columns(spark):
+    df = spark.createDataFrame([(1, "the quick brown fox")], "doc_id long, text string")
+    row = text_profile(df, "doc_id", "text").collect()[0]
+    assert row.n_tokens == 4
+    assert row.n_chars_computed == 19
+    assert 0.0 <= row.quality <= 1.0
+    assert row.fingerprint >= 0

@@ -1,0 +1,108 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on
+DuckDB over the same parquet tables, compares row count, column names,
+and an order-insensitive value hash. Usage:
+
+    python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+from flink_anomaly_spark.session import get_spark
+from flink_anomaly_spark.tables import TABLE_NAMES
+
+import __spark_entry__ as entrymod
+
+
+def _canon(v):
+    import datetime
+
+    import numpy as np
+    import pandas as pd
+
+    if v is None or v is pd.NaT or (isinstance(v, float) and v != v):
+        return "NULL"
+    if isinstance(v, (np.integer, int)) and not isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, (np.floating, float)):
+        return "%.12g" % float(v)
+    if isinstance(v, (pd.Timestamp, datetime.datetime)):
+        return pd.Timestamp(v).isoformat()
+    if isinstance(v, (np.ndarray, list, tuple)):
+        return "[" + ",".join(_canon(x) for x in v) + "]"
+    return str(v)
+
+
+def normalize(df) -> tuple[int, list[str], int]:
+    """(row_count, sorted cols, order-insensitive value hash)."""
+    import pandas as pd
+
+    pdf = df if isinstance(df, pd.DataFrame) else df.toPandas()
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    rows = []
+    for tup in pdf.itertuples(index=False):
+        rows.append(tuple(_canon(v) for v in tup))
+    return len(pdf), cols, hash(tuple(sorted(rows)))
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
+    only = [a for a in args if "/" not in a]
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            s_n, s_cols, s_hash = normalize(sdf)
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"OK?  {name}: rows-only ({s_n} rows, no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+            o_n, o_cols, o_hash = normalize(odf)
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            failures += 1
+            continue
+        status = []
+        if s_n != o_n:
+            status.append(f"rows {s_n}!={o_n}")
+        if s_cols != o_cols:
+            status.append(f"cols {s_cols}!={o_cols}")
+        if s_hash != o_hash and s_n == o_n and s_cols == o_cols:
+            status.append("value-hash mismatch")
+        if status:
+            print(f"FAIL {name}: {'; '.join(status)} [{time.time()-t0:.1f}s]")
+            failures += 1
+        else:
+            print(f"PASS {name}: {s_n} rows [{time.time()-t0:.1f}s]")
+    print(f"\n{'ALL PASS' if failures == 0 else f'{failures} FAILURES'}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
