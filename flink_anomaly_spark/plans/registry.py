@@ -55,6 +55,7 @@ def _load_all() -> None:
     from flink_anomaly_spark.plans import (  # noqa: F401
         extensions,
         reference_parity,
+        streaming_queries,
         tpch,
     )
 

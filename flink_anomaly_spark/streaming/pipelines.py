@@ -1,0 +1,125 @@
+"""Streaming pipelines: source → watermark → window agg → sink.
+
+Reference semantics transposed (SURVEY §2.7, §3.2):
+- ``assignTimestampsAndWatermarks(BoundedOutOfOrderness(20 s))``
+  (TestFlinkStreams.java:68-75) → ``withWatermark("ts", "20 seconds")``
+  — identical watermark = max-event-time − delay semantics.
+- ``windowAll(TumblingEventTimeWindows)`` + ``maxBy`` (…:78-79) →
+  ``groupBy(F.window(...)).agg(F.max_by(...))`` in append mode: windows
+  emit exactly once, when the watermark passes window end.
+
+``availableNow`` triggers drain the source deterministically, so these
+run to completion inside tests and the driver's rows-only checks.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: events.parquet schema with ts as int64 nanos (see tables._NANOS_TS_COLS)
+_EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbounded streaming DataFrame over the events table (file-stream
+    source — each parquet file is a micro-batch input split).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_count_stream(events: DataFrame, duration: str = "1 day") -> DataFrame:
+    """Keyed tumbling-window count/sum with a 20 s watermark — the
+    streaming twin of the batch ``window_count_agg`` query."""
+    return (
+        events.withWatermark("ts", "20 seconds")
+        .groupBy(F.window("ts", duration).alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def windowed_argmax_stream(events: DataFrame, duration: str = "1 hour") -> DataFrame:
+    """Streaming whole-record arg-max per tumbling window (W2+W3 live)."""
+    rec = F.max_by(
+        F.struct("event_id", "user_id", "event_type", "value"),
+        F.struct(F.col("value"), -F.col("event_id")),
+    ).alias("rec")
+    return (
+        events.withWatermark("ts", "20 seconds")
+        .groupBy(F.window("ts", duration).alias("win"))
+        .agg(rec)
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            F.col("rec.*"),
+        )
+    )
+
+
+def run_to_memory(result: DataFrame, output_mode: str = "append") -> DataFrame:
+    """Execute a streaming DataFrame to completion (availableNow) into a
+    memory sink; return the sink contents as a batch DataFrame."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return result.sparkSession.table(name)
+
+
+def stream_text_roundtrip(spark: SparkSession, lines: list[str], base_dir: str) -> list[str]:
+    """The reference's one asserted end-to-end test, live
+    (TestFlinkStreams.java:98-128): text-file stream source → rolling
+    text-file sink with checkpoint → read back.
+
+    The reference's DefaultRollingPolicy (15 min rollover / 1 GiB) maps
+    to micro-batch file commits + ``maxRecordsPerFile``.
+    """
+    in_dir = os.path.join(base_dir, "in")
+    out_dir = os.path.join(base_dir, "out")
+    ckpt = os.path.join(base_dir, "ckpt")
+    os.makedirs(in_dir, exist_ok=True)
+    with open(os.path.join(in_dir, "part0.txt"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    stream = spark.readStream.text(in_dir)
+    q = (
+        stream.writeStream.format("text")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.text(out_dir)
+    return sorted(r.value for r in back.collect())
