@@ -80,6 +80,106 @@ def anti_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+    out_prefix: str = "asof_",
+) -> DataFrame:
+    """As-of join (Spark has no native one): for each left row, the
+    latest right row with ``right.ts <= left.ts`` on the same key.
+
+    Scalable plan — union-then-window instead of a join: tag both
+    inputs, union them (zero shuffle), then one hash-shuffle + sort on
+    (key, ts) and a running ``max(struct(ts, payload))`` over preceding
+    right rows. No pd.merge_asof, no per-key collect; exactly one
+    shuffle regardless of input sizes, and skew behaves like any window.
+    Right rows sort BEFORE left rows on ties so an equal-timestamp right
+    row is visible (inclusive as-of).
+    """
+    from pyspark.sql import Window
+
+    lcols = left.columns
+    l_tagged = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*[F.col(c) for c in lcols]).alias("__l"),
+        F.lit(None)
+        .cast(
+            right.select(F.struct(F.col(right_ts).alias("__rts"), *[F.col(c) for c in right_payload]).alias("s"))
+            .schema["s"]
+            .dataType.simpleString()
+        )
+        .alias("__r"),
+    )
+    r_tagged = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(l_tagged.schema["__l"].dataType.simpleString()).alias("__l"),
+        F.struct(F.col(right_ts).alias("__rts"), *[F.col(c) for c in right_payload]).alias("__r"),
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = unioned.withColumn("__last_r", F.max("__r").over(w)).filter(F.col("__is_left") == 1)
+    out = matched.select(
+        F.col("__l.*"),
+        F.col("__last_r.__rts").alias(f"{out_prefix}{right_ts}"),
+        *[F.col(f"__last_r.{c}").alias(f"{out_prefix}{c}") for c in right_payload],
+    )
+    return out
+
+
+def interval_self_join(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    id_col: str,
+    max_gap_seconds: int,
+) -> DataFrame:
+    """Range (interval) self-join: ordered pairs (a, b) on the same key
+    with ``0 < b.ts − a.ts ≤ max_gap``.
+
+    Spark lacks a native range join, so bucketize: assign each row to a
+    ``max_gap``-wide time bucket and equi-join on (key, bucket) and
+    (key, bucket+1) — every qualifying pair shares a bucket or sits in
+    adjacent ones, so the join is a pair of hash joins plus a residual
+    filter, never an O(n²) cross product per key.
+    """
+    bucket = (F.unix_micros(F.col(ts_col)) / (max_gap_seconds * 1_000_000)).cast("long")
+    base = df.select(
+        F.col(key).alias("k"),
+        F.col(id_col).alias("id"),
+        F.col(ts_col).alias("t"),
+        bucket.alias("bkt"),
+    )
+    right = base.select(
+        F.col("k"),
+        F.col("id").alias("id2"),
+        F.col("t").alias("t2"),
+        F.explode(F.array(F.col("bkt"), F.col("bkt") - 1)).alias("bkt"),
+    )
+    gap_us = F.unix_micros(F.col("t2")) - F.unix_micros(F.col("t"))
+    return (
+        base.join(right, ["k", "bkt"])
+        .filter((gap_us > 0) & (gap_us <= max_gap_seconds * 1_000_000))
+        .select(
+            F.col("k").alias(key),
+            F.col("id").alias("id1"),
+            F.col("id2"),
+            gap_us.alias("gap_us"),
+        )
+    )
+
+
 def top_k(df: DataFrame, order_by: list[Column], k: int) -> DataFrame:
     """Global top-k: ``orderBy().limit(k)`` — Spark plans TakeOrderedAndProject,
     which computes a per-partition top-k then merges k·p rows on the

@@ -40,6 +40,99 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def hyperplane_matrix(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 random-hyperplane matrix derived from md5 of
+    (plane, coord) — reproducible in any engine (the oracle embeds the
+    same literals), no RNG state."""
+    import hashlib
+
+    return [
+        [
+            1.0 if hashlib.md5(f"rp:{j}:{i}".encode()).digest()[0] % 2 == 0 else -1.0
+            for i in range(dim)
+        ]
+        for j in range(n_planes)
+    ]
+
+
+def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH bucket id: bit j = sign(v·w_j) ≥ 0.
+    Pure array expressions; left-to-right fold matches the oracle."""
+    bucket = F.lit(0)
+    for j, w in enumerate(planes):
+        wlit = F.array(*[F.lit(x) for x in w])
+        d = dot(vec_col, wlit)
+        bucket = bucket + F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_bucketed_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    k: int = 5,
+    n_planes: int = 4,
+) -> DataFrame:
+    """Approximate NN: score only candidates sharing the query's LSH
+    bucket, then exact-cosine rerank.
+
+    The scale path: bucket assignment is narrow (one pass over the
+    corpus); the probe join hash-partitions on the bucket id, so each
+    query scores |corpus|/2^n_planes candidates in expectation instead
+    of the full corpus. Recall < 1 by design — ``brute_force_topk`` is
+    the exact baseline.
+    """
+    planes = hyperplane_matrix(n_planes, _dim_of(df, vec_col))
+    base = df.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("nvec"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    queries = base.filter(F.col("nid").isin(query_ids)).select(
+        F.col("nid").alias("qid"), F.col("nvec").alias("qvec"), "bucket"
+    )
+    scored = base.join(F.broadcast(queries), "bucket").filter(F.col("nid") != F.col("qid")).select(
+        "qid", "nid", F.round(cosine(F.col("qvec"), F.col("nvec")), 6).alias("cos_sim")
+    )
+    out = top_k_per_group(
+        scored,
+        group_cols=["qid"],
+        order_by=[F.col("cos_sim").desc(), F.col("nid").asc()],
+        k=k,
+        rank_col="rank",
+    )
+    return out.select("qid", "nid", "cos_sim", "rank")
+
+
+def _dim_of(df: DataFrame, vec_col: str) -> int:
+    return df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within a blocking key —
+    the embedding flavor of dedup: pairs (id1 < id2) in the same block
+    with cosine ≥ threshold. The block key bounds the pair count; at
+    scale the block is an LSH bucket (see lsh_bucket)."""
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.col(block_col).alias("blk")
+    )
+    a = base.select("blk", F.col("id").alias("id1"), F.col("v").alias("v1"))
+    b = base.select("blk", F.col("id").alias("id2"), F.col("v").alias("v2"))
+    pairs = a.join(b, "blk").filter(F.col("id1") < F.col("id2"))
+    return (
+        pairs.withColumn("cos_sim", F.round(cosine(F.col("v1"), F.col("v2")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id1", "id2", "cos_sim")
+    )
+
+
 def brute_force_topk(
     df: DataFrame,
     id_col: str,

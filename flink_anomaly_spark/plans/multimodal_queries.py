@@ -1,0 +1,57 @@
+"""Multimodal-pipeline queries: binary payload plumbing with stubbed
+decoding (operators/multimodal.py). The decode stub is deterministic
+(sha256-derived features), so even these are fully oracle-checked —
+DuckDB's sha256(VARCHAR) equals hashlib.sha256 over the UTF-8 payload
+bytes."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_anomaly_spark.operators.multimodal import (
+    documents_as_media,
+    extract_features,
+    frame_sample_plan,
+)
+from flink_anomaly_spark.plans.registry import register
+from flink_anomaly_spark.tables import load_table
+
+
+@register(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           'image' AS kind,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS sha256,
+           list_transform(range(0, 8),
+             i -> CAST(('0x' || substr(sha256(text), i*8+1, 8)) AS BIGINT) / 4294967296.0)
+             AS feat,
+           true AS decode_ok
+    FROM documents
+    """,
+    doc="mapInPandas feature extraction over opaque binary payloads "
+    "(Arrow-batched; bytes never outlive one batch). Decode is a "
+    "deterministic sha256-derived stub — swap _fake_decode for a real "
+    "decoder without touching the plumbing.",
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(documents_as_media(docs))
+
+
+@register(
+    "multimodal_frame_plan",
+    oracle="""
+    SELECT media_id, u.frame_idx AS frame_idx, u.frame_idx * 1000 AS offset_ms
+    FROM (SELECT doc_id AS media_id, n_chars * 10 AS duration_ms
+          FROM documents WHERE doc_id % 5 = 0) t,
+         LATERAL unnest(range(0, duration_ms // 1000 + 1)) AS u(frame_idx)
+    """,
+    doc="Video frame-sampling plan: sequence+explode fan-out (one row "
+    "per planned frame) — the relational half of frame extraction; the "
+    "per-frame decode would run in mapInPandas.",
+)
+def q_multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return frame_sample_plan(documents_as_media(docs), every_ms=1000)

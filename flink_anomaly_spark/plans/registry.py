@@ -54,7 +54,9 @@ def _load_all() -> None:
         return
     from flink_anomaly_spark.plans import (  # noqa: F401
         extensions,
+        multimodal_queries,
         reference_parity,
+        relational_ext,
         streaming_queries,
         tpch,
     )

@@ -1,0 +1,326 @@
+"""Extended relational coverage: sliding/session windows, pivot,
+intersect/except, as-of join, interval (range) join, LSH-bucketed ANN,
+embedding near-dup — the operator families a Flink user would reach for
+next, all Spark-first and oracle-exact."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_anomaly_spark.operators.relational import asof_join, interval_self_join
+from flink_anomaly_spark.operators.similarity import (
+    embedding_near_dup_pairs,
+    hyperplane_matrix,
+    lsh_bucketed_topk,
+)
+from flink_anomaly_spark.operators.windows import session_agg, sliding_agg
+from flink_anomaly_spark.plans.registry import register
+from flink_anomaly_spark.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Sliding (hopping) window — absent from the reference (§2.7 note), free
+# in Spark
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sliding_window_agg",
+    oracle="""
+    WITH e AS (SELECT time_bucket(INTERVAL '30 minutes', ts) AS s1, value FROM events)
+    SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM (SELECT s1 AS window_start, value FROM e
+          UNION ALL
+          SELECT s1 - INTERVAL 30 MINUTE AS window_start, value FROM e) t
+    GROUP BY window_start
+    """,
+    doc="1h window / 30min slide: Spark expands each row into dur/slide "
+    "windows then hash-aggregates (map-side partial agg keeps the "
+    "shuffle at |windows| rows).",
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return sliding_agg(
+        events,
+        ts_col="ts",
+        duration="1 hour",
+        slide="30 minutes",
+        aggs=[F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value")],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session window
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "session_window_agg",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT min(ts) AS window_start,
+           max(ts) + INTERVAL 30 MINUTE AS window_end,
+           user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+    doc="Gap-based session windows (30 min) per user — F.session_window "
+    "in batch; the oracle sessionizes via lag+cumsum (new session when "
+    "gap ≥ 30 min, matching Spark's exclusive window end).",
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return session_agg(
+        events,
+        ts_col="ts",
+        gap="30 minutes",
+        key_cols=["user_id"],
+        aggs=[F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value")],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pivot_order_status",
+    oracle="""
+    SELECT o_orderpriority,
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS "F",
+           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS "O",
+           round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS "P"
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Pivot (priority × status revenue matrix) — Catalyst rewrites to "
+    "a single hash agg with conditional aggregates; explicit value list "
+    "avoids the extra distinct-values job at scale.",
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Intersect / Except (set semantics — distinct, per SQL standard)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "custkeys_intersect",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    doc="INTERSECT (customers with both a finished and an open order) — "
+    "Spark plans a left-semi join over distinct inputs.",
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    o = orders.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    return f.intersect(o)
+
+
+@register(
+    "custkeys_except",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    doc="EXCEPT (set semantics — subtract, not the multiset exceptAll) — "
+    "left-anti join over distinct inputs.",
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    o = orders.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    return f.subtract(o)
+
+
+# ---------------------------------------------------------------------------
+# As-of join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_last_signup",
+    oracle="""
+    SELECT event_id, user_id,
+           m.__rts AS last_signup_ts, m.sid AS last_signup_id
+    FROM (
+      SELECT event_id, user_id,
+             max(CASE WHEN event_type = 'signup'
+                      THEN {'__rts': ts, 'sid': event_id} END)
+               OVER (PARTITION BY user_id
+                     ORDER BY ts, CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+      FROM events) t
+    """,
+    doc="As-of join (Spark lacks a native one): each event matched to "
+    "the latest signup at-or-before it per user. Implemented as "
+    "union-tag + running max(struct) window — ONE shuffle total, no "
+    "per-group pandas, no merge_asof (operators/relational.asof_join).",
+)
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    signups = events.filter(F.col("event_type") == "signup")
+    out = asof_join(
+        events,
+        signups,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["event_id"],
+        out_prefix="asof_",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_ts").alias("last_signup_ts"),
+        F.col("asof_event_id").alias("last_signup_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval (range) self-join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "interval_event_pairs",
+    oracle="""
+    SELECT a.user_id AS user_id, a.event_id AS id1, b.event_id AS id2,
+           epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+    FROM events a JOIN events b ON a.user_id = b.user_id
+    WHERE epoch_us(b.ts) - epoch_us(a.ts) > 0
+      AND epoch_us(b.ts) - epoch_us(a.ts) <= 600000000
+    """,
+    doc="Range join (pairs of events ≤ 10 min apart per user) via time "
+    "bucketization: equi-join on (key, bucket)∪(key, bucket+1) + "
+    "residual filter — two hash joins instead of an O(n²) theta join "
+    "(operators/relational.interval_self_join).",
+)
+def q_interval_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return interval_self_join(
+        events, key="user_id", ts_col="ts", id_col="event_id", max_gap_seconds=600
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed approximate nearest neighbors
+# ---------------------------------------------------------------------------
+
+_N_PLANES = 4
+_DIM = 64
+
+
+def _pair_dot(a: str, b: str) -> str:
+    """DuckDB dot product with the same left-to-right fold as
+    similarity.dot (F.zip_with + F.aggregate) — bit-identical doubles."""
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {_DIM + 1}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (x,y) -> x+y)"
+    )
+
+
+def _ann_oracle() -> str:
+    planes = hyperplane_matrix(_N_PLANES, _DIM)
+
+    def dot_sql(vec: str, w: list[float]) -> str:
+        wlit = "[" + ",".join(f"{x:.1f}" for x in w) + "]"
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, {_DIM + 1}), "
+            f"i -> CAST({vec}[i] AS DOUBLE) * ({wlit}::DOUBLE[])[i])), (a,b) -> a+b)"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot_sql('embedding', w)} >= 0 THEN {1 << j} ELSE 0 END)"
+        for j, w in enumerate(planes)
+    )
+    pair_dot = _pair_dot
+
+    return f"""
+    WITH v AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+         q AS (SELECT vec_id AS qid, embedding AS qvec, bucket FROM v WHERE vec_id < 10),
+         c AS (SELECT vec_id AS nid, embedding AS nvec, bucket FROM v),
+         scored AS (
+           SELECT qid, nid,
+                  round({pair_dot("qvec", "nvec")}
+                        / (sqrt({pair_dot("qvec", "qvec")}) * sqrt({pair_dot("nvec", "nvec")})), 6)
+                    AS cos_sim
+           FROM c JOIN q USING (bucket) WHERE nid != qid)
+    SELECT qid, nid, cos_sim, rank FROM (
+      SELECT qid, nid, cos_sim,
+             row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid ASC) AS rank
+      FROM scored) t
+    WHERE rank <= 5
+    """
+
+
+@register(
+    "embedding_ann_lsh",
+    oracle=_ann_oracle(),
+    doc="Approximate NN via random-hyperplane LSH (4 deterministic "
+    "md5-seeded planes → 16 buckets) + exact cosine rerank within the "
+    "query's bucket — the 100 TB path: each query scores |corpus|/16 "
+    "candidates in expectation (brute_force_topk is the exact baseline).",
+)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_bucketed_topk(
+        emb, id_col="vec_id", vec_col="embedding", query_ids=list(range(10)), k=5,
+        n_planes=_N_PLANES,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs
+# ---------------------------------------------------------------------------
+
+
+def _near_dup_oracle() -> str:
+    cos = (
+        f"{_pair_dot('a.embedding', 'b.embedding')} / "
+        f"(sqrt({_pair_dot('a.embedding', 'a.embedding')}) * "
+        f"sqrt({_pair_dot('b.embedding', 'b.embedding')}))"
+    )
+    return f"""
+    SELECT a.vec_id AS id1, b.vec_id AS id2, round({cos}, 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round({cos}, 6) >= 0.3
+    """
+
+
+@register(
+    "embedding_near_dup",
+    oracle=_near_dup_oracle(),
+    doc="Embedding-cosine near-dup pairs blocked by label (cos ≥ 0.3) — "
+    "the embedding flavor of dedup; at scale the block key is an LSH "
+    "bucket.",
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(
+        emb, id_col="vec_id", vec_col="embedding", block_col="label", threshold=0.3
+    )

@@ -1,0 +1,69 @@
+"""Sinks — the reference's K1-K3 (SURVEY §2.2) in Spark form.
+
+- K1 ``.print()`` → ``df.show()`` batch / console sink streaming;
+- K2 ``StreamingFileSink.forRowFormat`` with rolling policy →
+  text/parquet writers; rolling ≈ trigger interval + maxRecordsPerFile;
+- K3 custom ``RichSinkFunction`` → ``foreachBatch`` (the Spark place
+  for side-effecting sinks; documented at-least-once, see
+  streaming/recovery.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+
+def sink_show(df: DataFrame, n: int = 20) -> None:
+    """K1 batch analog of ``.print()`` (Main.java:54)."""
+    df.show(n, truncate=False)
+
+
+def sink_console_stream(df: DataFrame):
+    """K1 streaming analog: console sink."""
+    return df.writeStream.format("console").trigger(availableNow=True).start()
+
+
+def write_text(df: DataFrame, path: str, max_records_per_file: int | None = None) -> None:
+    """K2 batch: row-format text files; ``maxRecordsPerFile`` stands in
+    for the reference's 1 GiB rolling policy (TestFlinkStreams.java:107-115)."""
+    writer = df.write.mode("overwrite")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.text(path)
+
+
+def write_parquet(
+    df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite"
+) -> None:
+    """Columnar sink; ``partition_by`` gives partition pruning to every
+    downstream reader — the default layout choice at 100 TB."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def sink_file_stream(df: DataFrame, path: str, checkpoint: str, fmt: str = "text"):
+    """K2 streaming: checkpointed file sink (exactly-once via the
+    transactional file-sink commit log)."""
+    return (
+        df.writeStream.format(fmt)
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def sink_foreach_batch(df: DataFrame, fn: Callable[[DataFrame, int], None], checkpoint: str):
+    """K3: custom side-effecting sink via foreachBatch
+    (TestFlinkStreamsRecover.java:99-107's ConcatenateSink analog).
+    At-least-once: a crashed batch replays its effects."""
+    return (
+        df.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
