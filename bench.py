@@ -28,7 +28,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def main() -> None:
     spark = get_spark("bench")
-    queries = all_queries()
+    # batch queries only: the streaming_* entries run a full streaming
+    # job inside the builder (availableNow → memory sink) and the
+    # stateful running-concat emits O(n²) prefix chars by definition —
+    # they are correctness-checked by the driver's rows-only gate, not
+    # raced here.
+    queries = {n: fn for n, fn in all_queries().items() if not n.startswith("streaming_")}
 
     # warm the JVM + parquet footers once (excluded from timings)
     queries["tpch_q1_pricing"](spark, SF_DIR).write.mode("overwrite").format("noop").save()
