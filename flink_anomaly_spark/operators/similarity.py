@@ -84,11 +84,12 @@ def lsh_bucketed_topk(
     the exact baseline.
     """
     planes = hyperplane_matrix(n_planes, _dim_of(df, vec_col))
+    par = df.sparkSession.sparkContext.defaultParallelism
     base = df.select(
         F.col(id_col).alias("nid"),
         F.col(vec_col).alias("nvec"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-    )
+    ).repartition(par)
     queries = base.filter(F.col("nid").isin(query_ids)).select(
         F.col("nid").alias("qid"), F.col("nvec").alias("qvec"), "bucket"
     )
@@ -120,14 +121,23 @@ def embedding_near_dup_pairs(
     the embedding flavor of dedup: pairs (id1 < id2) in the same block
     with cosine ≥ threshold. The block key bounds the pair count; at
     scale the block is an LSH bucket (see lsh_bucket)."""
+    # precompute each row's norm once (per-pair recomputation would do
+    # it |block| times per vector); same arithmetic as the oracle's
+    # sqrt(self-dot) so the doubles stay bit-identical.
     base = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.col(block_col).alias("blk")
-    )
-    a = base.select("blk", F.col("id").alias("id1"), F.col("v").alias("v1"))
-    b = base.select("blk", F.col("id").alias("id2"), F.col("v").alias("v2"))
-    pairs = a.join(b, "blk").filter(F.col("id1") < F.col("id2"))
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.col(block_col).alias("blk"),
+    ).withColumn("nrm", norm(F.col("v")))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    a = base.select(
+        "blk", F.col("id").alias("id1"), F.col("v").alias("v1"), F.col("nrm").alias("nrm1")
+    ).repartition(par)  # O(|block|²) scoring must not run in one input-split task
+    b = base.select("blk", F.col("id").alias("id2"), F.col("v").alias("v2"), F.col("nrm").alias("nrm2"))
+    pairs = a.join(F.broadcast(b), "blk").filter(F.col("id1") < F.col("id2"))
+    cos = dot(F.col("v1"), F.col("v2")) / (F.col("nrm1") * F.col("nrm2"))
     return (
-        pairs.withColumn("cos_sim", F.round(cosine(F.col("v1"), F.col("v2")), 6))
+        pairs.withColumn("cos_sim", F.round(cos, 6))
         .filter(F.col("cos_sim") >= threshold)
         .select("id1", "id2", "cos_sim")
     )
@@ -146,7 +156,8 @@ def brute_force_topk(
     streams once, no shuffle until the per-query top-k (window on the
     tiny query key space).
     """
-    base = df.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    base = df.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")).repartition(par)
     queries = df.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
     )

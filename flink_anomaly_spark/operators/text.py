@@ -115,6 +115,8 @@ def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     language guess, fingerprint. Narrow (no shuffle): scales linearly.
     """
     c = F.col(text_col)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    df = df.select(id_col, text_col).repartition(par)
     return df.select(
         F.col(id_col),
         token_count(c).alias("n_tokens"),

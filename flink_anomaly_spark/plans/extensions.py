@@ -20,7 +20,7 @@ from flink_anomaly_spark.operators.dedup import (
     exact_dedup,
     minhash_near_dup_pairs,
     ngram_jaccard_pairs,
-    simhash60,
+    simhash60_pandas,
 )
 from flink_anomaly_spark.operators.similarity import brute_force_topk
 from flink_anomaly_spark.operators.text import text_profile
@@ -243,8 +243,12 @@ def _simhash_oracle() -> str:
     "hashes) — near-dup detection via Hamming distance on fingerprints.",
 )
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash60(F.col("text"), k_shingle=2).alias("simhash"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # per-row CPU-bound hashing: spread a single input split across cores
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    # vectorized pandas path; bit-identical to operators.dedup.simhash60
+    # (the pure-Catalyst reference implementation, cross-checked in tests)
+    return docs.select("doc_id", simhash60_pandas()("text").alias("simhash"))
 
 
 # ---------------------------------------------------------------------------

@@ -41,6 +41,19 @@ def test_minhash_identical_docs_pair(spark):
     assert [(p.id1, p.id2, p.jaccard) for p in pairs] == [(1, 2, 1.0)]
 
 
+def test_simhash_pandas_equals_catalyst(spark):
+    """The production pandas-UDF simhash must be bit-identical to the
+    pure-Catalyst reference implementation."""
+    from flink_anomaly_spark.operators.dedup import simhash60_pandas
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    a = {r.doc_id: r.s for r in docs.select("doc_id", simhash60(F.col("text")).alias("s")).collect()}
+    b = {r.doc_id: r.s for r in docs.select("doc_id", simhash60_pandas()("text").alias("s")).collect()}
+    assert a == b
+
+
 def test_simhash_close_for_near_dups(spark):
     rows = [(1, "alpha beta gamma delta epsilon zeta eta theta"),
             (2, "alpha beta gamma delta epsilon zeta eta iota"),
