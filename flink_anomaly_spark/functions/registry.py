@@ -1,0 +1,52 @@
+"""UDF registration + SQL text interface.
+
+The reference's whole UDF surface is Java lambdas/rich functions
+(SURVEY §2.10); Spark's counterpart is (a) Column expressions — used
+everywhere in operators/ — and (b) registered functions callable from
+SQL text. This module exposes the engine's custom functions to the SQL
+surface so a user can write plain SQL against the registered views.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_anomaly_spark.tables import register_views
+
+
+def register_builtin_udfs(spark: SparkSession) -> None:
+    """Register the engine's custom functions for SQL-text use.
+
+    Kept deliberately small: everything expressible as a built-in
+    Column expression stays one (codegen > UDF); only genuinely custom
+    computations are registered.
+    """
+    from flink_anomaly_spark.operators.dedup import simhash60_pandas
+
+    spark.udf.register("engine_simhash60", simhash60_pandas())
+
+    @F.pandas_udf("double")
+    def engine_quality_score(texts: pd.Series) -> pd.Series:
+        # vectorized mirror of operators.text.quality_score for SQL use
+        toks = texts.str.split()
+        n_tok = toks.str.len().fillna(0)
+        n_chars = texts.str.len()
+        mean_wordlen = n_chars / n_tok.clip(lower=1)
+        stop = {"the", "a", "and", "of", "to", "in", "is", "it"}
+        stop_hits = toks.apply(lambda ts: len(stop.intersection(ts or [])))
+        len_band = ((n_tok >= 10) & (n_tok <= 1000)).map({True: 1.0, False: 0.3})
+        word_band = ((mean_wordlen >= 3.0) & (mean_wordlen <= 10.0)).map({True: 1.0, False: 0.5})
+        stop_band = (stop_hits >= 1).map({True: 1.0, False: 0.6})
+        return (len_band * 0.4 + word_band * 0.3 + stop_band * 0.3).round(4)
+
+    spark.udf.register("engine_quality_score", engine_quality_score)
+
+
+def sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    """SQL text interface: register the catalog views + engine UDFs,
+    then run the query through Catalyst."""
+    register_views(spark, sf_dir)
+    register_builtin_udfs(spark)
+    return spark.sql(query)

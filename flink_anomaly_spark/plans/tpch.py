@@ -106,6 +106,39 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q3 shape via the SQL-text interface (the engine's SQL surface)
+# ---------------------------------------------------------------------------
+
+_Q3_SQL = """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+    LIMIT 10
+"""
+
+
+@register(
+    "tpch_q3_sql",
+    oracle=_Q3_SQL,
+    doc="TPC-H Q3 shape executed through the engine's SQL-text surface "
+    "(functions.sql → temp views → Catalyst) — identical SQL runs on "
+    "both engines; tie-broken ORDER BY keeps the LIMIT deterministic.",
+)
+def q_tpch_q3_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.functions.registry import sql
+
+    return sql(spark, sf_dir, _Q3_SQL)
+
+
+# ---------------------------------------------------------------------------
 # Semi / anti joins
 # ---------------------------------------------------------------------------
 

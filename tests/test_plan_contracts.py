@@ -1,0 +1,86 @@
+"""Physical-plan contract tests: the ".explain and iterate" loop,
+codified. A regression here means a silent 10× at scale even if results
+stay correct."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_anomaly_spark.plans.contracts import (
+    assert_broadcast_join,
+    assert_column_pruned,
+    assert_parquet_pushdown,
+    assert_single_shuffle,
+    assert_take_ordered,
+    assert_whole_stage_codegen,
+    physical_plan,
+)
+from flink_anomaly_spark.plans.registry import all_queries
+from tests.conftest import SF_SMOKE
+
+_Q = all_queries()
+
+
+def test_filter_pushes_to_parquet(spark):
+    """filter_project's predicates must reach the parquet scan."""
+    df = _Q["filter_project"](spark, SF_SMOKE)
+    assert_parquet_pushdown(df, "c_acctbal")
+    assert_parquet_pushdown(df, "c_mktsegment")
+
+
+def test_projection_prunes_columns(spark):
+    """map_upper reads only (doc_id, text) — lang/source/n_chars must be
+    pruned from the scan's ReadSchema."""
+    df = _Q["map_upper"](spark, SF_SMOKE)
+    assert_column_pruned(df, "n_chars")
+    assert_column_pruned(df, "source")
+
+
+def test_dim_joins_broadcast(spark):
+    """revenue_by_nation must broadcast the nation/region dims (they are
+    O(25) rows at every scale factor)."""
+    df = _Q["revenue_by_nation"](spark, SF_SMOKE)
+    assert_broadcast_join(df)
+
+
+def test_topk_plans_take_ordered(spark):
+    """Global top-k must be TakeOrderedAndProject, not sort+limit —
+    the difference between O(k·p) driver merge and a global sort
+    shuffle at 100 TB."""
+    df = _Q["topk_orders"](spark, SF_SMOKE)
+    assert_take_ordered(df)
+
+
+def test_q1_is_codegen(spark):
+    """TPC-H Q1's scan→filter→partial-agg must be inside
+    WholeStageCodegen spans (no interpreted row processing)."""
+    df = _Q["tpch_q1_pricing"](spark, SF_SMOKE)
+    assert_whole_stage_codegen(df)
+
+
+def test_running_concat_single_shuffle(spark):
+    """The flagship window query needs exactly one hash exchange (on
+    event_type) — partition once, sort in partition, emit."""
+    df = _Q["flagship_running_concat"](spark, SF_SMOKE)
+    assert_single_shuffle(df)
+
+
+def test_asof_join_single_shuffle(spark):
+    """asof_join is union + one window: a second exchange would mean the
+    union-tag trick regressed into a join."""
+    df = _Q["asof_last_signup"](spark, SF_SMOKE)
+    assert_single_shuffle(df)
+
+
+def test_semi_join_stays_semi(spark):
+    """left_semi must not degrade into inner+distinct."""
+    plan = physical_plan(_Q["customers_with_orders_semi"](spark, SF_SMOKE))
+    assert "LeftSemi" in plan, plan
+
+
+def test_exact_dedup_partial_agg(spark):
+    """Hash agg on md5 fingerprint must have a map-side partial phase
+    (two HashAggregate nodes around the exchange)."""
+    plan = physical_plan(_Q["exact_dedup"](spark, SF_SMOKE))
+    assert plan.count("HashAggregate") >= 2, plan

@@ -1,0 +1,114 @@
+"""Tests for the scale utilities (salting, bucketing, SQL surface)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_anomaly_spark.functions.registry import sql
+from flink_anomaly_spark.partitioning import (
+    salted_group_agg,
+    salted_join_hot_keys,
+    write_bucketed,
+)
+from flink_anomaly_spark.plans.contracts import physical_plan
+from flink_anomaly_spark.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_salted_agg_matches_plain(spark):
+    events = load_table(spark, SF_SMOKE, "events")
+    plain = {
+        (r.event_type): (r.n, round(r.s, 2))
+        for r in events.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    salted = {
+        (r.event_type): (r.n, round(r.s, 2))
+        for r in salted_group_agg(
+            events, "event_type", {"n": "count(*)", "s": "sum(value)"}
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_agg_rejects_nonalgebraic(spark):
+    events = load_table(spark, SF_SMOKE, "events")
+    with pytest.raises(ValueError):
+        salted_group_agg(events, "event_type", {"a": "avg(value)"})
+
+
+def test_salted_join_matches_plain(spark):
+    events = load_table(spark, SF_SMOKE, "events").select("event_id", "user_id")
+    users = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("tag", F.col("user_id") * 10)
+    )
+    plain = set(
+        (r.event_id, r.tag) for r in events.join(users, "user_id").collect()
+    )
+    salted = set(
+        (r.event_id, r.tag)
+        for r in salted_join_hot_keys(events, users, "user_id", hot_keys=[1, 2]).collect()
+    )
+    assert plain == salted
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Joining two tables bucketed on the same key must not add a
+    shuffle on the bucketed side (the Exchange disappears)."""
+    # spark.sql.warehouse.dir is a static conf: tables land in the
+    # default ./spark-warehouse (gitignored). The in-memory catalog
+    # forgets tables between sessions but leaves directories behind —
+    # clear them or saveAsTable fails with LOCATION_ALREADY_EXISTS.
+    import shutil
+
+    for t in ("b_orders", "b_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    orders = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(orders, "b_orders", "o_orderkey", n_buckets=8)
+    write_bucketed(li.withColumnRenamed("l_orderkey", "o_orderkey"), "b_lineitem", "o_orderkey", n_buckets=8)
+    # at smoke scale Catalyst would broadcast (bucketing bypassed);
+    # disable auto-broadcast to expose the big-big join path bucketing
+    # exists for
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+        plan = physical_plan(j)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, f"bucketed join still shuffles:\n{plan}"
+        assert "Bucketed: true" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_sql_text_interface(spark):
+    out = sql(
+        spark,
+        SF_SMOKE,
+        """
+        SELECT event_type, count(*) AS n, engine_simhash60(max(props)) AS h
+        FROM events GROUP BY event_type
+        """,
+    )
+    rows = out.collect()
+    assert len(rows) == 5
+    assert all(r.h is not None for r in rows)
+
+
+def test_sql_quality_udf(spark):
+    out = sql(
+        spark,
+        SF_SMOKE,
+        "SELECT doc_id, engine_quality_score(text) AS q FROM documents LIMIT 10",
+    )
+    rows = out.collect()
+    assert all(0.0 <= r.q <= 1.0 for r in rows)
