@@ -1,0 +1,127 @@
+"""Property-based tests (hypothesis) — the reference has no randomized
+testing (SURVEY §5); these pin operator semantics against pure-Python
+references on arbitrary inputs."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from flink_anomaly_spark.operators.relational import top_k, union_all
+from flink_anomaly_spark.operators.stateful import keyed_concat_total, running_concat
+from flink_anomaly_spark.partitioning import salted_group_agg
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),  # key
+        st.integers(min_value=0, max_value=99),  # payload
+        st.integers(min_value=0, max_value=10**6),  # order (may collide)
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(**_SETTINGS)
+@given(rows_strategy)
+def test_running_concat_matches_python(spark, rows):
+    # de-dup (key, ord) collisions so ordering is total (engine contract:
+    # order_by must be a unique sort within key)
+    seen = set()
+    uniq = []
+    for k, p, o in rows:
+        if (k, o) not in seen:
+            seen.add((k, o))
+            uniq.append((k, p, o))
+    df = spark.createDataFrame(uniq, "k string, p int, o long")
+    got = {
+        (r.k, r.o): r.running_concat
+        for r in running_concat(df, key="k", payload="p", order_by=["o"]).collect()
+    }
+    expect = {}
+    for k in {r[0] for r in uniq}:
+        acc = []
+        for _, p, o in sorted((r for r in uniq if r[0] == k), key=lambda r: r[2]):
+            acc.append(str(p))
+            expect[(k, o)] = ",".join(acc)
+    assert got == expect
+
+
+@settings(**_SETTINGS)
+@given(rows_strategy)
+def test_keyed_concat_total_is_last_prefix(spark, rows):
+    from pyspark.sql import Window
+
+    seen = set()
+    uniq = []
+    for k, p, o in rows:
+        if (k, o) not in seen:
+            seen.add((k, o))
+            uniq.append((k, p, o))
+    df = spark.createDataFrame(uniq, "k string, p int, o long")
+    total = {
+        r.k: r.concat_all
+        for r in keyed_concat_total(df, key="k", payload="p", order_by=["o"]).collect()
+    }
+    w = Window.partitionBy("k").orderBy(F.col("o").desc())
+    last = {
+        r.k: r.running_concat
+        for r in running_concat(df, key="k", payload="p", order_by=["o"])
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert total == last
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=50),
+    st.integers(min_value=1, max_value=10),
+)
+def test_top_k_matches_sorted_head(spark, values, k):
+    rows = [(i, v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = [(r.id, r.v) for r in top_k(df, [F.col("v").desc(), F.col("id").asc()], k).collect()]
+    expect = sorted(rows, key=lambda r: (-r[1], r[0]))[:k]
+    assert got == expect
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.tuples(st.sampled_from("xyz"), st.integers(0, 100)), min_size=1, max_size=60)
+)
+def test_salted_agg_matches_plain_random(spark, rows):
+    df = spark.createDataFrame(rows, "k string, v long")
+    plain = {
+        r.k: (r.n, r.s)
+        for r in df.groupBy("k").agg(F.count("*").alias("n"), F.sum("v").alias("s")).collect()
+    }
+    salted = {
+        r.k: (r.n, r.s)
+        for r in salted_group_agg(df, "k", {"n": "count(*)", "s": "sum(v)"}).collect()
+    }
+    assert plain == salted
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.integers(0, 50), max_size=30),
+    st.lists(st.integers(0, 50), max_size=30),
+)
+def test_union_is_bag_semantics(spark, xs, ys):
+    from collections import Counter
+
+    a = spark.createDataFrame([(x,) for x in xs], "v long") if xs else None
+    b = spark.createDataFrame([(y,) for y in ys], "v long") if ys else None
+    if a is None or b is None:
+        return
+    got = Counter(r.v for r in union_all(a, b).collect())
+    assert got == Counter(xs) + Counter(ys)
