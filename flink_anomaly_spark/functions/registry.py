@@ -50,3 +50,35 @@ def sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
     register_views(spark, sf_dir)
     register_builtin_udfs(spark)
     return spark.sql(query)
+
+
+def grouped_udaf(df: DataFrame, key: str, fn, output_schema: str) -> DataFrame:
+    """UDAF surface: a per-group pandas aggregator (one output row per
+    group) via applyInPandas — the PySpark place for custom aggregates
+    that aren't algebraic compositions of built-ins.
+
+    ``fn(key_tuple, pdf) -> single-row pd.DataFrame``.
+    """
+
+    def wrapper(key_tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        return fn(key_tuple, pdf)
+
+    return df.groupBy(key).applyInPandas(wrapper, output_schema)
+
+
+def register_udtfs(spark: SparkSession) -> None:
+    """UDTF surface (Spark 4 Python UDTFs): table functions callable
+    from SQL with LATERAL join syntax."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="ngram string, pos int")
+    class ExplodeNgrams:
+        def eval(self, text: str, n: int):
+            toks = [t for t in (text or "").split() if t]
+            if len(toks) < n:
+                yield (" ".join(toks), 0)
+                return
+            for i in range(len(toks) - n + 1):
+                yield (" ".join(toks[i : i + n]), i)
+
+    spark.udtf.register("explode_ngrams", ExplodeNgrams)

@@ -36,6 +36,61 @@ def zscore_outliers(
     )
 
 
+def kmeans_distance_outliers(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    top_n: int = 20,
+    seed: int = 42,
+) -> DataFrame:
+    """MLlib KMeans distance-based outliers: fit k centroids on the
+    embedding column, score each vector by distance to its assigned
+    centroid, return the top_n farthest (SURVEY §7.2 step 6 — the
+    north-star's MLlib anomaly model).
+
+    Seeded → deterministic run-to-run, but not oracle-expressible
+    (DuckDB has no KMeans) → registered rows-only. Training is a few
+    Spark jobs over the (dimensionally tiny) feature matrix; scoring is
+    a broadcast of k centroids + a narrow per-row distance — both scale
+    linearly in rows.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feat = df.select(
+        F.col(id_col).alias("id"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=k, seed=seed, featuresCol="features", predictionCol="cluster").fit(feat)
+    assigned = model.transform(feat)
+    centers = [c.tolist() for c in model.clusterCenters()]
+    centers_df = assigned.sparkSession.createDataFrame(
+        [(i, c) for i, c in enumerate(centers)], "cluster int, center array<double>"
+    )
+    joined = assigned.withColumn("vec", vector_to_array("features")).join(
+        F.broadcast(centers_df), "cluster"
+    )
+    dist2 = F.aggregate(
+        F.zip_with(F.col("vec"), F.col("center"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = joined.select(
+        F.col("id"),
+        F.col("cluster"),
+        F.round(F.sqrt(dist2), 6).alias("centroid_dist"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("centroid_dist").desc(), F.col("id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select("id", "cluster", "centroid_dist", "rank")
+    )
+
+
 def rolling_zscore_outliers(
     df: DataFrame,
     key: str,

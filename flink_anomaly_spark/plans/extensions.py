@@ -347,6 +347,20 @@ def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kmeans_embedding_outliers",
+    oracle=None,
+    doc="MLlib KMeans(k=10, seed=42) distance outliers on embeddings — "
+    "top-20 farthest vectors from their centroid (rows-only: no SQL "
+    "analog of MLlib training; seeded for run-to-run determinism).",
+)
+def q_kmeans_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.anomaly import kmeans_distance_outliers
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_distance_outliers(emb, id_col="vec_id", vec_col="embedding")
+
+
+@register(
     "rolling_zscore_outliers",
     oracle="""
     SELECT event_id, user_id, value, trailing_n, zscore FROM (

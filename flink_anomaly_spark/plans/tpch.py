@@ -62,6 +62,84 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q6: forecasting revenue change — everything pushes to the scan
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q6_forecast",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: all four predicates push down to the parquet "
+    "scan (range + between); the aggregate is a single partial/final "
+    "pair — the cheapest possible plan for a 100 TB selective scan.",
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18: large-volume customers (agg → semi-filter → join chain)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q18_big_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 150
+    )
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+           round(o_totalprice, 2) AS o_totalprice,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    """,
+    doc="TPC-H Q18 shape: pre-aggregate lineitem to find big orders "
+    "(partial agg on the fact table), left-semi filter orders, then the "
+    "detail join+agg — the agg-before-join pattern that keeps the heavy "
+    "join input small at scale.",
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q")).filter(F.col("q") > 150)
+    filtered_orders = orders.join(
+        big.select("l_orderkey"), orders.o_orderkey == big.l_orderkey, "left_semi"
+    )
+    joined = cust.join(filtered_orders, F.col("c_custkey") == F.col("o_custkey")).join(
+        li, F.col("o_orderkey") == F.col("l_orderkey")
+    )
+    return joined.groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice").agg(
+        F.round(F.sum("l_quantity"), 2).alias("total_qty")
+    ).withColumn("o_totalprice", F.round("o_totalprice", 2))
+
+
+# ---------------------------------------------------------------------------
 # Join chain: revenue per nation (lineitem⋈orders⋈customer⋈nation⋈region)
 # ---------------------------------------------------------------------------
 

@@ -104,6 +104,46 @@ def test_sql_text_interface(spark):
     assert all(r.h is not None for r in rows)
 
 
+def test_grouped_udaf_weighted_mean(spark):
+    import pandas as pd
+
+    from flink_anomaly_spark.functions.registry import grouped_udaf
+
+    events = load_table(spark, SF_SMOKE, "events")
+
+    def weighted_mean(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        w = pdf["user_id"] + 1
+        return pd.DataFrame(
+            {"event_type": [key[0]], "wmean": [round((pdf["value"] * w).sum() / w.sum(), 4)]}
+        )
+
+    got = {
+        r.event_type: r.wmean
+        for r in grouped_udaf(
+            events, "event_type", weighted_mean, "event_type string, wmean double"
+        ).collect()
+    }
+    assert len(got) == 5
+    # cross-check one group in plain pandas
+    pdf = events.filter(F.col("event_type") == "click").select("user_id", "value").toPandas()
+    w = pdf["user_id"] + 1
+    assert got["click"] == round((pdf["value"] * w).sum() / w.sum(), 4)
+
+
+def test_udtf_explode_ngrams(spark):
+    from flink_anomaly_spark.functions.registry import register_udtfs
+
+    register_udtfs(spark)
+    rows = spark.sql(
+        "SELECT * FROM explode_ngrams('the quick brown fox', 2)"
+    ).collect()
+    assert [(r.ngram, r.pos) for r in rows] == [
+        ("the quick", 0),
+        ("quick brown", 1),
+        ("brown fox", 2),
+    ]
+
+
 def test_sql_quality_udf(spark):
     out = sql(
         spark,
