@@ -154,14 +154,17 @@ _BANDS = 4
 _ROWS_PER_BAND = _NUM_PERM // _BANDS
 
 
-def _minhash_oracle() -> str:
+def _minhash_oracle(source: str = "documents") -> str:
+    """DuckDB replica of the full MinHash-LSH pipeline (shingles →
+    signatures → banding → candidates → exact-Jaccard verify) over any
+    source relation with (doc_id, text)."""
     perm_exprs = ",\n             ".join(
         f"list_min(list_transform(hashes, h -> ({a}*h + {b}) % {MERSENNE_P}))"
         for a, b in PERM_PARAMS[:_NUM_PERM]
     )
     return f"""
     WITH t AS (
-      SELECT doc_id AS id, {_TOKS} AS toks FROM documents
+      SELECT doc_id AS id, {_TOKS} AS toks FROM {source}
     ), base AS (
       SELECT id, list_distinct({_shingle_sql(3)}) AS sh FROM t
     ), hashed AS (
@@ -320,6 +323,45 @@ _QUERY_IDS = list(range(10))
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return brute_force_topk(emb, id_col="vec_id", vec_col="embedding", query_ids=_QUERY_IDS, k=5)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end dedup pipeline: the composed training-data cleaning pass
+# ---------------------------------------------------------------------------
+
+
+_PIPELINE_ORACLE = f"""
+    WITH survivors AS (
+      SELECT d.doc_id, d.text FROM documents d
+      WHERE d.doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+    ), pairs AS (
+      {_minhash_oracle("survivors")}
+    )
+    SELECT doc_id FROM survivors WHERE doc_id NOT IN (SELECT id2 FROM pairs)
+"""
+
+
+@register(
+    "dedup_pipeline_survivors",
+    oracle=_PIPELINE_ORACLE,
+    doc="Composed cleaning pass: exact dedup (keep min doc_id per md5) → "
+    "MinHash-LSH near-dup removal (drop the higher id of each verified "
+    "Jaccard≥0.5 candidate pair) → surviving doc ids. The oracle "
+    "replicates the LSH banding bit-for-bit (same recall), so the "
+    "comparison is exact by construction.",
+)
+def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    keep = exact_dedup(docs, content_col="text", id_col="doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    survivors = docs.join(keep, "doc_id", "left_semi")
+    pairs = minhash_near_dup_pairs(
+        survivors, id_col="doc_id", text_col="text", k_shingle=3,
+        num_perm=_NUM_PERM, bands=_BANDS, jaccard_threshold=0.5,
+    )
+    losers = pairs.select(F.col("id2").alias("doc_id")).distinct()
+    return survivors.join(losers, "doc_id", "left_anti").select("doc_id")
 
 
 # ---------------------------------------------------------------------------

@@ -83,6 +83,40 @@ def windowed_argmax_stream(events: DataFrame, duration: str = "1 hour") -> DataF
     )
 
 
+def sliding_count_stream(
+    events: DataFrame, duration: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """Streaming sliding-window aggregation (live twin of
+    sliding_window_agg): each row lands in dur/slide windows; partial
+    aggregation happens before the stateful window store."""
+    return (
+        events.withWatermark("ts", "20 seconds")
+        .groupBy(F.window("ts", duration, slide).alias("win"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_count_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Streaming session windows (gap-merged in the state store)."""
+    return (
+        events.withWatermark("ts", "20 seconds")
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
 def run_to_memory(result: DataFrame, output_mode: str = "append") -> DataFrame:
     """Execute a streaming DataFrame to completion (availableNow) into a
     memory sink; return the sink contents as a batch DataFrame."""

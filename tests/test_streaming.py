@@ -83,6 +83,30 @@ def test_streaming_running_concat_state(spark):
         assert len(longest.split(",")) == r.n
 
 
+def test_streaming_sliding_and_session_windows(spark):
+    """Live twins of the sliding/session batch queries: finalized
+    windows must be a subset of the batch result, non-empty."""
+    from flink_anomaly_spark.streaming.pipelines import (
+        session_count_stream,
+        sliding_count_stream,
+    )
+
+    slid = run_to_memory(sliding_count_stream(stream_events(spark, SF_SMOKE)))
+    assert slid.count() > 0
+    batch_windows = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    got = {(r.window_start, r.window_end, r.n_events) for r in slid.collect()}
+    expect = {(r.win.start, r.win.end, r.n_events) for r in batch_windows.collect()}
+    assert got <= expect
+
+    sess = run_to_memory(session_count_stream(stream_events(spark, SF_SMOKE)))
+    assert sess.count() > 0
+    assert set(sess.columns) == {"window_start", "window_end", "user_id", "n_events"}
+
+
 def test_text_roundtrip_streaming(spark, tmp_path):
     got = stream_text_roundtrip(spark, ["love", "flink", "hardly"], str(tmp_path))
     assert got == ["flink", "hardly", "love"]
