@@ -326,6 +326,29 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Approximate aggregates (sketches differ across engines → rows-only)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "approx_stats",
+    oracle=None,
+    doc="Sketch-based aggregates — approx_count_distinct (HLL++) and "
+    "percentile_approx (KLL-ish) per event_type. Rows-only: DuckDB's "
+    "sketches produce different (both-valid) estimates, so no exact "
+    "oracle exists by design. The 100 TB workhorses for cardinality / "
+    "quantiles without a full shuffle of distinct values.",
+)
+def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.5).alias("approx_median"),
+        F.percentile_approx("value", 0.99).alias("approx_p99"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # End-to-end dedup pipeline: the composed training-data cleaning pass
 # ---------------------------------------------------------------------------
 

@@ -355,6 +355,67 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lineitem_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE grouping sets (all 4 combinations) — Catalyst Expand + one "
+    "hash agg, same plan family as rollup.",
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"), F.count("*").alias("n")
+    )
+
+
+@register(
+    "lead_lag_window",
+    oracle="""
+    SELECT event_id, user_id, value,
+           lag(value)  OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           round(value - lag(value) OVER w, 4) AS delta
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="lead/lag analytic functions per user timeline — one shuffle on "
+    "user_id, in-partition sort.",
+)
+def q_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta"),
+    )
+
+
+@register(
+    "json_extract_props",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 90
+    """,
+    doc="JSON extraction from the events.props string column — "
+    "get_json_object (JVM-side JSON path) + predicate on the extracted "
+    "value.",
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return events.select("event_id", k.alias("k_value")).filter(F.col("k_value") > 90)
+
+
+@register(
     "customer_rank_window",
     oracle="""
     SELECT c_custkey, c_nationkey, c_acctbal,

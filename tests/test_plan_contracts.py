@@ -79,6 +79,40 @@ def test_semi_join_stays_semi(spark):
     assert "LeftSemi" in plan, plan
 
 
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Writing partitioned parquet and filtering on the partition column
+    must produce PartitionFilters at the scan (directory pruning — the
+    difference between reading 1/k and all of 100 TB)."""
+    from flink_anomaly_spark.sinks import write_parquet
+    from flink_anomaly_spark.tables import load_table
+
+    events = load_table(spark, SF_SMOKE, "events")
+    out = str(tmp_path / "by_type")
+    write_parquet(events, out, partition_by=["event_type"])
+    back = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = physical_plan(back)
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters")[1].split("]")[0], plan
+    assert back.count() == events.filter(F.col("event_type") == "click").count()
+
+
+def test_csv_json_roundtrip(spark, tmp_path):
+    """CSV/JSON source connectors: write → read with explicit schema →
+    identical rows (no inference anywhere)."""
+    from flink_anomaly_spark.sources.readers import read_csv, read_json
+    from flink_anomaly_spark.tables import load_table
+
+    cust = load_table(spark, SF_SMOKE, "customer").select("c_custkey", "c_name", "c_acctbal")
+    schema = "c_custkey long, c_name string, c_acctbal double"
+    csv_dir, json_dir = str(tmp_path / "csv"), str(tmp_path / "json")
+    cust.write.option("header", "true").csv(csv_dir)
+    cust.write.json(json_dir)
+    expect = {(r.c_custkey, r.c_name, r.c_acctbal) for r in cust.collect()}
+    got_csv = {(r.c_custkey, r.c_name, r.c_acctbal) for r in read_csv(spark, csv_dir, schema).collect()}
+    got_json = {(r.c_custkey, r.c_name, r.c_acctbal) for r in read_json(spark, json_dir, schema).collect()}
+    assert got_csv == expect
+    assert got_json == expect
+
+
 def test_exact_dedup_partial_agg(spark):
     """Hash agg on md5 fingerprint must have a map-side partial phase
     (two HashAggregate nodes around the exchange)."""
