@@ -83,6 +83,81 @@ def test_streaming_running_concat_state(spark):
         assert len(longest.split(",")) == r.n
 
 
+def test_transform_with_state_matches_apply_in_pandas(spark):
+    """The Spark-4 transformWithStateInPandas implementation must
+    produce the same per-key final state as applyInPandasWithState.
+    (Skipped where google.protobuf is absent — the TWS state protocol
+    needs it; this container ships without it.)"""
+    from flink_anomaly_spark.streaming.stateful import (
+        running_concat_stream_tws,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("google.protobuf not available — transformWithStateInPandas unusable")
+
+    old = run_to_memory(running_concat_stream(stream_events(spark, SF_SMOKE)))
+    new = run_to_memory(running_concat_stream_tws(stream_events(spark, SF_SMOKE)))
+    assert old.count() == new.count()
+
+    def finals(df):
+        agg = df.groupBy("key").agg(F.max(F.length("running_concat")).alias("m"))
+        out = {}
+        for r in agg.collect():
+            row = df.filter(
+                (F.col("key") == r.key) & (F.length("running_concat") == r.m)
+            ).first()
+            out[r.key] = row.running_concat
+        return out
+
+    assert finals(old) == finals(new)
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """W1 semantics check: an event arriving in a later micro-batch,
+    with event time older than (watermark = max_ts − 20 s), must NOT
+    update its (already finalized) window."""
+    import datetime as dt
+
+    import uuid
+
+    src = str(tmp_path / "src")
+    t0 = dt.datetime(2024, 6, 1, 0, 0, 0)
+    batch1 = [
+        (1, t0, 1, "a", 1.0, ""),
+        (2, t0 + dt.timedelta(minutes=30), 1, "a", 1.0, ""),  # watermark → 00:29:40
+    ]
+    late = [(3, t0 + dt.timedelta(seconds=5), 1, "a", 1.0, "")]  # ~30 min late
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(src)
+
+    name = f"wm_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .withWatermark("ts", "20 seconds")
+        .groupBy(F.window("ts", "5 minutes").alias("win"))
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch 1 ingested; watermark commits at batch end
+        q.processAllAvailable()  # empty batch: watermark now 00:29:40
+        spark.createDataFrame(late, schema).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()  # late row arrives AFTER the watermark advanced
+    finally:
+        q.stop()
+    got = {r.win.start: r.n for r in spark.table(name).collect()}
+    # the late event (same 5-min window as event 1) must have been
+    # dropped: the window's latest update stays at n=1
+    assert got.get(t0) == 1, got
+
+
 def test_streaming_sliding_and_session_windows(spark):
     """Live twins of the sliding/session batch queries: finalized
     windows must be a subset of the batch result, non-empty."""
