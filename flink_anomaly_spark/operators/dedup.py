@@ -196,6 +196,57 @@ def minhash_near_dup_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs → canonical cluster ids
+    (min node id per component) — turns pairwise similarity into
+    transitive dedup clusters.
+
+    Iterative label propagation: each node starts labeled with itself;
+    every round each node takes the min label among itself and its
+    neighbors; stop at fixpoint. Rounds = graph diameter (near-dup
+    clusters are shallow — a handful of rounds). Each round is one
+    shuffle; this is the standard large-graph CC strategy when a graph
+    engine isn't warranted.
+
+    ``pairs``: columns (id1, id2). ``nodes``: column (id) — required so
+    singleton documents appear as their own cluster.
+    """
+    edges = (
+        pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+        .unionAll(pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst")))
+        .distinct()
+    )
+    labels = nodes.select(F.col("id"), F.col("id").alias("lab"))
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("id", "dst_id"), edges.dst == F.col("dst_id"))
+            .groupBy("src")
+            .agg(F.min("lab").alias("nlab"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))).alias("lab"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.lab") != F.col("o.lab"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)  # truncate the growing lineage
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("lab").alias("cluster_id"))
+
+
 def simhash60(text_col: Column, k_shingle: int = 2, n_bits: int = 60) -> Column:
     """SimHash-style fingerprint (bit-majority over shingle hashes) on
     the 60 bits of md5_long. Bit positions are unrolled in Python so the

@@ -326,6 +326,48 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Dedup clusters: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+_CLUSTERS_ORACLE = f"""
+    WITH RECURSIVE
+    pairs AS ({_minhash_oracle("documents")}),
+    edges AS (
+      SELECT id1 AS src, id2 AS dst FROM pairs
+      UNION
+      SELECT id2 AS src, id1 AS dst FROM pairs
+    ),
+    reach(node, lab) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.src, r.lab FROM reach r JOIN edges e ON r.node = e.dst
+    )
+    SELECT node AS id, min(lab) AS cluster_id FROM reach GROUP BY node
+"""
+
+
+@register(
+    "dedup_clusters",
+    oracle=_CLUSTERS_ORACLE,
+    doc="Transitive dedup clusters: connected components over the "
+    "MinHash-LSH near-dup pairs via iterative min-label propagation "
+    "(one shuffle per round, rounds = component diameter, lineage "
+    "truncated per round with localCheckpoint). Oracle: DuckDB "
+    "recursive CTE computing min reachable id — identical cluster ids.",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        docs, id_col="doc_id", text_col="text", k_shingle=3,
+        num_perm=_NUM_PERM, bands=_BANDS, jaccard_threshold=0.5,
+    )
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    return connected_components(pairs, nodes)
+
+
+# ---------------------------------------------------------------------------
 # Approximate aggregates (sketches differ across engines → rows-only)
 # ---------------------------------------------------------------------------
 

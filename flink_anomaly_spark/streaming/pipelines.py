@@ -117,6 +117,35 @@ def session_count_stream(events: DataFrame, gap: str = "30 minutes") -> DataFram
     )
 
 
+def stream_stream_interval_join(
+    events: DataFrame, max_gap_seconds: int = 600
+) -> DataFrame:
+    """Stream-stream inner join with event-time bounds: pairs of events
+    by the same user ≤ max_gap apart (the live twin of
+    interval_event_pairs). Both sides carry watermarks so the join
+    state store can evict rows once they can no longer match — the
+    thing that keeps stream-stream join state bounded at scale."""
+    left = (
+        events.withWatermark("ts", "20 seconds")
+        .select(F.col("user_id").alias("l_user"), F.col("event_id").alias("id1"), F.col("ts").alias("t1"))
+    )
+    right = (
+        events.withWatermark("ts", "20 seconds")
+        .select(F.col("user_id").alias("r_user"), F.col("event_id").alias("id2"), F.col("ts").alias("t2"))
+    )
+    cond = (
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("t2") > F.col("t1"))
+        & (F.col("t2") <= F.col("t1") + F.expr(f"INTERVAL {max_gap_seconds} SECONDS"))
+    )
+    return left.join(right, cond).select(
+        F.col("l_user").alias("user_id"),
+        "id1",
+        "id2",
+        (F.unix_micros("t2") - F.unix_micros("t1")).alias("gap_us"),
+    )
+
+
 def run_to_memory(result: DataFrame, output_mode: str = "append") -> DataFrame:
     """Execute a streaming DataFrame to completion (availableNow) into a
     memory sink; return the sink contents as a batch DataFrame."""

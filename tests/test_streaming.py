@@ -182,6 +182,26 @@ def test_streaming_sliding_and_session_windows(spark):
     assert set(sess.columns) == {"window_start", "window_end", "user_id", "n_events"}
 
 
+def test_stream_stream_interval_join_matches_batch(spark):
+    """Live interval join must produce exactly the batch
+    interval_self_join result (all rows are within the drained source,
+    so no pair is lost to state eviction here)."""
+    from flink_anomaly_spark.operators.relational import interval_self_join
+    from flink_anomaly_spark.streaming.pipelines import stream_stream_interval_join
+
+    live = run_to_memory(
+        stream_stream_interval_join(stream_events(spark, SF_SMOKE), max_gap_seconds=600)
+    )
+    batch = interval_self_join(
+        load_table(spark, SF_SMOKE, "events"),
+        key="user_id", ts_col="ts", id_col="event_id", max_gap_seconds=600,
+    )
+    got = {(r.user_id, r.id1, r.id2, r.gap_us) for r in live.collect()}
+    expect = {(r.user_id, r.id1, r.id2, r.gap_us) for r in batch.collect()}
+    assert got == expect
+    assert len(got) > 0
+
+
 def test_text_roundtrip_streaming(spark, tmp_path):
     got = stream_text_roundtrip(spark, ["love", "flink", "hardly"], str(tmp_path))
     assert got == ["flink", "hardly", "love"]
