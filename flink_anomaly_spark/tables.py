@@ -49,8 +49,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if nanos_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
+        types = dict(df.dtypes)
         for c in nanos_cols:
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+            # only convert when the column actually read as int64 nanos —
+            # re-written copies of the table already carry µs timestamps
+            if types.get(c) == "bigint":
+                df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
         return df
     return spark.read.parquet(path)
 
