@@ -416,6 +416,72 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "string_date_functions",
+    oracle="""
+    SELECT c_custkey,
+           regexp_replace(c_name, '[0-9]+', '#')          AS name_masked,
+           replace(c_name, 'Customer', 'Cust')            AS name_short,
+           concat(c_mktsegment, ':', c_name)              AS tagged,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0')       AS key_padded,
+           reverse(c_mktsegment)                          AS seg_rev,
+           CAST(strpos(c_name, '1') AS INT)               AS first_one,
+           trim(concat(' ', c_name, ' '))                 AS trimmed
+    FROM customer
+    WHERE c_custkey % 3 = 0
+    """,
+    doc="Extended string-function battery (regexp_replace/replace/"
+    "concat/lpad/reverse/instr/trim) — all JVM built-ins; the RE2-safe "
+    "regex works identically in the oracle.",
+)
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 3 == 0)
+    return cust.select(
+        "c_custkey",
+        F.regexp_replace("c_name", "[0-9]+", "#").alias("name_masked"),
+        F.expr("replace(c_name, 'Customer', 'Cust')").alias("name_short"),
+        F.concat("c_mktsegment", F.lit(":"), "c_name").alias("tagged"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("key_padded"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+        F.instr("c_name", "1").alias("first_one"),
+        F.trim(F.concat(F.lit(" "), "c_name", F.lit(" "))).alias("trimmed"),
+    )
+
+
+@register(
+    "array_functions",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), tk -> tk != '') AS toks
+      FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT doc_id,
+           len(toks)                                          AS n_toks,
+           len(list_distinct(toks))                           AS n_uniq,
+           array_to_string(list_sort(list_distinct(toks))[1:3], ',') AS first3_sorted,
+           list_contains(toks, 'data')                        AS has_data,
+           CAST(len(list_filter(toks, tk -> length(tk) > 5)) AS INT) AS n_long
+    FROM t
+    """,
+    doc="Array/higher-order function battery (size/distinct/sort/slice/"
+    "contains/filter) over tokenized documents.",
+)
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    toks = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        F.concat_ws(",", F.slice(F.array_sort(F.array_distinct(toks)), 1, 3)).alias(
+            "first3_sorted"
+        ),
+        F.array_contains(toks, "data").alias("has_data"),
+        F.size(F.filter(toks, lambda t: F.length(t) > 5)).alias("n_long"),
+    )
+
+
+@register(
     "customer_rank_window",
     oracle="""
     SELECT c_custkey, c_nationkey, c_acctbal,

@@ -90,6 +90,36 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
+def test_cogroup_surface(spark):
+    """groupBy().cogroup() applyInPandas — the two-sided grouped-map
+    surface (per-key pandas join of two datasets without a Spark-side
+    join)."""
+    import pandas as pd
+
+    events = load_table(spark, SF_SMOKE, "events")
+    early = events.filter(F.col("value") < 250).select("user_id", "value")
+    late = events.filter(F.col("value") >= 250).select("user_id", "value")
+
+    def summarize(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        uid = l["user_id"].iloc[0] if len(l) else r["user_id"].iloc[0]
+        return pd.DataFrame(
+            {"user_id": [uid], "n_low": [len(l)], "n_high": [len(r)]}
+        )
+
+    got = {
+        r.user_id: (r.n_low, r.n_high)
+        for r in early.groupBy("user_id")
+        .cogroup(late.groupBy("user_id"))
+        .applyInPandas(summarize, "user_id long, n_low long, n_high long")
+        .collect()
+    }
+    expect_low = {r.user_id: r.n for r in early.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    expect_high = {r.user_id: r.n for r in late.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    for uid, (nl, nh) in got.items():
+        assert nl == expect_low.get(uid, 0)
+        assert nh == expect_high.get(uid, 0)
+
+
 def test_aqe_splits_skewed_join(spark):
     """AQE must detect and split a skewed join partition at runtime
     (SortMergeJoin(skew=true)) — the engine's first line of defense
