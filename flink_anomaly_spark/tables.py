@@ -48,6 +48,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     nanos_cols = _NANOS_TS_COLS.get(name, [])
     if nanos_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # timestamp_micros() builds a session-TZ timestamp; pin UTC so
+        # the value equals DuckDB's TZ-naive reading in any environment
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(path)
         types = dict(df.dtypes)
         for c in nanos_cols:
