@@ -110,6 +110,41 @@ def rolling_fingerprint(col: Column) -> Column:
     )
 
 
+def tf_idf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_n: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """TF-IDF scoring with top-N terms per document.
+
+    Plan: explode tokens (narrow) → (doc, term) counts (one shuffle) →
+    document frequencies (map-side-combined agg over distinct doc-terms)
+    → idf = ln(N/df) joined back (df table is |vocab|-sized, broadcast)
+    → per-doc top-N by (tfidf desc, term asc). Log is rounded so libm
+    ulp differences between engines can't break the oracle hash.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    n_docs = df.count()
+    term_counts = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    doc_freq = term_counts.groupBy("term").agg(F.count("*").alias("df"))
+    idf = doc_freq.withColumn("idf", F.log(F.lit(float(n_docs)) / F.col("df")))
+    scored = term_counts.join(F.broadcast(idf), "term").withColumn(
+        "tfidf", F.round(F.col("tf") * F.col("idf"), round_to)
+    )
+    w = Window.partitionBy("id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select(F.col("id").alias(id_col), "term", "tf", "df", "tfidf", "rank")
+    )
+
+
 def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One-pass per-document text profile: token counts, quality,
     language guess, fingerprint. Narrow (no shuffle): scales linearly.

@@ -122,6 +122,43 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TF-IDF top terms
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id AS id, unnest({_TOKS}) AS term FROM documents
+    ), tc AS (
+      SELECT id, term, count(*) AS tf FROM toks GROUP BY id, term
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM tc GROUP BY term
+    ), n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tc.id, tc.term, tc.tf, dfreq.df,
+             round(tc.tf * ln(CAST((SELECT n_docs FROM n) AS DOUBLE) / dfreq.df), 6) AS tfidf
+      FROM tc JOIN dfreq USING (term)
+    )
+    SELECT id AS doc_id, term, tf, df, tfidf, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY id ORDER BY tfidf DESC, term ASC) AS rank
+      FROM scored) t
+    WHERE rank <= 3
+    """,
+    doc="TF-IDF with top-3 terms per document: explode → (doc,term) "
+    "counts → document frequencies → broadcast idf join → per-doc "
+    "ranking. ln() rounded to 6 so libm ulp differences can't break "
+    "the hash.",
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.text import tf_idf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tf_idf_top_terms(docs, id_col="doc_id", text_col="text", top_n=3)
+
+
+# ---------------------------------------------------------------------------
 # Documents rollup (lang × source)
 # ---------------------------------------------------------------------------
 

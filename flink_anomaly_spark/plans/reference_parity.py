@@ -7,7 +7,7 @@ reproduces (the implementation is Spark-native, not a port).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_anomaly_spark.operators.relational import map_upper, union_all

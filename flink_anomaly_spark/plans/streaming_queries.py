@@ -41,6 +41,19 @@ def q_streaming_window_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_dedup",
+    oracle=None,
+    doc="Streaming deduplication with bounded state: "
+    "dropDuplicatesWithinWatermark(event_id) — dedup state evicted as "
+    "the watermark passes (the streaming face of the dedup family).",
+)
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.streaming.pipelines import streaming_dedup
+
+    return run_to_memory(streaming_dedup(stream_events(spark, sf_dir)))
+
+
+@register(
     "streaming_running_concat",
     oracle=None,
     doc="F1 live (Main.java:60-83): applyInPandasWithState keyed running "

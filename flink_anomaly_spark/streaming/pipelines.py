@@ -15,7 +15,6 @@ run to completion inside tests and the driver's rows-only checks.
 from __future__ import annotations
 
 import os
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -143,6 +142,18 @@ def stream_stream_interval_join(
         "id1",
         "id2",
         (F.unix_micros("t2") - F.unix_micros("t1")).alias("gap_us"),
+    )
+
+
+def streaming_dedup(events: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Streaming deduplication: drop repeats of the same key within the
+    watermark horizon (``dropDuplicatesWithinWatermark`` — state for a
+    key is evicted once the watermark passes it, keeping dedup state
+    bounded; an unwatermarked dropDuplicates would grow state forever).
+    The streaming face of the dedup family over an event/record feed.
+    """
+    return events.withWatermark("ts", "20 seconds").dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
     )
 
 

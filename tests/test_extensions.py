@@ -89,6 +89,23 @@ def test_brute_force_topk_shape(spark):
     assert ranks == [1, 2, 3]
 
 
+def test_tfidf_favors_rare_terms(spark):
+    from flink_anomaly_spark.operators.text import tf_idf_top_terms
+
+    rows = [
+        (1, "common common common rare"),
+        (2, "common common unique"),
+        (3, "common other words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tf_idf_top_terms(df, "doc_id", "text", top_n=1).collect()
+    top = {r.doc_id: r.term for r in out}
+    # 'common' appears in every doc → idf = ln(1) = 0 → never the top term
+    assert top[1] == "rare"
+    assert top[2] == "unique"
+    assert "common" not in top.values()
+
+
 def test_text_profile_columns(spark):
     df = spark.createDataFrame([(1, "the quick brown fox")], "doc_id long, text string")
     row = text_profile(df, "doc_id", "text").collect()[0]

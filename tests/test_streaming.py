@@ -182,6 +182,30 @@ def test_streaming_sliding_and_session_windows(spark):
     assert set(sess.columns) == {"window_start", "window_end", "user_id", "n_events"}
 
 
+def test_streaming_dedup_drops_repeats(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicate event_ids arriving
+    within the watermark horizon collapse to one row."""
+    import datetime as dt
+
+    from flink_anomaly_spark.streaming.pipelines import run_to_memory, streaming_dedup
+
+    src = str(tmp_path / "dup_src")
+    t0 = dt.datetime(2024, 6, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 1, "a", 1.0, ""),
+        (1, t0 + dt.timedelta(seconds=1), 1, "a", 1.0, ""),  # dup id within horizon
+        (2, t0 + dt.timedelta(seconds=2), 1, "a", 1.0, ""),
+        (2, t0 + dt.timedelta(seconds=3), 1, "a", 1.0, ""),  # dup
+        (3, t0 + dt.timedelta(seconds=4), 1, "a", 1.0, ""),
+    ]
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = run_to_memory(streaming_dedup(stream))
+    got = sorted(r.event_id for r in out.collect())
+    assert got == [1, 2, 3]
+
+
 def test_stream_stream_interval_join_matches_batch(spark):
     """Live interval join must produce exactly the batch
     interval_self_join result (all rows are within the drained source,
