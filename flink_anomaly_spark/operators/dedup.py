@@ -234,6 +234,10 @@ def connected_components(
                 F.least(F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))).alias("lab"),
             )
         )
+        # checkpoint FIRST (materializes once, truncates lineage), then
+        # detect change against the materialized result — the reverse
+        # order would execute the round's plan twice
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -241,7 +245,7 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels = new_labels.localCheckpoint(eager=True)  # truncate the growing lineage
+        labels = new_labels
         if changed == 0:
             break
     return labels.select(F.col("id"), F.col("lab").alias("cluster_id"))

@@ -113,6 +113,75 @@ def test_salted_agg_matches_plain_random(spark, rows):
 
 @settings(**_SETTINGS)
 @given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["u1", "u2"]),  # key
+            st.integers(0, 1000),  # ts (unique-ified below)
+            st.booleans(),  # is a "signup" row
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_asof_join_matches_python(spark, rows):
+    from flink_anomaly_spark.operators.relational import asof_join
+
+    seen = set()
+    uniq = []
+    for k, t, s in rows:
+        if (k, t) not in seen:
+            seen.add((k, t))
+            uniq.append((k, t, s))
+    data = [(k, t, i, s) for i, (k, t, s) in enumerate(uniq)]
+    df = spark.createDataFrame(data, "k string, t long, rid long, is_r boolean")
+    left = df
+    right = df.filter(F.col("is_r"))
+    out = asof_join(left, right, key="k", left_ts="t", right_ts="t", right_payload=["rid"])
+    got = {r.rid: r.asof_rid for r in out.collect()}
+    expect = {}
+    for k, t, rid, _ in data:
+        cands = [(t2, rid2) for (k2, t2, rid2, s2) in data if k2 == k and s2 and t2 <= t]
+        expect[rid] = max(cands)[1] if cands else None
+    assert got == expect
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 5000)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_interval_join_matches_bruteforce(spark, rows):
+    import datetime as dt
+
+    from flink_anomaly_spark.operators.relational import interval_self_join
+
+    seen = set()
+    uniq = []
+    for k, sec in rows:
+        if (k, sec) not in seen:
+            seen.add((k, sec))
+            uniq.append((k, sec))
+    t0 = dt.datetime(2024, 1, 1)
+    data = [(k, t0 + dt.timedelta(seconds=sec), i) for i, (k, sec) in enumerate(uniq)]
+    df = spark.createDataFrame(data, "k string, ts timestamp, id long")
+    got = {
+        (r.id1, r.id2, r.gap_us)
+        for r in interval_self_join(df, key="k", ts_col="ts", id_col="id", max_gap_seconds=600).collect()
+    }
+    expect = set()
+    for k1, t1, i1 in data:
+        for k2, t2, i2 in data:
+            gap = (t2 - t1).total_seconds()
+            if k1 == k2 and 0 < gap <= 600:
+                expect.add((i1, i2, int(gap * 1_000_000)))
+    assert got == expect
+
+
+@settings(**_SETTINGS)
+@given(
     st.lists(st.integers(0, 50), max_size=30),
     st.lists(st.integers(0, 50), max_size=30),
 )
