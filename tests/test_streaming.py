@@ -254,6 +254,68 @@ def test_recovery_no_duplicates_after_injected_failure(spark, tmp_path):
     assert n == load_table(spark, SF_SMOKE, "events").count()
 
 
+def test_stateful_recovery_keyed_concat(spark, tmp_path):
+    """TestFlinkStatefulStreamsRecover transposed: keyed ValueState
+    (running concat) + injected failure + restart from checkpoint. The
+    reference OBSERVES duplicate names in the recovered concatenation
+    (AT_LEAST_ONCE); here the recovered state must contain each element
+    exactly once."""
+    import os as _os
+
+    flag_dir = str(tmp_path / "flags")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _os.makedirs(flag_dir)
+    unstable = make_failing_filter(flag_dir, fail_ids={42})
+
+    def build():
+        ev = stream_events(spark, SF_SMOKE).filter(unstable(F.col("event_id")))
+        return running_concat_stream(ev)
+
+    restarts = run_file_sink_with_restarts(spark, SF_SMOKE, out_dir, ckpt, build)
+    assert restarts >= 1
+    out = spark.read.parquet(out_dir)
+    n_events = load_table(spark, SF_SMOKE, "events").count()
+    assert out.count() == n_events  # one emission per element, no replays
+    # per key: the longest prefix holds each event_id exactly once
+    for key_row in out.select("key").distinct().collect():
+        longest = (
+            out.filter(F.col("key") == key_row.key)
+            .orderBy(F.length("running_concat").desc())
+            .first()
+            .running_concat
+        )
+        ids = longest.split(",")
+        assert len(ids) == len(set(ids)), f"duplicate ids in recovered state for {key_row.key}"
+
+
+def test_stateful_concat_spans_micro_batches(spark, tmp_path):
+    """GroupState must persist across micro-batches: two source files
+    processed as separate batches continue the same per-key prefix."""
+    import datetime as dt
+
+    src = str(tmp_path / "src")
+    t0 = dt.datetime(2024, 6, 1)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    spark.createDataFrame(
+        [(1, t0, 1, "k", 1.0, ""), (2, t0 + dt.timedelta(seconds=1), 1, "k", 1.0, "")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(3, t0 + dt.timedelta(seconds=2), 1, "k", 1.0, "")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = run_to_memory(running_concat_stream(stream, key="event_type"))
+    prefixes = {r.running_concat for r in out.collect()}
+    assert "1,2,3" in prefixes or "1,2" in prefixes and any(
+        p.count(",") == 2 for p in prefixes
+    ), prefixes
+    longest = max(prefixes, key=len)
+    assert sorted(longest.split(",")) == ["1", "2", "3"]
+
+
 def test_foreach_sink_at_least_once_parity(spark, tmp_path):
     """R1 honest parity: side-effecting sinks remain at-least-once in
     Spark too — replaying a batch re-runs its effects. With no failure
