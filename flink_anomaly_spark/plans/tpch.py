@@ -256,6 +256,117 @@ def q_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Outer / cross joins + null handling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "left_outer_join_nulls",
+    oracle="""
+    SELECT o_orderkey,
+           b.c_custkey AS b_custkey,
+           coalesce(b.c_name, 'NO_BUILDING_CUSTOMER') AS cust_label,
+           CASE WHEN b.c_custkey IS NULL THEN 0 ELSE 1 END AS matched
+    FROM orders o
+    LEFT JOIN (SELECT c_custkey, c_name FROM customer
+               WHERE c_mktsegment = 'BUILDING') b
+      ON o.o_custkey = b.c_custkey
+    WHERE o.o_orderkey % 5 = 0
+    """,
+    doc="Left outer join with null-handling battery (coalesce/CASE on "
+    "the unmatched side) — the probe side keeps all rows, broadcastable "
+    "build side.",
+)
+def q_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 5 == 0)
+    bldg = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_name")
+    )
+    j = orders.join(bldg, orders.o_custkey == bldg.c_custkey, "left")
+    return j.select(
+        "o_orderkey",
+        F.col("c_custkey").alias("b_custkey"),
+        F.coalesce("c_name", F.lit("NO_BUILDING_CUSTOMER")).alias("cust_label"),
+        F.when(F.col("c_custkey").isNull(), 0).otherwise(1).alias("matched"),
+    )
+
+
+@register(
+    "full_outer_join",
+    oracle="""
+    SELECT coalesce(a.event_id, b.event_id) AS event_id,
+           a.value AS low_value, b.value AS high_value
+    FROM (SELECT event_id, value FROM events WHERE value < 100) a
+    FULL OUTER JOIN (SELECT event_id, value FROM events WHERE value >= 400) b
+      ON a.event_id = b.event_id
+    """,
+    doc="Full outer join of two disjoint event slices — every row "
+    "appears exactly once with a null opposite side.",
+)
+def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    a = events.filter(F.col("value") < 100).select(
+        F.col("event_id").alias("a_id"), F.col("value").alias("low_value")
+    )
+    b = events.filter(F.col("value") >= 400).select(
+        F.col("event_id").alias("b_id"), F.col("value").alias("high_value")
+    )
+    j = a.join(b, a.a_id == b.b_id, "full_outer")
+    return j.select(
+        F.coalesce("a_id", "b_id").alias("event_id"), "low_value", "high_value"
+    )
+
+
+@register(
+    "cross_join_grid",
+    oracle="""
+    SELECT r_name, n_name FROM region CROSS JOIN nation WHERE n_regionkey % 2 = 0
+    """,
+    doc="Cross join (explicit cartesian of two tiny dims) — Spark plans "
+    "BroadcastNestedLoopJoin; only ever sane when one side is O(1).",
+)
+def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").select("r_name")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") % 2 == 0)
+    return region.crossJoin(nation.select("n_name"))
+
+
+@register(
+    "date_functions",
+    oracle="""
+    SELECT o_orderkey,
+           date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS ship_delay_days,
+           strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3_months,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           CAST(quarter(o_orderdate) AS INT) AS q
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey % 100 = 0 AND l_linenumber = 1
+    """,
+    doc="Date arithmetic battery (datediff/add_months/last_day/"
+    "date_trunc/quarter) over the order→ship timeline. Date outputs are "
+    "ISO strings — python date vs pandas Timestamp canonicalize "
+    "differently in value-hash comparisons.",
+)
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    j = orders.join(li, orders.o_orderkey == li.l_orderkey)
+    return j.select(
+        "o_orderkey",
+        F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "ship_delay_days"
+        ),
+        F.date_format(F.add_months("o_orderdate", 3), "yyyy-MM-dd").alias("plus_3_months"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.quarter("o_orderdate").alias("q"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sort / limit / top-k
 # ---------------------------------------------------------------------------
 
