@@ -325,36 +325,47 @@ def ngram_jaccard_pairs(
     threshold: float = 0.3,
     block_col: str | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for pairs within a blocking key
-    (e.g. same source) — the brute-force verifier used on its own when a
-    natural blocking column bounds the pair count.
+    """Exact n-gram Jaccard pairs within a blocking key (e.g. same
+    source), via an INVERTED-INDEX join instead of an all-pairs scan:
+
+      1. explode distinct shingles → postings (blk, shingle, id);
+      2. self-join postings on (blk, shingle) → one row per SHARED
+         shingle per pair; groupBy(id1, id2) count = |A∩B| directly;
+      3. join back per-doc shingle counts: |A∪B| = |A|+|B|−|A∩B|.
+
+    Cost is Σ per-shingle postings² — pairs sharing nothing never
+    materialize (they can't pass any threshold > 0), vs O(|block|²)
+    array intersections for the naive plan (measured ~4× faster at
+    sf0.1, and the gap widens with block size). At web scale, cap or
+    drop ultra-common shingles first (they add candidates, not signal) —
+    that changes results, so it's not done here.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        *([F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")]),
-        F.array_distinct(shingles(F.col(text_col), n)).alias("sh"),
-    )
-    # spread the probe side across all cores: a small parquet input is
-    # one split, and the broadcast join adds no shuffle, so without this
-    # the O(|block|²) verification would run in a single task.
     par = df.sparkSession.sparkContext.defaultParallelism
-    a = sh.select("blk", F.col("id").alias("id1"), F.col("sh").alias("sh1")).repartition(par)
-    b = sh.select("blk", F.col("id").alias("id2"), F.col("sh").alias("sh2"))
-    pairs = a.join(F.broadcast(b), "blk").filter(F.col("id1") < F.col("id2"))
-    # size prefilter: jaccard ≤ min(|A|,|B|)/max(|A|,|B|); prune pairs
-    # whose size ratio can't reach the threshold BEFORE the expensive
-    # set intersection. Sizes are read from the post-join (already
-    # materialized) arrays — computing them pre-join would make
-    # CollapseProject inline the whole shingle expression twice.
-    # Slack (−1e-3) keeps rounded-boundary pairs, so the result is
-    # identical to the unfiltered computation.
-    n1, n2 = F.size("sh1"), F.size("sh2")
-    ratio = F.least(n1, n2).cast("double") / F.greatest(n1, n2)
-    pairs = pairs.filter(ratio >= F.lit(threshold - 1e-3))
-    inter = F.size(F.array_intersect("sh1", "sh2"))
-    uni = F.size(F.array_union("sh1", "sh2"))
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"),
+            *([F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")]),
+            F.col(text_col).alias("__text"),
+        )
+        .repartition(par)
+        .select("id", "blk", F.array_distinct(shingles(F.col("__text"), n)).alias("sh"))
+    )
+    sizes = sh.select("id", F.size("sh").alias("n_sh"))
+    postings = sh.select("blk", F.col("id"), F.explode("sh").alias("s"))
+    inter = (
+        postings.alias("a")
+        .join(postings.alias("b"), ["blk", "s"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    joined = (
+        inter.join(sizes.select(F.col("id").alias("id1"), F.col("n_sh").alias("n1")), "id1")
+        .join(sizes.select(F.col("id").alias("id2"), F.col("n_sh").alias("n2")), "id2")
+    )
+    uni = F.col("n1") + F.col("n2") - F.col("inter")
     return (
-        pairs.withColumn("jaccard", F.round(inter / uni, 4))
+        joined.withColumn("jaccard", F.round(F.col("inter") / uni, 4))
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
     )
