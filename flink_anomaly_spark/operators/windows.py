@@ -31,13 +31,11 @@ def tumbling_argmax(
 ) -> DataFrame:
     """Per tumbling window, return the whole record with max value.
 
-    ``maxBy(0, true)`` analog: ``max_by(struct(all cols), value)``.
-    ``tiebreak`` pins which record wins on equal values (desc on value,
-    then asc on tiebreak) — encoded by putting (value, -tiebreak) into
-    the max_by ordinal via a struct, since max_by on a struct compares
-    lexicographically in Spark? No — max_by takes (x, ord); for a
-    deterministic tie-break we build ord = struct(value, desc_key) which
-    Spark compares field-by-field.
+    ``maxBy(0, true)`` analog: ``max_by(struct(all cols), ord)`` where
+    ``ord = struct(value, -tiebreak)`` — struct ordering is
+    field-by-field, so ties on value resolve to the SMALLEST tiebreak
+    (deterministic under any parallelism, unlike the reference's
+    arrival-order ``first=true``, SURVEY §7.4).
     """
     ord_expr: Column
     if tiebreak is not None:

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 
 
 def sink_show(df: DataFrame, n: int = 20) -> None:
@@ -51,6 +51,37 @@ def sink_file_stream(df: DataFrame, path: str, checkpoint: str, fmt: str = "text
     return (
         df.writeStream.format(fmt)
         .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def sink_split_stream(
+    df: DataFrame,
+    routes: dict[str, "Column"],
+    paths: dict[str, str],
+    checkpoint: str,
+):
+    """Side-output analog (Flink's DataStream side outputs have no
+    direct Spark node): route one stream to multiple parquet sinks by
+    predicate inside a single foreachBatch — the batch is cached once,
+    each route filters from the cache, so the source micro-batch is
+    read exactly once per trigger.
+
+    ``routes``: {name: boolean Column}; ``paths``: {name: output dir}.
+    """
+
+    def route(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.persist()
+        try:
+            for name, predicate in routes.items():
+                batch_df.filter(predicate).write.mode("append").parquet(paths[name])
+        finally:
+            batch_df.unpersist()
+
+    return (
+        df.writeStream.foreachBatch(route)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

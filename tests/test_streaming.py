@@ -316,6 +316,29 @@ def test_stateful_concat_spans_micro_batches(spark, tmp_path):
     assert sorted(longest.split(",")) == ["1", "2", "3"]
 
 
+def test_side_output_split_stream(spark, tmp_path):
+    """Flink side-output parity: one stream routed to two sinks by
+    predicate; the routes partition the input exactly."""
+    from flink_anomaly_spark.sinks import sink_split_stream
+
+    hi, lo = str(tmp_path / "hi"), str(tmp_path / "lo")
+    ev = stream_events(spark, SF_SMOKE)
+    q = sink_split_stream(
+        ev,
+        routes={"hi": F.col("value") >= 250, "lo": F.col("value") < 250},
+        paths={"hi": hi, "lo": lo},
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    events = load_table(spark, SF_SMOKE, "events")
+    assert spark.read.parquet(hi).count() == events.filter(F.col("value") >= 250).count()
+    assert spark.read.parquet(lo).count() == events.filter(F.col("value") < 250).count()
+    ids = {r.event_id for r in spark.read.parquet(hi).select("event_id").collect()} | {
+        r.event_id for r in spark.read.parquet(lo).select("event_id").collect()
+    }
+    assert len(ids) == events.count()
+
+
 def test_foreach_sink_at_least_once_parity(spark, tmp_path):
     """R1 honest parity: side-effecting sinks remain at-least-once in
     Spark too — replaying a batch re-runs its effects. With no failure
