@@ -29,13 +29,20 @@ def register_builtin_udfs(spark: SparkSession) -> None:
 
     @F.pandas_udf("double")
     def engine_quality_score(texts: pd.Series) -> pd.Series:
-        # vectorized mirror of operators.text.quality_score for SQL use
-        toks = texts.str.split()
-        n_tok = toks.str.len().fillna(0)
+        # vectorized mirror of operators.text.quality_score for SQL use.
+        # NULL text → scored like empty; tokenize with ASCII \s+ to match
+        # Spark's Java regex (Python str.split is Unicode-whitespace-
+        # aware and would diverge on NBSP etc.).
+        import re
+
+        ws = re.compile(r"\s+", re.ASCII)
+        texts = texts.fillna("")
+        toks = texts.map(lambda t: [x for x in ws.split(t) if x])
+        n_tok = toks.str.len()
         n_chars = texts.str.len()
         mean_wordlen = n_chars / n_tok.clip(lower=1)
         stop = {"the", "a", "and", "of", "to", "in", "is", "it"}
-        stop_hits = toks.apply(lambda ts: len(stop.intersection(ts or [])))
+        stop_hits = toks.apply(lambda ts: len(stop.intersection(ts)))
         len_band = ((n_tok >= 10) & (n_tok <= 1000)).map({True: 1.0, False: 0.3})
         word_band = ((mean_wordlen >= 3.0) & (mean_wordlen <= 10.0)).map({True: 1.0, False: 0.5})
         stop_band = (stop_hits >= 1).map({True: 1.0, False: 0.6})

@@ -81,13 +81,14 @@ def kmeans_distance_outliers(
         F.col("cluster"),
         F.round(F.sqrt(dist2), 6).alias("centroid_dist"),
     )
-    from pyspark.sql import Window
-
+    # global top-N via orderBy+limit → TakeOrderedAndProject (per-
+    # partition heap + driver merge); an unpartitioned Window would
+    # shuffle every scored row into a single task. Rank is assigned
+    # afterwards on the top_n surviving rows only.
+    top = scored.orderBy(F.col("centroid_dist").desc(), F.col("id").asc()).limit(top_n)
     w = Window.orderBy(F.col("centroid_dist").desc(), F.col("id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= top_n)
-        .select("id", "cluster", "centroid_dist", "rank")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "id", "cluster", "centroid_dist", "rank"
     )
 
 

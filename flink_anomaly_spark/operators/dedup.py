@@ -152,6 +152,10 @@ def minhash_near_dup_pairs(
             "id", F.array_distinct(shingles(F.col("__text"), k_shingle)).alias("sh")
         )
         .withColumn("sig", minhash_signature(F.col("sh"), num_perm))
+        # three plan branches consume sig (banding + two verification
+        # joins); without persist the shingle+md5 projection — the
+        # dominant CPU cost — re-executes in each branch
+        .persist()
     )
 
     banded = sig.select(
@@ -221,6 +225,7 @@ def connected_components(
         .distinct()
     )
     labels = nodes.select(F.col("id"), F.col("id").alias("lab"))
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels.withColumnRenamed("id", "dst_id"), edges.dst == F.col("dst_id"))
@@ -247,7 +252,14 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations (component diameter exceeds the budget) — raise "
+            "max_iterations; returning partial labels would be silently wrong"
+        )
     return labels.select(F.col("id"), F.col("lab").alias("cluster_id"))
 
 
@@ -299,7 +311,7 @@ def simhash60_pandas() -> Column:
         ws = re.compile(r"\s+", re.ASCII)
         out = []
         for t in texts:
-            toks = [x for x in ws.split(t) if x]
+            toks = [x for x in ws.split(t or "") if x]  # NULL text → like empty
             grams = (
                 [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
                 if len(toks) >= 2
@@ -349,6 +361,7 @@ def ngram_jaccard_pairs(
         )
         .repartition(par)
         .select("id", "blk", F.array_distinct(shingles(F.col("__text"), n)).alias("sh"))
+        .persist()  # consumed by both the sizes table and the postings explode
     )
     sizes = sh.select("id", F.size("sh").alias("n_sh"))
     postings = sh.select("blk", F.col("id"), F.explode("sh").alias("s"))

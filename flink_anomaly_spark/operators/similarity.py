@@ -129,12 +129,15 @@ def embedding_near_dup_pairs(
         F.col(vec_col).alias("v"),
         F.col(block_col).alias("blk"),
     ).withColumn("nrm", norm(F.col("v")))
-    par = df.sparkSession.sparkContext.defaultParallelism
     a = base.select(
         "blk", F.col("id").alias("id1"), F.col("v").alias("v1"), F.col("nrm").alias("nrm1")
-    ).repartition(par)  # O(|block|²) scoring must not run in one input-split task
+    )
     b = base.select("blk", F.col("id").alias("id2"), F.col("v").alias("v2"), F.col("nrm").alias("nrm2"))
-    pairs = a.join(F.broadcast(b), "blk").filter(F.col("id1") < F.col("id2"))
+    # shuffled equi-join on the block key — broadcasting the corpus side
+    # would collect the whole table to the driver at scale. Join
+    # parallelism equals block-key cardinality, so at scale the block
+    # key must out-number cluster cores (true for LSH buckets).
+    pairs = a.join(b, "blk").filter(F.col("id1") < F.col("id2"))
     cos = dot(F.col("v1"), F.col("v2")) / (F.col("nrm1") * F.col("nrm2"))
     return (
         pairs.withColumn("cos_sim", F.round(cos, 6))

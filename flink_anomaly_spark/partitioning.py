@@ -35,7 +35,12 @@ def salted_group_agg(
         arg = arg.rstrip(")")
         fn = fn.strip().lower()
         if fn == "count":
-            phase1_aggs.append(F.count("*").alias(f"__p_{out}"))
+            if arg.strip() != "*":
+                # count(col) skips nulls — re-aggregating per-salt counts
+                # of '*' would silently count them; support it explicitly
+                phase1_aggs.append(F.count(arg).alias(f"__p_{out}"))
+            else:
+                phase1_aggs.append(F.count("*").alias(f"__p_{out}"))
             phase2_aggs.append(F.sum(f"__p_{out}").alias(out))
         elif fn == "sum":
             phase1_aggs.append(F.sum(arg).alias(f"__p_{out}"))

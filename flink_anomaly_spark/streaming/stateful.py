@@ -27,20 +27,25 @@ STATE_SCHEMA = "concat string"
 def _concat_fn(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    """Per key: fold rows (sorted by ts, event_id within the batch) into
-    the state string, emitting the running prefix per row — the same
-    emit-after-every-element behavior as Main.java:70-74."""
+    """Per key: fold rows (sorted by ts, event_id across the WHOLE
+    batch) into the state string, emitting the running prefix per row —
+    the same emit-after-every-element behavior as Main.java:70-74.
+
+    The group arrives as an iterator of Arrow chunks
+    (maxRecordsPerBatch-sized) in unspecified order — chunks must be
+    concatenated and sorted together; sorting each chunk independently
+    would silently break the documented (ts, event_id) order for keys
+    larger than one chunk. The group's batch must fit in worker memory
+    (inherent to any total-order fold; same bound as applyInPandas).
+    """
     (concat,) = state.get if state.exists else ("",)
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        out_ids, out_prefix = [], []
-        for eid in pdf["event_id"]:
-            concat = f"{concat},{eid}" if concat else str(eid)
-            out_ids.append(eid)
-            out_prefix.append(concat)
-        yield pd.DataFrame(
-            {"key": key[0], "event_id": out_ids, "running_concat": out_prefix}
-        )
+    pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(["ts", "event_id"])
+    out_ids, out_prefix = [], []
+    for eid in pdf["event_id"]:
+        concat = f"{concat},{eid}" if concat else str(eid)
+        out_ids.append(eid)
+        out_prefix.append(concat)
+    yield pd.DataFrame({"key": key[0], "event_id": out_ids, "running_concat": out_prefix})
     state.update((concat,))
 
 
@@ -95,16 +100,16 @@ def running_concat_stream_tws(events: DataFrame, key: str = "event_type") -> Dat
 
         def handleInputRows(self, key, rows, timerValues):
             (concat,) = self._state.get() if self._state.exists() else ("",)
-            for pdf in rows:
-                pdf = pdf.sort_values(["ts", "event_id"])
-                out_ids, out_prefix = [], []
-                for eid in pdf["event_id"]:
-                    concat = f"{concat},{eid}" if concat else str(eid)
-                    out_ids.append(eid)
-                    out_prefix.append(concat)
-                yield pd.DataFrame(
-                    {"key": key[0], "event_id": out_ids, "running_concat": out_prefix}
-                )
+            # concatenate ALL chunks before sorting (see _concat_fn)
+            pdf = pd.concat(list(rows), ignore_index=True).sort_values(["ts", "event_id"])
+            out_ids, out_prefix = [], []
+            for eid in pdf["event_id"]:
+                concat = f"{concat},{eid}" if concat else str(eid)
+                out_ids.append(eid)
+                out_prefix.append(concat)
+            yield pd.DataFrame(
+                {"key": key[0], "event_id": out_ids, "running_concat": out_prefix}
+            )
             self._state.update((concat,))
 
         def close(self) -> None:

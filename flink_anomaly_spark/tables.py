@@ -42,6 +42,16 @@ _NANOS_TS_COLS = {"events": ["ts"]}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one catalog table.
+
+    SIDE EFFECT (documented, deliberate): loading a nanos-timestamp
+    table sets ``spark.sql.legacy.parquet.nanosAsLong`` and pins the
+    session timezone to UTC — required so the driver's own (unconfigured)
+    SparkSession reads events identically to the DuckDB oracle. The
+    engine standardizes on UTC everywhere (session.get_spark does the
+    same); callers needing a non-UTC session TZ should not mix it with
+    this catalog.
+    """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
