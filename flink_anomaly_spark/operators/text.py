@@ -110,6 +110,25 @@ def rolling_fingerprint(col: Column) -> Column:
     )
 
 
+#: RE2-and-Java-compatible masking patterns (no lookarounds/backrefs)
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+LONG_DIGITS_PATTERN = r"[0-9]{6,}"
+
+
+def clean_text(col: Column) -> Column:
+    """Normalization pass for training corpora: mask emails and long
+    digit runs (PII-ish), lowercase, strip non-alphanumerics to spaces,
+    collapse whitespace, trim. Pure built-in regexp/string functions —
+    patterns chosen to behave identically under Java regex and RE2.
+    """
+    masked = F.regexp_replace(col, EMAIL_PATTERN, "<EMAIL>")
+    masked = F.regexp_replace(masked, LONG_DIGITS_PATTERN, "<NUM>")
+    lowered = F.lower(masked)
+    stripped = F.regexp_replace(lowered, r"[^a-z0-9<> ]+", " ")
+    collapsed = F.regexp_replace(stripped, r"  +", " ")
+    return F.trim(collapsed)
+
+
 def tf_idf_top_terms(
     df: DataFrame,
     id_col: str,

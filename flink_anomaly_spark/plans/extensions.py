@@ -122,6 +122,40 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Text cleaning / PII-ish masking
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "clean_text_corpus",
+    oracle=r"""
+    SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(
+               lower(regexp_replace(
+                 regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '[0-9]{6,}', '<NUM>', 'g')),
+               '[^a-z0-9<> ]+', ' ', 'g'),
+             '  +', ' ', 'g')) AS clean,
+           length(text) AS n_chars_raw
+    FROM documents
+    """,
+    doc="Corpus normalization: mask emails + long digit runs (PII-ish), "
+    "lowercase, strip non-alphanumerics, collapse whitespace — all "
+    "built-in regexp functions with Java/RE2-compatible patterns. "
+    "(DuckDB regexp_replace needs the 'g' flag; Spark's is global by "
+    "default.)",
+)
+def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.text import clean_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", clean_text(F.col("text")).alias("clean"), F.length("text").alias("n_chars_raw")
+    )
+
+
+# ---------------------------------------------------------------------------
 # TF-IDF top terms
 # ---------------------------------------------------------------------------
 
