@@ -155,7 +155,7 @@ def q_window_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
            date_trunc('day', ts) + INTERVAL 1 DAY AS window_end,
            event_type,
            count(*) AS n_events,
-           sum(value) AS sum_value
+           round(sum(value), 2) AS sum_value
     FROM events
     GROUP BY 1, 2, 3
     """,
@@ -169,7 +169,7 @@ def q_window_count_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         events,
         ts_col="ts",
         duration="1 day",
-        aggs=[F.count("*").alias("n_events"), F.sum("value").alias("sum_value")],
+        aggs=[F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value")],
         extra_keys=["event_type"],
     )
 
