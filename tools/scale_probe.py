@@ -76,8 +76,11 @@ def main() -> None:
     spark = get_spark("scale-probe")
     big_dir = tempfile.mkdtemp(prefix="scaleprobe_")
     try:
-        replicate(spark, n, big_dir)
+        # time the baseline BEFORE the replicate write job — measuring it
+        # after inherits that job's GC/page-cache noise and produces
+        # nonsense ratios
         base = time_queries(spark, BASE_SF)
+        replicate(spark, n, big_dir)
         big = time_queries(spark, big_dir)
         lines = [
             "# SCALE_NOTES — measured wall-clock scaling",
