@@ -593,6 +593,92 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "analytic_functions_extended",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           ntile(4)            OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cume,
+           first_value(c_custkey) OVER w AS richest_key,
+           nth_value(c_custkey, 2) OVER w AS second_key
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    doc="Extended analytic battery: ntile/percent_rank/cume_dist/"
+    "first_value/nth_value per nation — same single-shuffle window "
+    "family as customer_rank_window.",
+)
+def q_analytic_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("c_custkey").over(w).alias("richest_key"),
+        F.nth_value("c_custkey", 2).over(w).alias("second_key"),
+    )
+
+
+@register(
+    "hash_sample_10pct",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 100 < 10
+    """,
+    doc="Deterministic 10% sample via md5-hash-mod on the key — the "
+    "reproducible sampling pattern for training pipelines (same rows "
+    "selected on every run, any engine, any partitioning; seeded "
+    "rand() sampling is neither engine-portable nor rerun-stable).",
+)
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.dedup import md5_int32
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(md5_int32(F.col("doc_id").cast("string")) % 100 < 10).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+@register(
+    "train_val_test_split",
+    oracle="""
+    SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM (
+      SELECT n_chars,
+             CASE WHEN h % 100 < 80 THEN 'train'
+                  WHEN h % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT n_chars,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) AS h
+            FROM documents) t
+    ) s
+    GROUP BY split
+    """,
+    doc="Deterministic 80/10/10 train/val/test assignment via hash-mod "
+    "buckets — stable under reruns, repartitioning, and engine moves; "
+    "rolled up to per-split document/char counts.",
+)
+def q_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.dedup import md5_int32
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = md5_int32(F.col("doc_id").cast("string"))
+    split = (
+        F.when(h % 100 < 80, "train").when(h % 100 < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+@register(
     "customer_rank_window",
     oracle="""
     SELECT c_custkey, c_nationkey, c_acctbal,
