@@ -27,21 +27,12 @@ from flink_anomaly_spark.operators.text import text_profile
 from flink_anomaly_spark.plans.registry import register
 from flink_anomaly_spark.tables import load_table
 
-# shared DuckDB fragments -----------------------------------------------------
+# shared DuckDB fragments (plans/fragments.py) -------------------------------
 
-_TOKS = r"list_filter(string_split_regex(text, '\s+'), tk -> tk != '')"
-_MD5_32 = "CAST(('0x' || substr(md5({x}),1,8)) AS BIGINT)"
-_MD5_60 = "CAST(('0x' || substr(md5({x}),1,15)) AS BIGINT)"
-
-
-def _shingle_sql(k: int) -> str:
-    """DuckDB k-shingles over a `toks` list column (mirrors dedup.shingles)."""
-    return f"""
-    CASE WHEN len(toks) >= {k}
-         THEN list_transform(range(1, len(toks)-{k}+2),
-                             i -> array_to_string(toks[i:i+{k - 1}], ' '))
-         ELSE [array_to_string(toks, ' ')] END
-    """
+from flink_anomaly_spark.plans.fragments import MD5_32 as _MD5_32
+from flink_anomaly_spark.plans.fragments import MD5_60 as _MD5_60
+from flink_anomaly_spark.plans.fragments import TOKS as _TOKS
+from flink_anomaly_spark.plans.fragments import shingle_sql as _shingle_sql
 
 
 # ---------------------------------------------------------------------------

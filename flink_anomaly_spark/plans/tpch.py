@@ -15,7 +15,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from flink_anomaly_spark.operators.dedup import md5_int32
 from flink_anomaly_spark.operators.relational import join_broadcast, top_k, top_k_per_group
+from flink_anomaly_spark.plans.fragments import MD5_32
 from flink_anomaly_spark.plans.registry import register
 from flink_anomaly_spark.tables import load_table
 
@@ -625,10 +627,10 @@ def q_analytic_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "hash_sample_10pct",
-    oracle="""
+    oracle=f"""
     SELECT doc_id, lang, n_chars
     FROM documents
-    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 100 < 10
+    WHERE {MD5_32.format(x="CAST(doc_id AS VARCHAR)")} % 100 < 10
     """,
     doc="Deterministic 10% sample via md5-hash-mod on the key — the "
     "reproducible sampling pattern for training pipelines (same rows "
@@ -636,8 +638,6 @@ def q_analytic_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rand() sampling is neither engine-portable nor rerun-stable).",
 )
 def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from flink_anomaly_spark.operators.dedup import md5_int32
-
     docs = load_table(spark, sf_dir, "documents")
     return docs.filter(md5_int32(F.col("doc_id").cast("string")) % 100 < 10).select(
         "doc_id", "lang", "n_chars"
@@ -646,7 +646,7 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "train_val_test_split",
-    oracle="""
+    oracle=f"""
     SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM (
       SELECT n_chars,
@@ -654,7 +654,7 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                   WHEN h % 100 < 90 THEN 'val'
                   ELSE 'test' END AS split
       FROM (SELECT n_chars,
-                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) AS h
+                   {MD5_32.format(x="CAST(doc_id AS VARCHAR)")} AS h
             FROM documents) t
     ) s
     GROUP BY split
@@ -664,8 +664,6 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rolled up to per-split document/char counts.",
 )
 def q_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from flink_anomaly_spark.operators.dedup import md5_int32
-
     docs = load_table(spark, sf_dir, "documents")
     h = md5_int32(F.col("doc_id").cast("string"))
     split = (
