@@ -75,6 +75,19 @@ def anti_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
     return left.join(right, on, "left_anti")
 
 
+def merge_upsert(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    """MERGE INTO emulation (no Delta/Iceberg in this build): updated
+    rows replace target rows with the same key; unmatched target rows
+    survive; new keys insert. ``updates ∪ (target ⟕anti updates)``.
+
+    The anti join shuffles on the key (or broadcasts when updates are
+    small — the common CDC case, which Catalyst picks automatically);
+    at scale the result is written partition-overwrite style so only
+    affected partitions rewrite.
+    """
+    return updates.unionByName(target.join(updates, key, "left_anti"))
+
+
 # ---------------------------------------------------------------------------
 # Top-K and ranking
 # ---------------------------------------------------------------------------

@@ -258,6 +258,43 @@ def q_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# MERGE / upsert emulation (CDC-style incremental maintenance)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "merge_upsert_customers",
+    oracle="""
+    SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
+    FROM (
+      SELECT c_custkey, c_name, c_acctbal * 1.1 AS c_acctbal
+      FROM customer WHERE c_mktsegment = 'BUILDING'
+      UNION ALL
+      SELECT c_custkey, c_name, c_acctbal
+      FROM customer
+      WHERE c_custkey NOT IN (SELECT c_custkey FROM customer
+                              WHERE c_mktsegment = 'BUILDING')
+    ) t
+    """,
+    doc="MERGE INTO emulation (no Delta in this build): a CDC batch "
+    "(BUILDING customers with +10% balance) upserted into the customer "
+    "table via updates ∪ (target anti-join updates) — "
+    "operators/relational.merge_upsert.",
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.relational import merge_upsert
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    updates = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_name", (F.col("c_acctbal") * 1.1).alias("c_acctbal"))
+    )
+    merged = merge_upsert(cust, updates, "c_custkey")
+    return merged.withColumn("c_acctbal", F.round("c_acctbal", 2))
+
+
+# ---------------------------------------------------------------------------
 # Outer / cross joins + null handling
 # ---------------------------------------------------------------------------
 
