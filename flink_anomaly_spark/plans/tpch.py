@@ -714,6 +714,32 @@ def q_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "unpivot_lineitem_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, round(value, 4) AS value FROM (
+      SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS value FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem
+    ) t WHERE l_orderkey % 50 = 0
+    """,
+    doc="Unpivot (wide→long) via stack() — four measure columns to "
+    "(measure, value) rows; the inverse of pivot_order_status.",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    return li.selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "stack(4, 'quantity', l_quantity, 'price', l_extendedprice, "
+        "'discount', l_discount, 'tax', l_tax) AS (measure, value)",
+    ).withColumn("value", F.round("value", 4))
+
+
+@register(
     "customer_rank_window",
     oracle="""
     SELECT c_custkey, c_nationkey, c_acctbal,
