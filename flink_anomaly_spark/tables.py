@@ -26,11 +26,6 @@ TABLE_NAMES = (
     "embeddings",
 )
 
-#: Small dimension tables that should always be broadcast in joins.
-#: At TPC-H scale these stay tiny relative to the fact tables
-#: (region: 5 rows, nation: 25 rows regardless of SF).
-BROADCAST_TABLES = frozenset({"region", "nation"})
-
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 

@@ -1,0 +1,64 @@
+"""Direct tests for the source/sink helpers (SURVEY §2.1-2.2) not
+already covered by the round-trip tests."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_anomaly_spark.sinks import write_parquet, write_text
+from flink_anomaly_spark.sources.readers import from_elements, read_text, stream_rate
+from flink_anomaly_spark.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_from_elements_schema(spark):
+    """S1/S2: in-memory source with explicit schema."""
+    df = from_elements(
+        spark,
+        [("a", 0, 250), ("b", 0, 250), ("d", 1, 250)],
+        "name string, failure_times int, wait_millis long",
+    )
+    assert df.count() == 3
+    assert df.schema.simpleString() == (
+        "struct<name:string,failure_times:int,wait_millis:bigint>"
+    )
+
+
+def test_write_text_rolling_policy(spark, tmp_path):
+    """K2's rolling policy analog: maxRecordsPerFile must split output
+    into multiple part files (the reference rolls on size/time,
+    TestFlinkStreams.java:107-115)."""
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        F.col("text").cast("string").alias("value")
+    )
+    out = str(tmp_path / "rolled")
+    write_text(docs.coalesce(1), out, max_records_per_file=100)
+    parts = [f for f in os.listdir(out) if f.startswith("part-")]
+    # 500 docs / 100 per file → 5 part files from a single task
+    assert len(parts) == 5, parts
+    back = spark.read.text(out)
+    assert back.count() == docs.count()
+
+
+def test_write_parquet_partitioned_layout(spark, tmp_path):
+    events = load_table(spark, SF_SMOKE, "events")
+    out = str(tmp_path / "by_type")
+    write_parquet(events, out, partition_by=["event_type"])
+    dirs = {d for d in os.listdir(out) if d.startswith("event_type=")}
+    assert len(dirs) == 5  # one directory per event type
+
+
+def test_rate_source_is_streaming(spark):
+    df = stream_rate(spark, rows_per_second=5)
+    assert df.isStreaming
+    assert set(df.columns) == {"timestamp", "value"}
+
+
+def test_read_text_lines(spark, tmp_path):
+    p = tmp_path / "x.txt"
+    p.write_text("alpha\nbeta\n")
+    got = sorted(r.value for r in read_text(spark, str(p)).collect())
+    assert got == ["alpha", "beta"]
