@@ -1,0 +1,57 @@
+"""Contract tests for the driver-facing artifacts: __spark_entry__
+exposes well-formed queries/oracles, and bench.py emits the JSON line
+the driver parses. Breaking these breaks the round gate silently —
+cheaper to catch here."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+
+def test_queries_and_oracles_well_formed():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert len(qs) >= 60
+    assert set(oracles) <= set(qs), "oracle without a query"
+    # ≥ 85% of queries must be oracle-checked (rows-only is the exception)
+    assert len(oracles) / len(qs) >= 0.85
+    for name, fn in qs.items():
+        assert callable(fn), name
+    for name, sql in oracles.items():
+        assert isinstance(sql, str) and "SELECT" in sql.upper(), name
+
+
+def test_entry_returns_dataframe_lazily(spark):
+    df = entrymod.entry(spark)
+    # entry must NOT collect — it returns a lazy DataFrame the driver collects
+    assert hasattr(df, "collect")
+    assert df.schema is not None
+
+
+def test_bench_emits_driver_json():
+    """Run bench.py at the smallest SF and validate the contract line:
+    one JSON object with metric/value/unit/queries/sf."""
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001", SPARK_GRAFT_CPUS="8")
+    out = subprocess.run(
+        [sys.executable, "bench.py"],
+        capture_output=True,
+        text=True,
+        timeout=560,
+        env=env,
+        cwd=os.path.dirname(os.path.abspath(entrymod.__file__)),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = out.stdout.strip().splitlines()[-1]
+    d = json.loads(line)
+    assert d["unit"] == "sec"
+    assert isinstance(d["value"], (int, float)) and d["value"] > 0
+    assert d["sf"] == 0.001
+    assert len(d["queries"]) >= 55
+    assert abs(sum(d["queries"].values()) - d["value"]) < 1.0
