@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 #: tiny deterministic stopword list used by the quality score
 STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it"]
 
-#: marker words per language for the n-gram/keyword language heuristic.
+#: marker words per language for the keyword language heuristic.
 #: (The driver's synthetic documents carry a ground-truth ``lang`` column;
 #: the heuristic exists as the operator surface for real corpora.)
 LANG_MARKERS: dict[str, list[str]] = {
@@ -23,6 +23,17 @@ LANG_MARKERS: dict[str, list[str]] = {
     "es": ["el", "de", "que"],
     "fr": ["le", "et", "les"],
     "zh": ["de", "shi", "bu"],
+}
+
+#: characteristic character trigrams per language (public linguistic
+#: knowledge: frequent trigrams of each language's orthography /
+#: pinyin romanization) — the canonical char-n-gram langid profile.
+LANG_TRIGRAM_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "ing", "ion", "ent", "her", "for", "tha", "nth", "int"],
+    "de": ["der", "ein", "sch", "ich", "nde", "die", "che", "den", "und", "ung"],
+    "es": ["que", "ion", "con", "ent", "ado", "los", "del", "par", "cio", "nte"],
+    "fr": ["les", "ent", "ion", "des", "que", "ait", "our", "ans", "eur", "tre"],
+    "zh": ["zhi", "shi", "ang", "eng", "ian", "ong", "uan", "hao", "xia", "ing"],
 }
 
 
@@ -83,6 +94,39 @@ def lang_guess(col: Column) -> Column:
                 F.lit(code).alias("code"),
             )
             for i, (code, marks) in enumerate(sorted(LANG_MARKERS.items()))
+        ]
+    )
+    best = F.array_max(scored)
+    return F.when(best["hits"] > 0, best["code"]).otherwise(F.lit("und"))
+
+
+def char_trigrams(col: Column) -> Column:
+    """Distinct character 3-grams of the lowercased text — sliding
+    ``substr`` over an index sequence (built-in only; ``Column.substr``
+    accepts Column positions where ``F.substring`` does not)."""
+    lowered = F.lower(col)
+    n = F.length(lowered)
+    idx = F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: lowered.substr(i, F.lit(3))))
+
+
+def lang_guess_ngram(col: Column) -> Column:
+    """Char-trigram language ID: the language whose trigram profile
+    overlaps the document's trigram set most (ties → language-code
+    order; 'und' on zero overlap). The canonical n-gram approach —
+    stronger than marker words on real orthography because it needs no
+    exact word hits."""
+    grams = char_trigrams(col)
+    scored = F.array(
+        *[
+            F.struct(
+                F.size(
+                    F.array_intersect(grams, F.array(*[F.lit(g) for g in profile]))
+                ).alias("hits"),
+                F.lit(-i).alias("neg_idx"),
+                F.lit(code).alias("code"),
+            )
+            for i, (code, profile) in enumerate(sorted(LANG_TRIGRAM_PROFILES.items()))
         ]
     )
     best = F.array_max(scored)

@@ -113,6 +113,54 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Char-trigram language ID
+# ---------------------------------------------------------------------------
+
+
+def _langid_ngram_oracle() -> str:
+    from flink_anomaly_spark.operators.text import LANG_TRIGRAM_PROFILES
+
+    hit_cols = []
+    for code, profile in sorted(LANG_TRIGRAM_PROFILES.items()):
+        plist = "[" + ",".join(f"'{g}'" for g in profile) + "]"
+        hit_cols.append(f"len(list_intersect(grams, {plist})) AS h_{code}")
+    best = "greatest(h_de, h_en, h_es, h_fr, h_zh)"
+    return f"""
+    WITH g AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(
+               range(1, greatest(length(lower(text)) - 2, 1) + 1),
+               i -> substr(lower(text), i, 3))) AS grams
+      FROM documents
+    ), s AS (
+      SELECT doc_id, lang, {", ".join(hit_cols)} FROM g
+    )
+    SELECT doc_id, lang,
+           CASE WHEN {best} = 0 THEN 'und'
+                WHEN h_de = {best} THEN 'de'
+                WHEN h_en = {best} THEN 'en'
+                WHEN h_es = {best} THEN 'es'
+                WHEN h_fr = {best} THEN 'fr'
+                ELSE 'zh' END AS lang_ngram
+    FROM s
+    """
+
+
+@register(
+    "langid_char_ngram",
+    oracle=_langid_ngram_oracle(),
+    doc="Char-trigram language ID (the canonical n-gram langid): "
+    "distinct trigrams of lowercased text vs fixed per-language "
+    "profiles, deterministic tie-break — narrow per-row plan.",
+)
+def q_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.text import lang_guess_ngram
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", lang_guess_ngram(F.col("text")).alias("lang_ngram"))
+
+
+# ---------------------------------------------------------------------------
 # Text cleaning / PII-ish masking
 # ---------------------------------------------------------------------------
 
