@@ -89,6 +89,21 @@ def test_brute_force_topk_shape(spark):
     assert ranks == [1, 2, 3]
 
 
+def test_connected_components_chain_and_nonconvergence(spark):
+    from flink_anomaly_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4-5 plus isolated 9 → one component labeled 1, one {9}
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (4, 5)], "id1 long, id2 long")
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 9]], "id long")
+    got = {r.id: r.cluster_id for r in connected_components(pairs, nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 9: 9}
+
+    # an iteration budget smaller than the diameter must raise, not
+    # silently return partial labels
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, nodes, max_iterations=1)
+
+
 def test_tfidf_favors_rare_terms(spark):
     from flink_anomaly_spark.operators.text import tf_idf_top_terms
 
