@@ -105,6 +105,48 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
     return media.repartition(par).mapInPandas(op, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "media_id long, kind string, payload binary, mime string, "
+    "width int, height int, duration_ms long"
+)
+
+
+def resize_images(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """Resize plumbing: mapInPandas over the opaque payloads, emitting
+    the same MEDIA_SCHEMA shape with updated dimensions.
+
+    The pixel work is STUBBED (`_fake_resize` — no image libs in this
+    container): it deterministically scales the payload length by the
+    area ratio, which preserves the real operator's shape — batch
+    iterator in, per-row bytes out, metadata updated — so swapping in
+    PIL's ``Image.resize`` touches only the inner function.
+    """
+
+    def _fake_resize(payload: bytes, w0: int, h0: int) -> bytes:
+        if payload is None:
+            raise NotImplementedError("real decode+resize unavailable in this container")
+        src_area = max((w0 or 1) * (h0 or 1), 1)
+        ratio = min(1.0, (target_w * target_h) / src_area)
+        n = max(1, int(len(payload) * ratio))
+        return bytes(payload[:n])
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["payload"] = [
+                _fake_resize(bytes(p) if p is not None else None, w, h)
+                for p, w, h in zip(pdf["payload"], pdf["width"], pdf["height"])
+            ]
+            out["width"] = target_w
+            out["height"] = target_h
+            yield out[
+                ["media_id", "kind", "payload", "mime", "width", "height", "duration_ms"]
+            ]
+
+    par = media.sparkSession.sparkContext.defaultParallelism
+    return media.repartition(par).mapInPandas(op, RESIZED_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one output row per planned frame
     (media_id, frame_idx, offset_ms) — pure relational expansion via

@@ -89,6 +89,19 @@ def test_brute_force_topk_shape(spark):
     assert ranks == [1, 2, 3]
 
 
+def test_multimodal_resize_plumbing(spark):
+    from flink_anomaly_spark.operators.multimodal import documents_as_media, resize_images
+    from flink_anomaly_spark.tables import load_table
+
+    media = documents_as_media(load_table(spark, "/root/testdata/sf0.001", "documents"))
+    resized = resize_images(media, target_w=64, target_h=64)
+    rows = resized.limit(20).collect()
+    assert all(r.width == 64 and r.height == 64 for r in rows)
+    assert all(isinstance(r.payload, (bytes, bytearray)) and len(r.payload) >= 1 for r in rows)
+    assert resized.count() == media.count()
+    assert resized.schema.simpleString() == media.schema.simpleString()
+
+
 def test_connected_components_chain_and_nonconvergence(spark):
     from flink_anomaly_spark.operators.dedup import connected_components
 
