@@ -60,4 +60,11 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "concatenation — GroupState(single string) ≙ ValueState<String>.",
 )
 def q_streaming_running_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return run_to_memory(running_concat_stream(stream_events(spark, sf_dir)))
+    from pyspark.sql import functions as F
+
+    # the running-prefix output is O(n²) characters per key BY SPEC
+    # (docs/LIMITATIONS.md) — bound the demo input (value ≥ 200 keeps
+    # ~1.75% of events: 15 rows at sf0.001, 1.7k at sf0.1) so the
+    # memory-sink collection stays driver-sized at any SF
+    events = stream_events(spark, sf_dir).filter(F.col("value") >= 200.0)
+    return run_to_memory(running_concat_stream(events))

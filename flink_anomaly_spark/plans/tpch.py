@@ -265,9 +265,9 @@ def q_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "merge_upsert_customers",
     oracle="""
-    SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
+    SELECT c_custkey, c_name, c_acctbal
     FROM (
-      SELECT c_custkey, c_name, c_acctbal * 1.1 AS c_acctbal
+      SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal
       FROM customer WHERE c_mktsegment = 'BUILDING'
       UNION ALL
       SELECT c_custkey, c_name, c_acctbal
@@ -277,9 +277,11 @@ def q_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) t
     """,
     doc="MERGE INTO emulation (no Delta in this build): a CDC batch "
-    "(BUILDING customers with +10% balance) upserted into the customer "
+    "(BUILDING customers credited +100.00) upserted into the customer "
     "table via updates ∪ (target anti-join updates) — "
-    "operators/relational.merge_upsert.",
+    "operators/relational.merge_upsert. The update is an exact binary "
+    "add (multiplying would need a round whose decimal-midpoint rule "
+    "differs across engines at scale).",
 )
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_anomaly_spark.operators.relational import merge_upsert
@@ -288,10 +290,9 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     updates = (
         load_table(spark, sf_dir, "customer")
         .filter(F.col("c_mktsegment") == "BUILDING")
-        .select("c_custkey", "c_name", (F.col("c_acctbal") * 1.1).alias("c_acctbal"))
+        .select("c_custkey", "c_name", (F.col("c_acctbal") + 100.0).alias("c_acctbal"))
     )
-    merged = merge_upsert(cust, updates, "c_custkey")
-    return merged.withColumn("c_acctbal", F.round("c_acctbal", 2))
+    return merge_upsert(cust, updates, "c_custkey")
 
 
 # ---------------------------------------------------------------------------
@@ -458,6 +459,30 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Distinct aggregation / grouping sets
 # ---------------------------------------------------------------------------
+
+
+@register(
+    "exact_percentiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6)  AS median_value,
+           round(quantile_cont(value, 0.95), 6) AS p95_value,
+           round(min(value), 2) AS min_value,
+           round(max(value), 2) AS max_value
+    FROM events GROUP BY event_type
+    """,
+    doc="Exact (interpolated) percentiles per group — Spark percentile "
+    "≙ DuckDB quantile_cont (both linear interpolation over the sorted "
+    "group). The exact counterpart to approx_stats' sketches.",
+)
+def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.5), 6).alias("median_value"),
+        F.round(F.percentile("value", 0.95), 6).alias("p95_value"),
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+    )
 
 
 @register(
@@ -636,27 +661,46 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_nationkey, c_acctbal,
            ntile(4)            OVER w AS quartile,
-           round(percent_rank() OVER w, 6) AS pct_rank,
-           round(cume_dist()    OVER w, 6) AS cume,
+           (rank() OVER w - 1) * 1000000
+                // greatest(count(*) OVER p - 1, 1) AS pct_rank_ppm,
+           (count(*) OVER wc) * 1000000
+                // (count(*) OVER p) AS cume_ppm,
            first_value(c_custkey) OVER w AS richest_key,
            nth_value(c_custkey, 2) OVER w AS second_key
     FROM customer
-    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey),
+           p AS (PARTITION BY c_nationkey),
+           wc AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
-    doc="Extended analytic battery: ntile/percent_rank/cume_dist/"
-    "first_value/nth_value per nation — same single-shuffle window "
-    "family as customer_rank_window.",
+    doc="Extended analytic battery: ntile/percent-rank/cume-dist/"
+    "first_value/nth_value per nation. percent_rank and cume_dist are "
+    "emitted as EXACT parts-per-million integers ((rank−1)·1e6 div "
+    "(N−1)) — the float forms round differently across engines at "
+    "decimal midpoints once partitions grow (observed at sf0.1).",
 )
 def q_analytic_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    p = Window.partitionBy("c_nationkey")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    n_part = F.count("*").over(p)
     return cust.select(
         "c_custkey",
         "c_nationkey",
         "c_acctbal",
         F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        # integer div on BOTH sides: DuckDB CAST(double→BIGINT) rounds
+        # while Spark's cast truncates — `div` / `//` sidestep floats
+        F.expr(
+            "((rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) - 1)"
+            " * 1000000) div greatest(count(*) OVER (PARTITION BY c_nationkey) - 1, 1)"
+        ).alias("pct_rank_ppm"),
+        F.expr(
+            "(count(*) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000)"
+            " div count(*) OVER (PARTITION BY c_nationkey)"
+        ).alias("cume_ppm"),
         F.first("c_custkey").over(w).alias("richest_key"),
         F.nth_value("c_custkey", 2).over(w).alias("second_key"),
     )

@@ -38,10 +38,18 @@ def test_coverage_maps_every_survey_row():
 
 
 def test_entry_returns_dataframe_lazily(spark):
+    """entry() must return a lazy DataFrame — an eager regression
+    (collect + re-createDataFrame) would show up as jobs running during
+    the entry() call itself."""
+    tracker = spark.sparkContext.statusTracker
+    before = set(tracker().getJobIdsForGroup() or [])
     df = entrymod.entry(spark)
-    # entry must NOT collect — it returns a lazy DataFrame the driver collects
-    assert hasattr(df, "collect")
+    after = set(tracker().getJobIdsForGroup() or [])
+    # building the lineage may read parquet footers (0-1 tiny jobs) but
+    # must not materialize the query: allow schema-inference jobs only
+    assert len(after - before) <= 1, "entry() appears to execute eagerly"
     assert df.schema is not None
+    assert df.count() > 0  # and it still runs when the driver acts on it
 
 
 def test_bench_emits_driver_json():

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -65,10 +67,12 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
     # forgets tables between sessions but leaves directories behind —
     # clear them or saveAsTable fails with LOCATION_ALREADY_EXISTS.
     import shutil
+    from urllib.parse import urlparse
 
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     for t in ("b_orders", "b_lineitem"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
-        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
     orders = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_totalprice")
     li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
     write_bucketed(orders, "b_orders", "o_orderkey", n_buckets=8)

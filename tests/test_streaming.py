@@ -152,10 +152,12 @@ def test_watermark_drops_late_data(spark, tmp_path):
         q.processAllAvailable()  # late row arrives AFTER the watermark advanced
     finally:
         q.stop()
-    got = {r.win.start: r.n for r in spark.table(name).collect()}
+    rows = spark.table(name).collect()
     # the late event (same 5-min window as event 1) must have been
-    # dropped: the window's latest update stays at n=1
-    assert got.get(t0) == 1, got
+    # dropped: NO update row for that window may ever exceed n=1
+    # (a dict-last-wins check could false-pass on sink row ordering)
+    t0_counts = [r.n for r in rows if r.win.start == t0]
+    assert t0_counts and max(t0_counts) == 1, rows
 
 
 def test_streaming_sliding_and_session_windows(spark):
@@ -309,9 +311,8 @@ def test_stateful_concat_spans_micro_batches(spark, tmp_path):
     )
     out = run_to_memory(running_concat_stream(stream, key="event_type"))
     prefixes = {r.running_concat for r in out.collect()}
-    assert "1,2,3" in prefixes or "1,2" in prefixes and any(
-        p.count(",") == 2 for p in prefixes
-    ), prefixes
+    # the cross-batch-state invariant, order-insensitively: the longest
+    # prefix accumulated every element exactly once across both batches
     longest = max(prefixes, key=len)
     assert sorted(longest.split(",")) == ["1", "2", "3"]
 

@@ -55,9 +55,11 @@ def normalize(df) -> tuple[int, list[str], int]:
 
 
 def main() -> int:
+    import os
+
     args = sys.argv[1:]
-    sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
-    only = [a for a in args if "/" not in a]
+    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
+    only = [a for a in args if not os.path.isdir(a)]
 
     spark = get_spark("oracle-check")
     con = duckdb.connect()
@@ -66,6 +68,10 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = [n for n in only if n not in qs]
+    if unknown:
+        print(f"ERROR: unknown query name(s): {unknown}")
+        return 2
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
