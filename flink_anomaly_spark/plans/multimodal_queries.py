@@ -7,6 +7,7 @@ bytes."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from flink_anomaly_spark.operators.multimodal import (
     documents_as_media,
@@ -24,20 +25,39 @@ from flink_anomaly_spark.tables import load_table
            'image' AS kind,
            octet_length(encode(text)) AS n_bytes,
            sha256(text) AS sha256,
-           list_transform(range(0, 8),
-             i -> CAST(('0x' || substr(sha256(text), i*8+1, 8)) AS BIGINT) / 4294967296.0)
-             AS feat,
+           array_to_string(list_transform(range(0, 8),
+             i -> CAST(CAST(('0x' || substr(sha256(text), i*8+1, 8)) AS BIGINT) AS VARCHAR)),
+             ',') AS feat_u32_csv,
            true AS decode_ok
     FROM documents
     """,
     doc="mapInPandas feature extraction over opaque binary payloads "
     "(Arrow-batched; bytes never outlive one batch). Decode is a "
     "deterministic sha256-derived stub — swap _fake_decode for a real "
-    "decoder without touching the plumbing.",
+    "decoder without touching the plumbing. The feature vector is "
+    "emitted as an exact u32 CSV string (feat[i]*2^32 is integral by "
+    "construction) so the output has no top-level array column — "
+    "harness canonicalizers sort rows pandas-side and cannot hash "
+    "list cells.",
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return extract_features(documents_as_media(docs))
+    feats = extract_features(documents_as_media(docs))
+    # feat[i] = k / 2**32 with k a u32, so feat[i]*2**32 is exactly k in
+    # double arithmetic; cast('long') is therefore exact (no rounding).
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "sha256",
+        F.concat_ws(
+            ",",
+            F.transform(
+                "feat", lambda x: (x * F.lit(4294967296.0)).cast("long").cast("string")
+            ),
+        ).alias("feat_u32_csv"),
+        "decode_ok",
+    )
 
 
 @register(

@@ -48,6 +48,19 @@ def normalize(df) -> tuple[int, list[str], int]:
     pdf = df if isinstance(df, pd.DataFrame) else df.toPandas()
     cols = sorted(pdf.columns)
     pdf = pdf[cols]
+    # The driver's canonicalizer pandas-sorts over all columns and
+    # crashes on unhashable list cells (round-1 multimodal_features
+    # failure) — replicate that strictness so the local gate catches
+    # array-typed output columns before the driver does.
+    for c in cols:
+        bad = pdf[c].map(
+            lambda v: isinstance(v, (list, tuple)) or getattr(v, "ndim", 0) > 0
+        )
+        if bad.any():
+            raise TypeError(
+                f"column {c!r} contains list/array cells — driver canonicalizer "
+                "cannot hash these; emit a sortable scalar (CSV string / exploded rows)"
+            )
     rows = []
     for tup in pdf.itertuples(index=False):
         rows.append(tuple(_canon(v) for v in tup))
