@@ -29,7 +29,10 @@ def zscore_outliers(
     w = Window.partitionBy(key)
     mean = F.avg(value_col).over(w)
     std = F.stddev_samp(value_col).over(w)
-    z = (F.col(value_col) - mean) / std
+    # Null divisor when std == 0 (degenerate all-equal key): engines
+    # disagree on x/0 for doubles (NULL vs ±inf), so exclude such keys
+    # explicitly on both the Spark and the oracle side.
+    z = (F.col(value_col) - mean) / F.when(std > 0, std)
     return (
         df.withColumn("zscore", F.round(z, 4))
         .filter(F.abs(F.col("zscore")) > threshold)
@@ -113,7 +116,7 @@ def rolling_zscore_outliers(
     mean = F.avg(value_col).over(w)
     std = F.stddev_samp(value_col).over(w)
     n = F.count(value_col).over(w)
-    z = (F.col(value_col) - mean) / std
+    z = (F.col(value_col) - mean) / F.when(std > 0, std)
     return (
         df.withColumn("trailing_n", n)
         .withColumn("zscore", F.round(z, 4))

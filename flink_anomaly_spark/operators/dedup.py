@@ -24,6 +24,40 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+#: Persisted intermediates handed out by the operators below. The
+#: operators return LAZY DataFrames, so they cannot unpersist before the
+#: caller's action — instead every persist() is tracked here and callers
+#: that run many pipelines in one session (bench loop, oracle gate)
+#: release between queries via :func:`release_cached`. Strong refs on
+#: purpose: the JVM-side cache outlives the Python wrapper, so a weak
+#: set would lose the only handle able to unpersist it. The list holds
+#: plan objects (tiny); the executor memory they pin is the leak being
+#: managed.
+_PERSISTED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df.persist()
+    _PERSISTED.append(df)
+    return df
+
+
+def release_cached() -> int:
+    """Unpersist every cached intermediate created by dedup operators.
+
+    Returns the number of DataFrames released. Safe to call at any time:
+    a consumer that re-scans a released plan recomputes it (correctness
+    is unaffected, only the branch-sharing speedup)."""
+    n = 0
+    while _PERSISTED:
+        df = _PERSISTED.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing to release
+    return n
+
 # 61-bit Mersenne prime — all (a*h+b) % P arithmetic stays in int64
 # without overflow concerns for h < 2^60.
 MERSENNE_P = (1 << 61) - 1
@@ -143,9 +177,15 @@ def minhash_near_dup_pairs(
     by bucket collisions (tunable via bands×rows), and the wide shingle
     payload only travels for verified candidates.
     """
+    if num_perm % bands != 0:
+        raise ValueError(
+            f"num_perm ({num_perm}) must be divisible by bands ({bands}); "
+            "a remainder would silently drop trailing signature entries "
+            "from every band and degrade LSH recall"
+        )
     rows_per_band = num_perm // bands
     par = df.sparkSession.sparkContext.defaultParallelism
-    sig = (
+    sig = _persist(
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
         .repartition(par)  # shingling+hashing is per-row CPU-bound; don't let a single input split serialize it
         .select(
@@ -155,7 +195,6 @@ def minhash_near_dup_pairs(
         # three plan branches consume sig (banding + two verification
         # joins); without persist the shingle+md5 projection — the
         # dominant CPU cost — re-executes in each branch
-        .persist()
     )
 
     banded = sig.select(
@@ -353,7 +392,7 @@ def ngram_jaccard_pairs(
     that changes results, so it's not done here.
     """
     par = df.sparkSession.sparkContext.defaultParallelism
-    sh = (
+    sh = _persist(  # consumed by both the sizes table and the postings explode
         df.select(
             F.col(id_col).alias("id"),
             *([F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")]),
@@ -361,7 +400,6 @@ def ngram_jaccard_pairs(
         )
         .repartition(par)
         .select("id", "blk", F.array_distinct(shingles(F.col("__text"), n)).alias("sh"))
-        .persist()  # consumed by both the sizes table and the postings explode
     )
     sizes = sh.select("id", F.size("sh").alias("n_sh"))
     postings = sh.select("blk", F.col("id"), F.explode("sh").alias("s"))

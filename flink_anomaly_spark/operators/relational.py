@@ -167,7 +167,15 @@ def interval_self_join(
     adjacent ones, so the join is a pair of hash joins plus a residual
     filter, never an O(n²) cross product per key.
     """
-    bucket = (F.unix_micros(F.col(ts_col)) / (max_gap_seconds * 1_000_000)).cast("long")
+    # Floor-consistent bucketing for ALL epochs: double-division +
+    # cast('long') truncates toward zero, which for pre-1970 (negative
+    # micros) rows disagrees with floor and can drop qualifying pairs at
+    # negative bucket boundaries. pmod is non-negative, so us − pmod is
+    # the exact floor multiple; the final division is exact (integer
+    # quotient, well under 2^53).
+    us = F.unix_micros(F.col(ts_col))
+    gap = F.lit(max_gap_seconds * 1_000_000).cast("long")
+    bucket = ((us - F.pmod(us, gap)) / gap).cast("long")
     base = df.select(
         F.col(key).alias("k"),
         F.col(id_col).alias("id"),

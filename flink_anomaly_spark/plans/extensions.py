@@ -550,7 +550,7 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, user_id, event_type, value, zscore FROM (
       SELECT event_id, user_id, event_type, value,
              round((value - avg(value) OVER (PARTITION BY user_id))
-                   / stddev_samp(value) OVER (PARTITION BY user_id), 4) AS zscore
+                   / nullif(stddev_samp(value) OVER (PARTITION BY user_id), 0), 4) AS zscore
       FROM events) t
     WHERE abs(zscore) > 2.0
     """,
@@ -583,7 +583,8 @@ def q_kmeans_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, user_id, value, trailing_n, zscore FROM (
       SELECT event_id, user_id, value,
              count(value) OVER w AS trailing_n,
-             round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 4) AS zscore
+             round((value - avg(value) OVER w)
+                   / nullif(stddev_samp(value) OVER w, 0), 4) AS zscore
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)

@@ -85,10 +85,13 @@ def main() -> int:
     if unknown:
         print(f"ERROR: unknown query name(s): {unknown}")
         return 2
+    from flink_anomaly_spark.operators.dedup import release_cached
+
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        release_cached()  # previous query's persisted intermediates
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
