@@ -1,9 +1,23 @@
-"""Streaming queries registered with the driver (rows-only checks —
-streaming/stateful semantics aren't DuckDB-SQL expressible; the
-__spark_entry__ contract records a weaker check for oracle-less
-entries). Each runs its streaming pipeline to completion with an
-``availableNow`` trigger and returns the sink contents as a batch
-DataFrame."""
+"""Streaming queries registered with the driver. Each runs its
+streaming pipeline to completion with an ``availableNow`` trigger and
+returns the sink contents as a batch DataFrame.
+
+Three of the four ARE oracle-checked: with a single-file parquet source
+the whole table is one micro-batch, so append-mode finalization is
+deterministic — emitted windows are exactly those with
+``window_end <= max(event_time) - 20 s`` (the watermark after the only
+data batch; pinned by ``test_streaming_window_count_matches_batch``) —
+and the stateful concat folds each key in (ts, event_id) order, which a
+DuckDB window ``string_agg`` reproduces exactly. Only
+``streaming_dedup`` stays rows-only: ``dropDuplicatesWithinWatermark``
+keeps the FIRST arrival per key, and arrival order inside a shuffled
+micro-batch is not a SQL-expressible property.
+
+Oracle precision notes: Spark reads the nanos timestamps truncated to
+micros and computes watermarks at millisecond precision; DuckDB keeps
+full nanos. Day/hour window boundaries are insensitive to sub-ms
+precision, but the concat fold ORDER BY must truncate to micros
+(``epoch_ns(ts) // 1000``) so ns-level ties cannot reorder rows."""
 
 from __future__ import annotations
 
@@ -21,10 +35,21 @@ from flink_anomaly_spark.streaming.stateful import running_concat_stream
 
 @register(
     "streaming_window_count",
-    oracle=None,
+    oracle="""
+    SELECT date_trunc('day', ts) AS window_start,
+           date_trunc('day', ts) + INTERVAL 1 DAY AS window_end,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    HAVING date_trunc('day', ts) + INTERVAL 1 DAY
+           <= (SELECT max(ts) - INTERVAL 20 SECONDS FROM events)
+    """,
     doc="W1 live: file-stream source → withWatermark('ts','20 seconds') → "
-    "1-day tumbling count/sum per event_type → memory sink (append mode: "
-    "windows finalize when the watermark passes).",
+    "1-day tumbling count/sum per event_type → memory sink. Append mode "
+    "emits exactly the watermark-finalized windows: end ≤ max(ts) − 20 s "
+    "(single-batch availableNow run), which the oracle's HAVING mirrors.",
 )
 def q_streaming_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(windowed_count_stream(stream_events(spark, sf_dir)))
@@ -32,9 +57,22 @@ def q_streaming_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_window_argmax",
-    oracle=None,
+    oracle="""
+    SELECT window_start, window_end, event_id, user_id, event_type, value
+    FROM (
+      SELECT date_trunc('hour', ts) AS window_start,
+             date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+             event_id, user_id, event_type, value,
+             row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                                ORDER BY value DESC, event_id ASC) AS rn
+      FROM events
+    ) t
+    WHERE rn = 1
+      AND window_end <= (SELECT max(ts) - INTERVAL 20 SECONDS FROM events)
+    """,
     doc="W2+W3 live (TestFlinkStreams.java:62-83): streaming tumbling "
-    "window + whole-record max_by with deterministic tie-break.",
+    "window + whole-record max_by with deterministic tie-break; append "
+    "mode emits the watermark-finalized windows (end ≤ max(ts) − 20 s).",
 )
 def q_streaming_window_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(windowed_argmax_stream(stream_events(spark, sf_dir)))
@@ -55,9 +93,22 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_running_concat",
-    oracle=None,
+    oracle="""
+    SELECT event_type AS key, event_id,
+           string_agg(CAST(event_id AS VARCHAR), ',') OVER (
+             PARTITION BY event_type
+             ORDER BY epoch_ns(ts) // 1000, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS running_concat
+    FROM events
+    WHERE value >= 200.0
+    """,
     doc="F1 live (Main.java:60-83): applyInPandasWithState keyed running "
-    "concatenation — GroupState(single string) ≙ ValueState<String>.",
+    "concatenation — GroupState(single string) ≙ ValueState<String>. "
+    "Single-batch availableNow run folds each key in (ts, event_id) "
+    "order, so the emitted prefixes equal a window string_agg; the "
+    "oracle orders by micros (epoch_ns // 1000) because Spark's ts is "
+    "nanos-truncated-to-micros while DuckDB keeps full nanos.",
 )
 def q_streaming_running_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
