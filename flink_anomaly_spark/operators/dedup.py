@@ -24,6 +24,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from flink_anomaly_spark.partitioning import spread
+
 #: Persisted intermediates handed out by the operators below. The
 #: operators return LAZY DataFrames, so they cannot unpersist before the
 #: caller's action — instead every persist() is tracked here and callers
@@ -184,10 +186,10 @@ def minhash_near_dup_pairs(
             "from every band and degrade LSH recall"
         )
     rows_per_band = num_perm // bands
-    par = df.sparkSession.sparkContext.defaultParallelism
     sig = _persist(
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
-        .repartition(par)  # shingling+hashing is per-row CPU-bound; don't let a single input split serialize it
+        # shingling+hashing is per-row CPU-bound; don't let a single
+        # input split serialize it (spread = conditional repartition)
+        spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text")))
         .select(
             "id", F.array_distinct(shingles(F.col("__text"), k_shingle)).alias("sh")
         )
@@ -391,15 +393,14 @@ def ngram_jaccard_pairs(
     drop ultra-common shingles first (they add candidates, not signal) —
     that changes results, so it's not done here.
     """
-    par = df.sparkSession.sparkContext.defaultParallelism
     sh = _persist(  # consumed by both the sizes table and the postings explode
-        df.select(
-            F.col(id_col).alias("id"),
-            *([F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")]),
-            F.col(text_col).alias("__text"),
-        )
-        .repartition(par)
-        .select("id", "blk", F.array_distinct(shingles(F.col("__text"), n)).alias("sh"))
+        spread(
+            df.select(
+                F.col(id_col).alias("id"),
+                *([F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")]),
+                F.col(text_col).alias("__text"),
+            )
+        ).select("id", "blk", F.array_distinct(shingles(F.col("__text"), n)).alias("sh"))
     )
     sizes = sh.select("id", F.size("sh").alias("n_sh"))
     postings = sh.select("blk", F.col("id"), F.explode("sh").alias("s"))

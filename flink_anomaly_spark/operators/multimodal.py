@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from flink_anomaly_spark.partitioning import spread
+
 #: canonical multimodal record: opaque payload + typed metadata
 MEDIA_SCHEMA = T.StructType(
     [
@@ -101,8 +103,7 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
                 }
             )
 
-    par = media.sparkSession.sparkContext.defaultParallelism
-    return media.repartition(par).mapInPandas(op, FEATURE_SCHEMA)
+    return spread(media).mapInPandas(op, FEATURE_SCHEMA)
 
 
 RESIZED_SCHEMA = (
@@ -143,8 +144,7 @@ def resize_images(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
                 ["media_id", "kind", "payload", "mime", "width", "height", "duration_ms"]
             ]
 
-    par = media.sparkSession.sparkContext.defaultParallelism
-    return media.repartition(par).mapInPandas(op, RESIZED_SCHEMA)
+    return spread(media).mapInPandas(op, RESIZED_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:

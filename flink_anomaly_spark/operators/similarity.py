@@ -15,6 +15,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from flink_anomaly_spark.operators.relational import top_k_per_group
+from flink_anomaly_spark.partitioning import spread
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -84,12 +85,13 @@ def lsh_bucketed_topk(
     the exact baseline.
     """
     planes = hyperplane_matrix(n_planes, _dim_of(df, vec_col))
-    par = df.sparkSession.sparkContext.defaultParallelism
-    base = df.select(
-        F.col(id_col).alias("nid"),
-        F.col(vec_col).alias("nvec"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-    ).repartition(par)
+    base = spread(
+        df.select(
+            F.col(id_col).alias("nid"),
+            F.col(vec_col).alias("nvec"),
+            lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        )
+    )
     queries = base.filter(F.col("nid").isin(query_ids)).select(
         F.col("nid").alias("qid"), F.col("nvec").alias("qvec"), "bucket"
     )
@@ -159,8 +161,7 @@ def brute_force_topk(
     streams once, no shuffle until the per-query top-k (window on the
     tiny query key space).
     """
-    par = df.sparkSession.sparkContext.defaultParallelism
-    base = df.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")).repartition(par)
+    base = spread(df.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")))
     queries = df.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
     )

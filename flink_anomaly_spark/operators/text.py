@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from flink_anomaly_spark.partitioning import spread
+
 #: tiny deterministic stopword list used by the quality score
 STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it"]
 
@@ -213,8 +215,7 @@ def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     language guess, fingerprint. Narrow (no shuffle): scales linearly.
     """
     c = F.col(text_col)
-    par = df.sparkSession.sparkContext.defaultParallelism
-    df = df.select(id_col, text_col).repartition(par)
+    df = spread(df.select(id_col, text_col))
     return df.select(
         F.col(id_col),
         token_count(c).alias("n_tokens"),

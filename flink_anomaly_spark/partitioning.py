@@ -12,6 +12,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Ensure at least ``min_partitions`` input splits for a CPU-bound
+    per-row stage — WITHOUT shuffling inputs that are already split.
+
+    A single small parquet file arrives as ONE split, serializing
+    per-row CPU work (shingling, hashing, pandas UDFs) into one task; a
+    round-robin repartition fixes that locally. But at 100 TB the scan
+    already yields thousands of splits, and an unconditional
+    ``repartition(par)`` would inject a full shuffle of the corpus in
+    front of an otherwise narrow pipeline. So: repartition ONLY when the
+    current split count is below the target; otherwise return the input
+    unchanged (plan-contract-tested in test_plan_contracts.py).
+
+    ``df.rdd.getNumPartitions()`` costs one driver-side physical
+    planning pass, no job.
+    """
+    par = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par)
+
+
 def salted_group_agg(
     df: DataFrame,
     key: str,

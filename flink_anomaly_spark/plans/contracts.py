@@ -63,6 +63,17 @@ def assert_whole_stage_codegen(df: DataFrame) -> None:
     assert "[codegen id" in plan or "WholeStageCodegen" in plan, f"no codegen spans:\n{plan}"
 
 
+def assert_no_roundrobin_exchange(df: DataFrame) -> None:
+    """No round-robin repartition anywhere in the plan — a
+    ``repartition(n)`` of an already-well-split input is a full shuffle
+    of the corpus for nothing at 100 TB (``partitioning.spread`` must
+    no-op when the scan yields enough splits)."""
+    plan = physical_plan(df)
+    assert "RoundRobinPartitioning" not in plan, (
+        f"unexpected round-robin exchange:\n{plan}"
+    )
+
+
 def assert_single_shuffle(df: DataFrame) -> None:
     """At most one Exchange — for operators advertised as one-shuffle
     (window aggs, as-of join)."""

@@ -23,6 +23,7 @@ from flink_anomaly_spark.operators.dedup import (
     simhash60_pandas,
 )
 from flink_anomaly_spark.operators.similarity import brute_force_topk
+from flink_anomaly_spark.partitioning import spread
 from flink_anomaly_spark.operators.text import text_profile
 from flink_anomaly_spark.plans.registry import register
 from flink_anomaly_spark.tables import load_table
@@ -357,8 +358,9 @@ def _simhash_oracle() -> str:
 )
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # per-row CPU-bound hashing: spread a single input split across cores
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    # per-row CPU-bound hashing: spread a single input split across
+    # cores (conditional — no shuffle when the scan is already split)
+    docs = spread(docs)
     # vectorized pandas path; bit-identical to operators.dedup.simhash60
     # (the pure-Catalyst reference implementation, cross-checked in tests)
     return docs.select("doc_id", simhash60_pandas()("text").alias("simhash"))

@@ -118,3 +118,36 @@ def test_exact_dedup_partial_agg(spark):
     (two HashAggregate nodes around the exchange)."""
     plan = physical_plan(_Q["exact_dedup"](spark, SF_SMOKE))
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_spread_noops_on_well_split_input(spark):
+    """`spread` must NOT inject a round-robin shuffle when the input
+    already has >= defaultParallelism partitions — at 100 TB the scan is
+    already thousands of splits and an unconditional repartition would
+    shuffle the whole corpus for nothing."""
+    from flink_anomaly_spark.operators.text import text_profile
+    from flink_anomaly_spark.partitioning import spread
+    from flink_anomaly_spark.plans.contracts import assert_no_roundrobin_exchange
+
+    par = spark.sparkContext.defaultParallelism
+    # range(numPartitions=2*par) is well-split WITHOUT any exchange in
+    # the plan — exactly what a 100 TB parquet scan looks like
+    docs = spark.range(0, 1000, 1, par * 2).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("document body "), F.col("id")).alias("text"),
+    )
+    assert docs.rdd.getNumPartitions() == par * 2
+    assert spread(docs) is docs  # identity, not just shuffle-free
+    assert_no_roundrobin_exchange(text_profile(docs, "doc_id", "text"))
+
+
+def test_spread_widens_single_split_input(spark):
+    """The local flip side: a one-split input (single small parquet
+    file) must be widened so per-row CPU work parallelizes."""
+    from flink_anomaly_spark.partitioning import spread
+    from flink_anomaly_spark.tables import load_table
+
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, SF_SMOKE, "documents").coalesce(1)
+    assert docs.rdd.getNumPartitions() == 1
+    assert spread(docs).rdd.getNumPartitions() >= par
