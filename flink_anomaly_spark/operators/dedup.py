@@ -245,6 +245,7 @@ def connected_components(
     pairs: DataFrame,
     nodes: DataFrame,
     max_iterations: int = 20,
+    reliable_checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over near-dup pairs → canonical cluster ids
     (min node id per component) — turns pairwise similarity into
@@ -259,7 +260,28 @@ def connected_components(
 
     ``pairs``: columns (id1, id2). ``nodes``: column (id) — required so
     singleton documents appear as their own cluster.
+
+    Checkpointing (lineage must be truncated each round or the plan
+    grows exponentially): by default ``localCheckpoint`` — blocks live
+    on executors, zero external storage, right for single-node /
+    sandbox runs. On a real cluster an executor loss mid-iteration
+    destroys a localCheckpoint block with NO lineage to recompute it,
+    killing the job — pass ``reliable_checkpoint_dir`` (HDFS/S3 path)
+    to use reliable ``checkpoint()`` storage that survives executor
+    loss. The dir is set once per SparkContext; passing a different dir
+    later re-points it.
     """
+    if reliable_checkpoint_dir is not None:
+        sc = pairs.sparkSession.sparkContext
+        sc.setCheckpointDir(reliable_checkpoint_dir)
+
+        def _truncate(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+    else:
+
+        def _truncate(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
     edges = (
         pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
         .unionAll(pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst")))
@@ -283,7 +305,7 @@ def connected_components(
         # checkpoint FIRST (materializes once, truncates lineage), then
         # detect change against the materialized result — the reverse
         # order would execute the round's plan twice
-        new_labels = new_labels.localCheckpoint(eager=True)
+        new_labels = _truncate(new_labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")

@@ -117,6 +117,27 @@ def test_connected_components_chain_and_nonconvergence(spark):
         connected_components(pairs, nodes, max_iterations=1)
 
 
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    # reliable checkpoint() path: same labels as localCheckpoint, and the
+    # checkpoint blocks actually land in the given dir (survives executor
+    # loss on a real cluster, unlike executor-local blocks)
+    from flink_anomaly_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (4, 5)], "id1 long, id2 long")
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 9]], "id long")
+    ckpt = str(tmp_path / "ckpt")
+    got = {
+        r.id: r.cluster_id
+        for r in connected_components(
+            pairs, nodes, reliable_checkpoint_dir=ckpt
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 9: 9}
+    import os
+
+    assert any(files for _, _, files in os.walk(ckpt)), "no checkpoint data written"
+
+
 def test_tfidf_favors_rare_terms(spark):
     from flink_anomaly_spark.operators.text import tf_idf_top_terms
 
