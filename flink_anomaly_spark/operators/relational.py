@@ -173,7 +173,13 @@ def interval_self_join(
     # negative bucket boundaries. pmod is non-negative, so us − pmod is
     # the exact floor multiple; the final division is exact (integer
     # quotient, well under 2^53).
-    us = F.unix_micros(F.col(ts_col))
+    # unix_micros requires TIMESTAMP; parquet columns are often
+    # TIMESTAMP_NTZ, and the session tz is pinned to UTC (session.py)
+    # so the cast is an exact epoch mapping.
+    def _micros(c):
+        return F.unix_micros(c.cast("timestamp"))
+
+    us = _micros(F.col(ts_col))
     gap = F.lit(max_gap_seconds * 1_000_000).cast("long")
     bucket = ((us - F.pmod(us, gap)) / gap).cast("long")
     base = df.select(
@@ -188,7 +194,7 @@ def interval_self_join(
         F.col("t").alias("t2"),
         F.explode(F.array(F.col("bkt"), F.col("bkt") - 1)).alias("bkt"),
     )
-    gap_us = F.unix_micros(F.col("t2")) - F.unix_micros(F.col("t"))
+    gap_us = _micros(F.col("t2")) - _micros(F.col("t"))
     return (
         base.join(right, ["k", "bkt"])
         .filter((gap_us > 0) & (gap_us <= max_gap_seconds * 1_000_000))

@@ -21,30 +21,52 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: events.parquet schema with ts as int64 nanos (see tables._NANOS_TS_COLS)
-_EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_ts_schema(sf_dir: str) -> tuple[T.StructType, bool]:
+    """(streaming read schema, needs nanos→µs conversion) for the events
+    table — the data generator has shipped ``ts`` both as parquet
+    TIMESTAMP(NANOS) (Spark's vectorized reader rejects it; read as
+    int64 and truncate, matching DuckDB's NS→US cast and the batch
+    ``tables.load_table`` path) and as TIMESTAMP(MICROS) (read natively
+    as NTZ). Streaming needs the schema up front, so probe the footer.
+    """
+    import pyarrow.parquet as pq
+
+    arrow_ts = pq.ParquetFile(os.path.join(sf_dir, "events.parquet")).schema_arrow.field("ts").type
+    nanos = getattr(arrow_ts, "unit", None) == "ns"
+    ts_field = T.StructField("ts", T.LongType() if nanos else T.TimestampNTZType())
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            ts_field,
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    return schema, nanos
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unbounded streaming DataFrame over the events table (file-stream
     source — each parquet file is a micro-batch input split).
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema, nanos = _events_ts_schema(sf_dir)
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # watermarks demand TIMESTAMP (not NTZ); with the session TZ pinned
+    # to UTC the NTZ→LTZ cast is an exact epoch mapping
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def windowed_count_stream(events: DataFrame, duration: str = "1 day") -> DataFrame:
