@@ -282,7 +282,10 @@ def connected_components(
         def _truncate(df: DataFrame) -> DataFrame:
             return df.localCheckpoint(eager=True)
 
-    edges = (
+    # materialize the edge list ONCE — its lineage typically contains
+    # the whole candidate-pair pipeline (LSH banding + verification
+    # joins); without truncation every CC round would re-execute it
+    edges = _truncate(
         pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
         .unionAll(pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst")))
         .distinct()
@@ -295,25 +298,24 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("lab").alias("nlab"))
         )
+        new_lab = F.least(F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab")))
         new_labels = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
-                F.least(F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))).alias("lab"),
+                new_lab.alias("lab"),
+                # change flag computed in-plan (old lab is right here) —
+                # convergence detection then needs no join job, just a
+                # scan of the checkpointed blocks
+                (new_lab != F.col("lab")).alias("chg"),
             )
         )
         # checkpoint FIRST (materializes once, truncates lineage), then
         # detect change against the materialized result — the reverse
         # order would execute the round's plan twice
         new_labels = _truncate(new_labels)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.lab") != F.col("o.lab"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("chg").limit(1).count()
+        labels = new_labels.drop("chg")
         if changed == 0:
             converged = True
             break
