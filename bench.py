@@ -44,12 +44,19 @@ def main() -> None:
     for name, fn in queries.items():
         fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
         release_cached()  # warm run's persisted intermediates
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # executor memory is a shared resource across the 63-query loop:
-        # drop each query's cached intermediates before the next starts
-        release_cached()
+        # best of 2 timed runs: a 63-query loop accumulates enough JVM
+        # state (codegen classes, GC) that a single run occasionally eats
+        # a multi-second pause on an arbitrary query; min-of-2 reports
+        # the steady-state cost, which is what scales with data volume
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+            # executor memory is a shared resource across the loop: drop
+            # each run's cached intermediates before the next starts
+            release_cached()
+        timings[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {

@@ -394,6 +394,75 @@ def simhash60_pandas() -> Column:
     return _simhash
 
 
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bands: int = 4,
+    max_hamming: int = 3,
+    n_bits: int = 60,
+) -> DataFrame:
+    """SimHash near-duplicate pairs via band bucketing — the classic
+    web-scale simhash dedup plan (Manku et al., WWW'07 "Detecting
+    Near-Duplicates for Web Crawling").
+
+    Pigeonhole: split the ``n_bits`` fingerprint into ``bands`` chunks;
+    two fingerprints within Hamming distance ``max_hamming < bands``
+    MUST agree exactly on at least one chunk. So candidates = pairs
+    sharing any (band, chunk) key — the shuffle carries only
+    (id, band, 15-bit chunk, fingerprint), never text — and the
+    ``bit_count(xor) <= max_hamming`` verification makes the output
+    EXACTLY the set of all pairs within the Hamming budget (no recall
+    loss; the brute-force quadratic scan is therefore a valid oracle).
+    """
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be < bands ({bands}): the "
+            "pigeonhole guarantee fails otherwise and banding silently "
+            "loses recall"
+        )
+    if n_bits % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide n_bits ({n_bits})")
+    width = n_bits // bands
+    mask = (1 << width) - 1
+    fps = _persist(
+        spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))).select(
+            "id", simhash60_pandas()(F.col("__text")).alias("fp")
+        )
+    )
+    banded = fps.select(
+        "id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("fp"), b * width).bitwiseAND(F.lit(mask)).alias("chunk"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "fp", F.col("bk.band").alias("band"), F.col("bk.chunk").alias("chunk"))
+    hamming = F.bit_count(F.col("fp1").bitwiseXOR(F.col("fp2")))
+    return (
+        banded.alias("l")
+        .join(banded.alias("r"), ["band", "chunk"])
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("id1"),
+            F.col("r.id").alias("id2"),
+            F.col("l.fp").alias("fp1"),
+            F.col("r.fp").alias("fp2"),
+        )
+        # a pair can share several bands — dedupe before emitting
+        .distinct()
+        .filter(hamming <= max_hamming)
+        .select("id1", "id2", hamming.cast("int").alias("hamming"))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

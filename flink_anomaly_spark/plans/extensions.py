@@ -366,6 +366,44 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", simhash60_pandas()("text").alias("simhash"))
 
 
+@register(
+    "simhash_near_dup_pairs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), g AS (
+      SELECT doc_id, {_shingle_sql(2)} AS grams FROM t
+    ), h AS (
+      SELECT doc_id,
+             list_transform(grams, s -> {_MD5_60.format(x="s")}) AS hs,
+             len(grams) AS n
+      FROM g
+    ), f AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 60),
+                  b -> CASE WHEN 2*len(list_filter(hs, x -> (x & (CAST(1 AS BIGINT) << b)) != 0)) > n
+                            THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END))
+               AS BIGINT) AS fp
+      FROM h
+    )
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+           CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+    FROM f a JOIN f b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fp, b.fp)) <= 3
+    """,
+    doc="SimHash near-dup pairs via band bucketing (Manku et al. WWW'07): "
+    "4×15-bit chunks of the 60-bit fingerprint; hamming ≤ 3 implies an "
+    "exact chunk match (pigeonhole), so the banded equi-join finds ALL "
+    "qualifying pairs and the brute-force quadratic scan is an exact "
+    "oracle. Shuffle carries (id, band, chunk, fp) — 28 bytes/row.",
+)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, id_col="doc_id", text_col="text")
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard within a blocking key
 # ---------------------------------------------------------------------------

@@ -92,6 +92,31 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_interval_join",
+    oracle="""
+    SELECT a.user_id AS user_id, a.event_id AS id1, b.event_id AS id2,
+           epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+    FROM events a JOIN events b ON a.user_id = b.user_id
+    WHERE epoch_us(b.ts) - epoch_us(a.ts) > 0
+      AND epoch_us(b.ts) - epoch_us(a.ts) <= 600000000
+    """,
+    doc="Stream-stream inner join with event-time bounds (pairs of "
+    "events by the same user ≤ 10 min apart), watermarked on both "
+    "sides so join state is evicted once rows can no longer match — "
+    "the live twin of interval_event_pairs. Single-batch availableNow "
+    "run: every pair joins before any state eviction, so the output "
+    "equals the batch range join and the batch SQL is an exact oracle "
+    "(pinned by test_stream_stream_interval_join_matches_batch).",
+)
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.streaming.pipelines import stream_stream_interval_join
+
+    return run_to_memory(
+        stream_stream_interval_join(stream_events(spark, sf_dir), max_gap_seconds=600)
+    )
+
+
+@register(
     "streaming_running_concat",
     oracle="""
     SELECT event_type AS key, event_id,

@@ -67,6 +67,40 @@ def test_simhash_close_for_near_dups(spark):
     assert hamming(got[1], got[2]) < hamming(got[1], got[3])
 
 
+def test_simhash_banded_pairs_equal_brute_force(spark):
+    """Banded simhash pairs must equal the brute-force all-pairs scan
+    (pigeonhole exactness: max_hamming < bands ⇒ no recall loss)."""
+    from flink_anomaly_spark.operators.dedup import simhash60_pandas, simhash_near_dup_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    got = {
+        (r.id1, r.id2, r.hamming)
+        for r in simhash_near_dup_pairs(docs, "doc_id", "text").collect()
+    }
+    fps = {r.doc_id: r.fp for r in docs.select("doc_id", simhash60_pandas()("text").alias("fp")).collect()}
+    ids = sorted(fps)
+    expect = {
+        (a, b, bin(fps[a] ^ fps[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    assert got == expect
+    assert len(got) > 0
+
+
+def test_simhash_pairs_param_validation(spark):
+    from flink_anomaly_spark.operators.dedup import simhash_near_dup_pairs
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_dup_pairs(df, "doc_id", "text", bands=4, max_hamming=4)
+    with pytest.raises(ValueError, match="divide"):
+        simhash_near_dup_pairs(df, "doc_id", "text", bands=7)
+
+
 def test_cosine_known_values(spark):
     df = spark.createDataFrame(
         [([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0])],
