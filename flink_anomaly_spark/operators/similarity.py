@@ -112,6 +112,89 @@ def _dim_of(df: DataFrame, vec_col: str) -> int:
     return df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
 
 
+def _cell_scores(vec_col: Column, centroids: list[list[float]]) -> Column:
+    """Per-cell cosine scores as an array of (cos, -cell, cell) structs —
+    ``array_max`` picks the best cell (ties → smallest cell id)."""
+    return F.array(
+        *[
+            F.struct(
+                cosine(vec_col, F.array(*[F.lit(float(x)) for x in cvec])).alias("cos"),
+                F.lit(-ci).alias("neg"),
+                F.lit(ci).alias("cell"),
+            )
+            for ci, cvec in enumerate(centroids)
+        ]
+    )
+
+
+def ivf_flat_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    k: int = 5,
+    centroid_ids: list[int] | None = None,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Approximate NN via an IVF-flat index (the FAISS-style inverted
+    file): partition the corpus into cells by nearest centroid, probe
+    only each query's ``n_probe`` closest cells, exact-cosine rerank.
+
+    Centroids are the embeddings of a FIXED deterministic id set (the
+    degenerate-but-reproducible "sampled centroids" seeding — no Lloyd
+    iterations, so the index is engine-portable and the oracle exact).
+    They are collected once at plan build (a handful of rows) and
+    inlined as literals, so cell assignment is a NARROW map over the
+    corpus — no shuffle, no join; at 100 TB the only wide op left is
+    the (cell)-keyed probe join, which touches |corpus|·n_probe/n_cells
+    rows per query instead of the full corpus.
+    """
+    centroid_ids = centroid_ids if centroid_ids is not None else [7 * c for c in range(8)]
+    rows = (
+        df.filter(F.col(id_col).isin(centroid_ids))
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .collect()
+    )
+    by_id = {r.cid: list(r.cvec) for r in rows}
+    missing = [c for c in centroid_ids if c not in by_id]
+    if missing:
+        raise ValueError(f"centroid ids not present in corpus: {missing}")
+    centroids = [by_id[cid] for cid in centroid_ids]
+
+    scores = _cell_scores(F.col("nvec"), centroids)
+    base = spread(
+        df.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")).withColumn(
+            "cell", F.array_max(scores)["cell"]
+        )
+    )
+    # query side: explode into the n_probe best cells
+    qscores = _cell_scores(F.col("qvec"), centroids)
+    queries = (
+        df.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
+        .withColumn(
+            "cell",
+            F.explode(
+                F.transform(
+                    F.slice(F.reverse(F.array_sort(qscores)), 1, n_probe),
+                    lambda s: s["cell"],
+                )
+            ),
+        )
+    )
+    scored = base.join(F.broadcast(queries), "cell").filter(F.col("nid") != F.col("qid")).select(
+        "qid", "nid", F.round(cosine(F.col("qvec"), F.col("nvec")), 6).alias("cos_sim")
+    )
+    out = top_k_per_group(
+        scored,
+        group_cols=["qid"],
+        order_by=[F.col("cos_sim").desc(), F.col("nid").asc()],
+        k=k,
+        rank_col="rank",
+    )
+    return out.select("qid", "nid", "cos_sim", "rank")
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str,

@@ -294,6 +294,66 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_oracle(n_cells: int = 8, stride: int = 7, n_probe: int = 2) -> str:
+    def cos_sql(a: str, b: str) -> str:
+        return (
+            f"{_pair_dot(a, b)} / "
+            f"(sqrt({_pair_dot(a, a)}) * sqrt({_pair_dot(b, b)}))"
+        )
+
+    return f"""
+    WITH cent AS (
+      SELECT c.cell, e.embedding AS cvec
+      FROM embeddings e JOIN (SELECT unnest(range(0, {n_cells})) AS cell) c
+        ON e.vec_id = c.cell * {stride}
+    ),
+    assign AS (
+      SELECT vec_id AS nid, embedding AS nvec, cell FROM (
+        SELECT v.vec_id, v.embedding, c.cell,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {cos_sql("v.embedding", "c.cvec")} DESC, c.cell ASC) AS rn
+        FROM embeddings v CROSS JOIN cent c) t
+      WHERE rn = 1
+    ),
+    probe AS (
+      SELECT vec_id AS qid, embedding AS qvec, cell FROM (
+        SELECT v.vec_id, v.embedding, c.cell,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {cos_sql("v.embedding", "c.cvec")} DESC, c.cell ASC) AS rn
+        FROM embeddings v CROSS JOIN cent c
+        WHERE v.vec_id < 10) t
+      WHERE rn <= {n_probe}
+    ),
+    scored AS (
+      SELECT qid, nid, round({cos_sql("qvec", "nvec")}, 6) AS cos_sim
+      FROM probe q JOIN assign n USING (cell) WHERE nid != qid
+    )
+    SELECT qid, nid, cos_sim, rank FROM (
+      SELECT qid, nid, cos_sim,
+             row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid ASC) AS rank
+      FROM scored) t
+    WHERE rank <= 5
+    """
+
+
+@register(
+    "embedding_ann_ivf",
+    oracle=_ivf_oracle(),
+    doc="Approximate NN via an IVF-flat index (FAISS-style inverted "
+    "file): 8 deterministic sampled centroids inlined as literals → "
+    "narrow no-shuffle cell assignment over the corpus; each query "
+    "probes its 2 nearest cells and exact-cosine reranks — at 100 TB "
+    "each query touches |corpus|/4 rows instead of the full scan.",
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.similarity import ivf_flat_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_flat_topk(
+        emb, id_col="vec_id", vec_col="embedding", query_ids=list(range(10)), k=5
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-duplicate pairs
 # ---------------------------------------------------------------------------
