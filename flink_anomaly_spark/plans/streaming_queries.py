@@ -92,6 +92,64 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_sliding_count",
+    oracle="""
+    WITH e AS (SELECT time_bucket(INTERVAL '30 minutes', ts) AS s1, value FROM events)
+    SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM (SELECT s1 AS window_start, value FROM e
+          UNION ALL
+          SELECT s1 - INTERVAL 30 MINUTE AS window_start, value FROM e) t
+    GROUP BY window_start
+    HAVING window_start + INTERVAL 1 HOUR
+           <= (SELECT max(ts) - INTERVAL 20 SECONDS FROM events)
+    """,
+    doc="Streaming sliding windows (1 h / 30 min slide, 20 s watermark): "
+    "append mode emits exactly the watermark-finalized windows "
+    "(end ≤ max(ts) − 20 s on the single-batch availableNow run) — the "
+    "live twin of sliding_window_agg with the same finalization HAVING "
+    "as streaming_window_count.",
+)
+def q_streaming_sliding_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.streaming.pipelines import sliding_count_stream
+
+    return run_to_memory(sliding_count_stream(stream_events(spark, sf_dir)))
+
+
+@register(
+    "streaming_session_count",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT min(ts) AS window_start,
+           max(ts) + INTERVAL 30 MINUTE AS window_end,
+           user_id, count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    HAVING max(ts) + INTERVAL 30 MINUTE
+           <= (SELECT max(ts) - INTERVAL 20 SECONDS FROM events)
+    """,
+    doc="Streaming session windows (30 min gap, merged in the state "
+    "store): a session is emitted once the watermark passes its end "
+    "(last event + gap), so the single-batch run emits exactly the "
+    "sessions with end ≤ max(ts) − 20 s — the oracle sessionizes via "
+    "lag+cumsum like session_window_agg and applies that HAVING.",
+)
+def q_streaming_session_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.streaming.pipelines import session_count_stream
+
+    return run_to_memory(session_count_stream(stream_events(spark, sf_dir)))
+
+
+@register(
     "streaming_interval_join",
     oracle="""
     SELECT a.user_id AS user_id, a.event_id AS id1, b.event_id AS id2,
