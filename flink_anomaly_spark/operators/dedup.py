@@ -137,6 +137,43 @@ def minhash_signature(shingle_col: Column, num_perm: int = 8) -> Column:
     )
 
 
+def shingle_sig_pandas(k_shingle: int = 3, num_perm: int = 8) -> Column:
+    """Vectorized Pandas-UDF twin of ``array_distinct(shingles(...))`` +
+    ``minhash_signature(...)`` — bit-identical (asserted in tests) but
+    several-fold faster: Catalyst evaluates higher-order array functions
+    interpreted (no whole-stage codegen), while hashlib's C md5 plus a
+    tight loop does the same work per Arrow batch.
+
+    Returns ``struct<sh: array<string>, sig: array<bigint>>``.
+    re.ASCII keeps ``\\s`` identical to Java's ASCII ``\\s`` (same note
+    as ``simhash60_pandas``).
+    """
+    params = PERM_PARAMS[:num_perm]
+
+    @F.pandas_udf(f"struct<sh: array<string>, sig: array<bigint>>")
+    def _shingle_sig(texts: pd.Series) -> pd.DataFrame:
+        ws = re.compile(r"\s+", re.ASCII)
+        shs, sigs = [], []
+        for t in texts:
+            toks = [x for x in ws.split(t or "") if x]
+            if len(toks) >= k_shingle:
+                grams = [
+                    " ".join(toks[i : i + k_shingle])
+                    for i in range(len(toks) - k_shingle + 1)
+                ]
+            else:
+                grams = [" ".join(toks)]
+            grams = list(dict.fromkeys(grams))  # distinct, first-occurrence order
+            hs = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams]
+            sigs.append(
+                [min((a * h + b) % MERSENNE_P for h in hs) for a, b in params]
+            )
+            shs.append(grams)
+        return pd.DataFrame({"sh": shs, "sig": sigs})
+
+    return _shingle_sig
+
+
 def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     """Exact dedup via content fingerprint: one row per distinct content
     with the (min) surviving id and the duplicate count.
@@ -162,6 +199,7 @@ def minhash_near_dup_pairs(
     num_perm: int = 8,
     bands: int = 4,
     jaccard_threshold: float = 0.5,
+    vectorized: bool = True,
 ) -> DataFrame:
     """MinHash + LSH banding near-duplicate pairs.
 
@@ -186,18 +224,25 @@ def minhash_near_dup_pairs(
             "from every band and degrade LSH recall"
         )
     rows_per_band = num_perm // bands
-    sig = _persist(
-        # shingling+hashing is per-row CPU-bound; don't let a single
-        # input split serialize it (spread = conditional repartition)
-        spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text")))
-        .select(
+    # shingling+hashing is per-row CPU-bound; don't let a single
+    # input split serialize it (spread = conditional repartition)
+    base = spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text")))
+    if vectorized:
+        # Arrow-batched pandas path (default): bit-identical to the
+        # Catalyst expressions below (cross-checked in tests), several×
+        # faster because Catalyst runs higher-order array functions
+        # interpreted
+        projected = base.withColumn(
+            "__b", shingle_sig_pandas(k_shingle, num_perm)(F.col("__text"))
+        ).select("id", F.col("__b.sh").alias("sh"), F.col("__b.sig").alias("sig"))
+    else:
+        projected = base.select(
             "id", F.array_distinct(shingles(F.col("__text"), k_shingle)).alias("sh")
-        )
-        .withColumn("sig", minhash_signature(F.col("sh"), num_perm))
-        # three plan branches consume sig (banding + two verification
-        # joins); without persist the shingle+md5 projection — the
-        # dominant CPU cost — re-executes in each branch
-    )
+        ).withColumn("sig", minhash_signature(F.col("sh"), num_perm))
+    # three plan branches consume sig (banding + two verification
+    # joins); without persist the shingle+md5 projection — the
+    # dominant CPU cost — re-executes in each branch
+    sig = _persist(projected)
 
     banded = sig.select(
         "id",

@@ -67,6 +67,39 @@ def test_simhash_close_for_near_dups(spark):
     assert hamming(got[1], got[2]) < hamming(got[1], got[3])
 
 
+def test_shingle_sig_pandas_equals_catalyst(spark):
+    """The vectorized shingle+minhash-signature UDF must be bit-identical
+    to the pure-Catalyst reference path (same contract as the simhash
+    twin)."""
+    from flink_anomaly_spark.operators.dedup import minhash_signature, shingle_sig_pandas
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    a = docs.select(
+        "doc_id", F.array_distinct(shingles(F.col("text"), 3)).alias("sh")
+    ).withColumn("sig", minhash_signature(F.col("sh"), 8))
+    b = docs.withColumn("__b", shingle_sig_pandas(3, 8)(F.col("text"))).select(
+        "doc_id", F.col("__b.sh").alias("sh"), F.col("__b.sig").alias("sig")
+    )
+    da = {r.doc_id: (list(r.sh), list(r.sig)) for r in a.collect()}
+    db = {r.doc_id: (list(r.sh), list(r.sig)) for r in b.collect()}
+    assert da == db
+
+
+def test_minhash_vectorized_matches_catalyst_pairs(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {
+        (r.id1, r.id2, r.jaccard)
+        for r in minhash_near_dup_pairs(docs, "doc_id", "text", vectorized=True).collect()
+    }
+    b = {
+        (r.id1, r.id2, r.jaccard)
+        for r in minhash_near_dup_pairs(docs, "doc_id", "text", vectorized=False).collect()
+    }
+    assert a == b and len(a) > 0
+
+
 def test_simhash_banded_pairs_equal_brute_force(spark):
     """Banded simhash pairs must equal the brute-force all-pairs scan
     (pigeonhole exactness: max_hamming < bands ⇒ no recall loss)."""
