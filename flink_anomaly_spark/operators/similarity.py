@@ -231,6 +231,27 @@ def embedding_near_dup_pairs(
     )
 
 
+def embedding_near_dup_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.3,
+    n_planes: int = 4,
+) -> DataFrame:
+    """Embedding near-dup pairs with the LSH bucket AS the blocking key
+    — the 100 TB shape of ``embedding_near_dup_pairs``: bucket count
+    (2^n_planes, tunable) replaces a data-dependent block column, so
+    join parallelism and per-block pair cost are controlled, and only
+    same-bucket (≈ similar-direction) vectors ever pair. Approximate by
+    design — cross-bucket pairs are unseen — but deterministic, so the
+    oracle reproduces it exactly."""
+    planes = hyperplane_matrix(n_planes, _dim_of(df, vec_col))
+    with_bucket = df.withColumn("__bucket", lsh_bucket(F.col(vec_col), planes))
+    return embedding_near_dup_pairs(
+        with_bucket, id_col, vec_col, block_col="__bucket", threshold=threshold
+    )
+
+
 def brute_force_topk(
     df: DataFrame,
     id_col: str,

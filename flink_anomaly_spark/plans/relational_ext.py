@@ -243,21 +243,27 @@ def _pair_dot(a: str, b: str) -> str:
     )
 
 
-def _ann_oracle() -> str:
+def _bucket_sql(vec: str = "embedding") -> str:
+    """Random-hyperplane LSH bucket id in SQL — same planes and fold
+    order as similarity.lsh_bucket, bit-identical bucket values."""
     planes = hyperplane_matrix(_N_PLANES, _DIM)
 
-    def dot_sql(vec: str, w: list[float]) -> str:
+    def dot_sql(v: str, w: list[float]) -> str:
         wlit = "[" + ",".join(f"{x:.1f}" for x in w) + "]"
         return (
             f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
             f"list_transform(range(1, {_DIM + 1}), "
-            f"i -> CAST({vec}[i] AS DOUBLE) * ({wlit}::DOUBLE[])[i])), (a,b) -> a+b)"
+            f"i -> CAST({v}[i] AS DOUBLE) * ({wlit}::DOUBLE[])[i])), (a,b) -> a+b)"
         )
 
-    bucket = " + ".join(
-        f"(CASE WHEN {dot_sql('embedding', w)} >= 0 THEN {1 << j} ELSE 0 END)"
+    return " + ".join(
+        f"(CASE WHEN {dot_sql(vec, w)} >= 0 THEN {1 << j} ELSE 0 END)"
         for j, w in enumerate(planes)
     )
+
+
+def _ann_oracle() -> str:
+    bucket = _bucket_sql()
     pair_dot = _pair_dot
 
     return f"""
@@ -384,3 +390,33 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(
         emb, id_col="vec_id", vec_col="embedding", block_col="label", threshold=0.3
     )
+
+
+def _near_dup_lsh_oracle() -> str:
+    cos = (
+        f"{_pair_dot('a.embedding', 'b.embedding')} / "
+        f"(sqrt({_pair_dot('a.embedding', 'a.embedding')}) * "
+        f"sqrt({_pair_dot('b.embedding', 'b.embedding')}))"
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, embedding, {_bucket_sql()} AS bucket FROM embeddings)
+    SELECT a.vec_id AS id1, b.vec_id AS id2, round({cos}, 6) AS cos_sim
+    FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round({cos}, 6) >= 0.3
+    """
+
+
+@register(
+    "embedding_near_dup_lsh",
+    oracle=_near_dup_lsh_oracle(),
+    doc="Embedding-cosine near-dup pairs with the LSH bucket AS the "
+    "blocking key — the 100 TB shape of embedding_near_dup: bucket "
+    "count (2^4, tunable) bounds join parallelism and per-block pair "
+    "cost independent of any data column; deterministic buckets make "
+    "the approximate result exactly reproducible in the oracle.",
+)
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.similarity import embedding_near_dup_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_lsh(emb, id_col="vec_id", vec_col="embedding", threshold=0.3)
