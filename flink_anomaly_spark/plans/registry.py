@@ -58,15 +58,17 @@ _LOADED = False
 #: still run in the LOCAL gate (tools/check_oracle.py checks all 67);
 #: they lose only the driver's duplicate signal. See COVERAGE.md.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # LLM data-pipeline family
+    # LLM data-pipeline family (incl. every dedup variant and both ANN
+    # index shapes; docs_by_lang_source / train_val_test_split /
+    # lineitem_rollup ceded their slots in round 2 — locally gated)
     "exact_dedup",
     "text_profile",
     "langid_char_ngram",
     "clean_text_corpus",
     "tfidf_top_terms",
-    "docs_by_lang_source",
     "minhash_near_dup_pairs",
     "simhash_fingerprints",
+    "simhash_near_dup_pairs",
     "ngram_jaccard_pairs",
     "embedding_topk",
     "dedup_clusters",
@@ -95,12 +97,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "interval_event_pairs",
     # similarity / ANN
     "embedding_ann_lsh",
+    "embedding_ann_ivf",
     "embedding_near_dup",
     # streaming (oracle-checked single-batch finalization + 1 rows-only)
     "streaming_window_count",
     "streaming_window_argmax",
     "streaming_dedup",
     "streaming_running_concat",
+    "streaming_interval_join",
     # TPC-H core + join variants
     "tpch_q1_pricing",
     "tpch_q6_forecast",
@@ -113,9 +117,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # top-k / percentiles / rollup / reproducible sampling
     "topk_orders",
     "exact_percentiles",
-    "lineitem_rollup",
     "hash_sample_10pct",
-    "train_val_test_split",
 )
 
 

@@ -39,12 +39,14 @@ def test_driver_window_is_first_50():
     qs = list(entrymod.queries())
     assert len(DRIVER_WINDOW) == 50
     assert qs[:50] == list(DRIVER_WINDOW)
-    # every §2-mapped and streaming query is inside the checked window
+    # every §2-mapped query, the streaming set, and the flagship dedup /
+    # ANN operators are inside the checked window
     for must in ["flagship_running_concat", "map_upper", "filter_project",
                  "union_bag", "window_argmax", "window_count_agg",
                  "streaming_window_count", "streaming_running_concat",
-                 "minhash_near_dup_pairs", "hash_sample_10pct",
-                 "train_val_test_split"]:
+                 "streaming_interval_join", "minhash_near_dup_pairs",
+                 "simhash_near_dup_pairs", "embedding_ann_ivf",
+                 "hash_sample_10pct"]:
         assert must in qs[:50], must
 
 
