@@ -39,6 +39,43 @@ def zscore_outliers(
     )
 
 
+def mad_outliers(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Robust per-key outliers via median absolute deviation: modified
+    z-score ``0.6745·(v − median) / MAD`` (Iglewicz–Hoaglin), flagging
+    rows where |robust_z| > threshold. Robust where stddev z-scores are
+    not: the outliers themselves cannot inflate the detection threshold
+    (median/MAD have a 50% breakdown point vs 0% for mean/stddev).
+
+    Two keyed aggregations + joins on the same key — with AQE the
+    exchange is planned once per key partitioning; both medians are
+    exact (Spark ``median`` ≡ interpolated percentile, matching
+    DuckDB's), so the oracle is exact too. Degenerate keys (MAD = 0,
+    i.e. ≥half the values identical) are excluded on both sides, same
+    convention as zscore_outliers' zero-std guard.
+    """
+    meds = df.groupBy(key).agg(F.median(value_col).alias("__med"))
+    with_med = df.join(meds, key)
+    mads = with_med.groupBy(key).agg(
+        F.median(F.abs(F.col(value_col) - F.col("__med"))).alias("__mad")
+    )
+    rz = (
+        F.lit(0.6745)
+        * (F.col(value_col) - F.col("__med"))
+        / F.when(F.col("__mad") > 0, F.col("__mad"))
+    )
+    return (
+        with_med.join(mads, key)
+        .withColumn("robust_z", F.round(rz, 4))
+        .filter(F.abs(F.col("robust_z")) > threshold)
+        .drop("__med", "__mad")
+    )
+
+
 def kmeans_distance_outliers(
     df: DataFrame,
     id_col: str,

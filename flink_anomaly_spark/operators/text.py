@@ -236,3 +236,51 @@ def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         lang_guess(c).alias("lang_guess"),
         rolling_fingerprint(c).alias("fingerprint"),
     )
+
+
+def ngram_containment(
+    eval_df: DataFrame,
+    train_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: for each eval document, the fraction
+    of its distinct word n-grams that occur ANYWHERE in the training
+    corpus — the standard n-gram-overlap contamination check run before
+    evaluating models on held-out sets.
+
+    Plan: the train side collapses to a DISTINCT n-gram set (narrow
+    explode → one distinct shuffle, carrying only the gram string); the
+    eval grams LEFT-join it on the gram and aggregate per document. At
+    100 TB the distinct-gram table is the big artifact; the same plan
+    serves with a bucketed/bloom representation of it, and no text ever
+    crosses the join — only gram strings.
+
+    Output: (id_col, n_grams, n_contaminated, containment).
+    """
+    from flink_anomaly_spark.operators.dedup import shingles
+
+    train_grams = (
+        spread(train_df.select(F.col(text_col).alias("__t")))
+        .select(F.explode(F.array_distinct(shingles(F.col("__t"), n))).alias("g"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    ev = spread(
+        eval_df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+    ).select("__id", F.explode(F.array_distinct(shingles(F.col("__t"), n))).alias("g"))
+    return (
+        ev.join(train_grams, "g", "left")
+        .groupBy("__id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_contaminated"),
+        )
+        .withColumn(
+            "containment", F.round(F.col("n_contaminated") / F.col("n_grams"), 4)
+        )
+        .select(
+            F.col("__id").alias(id_col), "n_grams", "n_contaminated", "containment"
+        )
+    )

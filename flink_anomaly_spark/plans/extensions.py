@@ -195,6 +195,49 @@ def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HB = _MD5_32.format(x="CAST(doc_id AS VARCHAR)") + " % 100"
+
+
+@register(
+    "ngram_decontamination",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_TOKS} AS toks, {_HB} AS hb FROM documents
+    ),
+    trg AS (
+      SELECT DISTINCT unnest(list_distinct({_shingle_sql(8)})) AS g
+      FROM d WHERE hb < 80
+    ),
+    ev AS (
+      SELECT doc_id, unnest(list_distinct({_shingle_sql(8)})) AS g
+      FROM d WHERE hb >= 90
+    )
+    SELECT ev.doc_id AS doc_id, count(*) AS n_grams,
+           CAST(sum(CASE WHEN trg.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated,
+           round(CAST(sum(CASE WHEN trg.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 4) AS containment
+    FROM ev LEFT JOIN trg ON ev.g = trg.g
+    GROUP BY ev.doc_id
+    """,
+    doc="Benchmark decontamination: per held-out (test-split) document, "
+    "the fraction of its distinct 8-gram word shingles found anywhere "
+    "in the train split — the standard n-gram-overlap contamination "
+    "check. Train side collapses to a distinct-gram set; eval grams "
+    "LEFT-join it (only gram strings cross the shuffle, never text). "
+    "Splits via the same md5-hash-mod buckets as train_val_test_split.",
+)
+def q_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.dedup import md5_int32
+    from flink_anomaly_spark.operators.text import ngram_containment
+
+    docs = load_table(spark, sf_dir, "documents")
+    hb = md5_int32(F.col("doc_id").cast("string")) % 100
+    train = docs.filter(hb < 80)
+    test = docs.filter(hb >= 90)
+    return ngram_containment(test, train, id_col="doc_id", text_col="text", n=8)
+
+
 # ---------------------------------------------------------------------------
 # TF-IDF top terms
 # ---------------------------------------------------------------------------
@@ -601,6 +644,35 @@ def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     out = zscore_outliers(events, key="user_id", value_col="value", threshold=2.0)
     return out.select("event_id", "user_id", "event_type", "value", "zscore")
+
+
+@register(
+    "mad_outliers",
+    oracle="""
+    WITH meds AS (
+      SELECT user_id, median(value) AS med FROM events GROUP BY user_id
+    ), mads AS (
+      SELECT e.user_id, median(abs(e.value - m.med)) AS mad
+      FROM events e JOIN meds m USING (user_id) GROUP BY e.user_id
+    )
+    SELECT event_id, user_id, event_type, value, robust_z FROM (
+      SELECT e.event_id, e.user_id, e.event_type, e.value,
+             round(0.6745 * (e.value - m.med) / nullif(d.mad, 0), 4) AS robust_z
+      FROM events e JOIN meds m USING (user_id) JOIN mads d USING (user_id)
+    ) t WHERE abs(robust_z) > 3.5
+    """,
+    doc="Robust per-user outliers via median absolute deviation "
+    "(Iglewicz–Hoaglin modified z-score, |0.6745·(v−med)/MAD| > 3.5) — "
+    "complements zscore_outliers with a 50% breakdown point: the "
+    "outliers themselves cannot inflate the threshold. Exact medians "
+    "on both engines; MAD=0 keys excluded like the zero-std guard.",
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.anomaly import mad_outliers
+
+    events = load_table(spark, sf_dir, "events")
+    out = mad_outliers(events, key="user_id", value_col="value", threshold=3.5)
+    return out.select("event_id", "user_id", "event_type", "value", "robust_z")
 
 
 @register(

@@ -158,6 +158,49 @@ def test_ivf_topk_missing_centroid_raises(spark):
         ivf_flat_topk(emb, "vec_id", "embedding", [0], centroid_ids=[10_000_000])
 
 
+def test_mad_outliers_known_values(spark):
+    """9 clustered values + one wild point: MAD flags exactly the wild
+    point, and the stdev z-score would struggle (the outlier inflates
+    the stdev toward threshold-misses) — the robustness argument."""
+    from flink_anomaly_spark.operators.anomaly import mad_outliers
+
+    rows = [(i, 1, 10.0 + (i % 3)) for i in range(9)] + [(9, 1, 1000.0)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, value double")
+    got = mad_outliers(df, key="user_id", value_col="value", threshold=3.5).collect()
+    assert [r.event_id for r in got] == [9]
+    assert got[0].robust_z > 3.5
+
+
+def test_mad_outliers_degenerate_key_excluded(spark):
+    """A key where ≥ half the values are identical has MAD = 0 — those
+    rows must be excluded (same convention as the zero-std guard), not
+    crash or emit infs."""
+    from flink_anomaly_spark.operators.anomaly import mad_outliers
+
+    rows = [(i, 1, 5.0) for i in range(6)] + [(6, 1, 99.0)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, value double")
+    assert mad_outliers(df, key="user_id", value_col="value").count() == 0
+
+
+def test_ngram_containment_known_values(spark):
+    from flink_anomaly_spark.operators.text import ngram_containment
+
+    train = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x y z w v")], "doc_id long, text string"
+    )
+    ev = spark.createDataFrame(
+        [(10, "a b c d q"),   # 2-grams: 4 total, 3 in train ("a b","b c","c d")
+         (11, "p q r s t")],  # nothing shared
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_grams, r.n_contaminated, r.containment)
+        for r in ngram_containment(ev, train, "doc_id", "text", n=2).collect()
+    }
+    assert got[10] == (4, 3, 0.75)
+    assert got[11] == (4, 0, 0.0)
+
+
 def test_cosine_known_values(spark):
     df = spark.createDataFrame(
         [([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0])],
