@@ -76,6 +76,40 @@ def mad_outliers(
     )
 
 
+def windowed_ewma(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    window: int = 8,
+) -> DataFrame:
+    """Windowed exponentially-weighted moving average per key:
+    ``ewma_i = Σ_k w_k·v_{i−k} / Σ_k w_k`` with ``w_k = (1−α)^k`` over
+    the trailing ``window`` rows (normalized, so early rows with fewer
+    predecessors are unbiased). The truncation makes the recursive EWMA
+    expressible as a fixed set of ``lag`` terms — one analytic-window
+    shuffle, no recursion, no UDF — and the dropped tail weight is
+    ``(1−α)^window`` (0.4% at the defaults).
+
+    α defaults to 0.5 so every weight is an exact binary double —
+    bit-identical arithmetic in any engine, which keeps the DuckDB
+    oracle exact.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(key).orderBy(ts_col, id_col)
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for k in range(window):
+        wk = (1.0 - alpha) ** k
+        lagk = F.lag(value_col, k).over(w)
+        num = num + F.when(lagk.isNotNull(), F.lit(wk) * lagk).otherwise(F.lit(0.0))
+        den = den + F.when(lagk.isNotNull(), F.lit(wk)).otherwise(F.lit(0.0))
+    return df.withColumn("ewma", F.round(num / den, 4))
+
+
 def kmeans_distance_outliers(
     df: DataFrame,
     id_col: str,

@@ -675,6 +675,42 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "event_type", "value", "robust_z")
 
 
+def _ewma_oracle(alpha: float = 0.5, window: int = 8) -> str:
+    num = " + ".join(
+        f"CASE WHEN lag(value, {k}) OVER w IS NOT NULL "
+        f"THEN {(1.0 - alpha) ** k!r} * lag(value, {k}) OVER w ELSE 0.0 END"
+        for k in range(window)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(value, {k}) OVER w IS NOT NULL "
+        f"THEN {(1.0 - alpha) ** k!r} ELSE 0.0 END"
+        for k in range(window)
+    )
+    return f"""
+    SELECT event_id, user_id, value, round(({num}) / ({den}), 4) AS ewma
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+
+
+@register(
+    "ewma_smoothing",
+    oracle=_ewma_oracle(),
+    doc="Per-user windowed EWMA (α=0.5, trailing 8 rows, normalized "
+    "weights): the truncated recursive EWMA as a fixed lag-sum — one "
+    "analytic-window shuffle, no recursion/UDF; α=0.5 makes every "
+    "weight an exact binary double so the oracle is bit-exact.",
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.anomaly import windowed_ewma
+
+    events = load_table(spark, sf_dir, "events")
+    out = windowed_ewma(
+        events, key="user_id", ts_col="ts", id_col="event_id", value_col="value"
+    )
+    return out.select("event_id", "user_id", "value", "ewma")
+
+
 @register(
     "kmeans_embedding_outliers",
     oracle=None,

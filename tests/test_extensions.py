@@ -182,6 +182,25 @@ def test_mad_outliers_degenerate_key_excluded(spark):
     assert mad_outliers(df, key="user_id", value_col="value").count() == 0
 
 
+def test_windowed_ewma_known_values(spark):
+    """First row = its own value; second = (0.5·v2 + 0.25·v1)/0.75 —
+    normalized truncated EWMA with α=0.5."""
+    import datetime as dt
+
+    from flink_anomaly_spark.operators.anomaly import windowed_ewma
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, 1, t0 + dt.timedelta(seconds=i), float(v))
+            for i, v in enumerate([10.0, 20.0, 30.0])]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, value double")
+    got = {r.event_id: r.ewma for r in windowed_ewma(
+        df, key="user_id", ts_col="ts", id_col="event_id", value_col="value"
+    ).collect()}
+    assert got[0] == 10.0
+    assert got[1] == round((0.5 * 20 + 0.25 * 10) / 0.75, 4)
+    assert got[2] == round((0.5 * 30 + 0.25 * 20 + 0.125 * 10) / 0.875, 4)
+
+
 def test_ngram_containment_known_values(spark):
     from flink_anomaly_spark.operators.text import ngram_containment
 
