@@ -127,6 +127,24 @@ def _cell_scores(vec_col: Column, centroids: list[list[float]]) -> Column:
     )
 
 
+def collect_centroids(
+    df: DataFrame, id_col: str, vec_col: str, centroid_ids: list[int]
+) -> list[list[float]]:
+    """IVF index build: collect the sampled centroid vectors (a handful
+    of rows; the id filter pushes down to the scan). Raises if any id is
+    absent — silently dropping a centroid would skew cell assignment."""
+    rows = (
+        df.filter(F.col(id_col).isin(centroid_ids))
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .collect()
+    )
+    by_id = {r.cid: list(r.cvec) for r in rows}
+    missing = [c for c in centroid_ids if c not in by_id]
+    if missing:
+        raise ValueError(f"centroid ids not present in corpus: {missing}")
+    return [by_id[cid] for cid in centroid_ids]
+
+
 def ivf_flat_topk(
     df: DataFrame,
     id_col: str,
@@ -135,10 +153,16 @@ def ivf_flat_topk(
     k: int = 5,
     centroid_ids: list[int] | None = None,
     n_probe: int = 2,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate NN via an IVF-flat index (the FAISS-style inverted
     file): partition the corpus into cells by nearest centroid, probe
     only each query's ``n_probe`` closest cells, exact-cosine rerank.
+
+    ``centroids`` may be passed pre-collected (index-build and probe
+    are separate phases in a real deployment; callers constructing the
+    same index repeatedly should reuse the collected vectors instead of
+    re-running the build scan).
 
     Centroids are the embeddings of a FIXED deterministic id set (the
     degenerate-but-reproducible "sampled centroids" seeding — no Lloyd
@@ -150,16 +174,8 @@ def ivf_flat_topk(
     rows per query instead of the full corpus.
     """
     centroid_ids = centroid_ids if centroid_ids is not None else [7 * c for c in range(8)]
-    rows = (
-        df.filter(F.col(id_col).isin(centroid_ids))
-        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-        .collect()
-    )
-    by_id = {r.cid: list(r.cvec) for r in rows}
-    missing = [c for c in centroid_ids if c not in by_id]
-    if missing:
-        raise ValueError(f"centroid ids not present in corpus: {missing}")
-    centroids = [by_id[cid] for cid in centroid_ids]
+    if centroids is None:
+        centroids = collect_centroids(df, id_col, vec_col, centroid_ids)
 
     scores = _cell_scores(F.col("nvec"), centroids)
     base = spread(
