@@ -151,3 +151,26 @@ def test_spread_widens_single_split_input(spark):
     docs = load_table(spark, SF_SMOKE, "documents").coalesce(1)
     assert docs.rdd.getNumPartitions() == 1
     assert spread(docs).rdd.getNumPartitions() >= par
+
+
+def test_simhash_pairs_no_cartesian(spark):
+    """Banded simhash pairs must plan hash equi-joins on (band, chunk) —
+    a CartesianProduct / nested-loop join would mean the banding key was
+    lost and the plan regressed to all-pairs."""
+    plan = physical_plan(_Q["simhash_near_dup_pairs"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_decontamination_no_cartesian(spark):
+    """The eval-grams × train-grams containment join must stay a hash
+    equi-join on the gram string."""
+    plan = physical_plan(_Q["ngram_decontamination"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ewma_single_shuffle(spark):
+    """The lag-sum EWMA is one analytic window: exactly one hash
+    exchange on the key."""
+    assert_single_shuffle(_Q["ewma_smoothing"](spark, SF_SMOKE))
