@@ -628,6 +628,34 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "salted_event_type_stats",
+    oracle="""
+    SELECT event_type, count(*) AS n_events, max(value) AS max_value,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+    doc="Two-phase salted aggregation on the (skew-prone, ~5-value) "
+    "event_type key: phase 1 groups on (key, salt) so a hot key's rows "
+    "spread across 16 reducers, phase 2 merges partials — identical "
+    "results to a plain GROUP BY (the oracle) for algebraic aggregates; "
+    "the sum is rounded so the two-level float add-order can't drift "
+    "the hash.",
+)
+def q_salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.partitioning import salted_group_agg
+
+    events = load_table(spark, sf_dir, "events")
+    out = salted_group_agg(
+        events,
+        key="event_type",
+        agg_exprs={"n_events": "count(*)", "max_value": "max(value)", "sum_value": "sum(value)"},
+    )
+    return out.select(
+        "event_type", "n_events", "max_value", F.round("sum_value", 2).alias("sum_value")
+    )
+
+
+@register(
     "zscore_outliers",
     oracle="""
     SELECT event_id, user_id, event_type, value, zscore FROM (
