@@ -2,10 +2,19 @@
 
 Times every registered query end-to-end (parquet scan → result
 materialization via the no-op sink, so sink/driver-transfer cost is
-excluded but the full plan executes) and prints ONE JSON line:
+excluded but the full plan executes) and prints TWO JSON lines:
 
-    {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": <sf>}
+    1. the full record {"metric", "value", "unit", "queries", "sf"} —
+       spec-compliant, but at 70+ queries it exceeds the driver's
+       ~3 KB stdout tail capture (BENCH_r02.json recorded parsed:null
+       because the line's HEAD was cut off);
+    2. LAST, a compact headline {"metric", "value", "unit", "sf",
+       "n_queries", "detail_file"} — short enough that it always lands
+       complete inside a tail capture, so the driver's line-wise JSON
+       parse finds a valid record whichever line it picks.
+
+The per-query map is also written to ``BENCH_DETAIL.json`` next to this
+file (``detail_file`` in the headline points at it).
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default all cores).
@@ -44,7 +53,7 @@ def main() -> None:
     for name, fn in queries.items():
         fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
         release_cached()  # warm run's persisted intermediates
-        # best of 2 timed runs: a 63-query loop accumulates enough JVM
+        # best of 2 timed runs: a many-query loop accumulates enough JVM
         # state (codegen classes, GC) that a single run occasionally eats
         # a multi-second pause on an arbitrary query; min-of-2 reports
         # the steady-state cost, which is what scales with data volume
@@ -66,7 +75,25 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(out, f, indent=1)
+    except OSError:
+        detail_path = "(unwritable)"
+    # full record first (humans / generous captures) ...
     print(json.dumps(out))
+    # ... compact headline LAST: a stdout tail capture keeps the END of
+    # the output, so the short line is the one guaranteed to survive
+    headline = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "sf": out["sf"],
+        "n_queries": len(timings),
+        "detail_file": detail_path,
+    }
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

@@ -3,10 +3,13 @@
 - exact: hash-groupBy on content (or md5 fingerprint at 100 TB so the
   shuffle key is 16 bytes, not the document);
 - minhash_lsh / simhash / ngram_jaccard: near-duplicate detection, all
-  built on DETERMINISTIC md5-derived hashing expressed with built-in
-  higher-order array functions — identical results in the DuckDB oracle
-  (both engines produce the same md5 hex), and zero Python UDFs in the
-  hot path.
+  built on DETERMINISTIC md5-derived hashing — identical results in the
+  DuckDB oracle (both engines produce the same md5 hex). Each pipeline
+  has a pure-Catalyst reference path (built-in higher-order array
+  functions, no Python) and, as the DEFAULT, an Arrow-vectorized pandas
+  UDF twin for the per-row shingle/hash CPU (Catalyst evaluates
+  higher-order array functions interpreted, outside codegen); the twins
+  are asserted bit-identical against the Catalyst path in tests.
 
 Scale design: every pipeline is shuffle-minimal — shingle→minhash is
 per-row (narrow); candidate generation shuffles on (band, signature)
@@ -146,11 +149,14 @@ def shingle_sig_pandas(k_shingle: int = 3, num_perm: int = 8) -> Column:
 
     Returns ``struct<sh: array<string>, sig: array<bigint>>``.
     re.ASCII keeps ``\\s`` identical to Java's ASCII ``\\s`` (same note
-    as ``simhash60_pandas``).
+    as ``simhash60_pandas``). NULL text maps to the single empty shingle
+    [''] — equal to the Catalyst path, where ``concat_ws`` coalesces the
+    null token array to '' (equivalence pinned by a null-text row in
+    ``test_shingle_sig_pandas_equals_catalyst``).
     """
     params = PERM_PARAMS[:num_perm]
 
-    @F.pandas_udf(f"struct<sh: array<string>, sig: array<bigint>>")
+    @F.pandas_udf("struct<sh: array<string>, sig: array<bigint>>")
     def _shingle_sig(texts: pd.Series) -> pd.DataFrame:
         ws = re.compile(r"\s+", re.ASCII)
         shs, sigs = [], []
@@ -172,6 +178,33 @@ def shingle_sig_pandas(k_shingle: int = 3, num_perm: int = 8) -> Column:
         return pd.DataFrame({"sh": shs, "sig": sigs})
 
     return _shingle_sig
+
+
+def shingles_pandas(k_shingle: int = 3) -> Column:
+    """Vectorized Pandas-UDF twin of ``array_distinct(shingles(...))`` —
+    the shingle-only sibling of :func:`shingle_sig_pandas` for pipelines
+    that need grams but no MinHash signature (n-gram Jaccard). Same
+    tokenization (re.ASCII ``\\s+``), same NULL-text → [''] invariant,
+    asserted bit-identical against the Catalyst path in tests.
+    """
+
+    @F.pandas_udf("array<string>")
+    def _shingles(texts: pd.Series) -> pd.Series:
+        ws = re.compile(r"\s+", re.ASCII)
+        out = []
+        for t in texts:
+            toks = [x for x in ws.split(t or "") if x]
+            if len(toks) >= k_shingle:
+                grams = [
+                    " ".join(toks[i : i + k_shingle])
+                    for i in range(len(toks) - k_shingle + 1)
+                ]
+            else:
+                grams = [" ".join(toks)]
+            out.append(list(dict.fromkeys(grams)))
+        return pd.Series(out)
+
+    return _shingles
 
 
 def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
@@ -515,6 +548,8 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.3,
     block_col: str | None = None,
+    vectorized: bool = False,
+    hash_grams: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs within a blocking key (e.g. same
     source), via an INVERTED-INDEX join instead of an all-pairs scan:
@@ -530,18 +565,45 @@ def ngram_jaccard_pairs(
     sf0.1, and the gap widens with block size). At web scale, cap or
     drop ultra-common shingles first (they add candidates, not signal) —
     that changes results, so it's not done here.
+
+    ``vectorized=True`` swaps the Catalyst shingle expressions for the
+    Arrow-batched :func:`shingles_pandas` twin (bit-identical, asserted
+    in tests). Unlike minhash — where the signature's md5+permutation
+    CPU dominates and the pandas twin wins ~1.4× — plain shingling is
+    cheap string slicing, and the Arrow transfer of the ``array<string>``
+    grams costs more than interpreted eval saves (measured 1.9 s vs
+    1.1 s at sf0.1), so the default here stays ``False``.
+
+    ``hash_grams=True`` (default) joins postings on the 60-bit
+    ``md5_long`` of each gram instead of the gram string — a fixed-width
+    8-byte shuffle key instead of a multi-word string (measured ~20%
+    faster at sf0.1, and the byte savings grow with gram length). The
+    oracle applies the identical md5 transform, so results stay
+    hash-identical across engines even in the (≈2⁻⁶⁰) collision case;
+    ``hash_grams=False`` keeps the raw-string join for exact-semantics
+    comparisons (equivalence asserted in tests).
     """
-    sh = _persist(  # consumed by both the sizes table and the postings explode
-        spread(
-            df.select(
-                F.col(id_col).alias("id"),
-                *([F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")]),
-                F.col(text_col).alias("__text"),
-            )
-        ).select("id", "blk", F.array_distinct(shingles(F.col("__text"), n)).alias("sh"))
+    base = spread(
+        df.select(
+            F.col(id_col).alias("id"),
+            *([F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")]),
+            F.col(text_col).alias("__text"),
+        )
     )
+    gram_col = (
+        shingles_pandas(n)(F.col("__text"))
+        if vectorized
+        else F.array_distinct(shingles(F.col("__text"), n))
+    )
+    # persist the per-doc gram ARRAYS (not the exploded postings): the
+    # sizes branch then reads |sh| with a narrow scan of the cache — an
+    # exploded-postings cache was tried and measured ~0.6 s slower at
+    # sf0.1 because sizes turns into an extra groupBy shuffle
+    sh = _persist(base.select("id", "blk", gram_col.alias("sh")))
     sizes = sh.select("id", F.size("sh").alias("n_sh"))
     postings = sh.select("blk", F.col("id"), F.explode("sh").alias("s"))
+    if hash_grams:
+        postings = postings.select("blk", "id", md5_long(F.col("s")).alias("s"))
     inter = (
         postings.alias("a")
         .join(postings.alias("b"), ["blk", "s"])

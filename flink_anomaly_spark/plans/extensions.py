@@ -454,11 +454,18 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ngram_jaccard_pairs",
+    # the engine joins postings on md5_long(gram) (8-byte shuffle key —
+    # see dedup.ngram_jaccard_pairs hash_grams); the oracle applies the
+    # IDENTICAL md5 transform to each distinct gram so both engines
+    # compare the same hashed universe
     oracle=f"""
     WITH t AS (
       SELECT doc_id AS id, source AS blk, {_TOKS} AS toks FROM documents
     ), base AS (
-      SELECT id, blk, list_distinct({_shingle_sql(3)}) AS sh FROM t
+      SELECT id, blk,
+             list_transform(list_distinct({_shingle_sql(3)}),
+                            g -> {_MD5_60.format(x="g")}) AS sh
+      FROM t
     )
     SELECT a.id AS id1, b.id AS id2,
            round(len(list_intersect(a.sh, b.sh))
@@ -467,8 +474,9 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE round(len(list_intersect(a.sh, b.sh))
                  / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 4) >= 0.2
     """,
-    doc="Exact 3-gram Jaccard pairs within a `source` block — brute-force "
-    "verifier shape; block key bounds the pair count at scale.",
+    doc="Exact 3-gram Jaccard pairs within a `source` block via an "
+    "inverted-index join on 60-bit hashed grams — brute-force verifier "
+    "shape; block key bounds the pair count at scale.",
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

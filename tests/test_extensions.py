@@ -76,6 +76,15 @@ def test_shingle_sig_pandas_equals_catalyst(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
         "doc_id", "text"
     )
+    # pin the NULL/short-text handling equivalence: the pandas path maps
+    # None → [''] which matches the Catalyst path only because concat_ws
+    # coalesces a null token array to '' — a subtle invariant that must
+    # not silently drift (ADVICE r2)
+    edge = spark.createDataFrame(
+        [(100001, None), (100002, ""), (100003, "one two")],
+        "doc_id long, text string",
+    )
+    docs = docs.unionAll(edge)
     a = docs.select(
         "doc_id", F.array_distinct(shingles(F.col("text"), 3)).alias("sh")
     ).withColumn("sig", minhash_signature(F.col("sh"), 8))
@@ -85,6 +94,71 @@ def test_shingle_sig_pandas_equals_catalyst(spark):
     da = {r.doc_id: (list(r.sh), list(r.sig)) for r in a.collect()}
     db = {r.doc_id: (list(r.sh), list(r.sig)) for r in b.collect()}
     assert da == db
+
+
+def test_shingles_pandas_equals_catalyst(spark):
+    """The shingle-only vectorized UDF (ngram_jaccard's default path)
+    must be bit-identical to the Catalyst shingle expressions, including
+    the NULL/empty/short-text edge rows."""
+    from flink_anomaly_spark.operators.dedup import shingles_pandas
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    edge = spark.createDataFrame(
+        [(100001, None), (100002, ""), (100003, "one two")],
+        "doc_id long, text string",
+    )
+    docs = docs.unionAll(edge)
+    a = {
+        r.doc_id: list(r.sh)
+        for r in docs.select(
+            "doc_id", F.array_distinct(shingles(F.col("text"), 3)).alias("sh")
+        ).collect()
+    }
+    b = {
+        r.doc_id: list(r.sh)
+        for r in docs.select("doc_id", shingles_pandas(3)(F.col("text")).alias("sh")).collect()
+    }
+    assert a == b
+
+
+def test_ngram_jaccard_vectorized_matches_catalyst(spark):
+    from flink_anomaly_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # guarantee at least one qualifying pair regardless of corpus content
+    near = spark.createDataFrame(
+        [
+            (200001, "the quick brown fox jumps over the lazy dog today"),
+            (200002, "the quick brown fox jumps over the lazy dog tonight"),
+        ],
+        "doc_id long, text string",
+    )
+    docs = docs.unionAll(near)
+    a = {
+        (r.id1, r.id2, r.jaccard)
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.1, vectorized=True
+        ).collect()
+    }
+    b = {
+        (r.id1, r.id2, r.jaccard)
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.1, vectorized=False
+        ).collect()
+    }
+    assert a == b and len(a) > 0
+    # the hashed-gram join (default) must reproduce the raw-string join
+    c = {
+        (r.id1, r.id2, r.jaccard)
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.1, hash_grams=False
+        ).collect()
+    }
+    assert a == c
 
 
 def test_minhash_vectorized_matches_catalyst_pairs(spark):
