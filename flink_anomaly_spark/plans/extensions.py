@@ -551,10 +551,12 @@ _CLUSTERS_ORACLE = f"""
     "dedup_clusters",
     oracle=_CLUSTERS_ORACLE,
     doc="Transitive dedup clusters: connected components over the "
-    "MinHash-LSH near-dup pairs via iterative min-label propagation "
-    "(one shuffle per round, rounds = component diameter, lineage "
-    "truncated per round with localCheckpoint). Oracle: DuckDB "
-    "recursive CTE computing min reachable id — identical cluster ids.",
+    "MinHash-LSH near-dup pairs via the alternating large-star/"
+    "small-star contraction (O(log d) alternations on a diameter-d "
+    "graph; the loop's working set is the edge list only, singletons "
+    "join back at the end; lineage truncated per alternation). "
+    "Oracle: DuckDB recursive CTE computing min reachable id — "
+    "identical cluster ids.",
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_anomaly_spark.operators.dedup import connected_components

@@ -344,6 +344,37 @@ def test_connected_components_chain_and_nonconvergence(spark):
         connected_components(pairs, nodes, max_iterations=1)
 
 
+def test_connected_components_star_equals_label_prop(spark):
+    """The two independently-implemented CC algorithms must agree on
+    graphs mixing chains, triangles, stars, and singletons — including
+    a chain long enough that the star contraction needs multiple
+    alternations."""
+    import random
+
+    from flink_anomaly_spark.operators.dedup import connected_components
+
+    rng = random.Random(7)
+    edges = [(i, i + 1) for i in range(1, 12)]  # chain 1..12
+    edges += [(20, 21), (21, 22), (20, 22)]  # triangle
+    edges += [(30, j) for j in range(31, 36)]  # star
+    edges += [(rng.randint(40, 60), rng.randint(40, 60)) for _ in range(15)]
+    edges = [(a, b) for a, b in edges if a != b]
+    node_ids = sorted({n for e in edges for n in e} | {99, 100})
+    pairs = spark.createDataFrame(edges, "id1 long, id2 long")
+    nodes = spark.createDataFrame([(n,) for n in node_ids], "id long")
+    star = {
+        r.id: r.cluster_id
+        for r in connected_components(pairs, nodes, algorithm="star").collect()
+    }
+    prop = {
+        r.id: r.cluster_id
+        for r in connected_components(pairs, nodes, algorithm="label_prop").collect()
+    }
+    assert star == prop
+    assert star[99] == 99 and star[100] == 100  # singletons survive
+    assert {star[i] for i in range(1, 13)} == {1}  # chain collapses to min
+
+
 def test_connected_components_reliable_checkpoint(spark, tmp_path):
     # reliable checkpoint() path: same labels as localCheckpoint, and the
     # checkpoint blocks actually land in the given dir (survives executor
