@@ -53,10 +53,18 @@ _LOADED = False
 #: SURVEY §2 reference-parity set, the LLM-data-pipeline family
 #: (dedup / text / similarity / multimodal / anomaly), windows,
 #: distinctive relational operators (pivot / as-of / interval join),
-#: streaming, the TPC-H core, and sampling/split. The 17 outside the
+#: streaming, the TPC-H core, and sampling/split. Queries outside the
 #: window are scalar-function- and join-breadth queries whose oracles
-#: still run in the LOCAL gate (tools/check_oracle.py checks all 67);
-#: they lose only the driver's duplicate signal. See COVERAGE.md.
+#: still run in the LOCAL gate (tools/check_oracle.py checks ALL
+#: registered queries); they lose only the driver's duplicate signal.
+#:
+#: Round-3 rotation (VERDICT r2 #5): a few slots rotate each round so
+#: every query eventually gets the driver's independent check —
+#: sliding_window_agg / session_window_agg / merge_upsert_customers /
+#: topk_orders / exact_percentiles (driver-green in r01 AND r02) ceded
+#: their slots to mad_outliers / ewma_smoothing / ngram_decontamination
+#: / embedding_near_dup_lsh / salted_event_type_stats (never
+#: driver-checked before). See COVERAGE.md.
 DRIVER_WINDOW: tuple[str, ...] = (
     # LLM data-pipeline family (incl. every dedup variant and both ANN
     # index shapes; docs_by_lang_source / train_val_test_split /
@@ -79,6 +87,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "rolling_zscore_outliers",
     "multimodal_features",
     "multimodal_frame_plan",
+    # anomaly + decontamination (rotated IN round 3)
+    "mad_outliers",
+    "ewma_smoothing",
+    "ngram_decontamination",
     # SURVEY §2 reference parity
     "flagship_running_concat",
     "map_upper",
@@ -88,18 +100,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "window_count_agg",
     "keyed_concat_total",
     "global_concat_single_key",
-    # windows beyond tumbling
-    "sliding_window_agg",
-    "session_window_agg",
     # distinctive relational operators
     "pivot_order_status",
     "asof_last_signup",
     "interval_event_pairs",
-    # similarity / ANN
+    # similarity / ANN (embedding_near_dup_lsh rotated IN round 3)
     "embedding_ann_lsh",
     "embedding_ann_ivf",
     "embedding_near_dup",
-    # streaming (oracle-checked single-batch finalization + 1 rows-only)
+    "embedding_near_dup_lsh",
+    # skew-handling aggregation (rotated IN round 3)
+    "salted_event_type_stats",
+    # streaming (oracle-checked single-batch finalization)
     "streaming_window_count",
     "streaming_window_argmax",
     "streaming_dedup",
@@ -113,10 +125,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "tpch_q3_sql",
     "customers_with_orders_semi",
     "customers_without_orders_anti",
-    "merge_upsert_customers",
-    # top-k / percentiles / rollup / reproducible sampling
-    "topk_orders",
-    "exact_percentiles",
+    # reproducible sampling
     "hash_sample_10pct",
 )
 

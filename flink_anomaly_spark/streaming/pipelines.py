@@ -173,9 +173,54 @@ def streaming_dedup(events: DataFrame, keys: list[str] | None = None) -> DataFra
     key is evicted once the watermark passes it, keeping dedup state
     bounded; an unwatermarked dropDuplicates would grow state forever).
     The streaming face of the dedup family over an event/record feed.
+
+    Keeps the FIRST ARRIVAL per key — which row that is depends on
+    partition/task interleaving inside a micro-batch, so the output is
+    correct-but-not-deterministic when key payloads differ (see
+    docs/LIMITATIONS.md). For a deterministic, oracle-checkable
+    representative use :func:`windowed_dedup_stream`.
     """
     return events.withWatermark("ts", "20 seconds").dropDuplicatesWithinWatermark(
         keys or ["event_id"]
+    )
+
+
+def windowed_dedup_stream(
+    events: DataFrame,
+    duration: str = "1 hour",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Deterministic streaming dedup: one representative per key per
+    tumbling event-time window — the row with the MINIMUM (ts,
+    event_id), via ``min_by`` over a watermarked windowed aggregation
+    in append mode.
+
+    Unlike :func:`streaming_dedup` (first ARRIVAL — a race), the kept
+    row is a pure function of the data, so the single-batch
+    availableNow finalization argument used for the other streaming
+    oracles applies: emitted windows are exactly those with
+    window_end ≤ max(event_time) − watermark, and within each the
+    min-(ts, event_id) record is SQL-expressible (row_number = 1).
+    State is bounded by |active windows × keys|, evicted at watermark
+    passage — the same scale properties as the windowed aggregations.
+    """
+    keys = keys or ["user_id", "event_type"]
+    rec = F.min_by(
+        F.struct("event_id", "ts", "value"), F.struct(F.col("ts"), F.col("event_id"))
+    ).alias("rec")
+    return (
+        events.withWatermark("ts", "20 seconds")
+        .groupBy(F.window("ts", duration).alias("win"), *keys)
+        .agg(rec, F.count("*").alias("n_dups"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *keys,
+            F.col("rec.event_id").alias("kept_event_id"),
+            F.col("rec.ts").alias("kept_ts"),
+            F.col("rec.value").alias("kept_value"),
+            "n_dups",
+        )
     )
 
 

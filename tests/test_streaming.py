@@ -208,6 +208,33 @@ def test_streaming_dedup_drops_repeats(spark, tmp_path):
     assert got == [1, 2, 3]
 
 
+def test_windowed_dedup_stream_keeps_min_ts_event_id(spark, tmp_path):
+    """The deterministic streaming dedup keeps exactly the
+    min-(ts, event_id) record per key per finalized window — a pure
+    function of the data, unlike first-arrival dropDuplicates."""
+    import datetime as dt
+
+    from flink_anomaly_spark.streaming.pipelines import run_to_memory, windowed_dedup_stream
+
+    src = str(tmp_path / "wdedup_src")
+    t0 = dt.datetime(2024, 6, 1, 0, 0, 0)
+    rows = [
+        (5, t0 + dt.timedelta(minutes=1), 1, "a", 5.0, ""),
+        (3, t0 + dt.timedelta(minutes=1), 1, "a", 3.0, ""),  # same ts → min event_id wins
+        (9, t0 + dt.timedelta(minutes=2), 1, "a", 9.0, ""),
+        (7, t0 + dt.timedelta(minutes=5), 2, "b", 7.0, ""),
+        # next hour, far ahead: advances the watermark so hour 0 finalizes
+        (99, t0 + dt.timedelta(hours=3), 9, "z", 0.0, ""),
+    ]
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = run_to_memory(windowed_dedup_stream(stream))
+    got = {(r.user_id, r.event_type): (r.kept_event_id, r.n_dups) for r in out.collect()}
+    # hour-3 window is unfinalized (watermark = max ts − 20 s) → absent
+    assert got == {(1, "a"): (3, 3), (2, "b"): (7, 1)}
+
+
 def test_stream_stream_interval_join_matches_batch(spark):
     """Live interval join must produce exactly the batch
     interval_self_join result (all rows are within the drained source,
