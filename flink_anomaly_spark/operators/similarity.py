@@ -296,3 +296,111 @@ def brute_force_topk(
         rank_col="rank",
     )
     return out.select("qid", "nid", "cos_sim", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Embedding column profiling & compression
+# ---------------------------------------------------------------------------
+
+
+def embedding_dim_stats(df: DataFrame, vec_col: str) -> DataFrame:
+    """Per-dimension statistics of an embedding column: count, mean,
+    sample stddev, min, max — the profile pass run before choosing a
+    quantization or normalization scheme for a vector corpus.
+
+    Plan: narrow ``posexplode`` → hash agg on the dim key. The shuffle
+    carries only per-partition PARTIAL aggregates (dim-count rows per
+    map task, e.g. 64), so at 100 TB the exchange is KBs regardless of
+    corpus size. Float means/stddevs are rounded so sum-order ulp drift
+    between engines can't break the oracle hash.
+    """
+    ex = spread(df.select(vec_col)).select(
+        F.posexplode(F.col(vec_col)).alias("dim", "v")
+    )
+    return (
+        ex.groupBy("dim")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(F.col("v").cast("double")), 6).alias("mean"),
+            F.round(F.stddev_samp(F.col("v").cast("double")), 6).alias("std"),
+            F.min(F.col("v")).cast("double").alias("mn"),
+            F.max(F.col("v")).cast("double").alias("mx"),
+        )
+        .orderBy("dim")
+    )
+
+
+def collect_dim_minmax(df: DataFrame, vec_col: str) -> tuple[list[float], list[float]]:
+    """Collect per-dimension (min, max) — the scalar-quantizer 'index
+    build'. Output is dim-sized (e.g. 64 doubles), the one acceptable
+    collect in the pipeline (same pattern as the IVF centroid fetch);
+    min/max are order-insensitive so the result is exact and stable.
+    """
+    rows = (
+        df.select(F.posexplode(F.col(vec_col)).alias("dim", "v"))
+        .groupBy("dim")
+        .agg(F.min("v").cast("double").alias("mn"), F.max("v").cast("double").alias("mx"))
+        .orderBy("dim")
+        .collect()
+    )
+    return [r["mn"] for r in rows], [r["mx"] for r in rows]
+
+
+def int8_quantize(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    mins: list[float],
+    maxs: list[float],
+) -> DataFrame:
+    """Scalar (per-dimension min/max) int8 quantization of an embedding
+    column, with reconstruction-error metrics — the standard 4× vector
+    compression used before ANN indexing at scale.
+
+    Per row (NARROW, zero shuffle): q_i = round((v_i−min_i)/(max_i−min_i)
+    ·254) − 127 ∈ [−127,127]; dequantized error fold is a SEQUENTIAL
+    left fold (``F.aggregate``), so the oracle's ``list_reduce`` — the
+    same fold in the same order — produces bit-identical doubles.
+    Constant dimensions (max==min) quantize to 0 with zero error.
+
+    Output: (id, n_dims, q_csv — the int8 codes as CSV, mse, max_abs_err).
+    """
+    if len(mins) != len(maxs):
+        raise ValueError("mins/maxs length mismatch")
+    mins_l = F.array(*[F.lit(float(x)) for x in mins])
+    maxs_l = F.array(*[F.lit(float(x)) for x in maxs])
+    v = F.col(vec_col)
+    idx = F.sequence(F.lit(0), F.size(v) - 1)
+
+    def _el(arr, i):
+        return F.element_at(arr, i + 1)
+
+    def _q(i):
+        vv = _el(v, i).cast("double")
+        mn, mx = _el(mins_l, i), _el(maxs_l, i)
+        scale = mx - mn
+        return F.when(scale == 0, F.lit(0).cast("bigint")).otherwise(
+            (F.round((vv - mn) / scale * 254, 0) - 127).cast("bigint")
+        )
+
+    def _deq(i):
+        mn, mx = _el(mins_l, i), _el(maxs_l, i)
+        scale = mx - mn
+        return mn + (_q(i) + 127).cast("double") / 254 * scale
+
+    def _err(i):
+        d = _el(v, i).cast("double") - _deq(i)
+        return d * d
+
+    q_arr = F.transform(idx, _q)
+    err_arr = F.transform(idx, _err)
+    abs_arr = F.transform(idx, lambda i: F.abs(_el(v, i).cast("double") - _deq(i)))
+    return spread(df.select(id_col, vec_col)).select(
+        F.col(id_col),
+        F.size(v).alias("n_dims"),
+        F.array_join(q_arr, ",").alias("q_csv"),
+        F.round(
+            F.aggregate(err_arr, F.lit(0.0), lambda a, x: a + x) / F.size(v), 9
+        ).alias("mse"),
+        F.round(F.array_max(abs_arr), 9).alias("max_abs_err"),
+    )

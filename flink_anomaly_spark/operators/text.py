@@ -238,6 +238,111 @@ def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+#: the "required word" list from the Gopher quality rules (Rae et al.
+#: 2021, "Scaling Language Models: ... Gopher", appendix A1.1) — a doc
+#: must contain at least 2 of these to pass the stopword rule.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style rule-based quality filter (Rae et al. 2021, A1.1):
+    per-document rule metrics, one 0/1 flag per rule, and the combined
+    ``keep`` decision. The standard pre-training corpus filter pass.
+
+    Rules: word count in [50, 100k]; mean word length in [3, 10];
+    symbol-to-word ratio ('#'/'...') ≤ 0.1; ≥80% of words contain an
+    alphabetic char; ≥2 of the required stopwords present.
+
+    Entirely built-in Catalyst expressions — narrow plan, zero shuffle,
+    scales linearly; flags are INTs so the DuckDB oracle hash is
+    representation-stable.
+    """
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_words = F.size(toks)
+    n1 = F.greatest(n_words, F.lit(1))
+    mean_wl = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda a, x: a + x
+    ).cast("double") / n1
+    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    n_ellipsis = (F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))) / F.lit(3)
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / n1
+    alpha_frac = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]"))).cast("double") / n1
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(toks, F.lower)),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    flags = {
+        "pass_word_count": (n_words >= 50) & (n_words <= 100_000),
+        "pass_mean_word_len": (mean_wl >= 3.0) & (mean_wl <= 10.0),
+        "pass_symbol_ratio": symbol_ratio <= 0.1,
+        "pass_alpha_words": alpha_frac >= 0.8,
+        "pass_stopwords": stop_hits >= 2,
+    }
+    keep = None
+    for f in flags.values():
+        keep = f if keep is None else (keep & f)
+    return spread(df.select(id_col, text_col)).select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(symbol_ratio, 4).alias("symbol_ratio"),
+        F.round(alpha_frac, 4).alias("alpha_frac"),
+        stop_hits.alias("stop_hits"),
+        *[v.cast("int").alias(k) for k, v in flags.items()],
+        keep.cast("int").alias("keep"),
+    )
+
+
+def doc_repetition_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Intra-document repetition profile (the Gopher repetition filters):
+    fraction of tokens taken by the most frequent token, duplicate-token
+    fraction, and duplicate word-2-gram fraction.
+
+    Plan: the 2-gram fractions are NARROW (array ops per row); the
+    top-token stats explode tokens and aggregate twice — first on
+    (doc, token) with map-side partial aggregation, then per doc — so
+    the only wide data is (doc_id, token) pairs, never document bodies.
+    The two branches join on the doc id (left join keeps empty docs).
+    """
+    from flink_anomaly_spark.operators.dedup import shingles
+
+    c = F.col(text_col)
+    bi = shingles(c, 2)
+    narrow = spread(df.select(id_col, text_col)).select(
+        F.col(id_col),
+        F.size(bi).alias("n_2grams"),
+        F.size(F.array_distinct(bi)).alias("n_2grams_distinct"),
+    )
+    tok_counts = (
+        df.select(F.col(id_col).alias("__id"), F.explode(tokens(c)).alias("tk"))
+        .groupBy("__id", "tk")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("__id")
+        .agg(
+            F.max("cnt").alias("top_cnt"),
+            F.sum("cnt").alias("n_tok"),
+            F.count("*").alias("n_tok_distinct"),
+        )
+    )
+    joined = narrow.join(tok_counts, narrow[id_col] == tok_counts["__id"], "left")
+    n_tok1 = F.greatest(F.coalesce(F.col("n_tok"), F.lit(0)), F.lit(1))
+    return joined.select(
+        F.col(id_col),
+        F.coalesce(F.col("n_tok"), F.lit(0)).alias("n_tokens"),
+        F.round(F.coalesce(F.col("top_cnt"), F.lit(0)) / n_tok1, 4).alias("top_token_frac"),
+        F.round(
+            F.lit(1.0) - F.coalesce(F.col("n_tok_distinct"), F.lit(0)) / n_tok1, 4
+        ).alias("dup_token_frac"),
+        F.round(
+            F.lit(1.0) - F.col("n_2grams_distinct") / F.greatest(F.col("n_2grams"), F.lit(1)),
+            4,
+        ).alias("dup_2gram_frac"),
+    )
+
+
 def ngram_containment(
     eval_df: DataFrame,
     train_df: DataFrame,

@@ -1,0 +1,100 @@
+"""Embedding-column profiling & compression queries: per-dimension
+statistics and int8 scalar quantization with reconstruction error —
+the profile→compress pass a vector corpus goes through before ANN
+indexing at 100 TB (4× memory cut, the FAISS ``SQ8`` scheme).
+
+Oracles mirror the Spark arithmetic exactly: min/max are
+order-insensitive (exact floats), means/stddevs are rounded, and the
+error folds are SEQUENTIAL left folds on both engines
+(``F.aggregate`` ↔ ``list_reduce``) so the doubles are bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_anomaly_spark.operators.similarity import (
+    collect_dim_minmax,
+    embedding_dim_stats,
+    int8_quantize,
+)
+from flink_anomaly_spark.plans.registry import register
+from flink_anomaly_spark.tables import load_table
+
+_UNNESTED = (
+    "(SELECT unnest(embedding) AS v, unnest(range(len(embedding))) AS dim "
+    "FROM embeddings)"
+)
+
+
+@register(
+    "embedding_dim_stats",
+    oracle=f"""
+    SELECT dim, count(*) AS n,
+           round(avg(CAST(v AS DOUBLE)), 6) AS mean,
+           round(stddev_samp(CAST(v AS DOUBLE)), 6) AS std,
+           CAST(min(v) AS DOUBLE) AS mn,
+           CAST(max(v) AS DOUBLE) AS mx
+    FROM {_UNNESTED}
+    GROUP BY dim ORDER BY dim
+    """,
+    doc="Per-dimension embedding profile (count/mean/std/min/max): "
+    "narrow posexplode + partial-agg on the dim key — the exchange "
+    "carries ~dim rows per map task whatever the corpus size.",
+)
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_dim_stats(emb, vec_col="embedding")
+
+
+def _quantize_oracle() -> str:
+    # per-element expressions, shared so q / deq / err can't drift apart
+    q = ("CAST(round((CAST(embedding[i+1] AS DOUBLE) - mins[i+1])"
+         " / (maxs[i+1] - mins[i+1]) * 254) - 127 AS BIGINT)")
+    q_guard = f"CASE WHEN maxs[i+1] = mins[i+1] THEN CAST(0 AS BIGINT) ELSE {q} END"
+    deq = (f"mins[i+1] + CAST({q_guard} + 127 AS DOUBLE) / 254"
+           " * (maxs[i+1] - mins[i+1])")
+    err = f"(CAST(embedding[i+1] AS DOUBLE) - ({deq})) * (CAST(embedding[i+1] AS DOUBLE) - ({deq}))"
+    absd = f"abs(CAST(embedding[i+1] AS DOUBLE) - ({deq}))"
+    return f"""
+    WITH mm AS (
+      SELECT dim, CAST(min(v) AS DOUBLE) AS mn, CAST(max(v) AS DOUBLE) AS mx
+      FROM {_UNNESTED} GROUP BY dim
+    ), arrs AS (
+      SELECT list(mn ORDER BY dim) AS mins, list(mx ORDER BY dim) AS maxs FROM mm
+    )
+    SELECT vec_id, len(embedding) AS n_dims,
+           array_to_string(list_transform(range(len(embedding)), i -> {q_guard}), ',') AS q_csv,
+           round(list_reduce(list_prepend(0.0,
+                   list_transform(range(len(embedding)), i -> {err})),
+                 (a, b) -> a + b) / len(embedding), 9) AS mse,
+           round(list_max(list_transform(range(len(embedding)), i -> {absd})), 9)
+             AS max_abs_err
+    FROM embeddings, arrs
+    """
+
+
+#: quantizer 'index build' cache — per-dim (min, max), keyed by
+#: (path, mtime, size) of embeddings.parquet exactly like the IVF
+#: centroid cache, so a testdata regeneration invalidates it.
+_MINMAX_CACHE: dict[tuple[str, int, int], tuple[list[float], list[float]]] = {}
+
+
+@register(
+    "embedding_int8_quantize",
+    oracle=_quantize_oracle(),
+    doc="Int8 scalar quantization (FAISS SQ8): per-dim min/max collected "
+    "once (dim-sized, the IVF-centroid pattern) and inlined as literals "
+    "→ narrow zero-shuffle encode + sequential-fold reconstruction "
+    "error, bit-identical to the oracle's list_reduce.",
+)
+def q_embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.plans.relational_ext import _ivf_cache_key
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = _ivf_cache_key(sf_dir)
+    if key not in _MINMAX_CACHE:
+        _MINMAX_CACHE.clear()
+        _MINMAX_CACHE[key] = collect_dim_minmax(emb, "embedding")
+    mins, maxs = _MINMAX_CACHE[key]
+    return int8_quantize(emb, id_col="vec_id", vec_col="embedding", mins=mins, maxs=maxs)

@@ -1,0 +1,148 @@
+"""Corpus-quality queries: Gopher-style rule filters, intra-document
+repetition profiling, and stratified language rebalancing — the
+filter/sample passes a pre-training data pipeline runs after dedup.
+
+Like every plan module, each oracle replicates the Spark computation
+EXACTLY (same tokenization, same integer thresholds, same rounding), so
+the driver's value-hash comparison is meaningful.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_anomaly_spark.operators.dedup import md5_int32
+from flink_anomaly_spark.operators.text import (
+    GOPHER_STOPWORDS,
+    doc_repetition_profile,
+    gopher_quality_flags,
+)
+from flink_anomaly_spark.plans.fragments import MD5_32 as _MD5_32
+from flink_anomaly_spark.plans.fragments import TOKS as _TOKS
+from flink_anomaly_spark.plans.fragments import shingle_sql as _shingle_sql
+from flink_anomaly_spark.plans.registry import register
+from flink_anomaly_spark.tables import load_table
+
+_STOPLIST_SQL = "[" + ",".join(f"'{s}'" for s in GOPHER_STOPWORDS) + "]"
+
+
+@register(
+    "gopher_quality_flags",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             greatest(len(toks), 1) AS n1,
+             CAST(coalesce(list_sum(list_transform(toks, tk -> length(tk))), 0) AS DOUBLE)
+               / greatest(len(toks), 1) AS mean_wl,
+             ((length(text) - length(replace(text, '#', '')))
+              + (length(text) - length(replace(text, '...', ''))) / 3)
+               / CAST(greatest(len(toks), 1) AS DOUBLE) AS symbol_ratio,
+             CAST(len(list_filter(toks, tk -> regexp_matches(tk, '[a-zA-Z]'))) AS DOUBLE)
+               / greatest(len(toks), 1) AS alpha_frac,
+             len(list_intersect(list_distinct(list_transform(toks, tk -> lower(tk))),
+                                {_STOPLIST_SQL})) AS stop_hits
+      FROM t
+    ), f AS (
+      SELECT doc_id, n_words, mean_wl, symbol_ratio, alpha_frac, stop_hits,
+             CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END AS pass_word_count,
+             CASE WHEN mean_wl >= 3.0 AND mean_wl <= 10.0 THEN 1 ELSE 0 END AS pass_mean_word_len,
+             CASE WHEN symbol_ratio <= 0.1 THEN 1 ELSE 0 END AS pass_symbol_ratio,
+             CASE WHEN alpha_frac >= 0.8 THEN 1 ELSE 0 END AS pass_alpha_words,
+             CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS pass_stopwords
+      FROM s
+    )
+    SELECT doc_id, n_words, round(mean_wl, 4) AS mean_word_len,
+           round(symbol_ratio, 4) AS symbol_ratio, round(alpha_frac, 4) AS alpha_frac,
+           stop_hits, pass_word_count, pass_mean_word_len, pass_symbol_ratio,
+           pass_alpha_words, pass_stopwords,
+           pass_word_count * pass_mean_word_len * pass_symbol_ratio
+             * pass_alpha_words * pass_stopwords AS keep
+    FROM f
+    """,
+    doc="Gopher rule-based quality filter (Rae et al. 2021 A1.1): word "
+    "count / mean word length / symbol ratio / alpha-word fraction / "
+    "required-stopword rules, one flag each plus the combined keep "
+    "decision. Narrow Catalyst-only plan, zero shuffle.",
+)
+def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_quality_flags(docs, id_col="doc_id", text_col="text")
+
+
+@register(
+    "doc_repetition_profile",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), nn AS (
+      SELECT doc_id, len(bi) AS n_2grams, len(list_distinct(bi)) AS n_2grams_distinct
+      FROM (SELECT doc_id, {_shingle_sql(2)} AS bi FROM t)
+    ), e AS (
+      SELECT doc_id, unnest(toks) AS tk FROM t
+    ), g AS (
+      SELECT doc_id, tk, count(*) AS cnt FROM e GROUP BY doc_id, tk
+    ), a AS (
+      SELECT doc_id, max(cnt) AS top_cnt, sum(cnt) AS n_tok,
+             count(*) AS n_tok_distinct
+      FROM g GROUP BY doc_id
+    )
+    SELECT nn.doc_id,
+           coalesce(a.n_tok, 0) AS n_tokens,
+           round(coalesce(a.top_cnt, 0) / CAST(greatest(coalesce(a.n_tok, 0), 1) AS DOUBLE), 4)
+             AS top_token_frac,
+           round(1.0 - coalesce(a.n_tok_distinct, 0)
+                 / CAST(greatest(coalesce(a.n_tok, 0), 1) AS DOUBLE), 4) AS dup_token_frac,
+           round(1.0 - n_2grams_distinct / CAST(greatest(n_2grams, 1) AS DOUBLE), 4)
+             AS dup_2gram_frac
+    FROM nn LEFT JOIN a USING (doc_id)
+    """,
+    doc="Gopher repetition filters: most-frequent-token fraction, "
+    "duplicate-token fraction, duplicate word-2-gram fraction. 2-gram "
+    "stats stay narrow (array ops); top-token stats shuffle only "
+    "(doc_id, token) pairs with map-side partial aggregation.",
+)
+def q_doc_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return doc_repetition_profile(docs, id_col="doc_id", text_col="text")
+
+
+#: per-language keep rates (out of 1000) for the stratified rebalance:
+#: downsample the dominant language, keep the tail. Integer thresholds
+#: so both engines compare exact ints — no float-boundary hazard.
+STRATA_RATES_PER_MILLE: dict[str, int] = {"en": 300, "de": 600, "es": 600, "fr": 600, "zh": 600}
+DEFAULT_RATE_PER_MILLE = 500
+
+
+@register(
+    "stratified_sample_by_lang",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE {_MD5_32.format(x="'strat:' || CAST(doc_id AS VARCHAR)")} % 1000 <
+          CASE lang WHEN 'en' THEN 300 WHEN 'de' THEN 600 WHEN 'es' THEN 600
+                    WHEN 'fr' THEN 600 WHEN 'zh' THEN 600 ELSE 500 END
+    ORDER BY doc_id
+    """,
+    doc="Stratified sampling with per-stratum rates (language "
+    "rebalancing): deterministic md5-bucket threshold per row, so the "
+    "sample is reproducible across engines, runs, and cluster sizes — "
+    "no RNG state, no shuffle, pure filter pushdown-friendly scan.",
+)
+def q_stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rate_map = F.create_map(
+        *[F.lit(x) for kv in STRATA_RATES_PER_MILLE.items() for x in kv]
+    )
+    bucket = md5_int32(F.concat_ws("", F.lit("strat:"), F.col("doc_id"))) % 1000
+    threshold = F.coalesce(
+        F.element_at(rate_map, F.col("lang")), F.lit(DEFAULT_RATE_PER_MILLE)
+    )
+    return (
+        docs.filter(bucket < threshold)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )

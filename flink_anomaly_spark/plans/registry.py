@@ -137,8 +137,10 @@ def _load_all() -> None:
     if _LOADED:
         return
     from flink_anomaly_spark.plans import (  # noqa: F401
+        embedding_queries,
         extensions,
         multimodal_queries,
+        quality_queries,
         reference_parity,
         relational_ext,
         streaming_queries,

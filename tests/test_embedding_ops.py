@@ -1,0 +1,62 @@
+"""Known-value tests for embedding profiling & int8 quantization."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_anomaly_spark.operators.similarity import (
+    collect_dim_minmax,
+    embedding_dim_stats,
+    int8_quantize,
+)
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_dim_stats_known_values(spark):
+    df = _vecs(spark, [(1, [0.0, 2.0]), (2, [1.0, 4.0]), (3, [2.0, 0.0])])
+    out = {r["dim"]: r.asDict() for r in embedding_dim_stats(df, "embedding").collect()}
+    assert out[0]["n"] == 3 and out[0]["mean"] == 1.0
+    assert out[0]["mn"] == 0.0 and out[0]["mx"] == 2.0
+    assert out[1]["mean"] == 2.0 and out[1]["mx"] == 4.0
+    assert out[0]["std"] == 1.0  # sample stddev of 0,1,2
+
+
+def test_collect_dim_minmax(spark):
+    df = _vecs(spark, [(1, [0.0, -1.0]), (2, [4.0, 3.0])])
+    mins, maxs = collect_dim_minmax(df, "embedding")
+    assert mins == [0.0, -1.0] and maxs == [4.0, 3.0]
+
+
+def test_int8_quantize_endpoints_and_error(spark):
+    # dim0 range [0,254]: values land exactly on the grid -> zero error
+    df = _vecs(spark, [(1, [0.0, 5.0]), (2, [127.0, 5.0]), (3, [254.0, 5.0])])
+    mins, maxs = collect_dim_minmax(df, "embedding")
+    out = {r["vec_id"]: r.asDict() for r in
+           int8_quantize(df, "vec_id", "embedding", mins, maxs).collect()}
+    # endpoints map to -127 / +127; midpoint to 0; constant dim -> code 0
+    assert out[1]["q_csv"] == "-127,0"
+    assert out[2]["q_csv"] == "0,0"
+    assert out[3]["q_csv"] == "127,0"
+    for r in out.values():
+        assert r["mse"] == 0.0 and r["max_abs_err"] == 0.0 and r["n_dims"] == 2
+
+
+def test_int8_quantize_reconstruction_error_bounded(spark):
+    df = _vecs(spark, [(i, [i * 0.01, 1.0 - i * 0.03]) for i in range(50)])
+    mins, maxs = collect_dim_minmax(df, "embedding")
+    out = int8_quantize(df, "vec_id", "embedding", mins, maxs).collect()
+    # max error is half a quantization step per dim: scale/254/2
+    step = max((mx - mn) for mn, mx in zip(mins, maxs)) / 254
+    for r in out:
+        assert r["max_abs_err"] <= step / 2 + 1e-12
+        assert 0.0 <= r["mse"] <= (step / 2) ** 2 + 1e-12
+
+
+def test_int8_quantize_validates_lengths(spark):
+    df = _vecs(spark, [(1, [0.0])])
+    with pytest.raises(ValueError):
+        int8_quantize(df, "vec_id", "embedding", [0.0], [1.0, 2.0])

@@ -1,0 +1,92 @@
+"""Known-value tests for the corpus-quality operators (Gopher rule
+filter, repetition profile, stratified sampling)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_anomaly_spark.operators.text import (
+    doc_repetition_profile,
+    gopher_quality_flags,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_gopher_flags_known_values(spark):
+    good = "the quick brown fox jumps over that lazy dog and friends " * 6  # 66 words
+    short = "tiny doc with the and that"  # 6 words -> fails word count
+    symbols = " ".join(["##" for _ in range(60)])  # all-symbol words
+    rows = [(1, good), (2, short), (3, symbols)]
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_quality_flags(_docs(spark, rows), "doc_id", "text").collect()
+    }
+    assert out[1]["n_words"] == 66
+    assert out[1]["pass_word_count"] == 1
+    assert out[1]["pass_stopwords"] == 1  # the/that/and/over...
+    assert out[1]["keep"] == 1
+    assert out[2]["pass_word_count"] == 0 and out[2]["keep"] == 0
+    # 60 '##' words: symbol ratio = 120/60 = 2.0 > 0.1, zero alpha words
+    assert out[3]["pass_symbol_ratio"] == 0
+    assert out[3]["pass_alpha_words"] == 0
+    assert out[3]["symbol_ratio"] == 2.0
+
+
+def test_gopher_flags_mean_word_len_bounds(spark):
+    # single-char words -> mean len 1 < 3 fails; 11-char words fail too
+    rows = [(1, " ".join(["a"] * 60)), (2, " ".join(["abcdefghijk"] * 60))]
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_quality_flags(_docs(spark, rows), "doc_id", "text").collect()
+    }
+    assert out[1]["mean_word_len"] == 1.0 and out[1]["pass_mean_word_len"] == 0
+    assert out[2]["mean_word_len"] == 11.0 and out[2]["pass_mean_word_len"] == 0
+
+
+def test_repetition_profile_known_values(spark):
+    rows = [
+        (1, "a a a a"),  # top frac 1.0, dup tokens 3/4, 2-grams all "a a"
+        (2, "w x y z"),  # no repetition
+        (3, "p q p q p"),  # top=3/5; 2-grams: pq qp pq qp -> 2 distinct of 4
+    ]
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in doc_repetition_profile(_docs(spark, rows), "doc_id", "text").collect()
+    }
+    assert out[1]["top_token_frac"] == 1.0
+    assert out[1]["dup_token_frac"] == 0.75
+    assert out[1]["dup_2gram_frac"] == round(1 - 1 / 3, 4)
+    assert out[2]["top_token_frac"] == 0.25
+    assert out[2]["dup_token_frac"] == 0.0
+    assert out[2]["dup_2gram_frac"] == 0.0
+    assert out[3]["top_token_frac"] == 0.6
+    assert out[3]["dup_2gram_frac"] == 0.5
+
+
+def test_repetition_profile_short_doc_degenerate(spark):
+    # < 2 tokens -> shingles() emits the single joined token; fractions 0
+    rows = [(1, "solo")]
+    r = doc_repetition_profile(_docs(spark, rows), "doc_id", "text").collect()[0]
+    assert r["n_tokens"] == 1
+    assert r["dup_2gram_frac"] == 0.0
+
+
+def test_stratified_sample_rates(spark):
+    from flink_anomaly_spark.plans.quality_queries import q_stratified_sample_by_lang
+
+    out = q_stratified_sample_by_lang(spark, "/root/testdata/sf0.001").toPandas()
+    full = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").toPandas()
+    # deterministic: same call twice gives the identical sample
+    out2 = q_stratified_sample_by_lang(spark, "/root/testdata/sf0.001").toPandas()
+    assert out.equals(out2)
+    # per-stratum rates are respected within binomial noise
+    for lang, grp in out.groupby("lang"):
+        n_lang = (full["lang"] == lang).sum()
+        rate = grp.shape[0] / n_lang
+        assert 0.05 < rate < 0.95, (lang, rate)
+    en_rate = (out["lang"] == "en").sum() / max((full["lang"] == "en").sum(), 1)
+    other_rate = (out["lang"] != "en").sum() / max((full["lang"] != "en").sum(), 1)
+    assert en_rate < other_rate  # en is downsampled vs the tail
