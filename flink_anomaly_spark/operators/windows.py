@@ -111,3 +111,44 @@ def session_agg(
         F.col("win.end").alias("window_end"),
         *[c for c in out.columns if c != "win"],
     )
+
+
+def ohlc_downsample(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    key_cols: list[str],
+    duration: str = "1 minute",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Time-series downsampling to OHLC bars: per key and tumbling
+    bucket, the first (open) / max (high) / min (low) / last (close)
+    value plus the event count — the standard resample step before
+    charting or feature extraction on a metric stream.
+
+    One hash-agg shuffle on (keys, bucket); ``min_by``/``max_by`` on a
+    (ts, tiebreak) struct pin first/last deterministically even when two
+    events share a timestamp. No sort anywhere — arg-selection
+    aggregates replace the per-window orderBy a naive plan would use.
+    """
+    ordk = (
+        F.struct(F.col(ts_col), F.col(tiebreak))
+        if tiebreak
+        else F.struct(F.col(ts_col))
+    )
+    out = df.groupBy(F.window(ts_col, duration).alias("win"), *key_cols).agg(
+        F.min_by(F.col(value_col), ordk).alias("open"),
+        F.max(value_col).alias("high"),
+        F.min(value_col).alias("low"),
+        F.max_by(F.col(value_col), ordk).alias("close"),
+        F.count("*").alias("n_events"),
+    )
+    return out.select(
+        F.col("win.start").alias("bucket_start"),
+        *key_cols,
+        "open",
+        "high",
+        "low",
+        "close",
+        "n_events",
+    )

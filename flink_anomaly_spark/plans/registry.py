@@ -64,7 +64,11 @@ _LOADED = False
 #: topk_orders / exact_percentiles (driver-green in r01 AND r02) ceded
 #: their slots to mad_outliers / ewma_smoothing / ngram_decontamination
 #: / embedding_near_dup_lsh / salted_event_type_stats (never
-#: driver-checked before). See COVERAGE.md.
+#: driver-checked before), and pivot_order_status /
+#: customers_with_orders_semi / customers_without_orders_anti (also
+#: green r01+r02) ceded theirs to the new round-3 operators
+#: gopher_quality_flags / doc_repetition_profile /
+#: embedding_int8_quantize. See COVERAGE.md.
 DRIVER_WINDOW: tuple[str, ...] = (
     # LLM data-pipeline family (incl. every dedup variant and both ANN
     # index shapes; docs_by_lang_source / train_val_test_split /
@@ -91,6 +95,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "mad_outliers",
     "ewma_smoothing",
     "ngram_decontamination",
+    # corpus-quality filters (NEW round 3, never driver-checked)
+    "gopher_quality_flags",
+    "doc_repetition_profile",
     # SURVEY §2 reference parity
     "flagship_running_concat",
     "map_upper",
@@ -100,8 +107,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "window_count_agg",
     "keyed_concat_total",
     "global_concat_single_key",
-    # distinctive relational operators
-    "pivot_order_status",
+    # distinctive relational operators (pivot_order_status ceded its
+    # slot in round 3 after two green rounds — locally gated)
     "asof_last_signup",
     "interval_event_pairs",
     # similarity / ANN (embedding_near_dup_lsh rotated IN round 3)
@@ -109,6 +116,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "embedding_ann_ivf",
     "embedding_near_dup",
     "embedding_near_dup_lsh",
+    # embedding compression (NEW round 3)
+    "embedding_int8_quantize",
     # skew-handling aggregation (rotated IN round 3)
     "salted_event_type_stats",
     # streaming (oracle-checked single-batch finalization)
@@ -123,8 +132,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "tpch_q18_big_orders",
     "revenue_by_nation",
     "tpch_q3_sql",
-    "customers_with_orders_semi",
-    "customers_without_orders_anti",
     # reproducible sampling
     "hash_sample_10pct",
 )

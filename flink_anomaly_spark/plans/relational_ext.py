@@ -452,3 +452,46 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_near_dup_lsh(emb, id_col="vec_id", vec_col="embedding", threshold=0.3)
+
+
+# ---------------------------------------------------------------------------
+# Time-series OHLC downsampling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ohlc_resample",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, time_bucket(INTERVAL '1 minute', ts) AS bucket_start,
+             ts, event_id, value
+      FROM events
+    ), w AS (
+      SELECT event_type, bucket_start, value,
+             first_value(value) OVER (PARTITION BY event_type, bucket_start
+                                      ORDER BY ts, event_id) AS open,
+             first_value(value) OVER (PARTITION BY event_type, bucket_start
+                                      ORDER BY ts DESC, event_id DESC) AS close
+      FROM b
+    )
+    SELECT bucket_start, event_type, min(open) AS open, max(value) AS high,
+           min(value) AS low, min(close) AS close, count(*) AS n_events
+    FROM w GROUP BY event_type, bucket_start
+    """,
+    doc="OHLC time-series resample (1-min bars per event_type): one "
+    "hash-agg shuffle; min_by/max_by on a (ts, event_id) struct pin "
+    "open/close deterministically — no per-window sort. The oracle "
+    "derives open/close via window first_value with the same tiebreak.",
+)
+def q_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.windows import ohlc_downsample
+
+    events = load_table(spark, sf_dir, "events")
+    return ohlc_downsample(
+        events,
+        ts_col="ts",
+        value_col="value",
+        key_cols=["event_type"],
+        duration="1 minute",
+        tiebreak="event_id",
+    )

@@ -851,3 +851,131 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log(F.col("o_totalprice") + 1), 6).alias("price_ln"),
         F.floor(F.col("o_totalprice") / 1000).cast("bigint").alias("price_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10: returned-item revenue per customer (one quarter)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q10_returns",
+    oracle="""
+    SELECT c_custkey, c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(c_acctbal, 2) AS c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: quarter-filtered orders ⋈ returned lineitems "
+    "⋈ customer ⋈ broadcast nation, top-20 by lost revenue via "
+    "TakeOrdered (no global sort). Both date filters push to the scans.",
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .withColumn("c_acctbal", F.round("c_acctbal", 2))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14: promotion revenue share (one month)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q14_promo",
+    oracle="""
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+    """,
+    doc="TPC-H Q14 shape: month-filtered lineitem ⋈ broadcast part, "
+    "conditional aggregation ratio — a single map-side-combined agg, "
+    "no wide shuffle beyond the final 1-row reduce.",
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 shape: small-quantity orders for one brand (correlated avg)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q17_small_qty",
+    oracle="""
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#9'
+      AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+    doc="TPC-H Q17 shape (adapted: the synthetic part table has no "
+    "p_container, so the filter is brand-only): the correlated "
+    "avg-quantity subquery is decorrelated into a per-part pre-agg "
+    "broadcast-joined back — the standard Catalyst rewrite. The avg "
+    "threshold is exact on both engines (integer-valued quantities sum "
+    "exactly in doubles), so the comparison cannot flip.",
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#9")
+    li_brand = li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+    thr = li_brand.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (0.2 * F.avg("l_quantity")).alias("thr")
+    )
+    return (
+        li_brand.join(F.broadcast(thr), F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("thr"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )

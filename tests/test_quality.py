@@ -90,3 +90,32 @@ def test_stratified_sample_rates(spark):
     en_rate = (out["lang"] == "en").sum() / max((full["lang"] == "en").sum(), 1)
     other_rate = (out["lang"] != "en").sum() / max((full["lang"] != "en").sum(), 1)
     assert en_rate < other_rate  # en is downsampled vs the tail
+
+
+def test_ohlc_downsample_known_values(spark):
+    from datetime import datetime
+
+    from flink_anomaly_spark.operators.windows import ohlc_downsample
+
+    rows = [
+        # one 1-min bucket, tie on ts between ids 2 and 3 -> open/close by id
+        (1, datetime(2024, 1, 1, 0, 0, 5), "a", 10.0),
+        (2, datetime(2024, 1, 1, 0, 0, 1), "a", 7.0),
+        (3, datetime(2024, 1, 1, 0, 0, 1), "a", 9.0),
+        (4, datetime(2024, 1, 1, 0, 0, 59), "a", 3.0),
+        (5, datetime(2024, 1, 1, 0, 1, 2), "a", 42.0),  # next bucket
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, event_type string, value double"
+    )
+    out = {
+        (r["event_type"], r["bucket_start"].minute): r.asDict()
+        for r in ohlc_downsample(
+            df, "ts", "value", ["event_type"], "1 minute", tiebreak="event_id"
+        ).collect()
+    }
+    b0 = out[("a", 0)]
+    assert b0["open"] == 7.0  # ts tie -> smaller event_id wins
+    assert b0["high"] == 10.0 and b0["low"] == 3.0
+    assert b0["close"] == 3.0 and b0["n_events"] == 4
+    assert out[("a", 1)]["open"] == 42.0 and out[("a", 1)]["n_events"] == 1
