@@ -230,3 +230,37 @@ def q_streaming_running_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     # memory-sink collection stays driver-sized at any SF
     events = stream_events(spark, sf_dir).filter(F.col("value") >= 200.0)
     return run_to_memory(running_concat_stream(events))
+
+
+@register(
+    "streaming_running_zscore",
+    oracle="""
+    WITH w AS (
+      SELECT event_type AS key, event_id, value,
+             count(value) OVER pre AS n_prev,
+             avg(value) OVER pre AS mean_prev,
+             stddev_samp(value) OVER pre AS std_prev
+      FROM events
+      WINDOW pre AS (PARTITION BY event_type
+                     ORDER BY epoch_ns(ts) // 1000, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT key, event_id, n_prev,
+           CASE WHEN n_prev >= 2 AND std_prev > 0
+                THEN round((value - mean_prev) / std_prev, 4) END AS z,
+           CASE WHEN n_prev >= 10 AND std_prev > 0
+                     AND abs((value - mean_prev) / std_prev) > 3
+                THEN 1 ELSE 0 END AS is_outlier
+    FROM w
+    """,
+    doc="Stateful streaming anomaly detection: per-key Welford running "
+    "(n, mean, M2) in the state store, each event z-scored against the "
+    "PREFIX statistics (never its own value) with an n≥10 warm-up for "
+    "the outlier flag. Single-batch availableNow run folds each key in "
+    "(ts, event_id) order, so prefix-frame window aggregates are an "
+    "exact oracle (z rounded to 4 — Welford vs sum/n agree to ~1e-12).",
+)
+def q_streaming_running_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.streaming.stateful import running_zscore_stream
+
+    return run_to_memory(running_zscore_stream(stream_events(spark, sf_dir)))

@@ -125,3 +125,76 @@ def running_concat_stream_tws(events: DataFrame, key: str = "event_type") -> Dat
             timeMode="None",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Stateful streaming anomaly detection: per-key running z-score
+# ---------------------------------------------------------------------------
+
+ZSCORE_OUTPUT_SCHEMA = "key string, event_id long, n_prev long, z double, is_outlier int"
+ZSCORE_STATE_SCHEMA = "n long, mean double, m2 double"
+
+
+def _zscore_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per key: Welford running (n, mean, M2) state; each event is scored
+    against the state BEFORE it is folded in (prefix statistics, so the
+    score never sees its own value — the honest online-anomaly setup).
+    z is emitted from n ≥ 2 with positive variance; the outlier flag
+    requires a warm-up of n ≥ 10. Rows are folded in (ts, event_id)
+    order across the whole batch (see _concat_fn on chunk handling).
+    """
+    import math
+
+    n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+    pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(["ts", "event_id"])
+    out_ids, out_n, out_z, out_flag = [], [], [], []
+    for eid, x in zip(pdf["event_id"], pdf["value"]):
+        x = float(x)
+        z, flag = None, 0
+        if n >= 2:
+            var = m2 / (n - 1)
+            if var > 0:
+                zval = (x - mean) / math.sqrt(var)
+                z = round(zval, 4)
+                if n >= 10 and abs(zval) > 3:
+                    flag = 1
+        out_ids.append(eid)
+        out_n.append(n)
+        out_z.append(z)
+        out_flag.append(flag)
+        n += 1
+        delta = x - mean
+        mean += delta / n
+        m2 += delta * (x - mean)
+    yield pd.DataFrame(
+        {
+            "key": key[0],
+            "event_id": out_ids,
+            "n_prev": out_n,
+            "z": pd.array(out_z, dtype="float64"),
+            "is_outlier": out_flag,
+        }
+    )
+    state.update((n, mean, m2))
+
+
+def running_zscore_stream(events: DataFrame, key: str = "event_type") -> DataFrame:
+    """Keyed online z-score anomaly detection over a streaming DataFrame
+    — the numeric-state sibling of :func:`running_concat_stream`
+    (ValueState<String> → ValueState<(long, double, double)>), honoring
+    the reference's anomaly-hunting theme live. State is 3 scalars per
+    key in the state store: O(|keys|) memory at any stream length.
+    """
+    return (
+        events.select(F.col(key).alias("key"), "event_id", "ts", "value")
+        .groupBy("key")
+        .applyInPandasWithState(
+            _zscore_fn,
+            ZSCORE_OUTPUT_SCHEMA,
+            ZSCORE_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -379,3 +379,25 @@ def test_foreach_sink_at_least_once_parity(spark, tmp_path):
     got = count_foreach_side_effects(ev, effect_dir)
     assert got >= expected
     assert got == expected  # no failure injected in this run
+
+
+def test_streaming_running_zscore_state_and_warmup(spark):
+    """Online z-score: prefix semantics (first two events of a key carry
+    no score), warm-up gating (no flag before n_prev ≥ 10), and flags
+    only on |z| > 3. Value-exactness vs the SQL prefix-window form is
+    pinned by the DuckDB oracle gate (streaming_running_zscore)."""
+    from flink_anomaly_spark.streaming.stateful import running_zscore_stream
+
+    out = run_to_memory(running_zscore_stream(stream_events(spark, SF_SMOKE))).cache()
+    events = load_table(spark, SF_SMOKE, "events")
+    assert out.count() == events.count()  # one score row per event
+    # prefix counts are 0..k-1 per key
+    agg = out.groupBy("key").agg(
+        F.min("n_prev").alias("mn"), F.max("n_prev").alias("mx"), F.count("*").alias("n")
+    )
+    for r in agg.collect():
+        assert r.mn == 0 and r.mx == r.n - 1
+    assert out.filter((F.col("n_prev") < 2) & F.col("z").isNotNull()).count() == 0
+    assert out.filter((F.col("n_prev") < 10) & (F.col("is_outlier") == 1)).count() == 0
+    assert out.filter((F.col("is_outlier") == 1) & (F.abs(F.col("z")) <= 3)).count() == 0
+    out.unpersist()
