@@ -125,7 +125,6 @@ DEFAULT_RATE_PER_MILLE = 500
     WHERE {_MD5_32.format(x="'strat:' || CAST(doc_id AS VARCHAR)")} % 1000 <
           CASE lang WHEN 'en' THEN 300 WHEN 'de' THEN 600 WHEN 'es' THEN 600
                     WHEN 'fr' THEN 600 WHEN 'zh' THEN 600 ELSE 500 END
-    ORDER BY doc_id
     """,
     doc="Stratified sampling with per-stratum rates (language "
     "rebalancing): deterministic md5-bucket threshold per row, so the "
@@ -141,8 +140,40 @@ def q_stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold = F.coalesce(
         F.element_at(rate_map, F.col("lang")), F.lit(DEFAULT_RATE_PER_MILLE)
     )
+    # no orderBy: the driver's hash compare is order-insensitive, and a
+    # global sort would add the only exchange in an otherwise pure
+    # filter-scan plan
+    return docs.filter(bucket < threshold).select("doc_id", "lang", "source")
+
+
+@register(
+    "heavy_hitter_terms",
+    oracle=rf"""
+    WITH e AS (
+      SELECT unnest({_TOKS}) AS term FROM documents
+    ), tot AS (SELECT count(*) AS n FROM e)
+    SELECT term, count(*) AS cnt,
+           round(count(*) * 1.0 / (SELECT n FROM tot), 6) AS frac
+    FROM e GROUP BY term
+    HAVING count(*) * 1000 >= (SELECT n FROM tot)
+    ORDER BY cnt DESC, term ASC
+    """,
+    doc="Exact corpus heavy hitters: tokens occurring in ≥ 0.1% of all "
+    "token positions. Explode → one map-side-combined agg on the term "
+    "key; the threshold compares exact integers (cnt·1000 ≥ N) so no "
+    "float boundary can flip membership. The vocabulary-sized agg "
+    "output is the only wide data.",
+)
+def q_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+    total = toks.count()
     return (
-        docs.filter(bucket < threshold)
-        .select("doc_id", "lang", "source")
-        .orderBy("doc_id")
+        toks.groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") * 1000 >= F.lit(total))
+        .withColumn("frac", F.round(F.col("cnt") * 1.0 / F.lit(total), 6))
+        .orderBy(F.col("cnt").desc(), F.col("term").asc())
     )

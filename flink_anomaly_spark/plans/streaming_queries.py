@@ -264,3 +264,38 @@ def q_streaming_running_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_anomaly_spark.streaming.stateful import running_zscore_stream
 
     return run_to_memory(running_zscore_stream(stream_events(spark, sf_dir)))
+
+
+@register(
+    "streaming_ohlc",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+             ts, event_id, value
+      FROM events
+    ), w AS (
+      SELECT event_type, bucket_start, value,
+             first_value(value) OVER (PARTITION BY event_type, bucket_start
+                                      ORDER BY epoch_ns(ts) // 1000, event_id) AS open,
+             first_value(value) OVER (PARTITION BY event_type, bucket_start
+                                      ORDER BY epoch_ns(ts) // 1000 DESC, event_id DESC)
+               AS close
+      FROM b
+    )
+    SELECT bucket_start, event_type, min(open) AS open, max(value) AS high,
+           min(value) AS low, min(close) AS close, count(*) AS n_events
+    FROM w
+    GROUP BY event_type, bucket_start
+    HAVING bucket_start + INTERVAL 1 HOUR
+           <= (SELECT max(ts) - INTERVAL 20 SECONDS FROM events)
+    """,
+    doc="Streaming OHLC bars (1 h per event_type): min_by/max_by on a "
+    "(ts, event_id) struct under a 20 s watermark — the live twin of "
+    "ohlc_resample. Append mode emits watermark-finalized bars (end ≤ "
+    "max(ts) − 20 s); the oracle mirrors open/close via window "
+    "first_value ordered by micros with the same tiebreak.",
+)
+def q_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.streaming.pipelines import ohlc_stream
+
+    return run_to_memory(ohlc_stream(stream_events(spark, sf_dir)))

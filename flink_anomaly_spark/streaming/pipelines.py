@@ -264,3 +264,38 @@ def stream_text_roundtrip(spark: SparkSession, lines: list[str], base_dir: str) 
     q.awaitTermination()
     back = spark.read.text(out_dir)
     return sorted(r.value for r in back.collect())
+
+
+def ohlc_stream(
+    events: DataFrame,
+    duration: str = "1 hour",
+    key: str = "event_type",
+) -> DataFrame:
+    """Streaming OHLC bars (live twin of the batch ``ohlc_downsample``):
+    per key and tumbling event-time window, open/high/low/close via
+    min_by/max_by on a (ts, event_id) struct under a 20 s watermark.
+    Append mode emits a bar once the watermark passes the window end;
+    state per (key, window) is 4 doubles + the arg structs — bounded by
+    |active windows × keys| and evicted at watermark passage.
+    """
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        events.withWatermark("ts", "20 seconds")
+        .groupBy(F.window("ts", duration).alias("win"), key)
+        .agg(
+            F.min_by(F.col("value"), ordk).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by(F.col("value"), ordk).alias("close"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.col("win.start").alias("bucket_start"),
+            key,
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )

@@ -119,3 +119,19 @@ def test_ohlc_downsample_known_values(spark):
     assert b0["high"] == 10.0 and b0["low"] == 3.0
     assert b0["close"] == 3.0 and b0["n_events"] == 4
     assert out[("a", 1)]["open"] == 42.0 and out[("a", 1)]["n_events"] == 1
+
+
+def test_heavy_hitter_threshold_exact(spark):
+    from flink_anomaly_spark.plans.quality_queries import q_heavy_hitter_terms
+
+    out = q_heavy_hitter_terms(spark, "/root/testdata/sf0.001").toPandas()
+    assert len(out) > 0
+    total = out.attrs  # not used; recompute below
+    from flink_anomaly_spark.operators.text import tokens as _tokens
+    from pyspark.sql import functions as FF
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n = docs.select(FF.explode(_tokens(FF.col("text")))).count()
+    # every returned term meets the exact integer threshold, ordered by cnt desc
+    assert (out["cnt"] * 1000 >= n).all()
+    assert list(out["cnt"]) == sorted(out["cnt"], reverse=True)

@@ -401,3 +401,26 @@ def test_streaming_running_zscore_state_and_warmup(spark):
     assert out.filter((F.col("n_prev") < 10) & (F.col("is_outlier") == 1)).count() == 0
     assert out.filter((F.col("is_outlier") == 1) & (F.abs(F.col("z")) <= 3)).count() == 0
     out.unpersist()
+
+
+def test_streaming_ohlc_bars_finalized_and_consistent(spark):
+    from flink_anomaly_spark.streaming.pipelines import ohlc_stream
+
+    out = run_to_memory(ohlc_stream(stream_events(spark, SF_SMOKE))).cache()
+    events = load_table(spark, SF_SMOKE, "events")
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    # append mode emits only watermark-finalized bars
+    n_open = out.filter(
+        F.col("bucket_start") + F.expr("INTERVAL 1 HOUR")
+        > F.lit(max_ts) - F.expr("INTERVAL 20 SECONDS")
+    ).count()
+    assert n_open == 0
+    # OHLC invariants: low ≤ open/close ≤ high, n ≥ 1
+    bad = out.filter(
+        (F.col("low") > F.col("open")) | (F.col("low") > F.col("close"))
+        | (F.col("high") < F.col("open")) | (F.col("high") < F.col("close"))
+        | (F.col("n_events") < 1)
+    ).count()
+    assert bad == 0
+    assert out.count() > 0
+    out.unpersist()

@@ -38,22 +38,38 @@ PROBE = [
     "topk_orders",
     "exact_dedup",
     "asof_last_signup",
+    # round-3 additions: narrow text/embedding pipelines + the IVF probe
+    # join (pair-generating dedup ops are NOT probed on replicated docs —
+    # replication makes every doc a 30-way duplicate, a pathological
+    # quadratic-pairs corpus that measures the wrong thing; their scaling
+    # evidence is the per-SF shuffle audit instead)
+    "langid_char_ngram",
+    "gopher_quality_flags",
+    "doc_repetition_profile",
+    "embedding_dim_stats",
+    "embedding_int8_quantize",
+    "embedding_ann_ivf",
+    "ohlc_resample",
 ]
+
+#: fact-shift key per replicated table (dims stay unreplicated)
+_SHIFT_KEYS = {
+    "events": "event_id",
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
 
 
 def replicate(spark, n: int, out_dir: str) -> None:
     for t in TABLE_NAMES:
         df = load_table(spark, BASE_SF, t)
-        if t in ("events", "lineitem", "orders"):  # scale the facts only
+        if t in _SHIFT_KEYS:
+            key = _SHIFT_KEYS[t]
             parts = [df]
             for i in range(1, n):
-                shift = F.lit(i * 10_000_000)
-                if t == "events":
-                    parts.append(df.withColumn("event_id", F.col("event_id") + shift))
-                elif t == "lineitem":
-                    parts.append(df.withColumn("l_orderkey", F.col("l_orderkey") + shift))
-                else:
-                    parts.append(df.withColumn("o_orderkey", F.col("o_orderkey") + shift))
+                parts.append(df.withColumn(key, F.col(key) + F.lit(i * 10_000_000)))
             df = parts[0]
             for p in parts[1:]:
                 df = df.unionByName(p)
