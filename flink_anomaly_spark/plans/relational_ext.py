@@ -495,3 +495,95 @@ def q_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         duration="1 minute",
         tiebreak="event_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative distinct users (running COUNT(DISTINCT) rewrite)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cumulative_distinct_users",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, min(date_trunc('day', ts)) AS d FROM events GROUP BY user_id
+    ), c AS (
+      SELECT d, count(*) AS new_users FROM f GROUP BY d
+    ), days AS (
+      SELECT DISTINCT date_trunc('day', ts) AS d FROM events
+    )
+    SELECT days.d AS day, coalesce(new_users, 0) AS new_users,
+           sum(coalesce(new_users, 0)) OVER (ORDER BY days.d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+    FROM days LEFT JOIN c ON days.d = c.d
+    """,
+    doc="Running count-distinct rewrite: a naive cumulative "
+    "COUNT(DISTINCT user) per day rescans every prefix (O(days x n)); "
+    "instead min-day per user -> new-user counts per day -> running "
+    "sum. Two key-partitioned aggs plus a window over |days| rows — "
+    "the standard decomposition that makes expanding-distinct linear.",
+)
+def q_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    first_day = events.groupBy("user_id").agg(F.min(day).alias("d"))
+    new_users = first_day.groupBy("d").agg(F.count("*").alias("new_users"))
+    days = events.select(day.alias("d")).distinct()
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        days.join(new_users, "d", "left")
+        .select(
+            F.col("d").alias("day"),
+            F.coalesce(F.col("new_users"), F.lit(0)).alias("new_users"),
+        )
+        .withColumn("cum_users", F.sum("new_users").over(w))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Funnel transitions (CEP-lite pattern matching)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "funnel_transitions",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER w AS pt, lag(ts) OVER w AS pts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id)
+    )
+    SELECT user_id, count(*) AS n_funnel
+    FROM o
+    WHERE pt = 'view' AND event_type = 'purchase'
+      AND epoch_us(ts) - epoch_us(pts) <= 1800000000
+    GROUP BY user_id
+    """,
+    doc="CEP-lite sequence detection: per user, count of immediate "
+    "view->purchase transitions within 30 min, via lag over a "
+    "(ts, event_id)-ordered keyed window — one exchange on user_id, "
+    "then a key-local agg (no second wide shuffle: the groupBy key is "
+    "the window partition key, so AQE reuses the partitioning).",
+)
+def q_funnel_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_type = F.lag("event_type").over(w)
+    prev_ts = F.lag("ts").over(w)
+    hit = (
+        (prev_type == "view")
+        & (F.col("event_type") == "purchase")
+        & (F.col("ts") - prev_ts <= F.expr("INTERVAL 30 MINUTES"))
+    )
+    return (
+        events.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("hit", hit.cast("int"))
+        .filter(F.col("hit") == 1)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_funnel"))
+    )

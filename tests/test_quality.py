@@ -135,3 +135,42 @@ def test_heavy_hitter_threshold_exact(spark):
     # every returned term meets the exact integer threshold, ordered by cnt desc
     assert (out["cnt"] * 1000 >= n).all()
     assert list(out["cnt"]) == sorted(out["cnt"], reverse=True)
+
+
+def test_funnel_transitions_known_values(spark):
+    from datetime import datetime
+
+    from flink_anomaly_spark.plans.relational_ext import q_funnel_transitions
+    from flink_anomaly_spark.tables import load_table  # noqa: F401
+
+    rows = [
+        # u1: view->purchase within 30min (hit), then purchase->view (no),
+        # then view->purchase at 31min gap (no)
+        (1, datetime(2024, 1, 1, 10, 0, 0), 1, "view", 1.0, "{}"),
+        (2, datetime(2024, 1, 1, 10, 10, 0), 1, "purchase", 1.0, "{}"),
+        (3, datetime(2024, 1, 1, 11, 0, 0), 1, "view", 1.0, "{}"),
+        (4, datetime(2024, 1, 1, 11, 31, 0), 1, "purchase", 1.0, "{}"),
+        # u2: view then error then purchase -> NOT an immediate transition
+        (5, datetime(2024, 1, 1, 10, 0, 0), 2, "view", 1.0, "{}"),
+        (6, datetime(2024, 1, 1, 10, 1, 0), 2, "error", 1.0, "{}"),
+        (7, datetime(2024, 1, 1, 10, 2, 0), 2, "purchase", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    )
+    import flink_anomaly_spark.tables as tables
+
+    orig = tables.load_table
+    try:
+        tables.load_table = lambda sp, d, t: df  # fixture stand-in
+        import flink_anomaly_spark.plans.relational_ext as rx
+
+        orig_rx = rx.load_table
+        rx.load_table = tables.load_table
+        try:
+            out = {r["user_id"]: r["n_funnel"] for r in q_funnel_transitions(spark, "x").collect()}
+        finally:
+            rx.load_table = orig_rx
+    finally:
+        tables.load_table = orig
+    assert out == {1: 1}  # u1 exactly one qualifying transition; u2 none
