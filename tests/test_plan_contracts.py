@@ -174,3 +174,59 @@ def test_ewma_single_shuffle(spark):
     """The lag-sum EWMA is one analytic window: exactly one hash
     exchange on the key."""
     assert_single_shuffle(_Q["ewma_smoothing"](spark, SF_SMOKE))
+
+
+def test_stratified_sample_zero_shuffle_pushdown(spark):
+    """Stratified sampling must stay a pure filter scan: no Exchange of
+    any kind and the text column pruned away."""
+    df = _Q["stratified_sample_by_lang"](spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "Exchange" not in plan, f"stratified sample must not shuffle:\n{plan}"
+    assert_column_pruned(df, "text")
+
+
+def test_gopher_flags_prune_and_codegen(spark):
+    """The quality filter reads only (doc_id, text); rule arithmetic
+    stays in codegen spans."""
+    df = _Q["gopher_quality_flags"](spark, SF_SMOKE)
+    assert_column_pruned(df, "lang")
+    assert_column_pruned(df, "n_chars")
+
+
+def test_ohlc_single_shuffle_no_sort(spark):
+    """OHLC bars: one hash exchange on (window, event_type), and NO
+    global Sort node — min_by/max_by replace the per-window orderBy a
+    naive plan would use."""
+    from flink_anomaly_spark.plans.contracts import assert_single_shuffle
+
+    df = _Q["ohlc_resample"](spark, SF_SMOKE)
+    assert_single_shuffle(df)
+    plan = physical_plan(df)
+    assert "Sort [" not in plan.replace("SortAggregate", ""), (
+        f"unexpected sort in OHLC plan:\n{plan}"
+    )
+
+
+def test_tpch_q10_broadcasts_nation_and_take_ordered(spark):
+    df = _Q["tpch_q10_returns"](spark, SF_SMOKE)
+    assert_broadcast_join(df)
+    assert_take_ordered(df)
+
+
+def test_int8_quantize_no_shuffle_after_build(spark):
+    """The quantize ENCODE plan is narrow: index build (min/max) happens
+    before plan construction, so the returned DataFrame must contain no
+    aggregation exchange — only spread()'s possible round-robin on the
+    single-file local input."""
+    df = _Q["embedding_int8_quantize"](spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "hashpartitioning" not in plan, f"unexpected wide exchange:\n{plan}"
+
+
+def test_funnel_single_wide_exchange(spark):
+    """lag window and the per-user agg share the user_id partitioning —
+    exactly one hash exchange."""
+    from flink_anomaly_spark.plans.contracts import assert_single_shuffle
+
+    df = _Q["funnel_transitions"](spark, SF_SMOKE)
+    assert_single_shuffle(df)
