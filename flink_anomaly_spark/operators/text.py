@@ -389,3 +389,54 @@ def ngram_containment(
             F.col("__id").alias(id_col), "n_grams", "n_contaminated", "containment"
         )
     )
+
+
+def pack_sequences(
+    df: DataFrame, id_col: str, text_col: str, seq_len: int = 2048
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (the GPT-style pretraining
+    step): documents are laid out in ``id_col`` order into one token
+    stream, which is cut into fixed ``seq_len`` windows; each doc gets
+    the (bin, offset) where it starts.
+
+    The exclusive prefix sum of token counts is computed DISTRIBUTED,
+    not with a single-partition global window: range-repartition on the
+    id → per-partition running sum → 1-row-per-partition totals rolled
+    into partition offsets (tiny, broadcast back). The result is exact
+    integer arithmetic, so it is identical whatever the partition
+    boundaries — a plain global window ORDER BY is the oracle form.
+    """
+    from pyspark.sql import Window
+
+    d = (
+        df.select(F.col(id_col), token_count(F.col(text_col)).alias("n_tok"))
+        .repartitionByRange(32, id_col)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("__local_cum", F.sum("n_tok").over(w_local))
+    w_parts = (
+        Window.orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        d.groupBy("__pid")
+        .agg(F.sum("n_tok").alias("__part_total"))
+        .withColumn("__part_offset", F.coalesce(F.sum("__part_total").over(w_parts), F.lit(0)))
+        .select("__pid", "__part_offset")
+    )
+    cum = F.col("__local_cum") + F.col("__part_offset")
+    start = cum - F.col("n_tok")
+    return (
+        d.join(F.broadcast(offsets), "__pid")
+        .select(
+            F.col(id_col),
+            F.col("n_tok"),
+            F.floor(start / seq_len).cast("bigint").alias("bin_id"),
+            (start % seq_len).cast("bigint").alias("bin_offset"),
+        )
+    )

@@ -177,3 +177,33 @@ def q_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("frac", F.round(F.col("cnt") * 1.0 / F.lit(total), 6))
         .orderBy(F.col("cnt").desc(), F.col("term").asc())
     )
+
+
+@register(
+    "sequence_packing",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, len({_TOKS}) AS n_tok FROM documents
+    ), c AS (
+      SELECT doc_id, n_tok,
+             sum(n_tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t
+    )
+    SELECT doc_id, n_tok,
+           (cum - n_tok) // 2048 AS bin_id,
+           (cum - n_tok) % 2048 AS bin_offset
+    FROM c
+    """,
+    doc="Concat-and-chunk sequence packing (GPT-style pretraining prep): "
+    "each doc's start (bin, offset) in the 2048-token stream laid out "
+    "in doc_id order. The exclusive prefix sum runs DISTRIBUTED "
+    "(range-partition local cumsum + per-partition offsets broadcast "
+    "back), not as a single-partition global window; integer-exact, so "
+    "the oracle's plain global-window form matches bit-for-bit.",
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.text import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, id_col="doc_id", text_col="text", seq_len=2048)

@@ -587,3 +587,41 @@ def q_funnel_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count("*").alias("n_funnel"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-salted hot-key join (result-invariant: plain-join oracle)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "salted_hot_key_join",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    doc="Manual skew-join salting (partitioning.salted_join_hot_keys): "
+    "the dim side's hot keys explode into n_salts replicas, the fact "
+    "side's hot rows salt randomly, the join runs on (key, salt) — so "
+    "one pathological key spreads over n_salts reducers instead of "
+    "stalling one. Salting is RESULT-invariant, hence the plain-join "
+    "oracle; the streaming-join path needs this because AQE skew "
+    "handling is batch-only.",
+)
+def q_salted_hot_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.partitioning import salted_join_hot_keys
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    hot = [1, 2, 3]  # stand-ins for profiled hot keys
+    joined = salted_join_hot_keys(orders, cust, key="custkey", hot_keys=hot, n_salts=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )

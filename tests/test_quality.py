@@ -174,3 +174,21 @@ def test_funnel_transitions_known_values(spark):
     finally:
         tables.load_table = orig
     assert out == {1: 1}  # u1 exactly one qualifying transition; u2 none
+
+
+def test_pack_sequences_matches_sequential(spark):
+    """The distributed two-phase prefix sum must equal a single-threaded
+    sequential packing, whatever the partition boundaries."""
+    from flink_anomaly_spark.operators.text import pack_sequences
+
+    rows = [(i, "w " * (i % 7 + 1)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string").repartition(13)
+    out = {r["doc_id"]: r.asDict() for r in
+           pack_sequences(df, "doc_id", "text", seq_len=50).collect()}
+    cum = 0
+    for i in range(200):
+        n = i % 7 + 1
+        assert out[i]["n_tok"] == n
+        assert out[i]["bin_id"] == cum // 50
+        assert out[i]["bin_offset"] == cum % 50
+        cum += n
