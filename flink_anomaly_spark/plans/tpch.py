@@ -979,3 +979,37 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < F.col("thr"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 shape: disjunctive predicates across a join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q19_disjunct",
+    oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1  AND 15 AND l_quantity BETWEEN 1  AND 11)
+       OR (p_brand = 'Brand#9'  AND p_size BETWEEN 10 AND 25 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#20' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19 shape (adapted: brand/size/quantity stand in for the "
+    "missing container column): an OR of conjunctive predicates "
+    "spanning both join sides. Catalyst extracts the common "
+    "l_quantity <= 30 / p-side disjunction bounds as pushable filters "
+    "before the broadcast join; the full disjunction evaluates post-join.",
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    pred = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#9") & F.col("p_size").between(10, 25) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#20") & F.col("p_size").between(20, 50) & F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(pred).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )

@@ -424,3 +424,32 @@ def test_streaming_ohlc_bars_finalized_and_consistent(spark):
     assert bad == 0
     assert out.count() > 0
     out.unpersist()
+
+
+def test_stateful_recovery_running_zscore(spark, tmp_path):
+    """Welford state recovery: inject a failure mid-stream, restart from
+    the checkpoint, and require the recovered per-event scores to equal
+    the clean run exactly — numeric state must neither replay (n too
+    high) nor reset (n too low)."""
+    import os as _os
+
+    from flink_anomaly_spark.streaming.stateful import running_zscore_stream
+
+    flag_dir = str(tmp_path / "flags")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _os.makedirs(flag_dir)
+    unstable = make_failing_filter(flag_dir, fail_ids={17})
+
+    def build():
+        ev = stream_events(spark, SF_SMOKE).filter(unstable(F.col("event_id")))
+        return running_zscore_stream(ev)
+
+    restarts = run_file_sink_with_restarts(spark, SF_SMOKE, out_dir, ckpt, build)
+    assert restarts >= 1
+    recovered = spark.read.parquet(out_dir).toPandas()
+    clean = run_to_memory(running_zscore_stream(stream_events(spark, SF_SMOKE))).toPandas()
+    key = ["key", "event_id"]
+    recovered = recovered.sort_values(key).reset_index(drop=True)[clean.columns]
+    clean = clean.sort_values(key).reset_index(drop=True)
+    assert recovered.equals(clean)
