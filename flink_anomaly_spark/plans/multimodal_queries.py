@@ -75,3 +75,28 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return frame_sample_plan(documents_as_media(docs), every_ms=1000)
+
+
+@register(
+    "media_exact_dedup",
+    # payload is the UTF-8 encoding of documents.text (documents_as_media),
+    # so DuckDB's sha256 over the text hashes the identical bytes
+    oracle="""
+    SELECT sha256(text) AS fingerprint, min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY sha256(text)
+    """,
+    doc="Exact multimodal dedup: group opaque binary payloads by sha256 "
+    "— the media twin of exact_dedup. The shuffle key is the 32-byte "
+    "digest, never the payload bytes; at 100 TB the media bytes stay in "
+    "the map stage and only (digest, id) pairs cross the wire.",
+)
+def q_media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.multimodal import documents_as_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = documents_as_media(docs)
+    return (
+        media.groupBy(F.sha2(F.col("payload"), 256).alias("fingerprint"))
+        .agg(F.min("media_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
