@@ -207,3 +207,123 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return pack_sequences(docs, id_col="doc_id", text_col="text", seq_len=2048)
+
+
+@register(
+    "char_entropy",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, unnest(list_transform(range(1, length(text) + 1),
+                                           i -> substr(text, i, 1))) AS c
+      FROM documents
+    ), g AS (
+      SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY doc_id, c
+    ), t AS (
+      SELECT doc_id, cnt, sum(cnt) OVER (PARTITION BY doc_id) AS n FROM g
+    )
+    SELECT doc_id, count(*) AS n_distinct_chars,
+           round(-sum((cnt * 1.0 / n) * log2(cnt * 1.0 / n)), 6) AS char_entropy
+    FROM t GROUP BY doc_id
+    """,
+    doc="Character-level Shannon entropy per document — the gibberish/"
+    "low-diversity signal real quality filters use (low entropy = "
+    "repeated chars, high = random noise). Explode chars → (doc, char) "
+    "partial-agg → per-doc window total → entropy sum; only (doc_id, "
+    "char, count) rows cross the exchange. Rounded to 6 so libm log2 "
+    "ulp and sum-order drift can't break the hash.",
+)
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    chars = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(F.sequence(F.lit(1), F.length(c)), lambda i: c.substr(i, F.lit(1)))
+        ).alias("ch"),
+    )
+    g = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("cnt"))
+    n = F.sum("cnt").over(Window.partitionBy("doc_id"))
+    p = F.col("cnt") * 1.0 / F.col("n")
+    return (
+        g.withColumn("n", n)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_distinct_chars"),
+            F.round(-F.sum(p * F.log2(p)), 6).alias("char_entropy"),
+        )
+    )
+
+
+@register(
+    "token_count_histogram",
+    oracle=rf"""
+    WITH t AS (SELECT len({_TOKS}) AS n_tok FROM documents)
+    SELECT least(n_tok // 10, 19) AS bucket,
+           least(n_tok // 10, 19) * 10 AS bucket_lo,
+           count(*) AS n_docs
+    FROM t GROUP BY 1, 2
+    """,
+    doc="Token-count histogram (width-10 buckets, top-coded at 190+): "
+    "the length-distribution profile run before choosing packing / "
+    "truncation parameters. Integer bucket arithmetic — exact on both "
+    "engines; the exchange carries ≤20 partial rows per map task.",
+)
+def q_token_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.least(F.floor(token_count(F.col("text")) / 10), F.lit(19)).cast("bigint")
+    return (
+        docs.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"))
+        .withColumn("bucket_lo", F.col("bucket") * 10)
+        .select("bucket", "bucket_lo", "n_docs")
+    )
+
+
+@register(
+    "langid_accuracy_by_lang",
+    oracle=None,  # set below: wraps the langid oracle in an accuracy rollup
+    doc="Self-evaluation of the char-trigram language ID against the "
+    "labeled lang column: per-language n / n_correct / accuracy. The "
+    "oracle wraps the langid query's own oracle in a GROUP BY, so the "
+    "two stay in lockstep by construction.",
+)
+def q_langid_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.text import lang_guess_ngram
+
+    docs = load_table(spark, sf_dir, "documents")
+    ok = (lang_guess_ngram(F.col("text")) == F.col("lang")).cast("int")
+    return (
+        docs.select("lang", ok.alias("ok"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ok").alias("n_correct"),
+            F.round(F.sum("ok") * 1.0 / F.count("*"), 4).alias("accuracy"),
+        )
+    )
+
+
+def _install_langid_accuracy_oracle() -> None:
+    from flink_anomaly_spark.plans.extensions import _langid_ngram_oracle
+    from flink_anomaly_spark.plans.registry import QUERIES, QuerySpec
+
+    spec = QUERIES["langid_accuracy_by_lang"]
+    oracle = f"""
+    WITH pred AS ({_langid_ngram_oracle()})
+    SELECT lang, count(*) AS n_docs,
+           sum(CASE WHEN lang_ngram = lang THEN 1 ELSE 0 END) AS n_correct,
+           round(sum(CASE WHEN lang_ngram = lang THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+             AS accuracy
+    FROM pred GROUP BY lang
+    """
+    QUERIES["langid_accuracy_by_lang"] = QuerySpec(
+        name=spec.name, build=spec.build, oracle=oracle, doc=spec.doc
+    )
+
+
+_install_langid_accuracy_oracle()

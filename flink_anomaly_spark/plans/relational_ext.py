@@ -625,3 +625,64 @@ def q_salted_hot_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall self-evaluation: LSH top-k vs exact top-k
+# ---------------------------------------------------------------------------
+
+
+def _ann_recall_oracle() -> str:
+    from flink_anomaly_spark.plans.registry import QUERIES
+
+    lsh = QUERIES["embedding_ann_lsh"].oracle
+    exact = QUERIES["embedding_topk"].oracle
+    return f"""
+    WITH lsh AS ({lsh}), exact AS ({exact})
+    SELECT exact.qid,
+           round(sum(CASE WHEN lsh.nid IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS recall_at_5
+    FROM exact LEFT JOIN lsh ON exact.qid = lsh.qid AND exact.nid = lsh.nid
+    GROUP BY exact.qid
+    """
+
+
+@register(
+    "ann_lsh_recall",
+    oracle=None,  # installed below — composes the two registered oracles
+    doc="Index-quality self-evaluation: recall@5 of the LSH ANN against "
+    "the exact brute-force top-5, per query. Both the Spark side and "
+    "the oracle COMPOSE the two registered queries, so this stays in "
+    "lockstep with them by construction — the eval harness an ANN "
+    "deployment runs before trading recall for speed.",
+)
+def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.plans.registry import QUERIES
+
+    exact = QUERIES["embedding_topk"].build(spark, sf_dir).select("qid", "nid")
+    lsh = (
+        QUERIES["embedding_ann_lsh"].build(spark, sf_dir)
+        .select("qid", "nid")
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        exact.join(lsh, ["qid", "nid"], "left")
+        .groupBy("qid")
+        .agg(
+            F.round(
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0))) * 1.0 / F.count("*"), 4
+            ).alias("recall_at_5")
+        )
+    )
+
+
+def _install_ann_recall_oracle() -> None:
+    from flink_anomaly_spark.plans.registry import QUERIES, QuerySpec
+
+    spec = QUERIES["ann_lsh_recall"]
+    QUERIES["ann_lsh_recall"] = QuerySpec(
+        name=spec.name, build=spec.build, oracle=_ann_recall_oracle(), doc=spec.doc
+    )
+
+
+_install_ann_recall_oracle()

@@ -192,3 +192,29 @@ def test_pack_sequences_matches_sequential(spark):
         assert out[i]["bin_id"] == cum // 50
         assert out[i]["bin_offset"] == cum % 50
         cum += n
+
+
+def test_char_entropy_known_values(spark):
+    import flink_anomaly_spark.plans.quality_queries as qq
+    import flink_anomaly_spark.tables as tables
+
+    rows = [(1, "aaaa"), (2, "ab"), (3, "abcd")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    orig = qq.load_table
+    qq.load_table = lambda sp, d, t: df
+    try:
+        out = {r["doc_id"]: r.asDict() for r in qq.q_char_entropy(spark, "x").collect()}
+    finally:
+        qq.load_table = orig
+    assert out[1]["char_entropy"] == 0.0 and out[1]["n_distinct_chars"] == 1
+    assert out[2]["char_entropy"] == 1.0  # two equiprobable symbols
+    assert out[3]["char_entropy"] == 2.0  # four equiprobable symbols
+
+
+def test_ann_recall_bounds_and_self_consistency(spark):
+    from flink_anomaly_spark.plans.registry import all_queries
+
+    qs = all_queries()
+    out = qs["ann_lsh_recall"](spark, "/root/testdata/sf0.001").toPandas()
+    assert len(out) == 10
+    assert ((out["recall_at_5"] >= 0) & (out["recall_at_5"] <= 1)).all()
