@@ -686,3 +686,57 @@ def _install_ann_recall_oracle() -> None:
 
 
 _install_ann_recall_oracle()
+
+
+def _ann_ivf_recall_oracle() -> str:
+    from flink_anomaly_spark.plans.registry import QUERIES
+
+    ivf = QUERIES["embedding_ann_ivf"].oracle
+    exact = QUERIES["embedding_topk"].oracle
+    return f"""
+    WITH ivf AS ({ivf}), exact AS ({exact})
+    SELECT exact.qid,
+           round(sum(CASE WHEN ivf.nid IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS recall_at_5
+    FROM exact LEFT JOIN ivf ON exact.qid = ivf.qid AND exact.nid = ivf.nid
+    GROUP BY exact.qid
+    """
+
+
+@register(
+    "ann_ivf_recall",
+    oracle=None,  # installed below — composes the two registered oracles
+    doc="recall@5 of the IVF-flat index against exact brute force, per "
+    "query — the n_probe tuning signal (recall rises with probed "
+    "cells). Same composed-oracle construction as ann_lsh_recall.",
+)
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.plans.registry import QUERIES
+
+    exact = QUERIES["embedding_topk"].build(spark, sf_dir).select("qid", "nid")
+    ivf = (
+        QUERIES["embedding_ann_ivf"].build(spark, sf_dir)
+        .select("qid", "nid")
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        exact.join(ivf, ["qid", "nid"], "left")
+        .groupBy("qid")
+        .agg(
+            F.round(
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0))) * 1.0 / F.count("*"), 4
+            ).alias("recall_at_5")
+        )
+    )
+
+
+def _install_ann_ivf_recall_oracle() -> None:
+    from flink_anomaly_spark.plans.registry import QUERIES, QuerySpec
+
+    spec = QUERIES["ann_ivf_recall"]
+    QUERIES["ann_ivf_recall"] = QuerySpec(
+        name=spec.name, build=spec.build, oracle=_ann_ivf_recall_oracle(), doc=spec.doc
+    )
+
+
+_install_ann_ivf_recall_oracle()

@@ -194,3 +194,84 @@ def test_union_is_bag_semantics(spark, xs, ys):
         return
     got = Counter(r.v for r in union_all(a, b).collect())
     assert got == Counter(xs) + Counter(ys)
+
+
+texts_strategy = st.lists(
+    st.text(
+        alphabet=st.sampled_from(list("ab #.x yz")),
+        min_size=0,
+        max_size=60,
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@settings(**_SETTINGS)
+@given(texts_strategy)
+def test_gopher_flags_match_python(spark, texts):
+    """Rule metrics vs a pure-Python reference on arbitrary text."""
+    import re
+
+    from flink_anomaly_spark.operators.text import gopher_quality_flags
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r.asDict() for r in
+           gopher_quality_flags(df, "doc_id", "text").collect()}
+    for i, t in rows:
+        toks = [w for w in re.split(r"\s+", t) if w]
+        n1 = max(len(toks), 1)
+        assert out[i]["n_words"] == len(toks)
+        assert out[i]["mean_word_len"] == round(sum(map(len, toks)) / n1, 4)
+        sym = t.count("#") + t.count("...")
+        assert out[i]["symbol_ratio"] == round(sym / n1, 4)
+        alpha = sum(1 for w in toks if re.search("[a-zA-Z]", w))
+        assert out[i]["alpha_frac"] == round(alpha / n1, 4)
+        assert out[i]["keep"] == int(
+            out[i]["pass_word_count"] and out[i]["pass_mean_word_len"]
+            and out[i]["pass_symbol_ratio"] and out[i]["pass_alpha_words"]
+            and out[i]["pass_stopwords"]
+        )
+
+
+@settings(**_SETTINGS)
+@given(texts_strategy)
+def test_repetition_profile_matches_python(spark, texts):
+    import re
+    from collections import Counter
+
+    from flink_anomaly_spark.operators.text import doc_repetition_profile
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r.asDict() for r in
+           doc_repetition_profile(df, "doc_id", "text").collect()}
+    for i, t in rows:
+        toks = [w for w in re.split(r"\s+", t) if w]
+        cnt = Counter(toks)
+        n1 = max(len(toks), 1)
+        assert out[i]["n_tokens"] == len(toks)
+        assert out[i]["top_token_frac"] == round((max(cnt.values()) if cnt else 0) / n1, 4)
+        assert out[i]["dup_token_frac"] == round(1 - len(cnt) / n1 if toks else 1 - 0 / 1, 4)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=50),
+    st.integers(min_value=5, max_value=64),
+)
+def test_pack_sequences_property(spark, counts, seq_len):
+    """bins/offsets always equal sequential packing; offsets < seq_len."""
+    from flink_anomaly_spark.operators.text import pack_sequences
+
+    rows = [(i, "t " * n) for i, n in enumerate(counts)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string").repartition(5)
+    out = {r["doc_id"]: r.asDict() for r in
+           pack_sequences(df, "doc_id", "text", seq_len=seq_len).collect()}
+    cum = 0
+    for i, n in enumerate(counts):
+        assert out[i]["bin_id"] == cum // seq_len
+        assert out[i]["bin_offset"] == cum % seq_len
+        assert 0 <= out[i]["bin_offset"] < seq_len
+        cum += n
