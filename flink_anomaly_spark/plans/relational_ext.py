@@ -740,3 +740,42 @@ def _install_ann_ivf_recall_oracle() -> None:
 
 
 _install_ann_ivf_recall_oracle()
+
+
+# ---------------------------------------------------------------------------
+# RANGE-frame window: trailing 1 h moving average per user
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "time_range_moving_avg",
+    oracle="""
+    SELECT user_id, event_id,
+           count(*) OVER w AS n_window,
+           round(avg(value) OVER w, 4) AS mov_avg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Event-time RANGE window frame (trailing 1 h per user) — the "
+    "value-based frame ROWS can't express: the frame holds every event "
+    "within 3600 s, however many there are. Both engines order by exact "
+    "epoch microseconds with an integer frame bound, so window "
+    "membership is bit-identical; one exchange on user_id.",
+)
+def q_time_range_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w).alias("n_window"),
+        F.round(F.avg("value").over(w), 4).alias("mov_avg"),
+    )
