@@ -790,3 +790,78 @@ def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=2.5,
     )
     return out.select("event_id", "user_id", "value", "trailing_n", "zscore")
+
+
+# ---------------------------------------------------------------------------
+# Canonical document selection: dedup clusters → keep the best survivor
+# ---------------------------------------------------------------------------
+
+_CANONICAL_ORACLE = f"""
+    WITH RECURSIVE
+    pairs AS ({_minhash_oracle("documents")}),
+    edges AS (
+      SELECT id1 AS src, id2 AS dst FROM pairs
+      UNION
+      SELECT id2 AS src, id1 AS dst FROM pairs
+    ),
+    reach(node, lab) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.src, r.lab FROM reach r JOIN edges e ON r.node = e.dst
+    ),
+    clusters AS (SELECT node AS id, min(lab) AS cluster_id FROM reach GROUP BY node),
+    ranked AS (
+      SELECT c.cluster_id, d.doc_id, d.n_chars,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn,
+             count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
+      FROM clusters c JOIN documents d ON c.id = d.doc_id
+    )
+    SELECT cluster_id, doc_id AS kept_doc_id, n_chars AS kept_n_chars,
+           cluster_size
+    FROM ranked WHERE rn = 1
+"""
+
+
+@register(
+    "canonical_doc_per_cluster",
+    oracle=_CANONICAL_ORACLE,
+    doc="Survivor selection after transitive dedup: per near-dup "
+    "cluster keep the 'best' document (longest n_chars, ties broken "
+    "by min doc_id — a deterministic stand-in for a quality score). "
+    "Composes connected components with a per-cluster rank: one extra "
+    "shuffle on cluster_id beyond the clustering itself; the rank "
+    "window never sees more rows per partition than the largest "
+    "cluster, so skew is bounded by cluster size, not corpus size.",
+)
+def q_canonical_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from flink_anomaly_spark.operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        docs, id_col="doc_id", text_col="text", k_shingle=3,
+        num_perm=_NUM_PERM, bands=_BANDS, jaccard_threshold=0.5,
+    )
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    clusters = connected_components(pairs, nodes)
+    joined = clusters.join(
+        docs.select("doc_id", "n_chars"), clusters.id == F.col("doc_id")
+    )
+    w = Window.partitionBy("cluster_id")
+    ranked = joined.select(
+        "cluster_id",
+        "doc_id",
+        "n_chars",
+        F.row_number()
+        .over(w.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc()))
+        .alias("rn"),
+        F.count("*").over(w).alias("cluster_size"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "cluster_id",
+        F.col("doc_id").alias("kept_doc_id"),
+        F.col("n_chars").alias("kept_n_chars"),
+        "cluster_size",
+    )

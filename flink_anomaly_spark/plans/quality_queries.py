@@ -327,3 +327,198 @@ def _install_langid_accuracy_oracle() -> None:
 
 
 _install_langid_accuracy_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Multilingual temperature resampling weights (XLM-R style, alpha=0.5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "language_sampling_weights",
+    oracle=rf"""
+    WITH per_lang AS (
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ), tot AS (
+      SELECT lang, n_docs, n_tokens,
+             CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS p,
+             sqrt(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER ()) AS w_raw
+      FROM per_lang
+    )
+    SELECT lang, n_docs, n_tokens, round(p, 6) AS token_share,
+           round(w_raw / sum(w_raw) OVER (), 6) AS sample_weight
+    FROM tot
+    """,
+    doc="Temperature-based language rebalancing (Conneau et al. 2020 "
+    "XLM-R, §3: q_i ∝ p_i^alpha with alpha=0.5): per-language token "
+    "share → damped, renormalized sampling weight. One map-side "
+    "combined aggregation over the corpus; the normalization windows "
+    "run over |languages| rows, so the plan is scan + one shuffle of "
+    "|languages| partial aggregates no matter the corpus size.",
+)
+def q_language_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    per_lang = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(toks)).alias("n_tokens"),
+    )
+    # |languages| rows from here on — the unpartitioned windows are a
+    # deliberate single-partition pass over a handful of rows
+    w = Window.partitionBy()
+    p = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w)
+    w_raw = F.sqrt(p)
+    return per_lang.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(p, 6).alias("token_share"),
+        F.round(w_raw / F.sum(w_raw).over(w), 6).alias("sample_weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram collocations by PMI
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bigram_pmi_top",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), uni AS (
+      SELECT unnest(toks) AS tok FROM t
+    ), u AS (
+      SELECT tok, count(*) AS c FROM uni GROUP BY tok
+    ), bi AS (
+      SELECT unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i+1])) AS bigram
+      FROM t
+    ), b AS (
+      SELECT split_part(bigram, ' ', 1) AS w1, split_part(bigram, ' ', 2) AS w2,
+             count(*) AS c_xy
+      FROM bi GROUP BY bigram
+    ), n AS (
+      SELECT (SELECT sum(c) FROM u) AS n1, (SELECT sum(c_xy) FROM b) AS n2
+    ), scored AS (
+      SELECT b.w1, b.w2, b.c_xy,
+             round(ln((CAST(b.c_xy AS DOUBLE) / n.n2)
+                      / ((CAST(u1.c AS DOUBLE) / n.n1)
+                         * (CAST(u2.c AS DOUBLE) / n.n1))), 6) AS pmi
+      FROM b JOIN u u1 ON b.w1 = u1.tok
+             JOIN u u2 ON b.w2 = u2.tok
+             CROSS JOIN n
+      WHERE b.c_xy >= 10
+    )
+    SELECT w1, w2, c_xy, pmi FROM scored
+    ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 20
+    """,
+    doc="Collocation mining: top-20 token bigrams by pointwise mutual "
+    "information (Church & Hanks 1990), min support 10. One explode → "
+    "count shuffle each for unigrams and bigrams; the PMI join runs "
+    "against the unigram vocabulary, which is broadcast (vocab ≪ "
+    "corpus at any scale). Deterministic ordering (pmi, w1, w2) makes "
+    "the LIMIT stable across engines.",
+)
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    t = docs.select(F.col("doc_id"), toks.alias("toks"))
+    uni = t.select(F.explode("toks").alias("tok"))
+    u = uni.groupBy("tok").agg(F.count("*").alias("c"))
+    bigrams = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.concat(
+                F.element_at("toks", i), F.lit(" "), F.element_at("toks", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bi = t.select(F.explode(bigrams).alias("bigram"))
+    b_all = bi.groupBy("bigram").agg(F.count("*").alias("c_xy"))
+    # n2 counts ALL bigram occurrences — compute it BEFORE min-support
+    b = b_all.select(
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)).alias("w2"),
+        "c_xy",
+    ).filter(F.col("c_xy") >= 10)
+    n1 = u.agg(F.sum("c").alias("n1"))
+    n2 = b_all.agg(F.sum("c_xy").alias("n2"))
+    u1 = u.select(F.col("tok").alias("u1_tok"), F.col("c").alias("c_x"))
+    u2 = u.select(F.col("tok").alias("u2_tok"), F.col("c").alias("c_y"))
+    pmi = F.round(
+        F.log(
+            (F.col("c_xy").cast("double") / F.col("n2"))
+            / (
+                (F.col("c_x").cast("double") / F.col("n1"))
+                * (F.col("c_y").cast("double") / F.col("n1"))
+            )
+        ),
+        6,
+    )
+    scored = (
+        b.join(F.broadcast(u1), F.col("w1") == F.col("u1_tok"))
+        .join(F.broadcast(u2), F.col("w2") == F.col("u2_tok"))
+        .join(F.broadcast(n1))
+        .join(F.broadcast(n2))
+        .select("w1", "w2", "c_xy", pmi.alias("pmi"))
+    )
+    return (
+        scored.orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized (percentile-clamped) robust statistics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "winsorized_event_stats",
+    oracle="""
+    WITH bounds AS (
+      SELECT event_type,
+             quantile_cont(value, 0.01) AS p01,
+             quantile_cont(value, 0.99) AS p99
+      FROM events GROUP BY event_type
+    ), clamped AS (
+      SELECT e.event_type,
+             least(greatest(e.value, b.p01), b.p99) AS v
+      FROM events e JOIN bounds b ON e.event_type = b.event_type
+    )
+    SELECT event_type, count(*) AS n_events,
+           round(avg(v), 4) AS win_mean,
+           round(stddev_samp(v), 4) AS win_std
+    FROM clamped GROUP BY event_type
+    """,
+    doc="Winsorized mean/std per event type: clamp values to the exact "
+    "[p01, p99] band, then aggregate — tail-robust statistics for "
+    "monitoring pipelines. The percentile pass aggregates per group; "
+    "the |groups|-row bounds table broadcasts back onto the fact scan, "
+    "so the second pass is map-side clamp + combined aggregation "
+    "(Spark percentile ≙ DuckDB quantile_cont, both interpolated).",
+)
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.groupBy(F.col("event_type").alias("b_type")).agg(
+        F.percentile("value", 0.01).alias("p01"),
+        F.percentile("value", 0.99).alias("p99"),
+    )
+    v = F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99"))
+    return (
+        events.join(F.broadcast(bounds), F.col("event_type") == F.col("b_type"))
+        .select("event_type", v.alias("v"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("v"), 4).alias("win_mean"),
+            F.round(F.stddev_samp("v"), 4).alias("win_std"),
+        )
+    )
