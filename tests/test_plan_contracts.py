@@ -230,3 +230,58 @@ def test_funnel_single_wide_exchange(spark):
 
     df = _Q["funnel_transitions"](spark, SF_SMOKE)
     assert_single_shuffle(df)
+
+
+def test_tpch_q5_broadcasts_dims_and_semi_nation_constraint(spark):
+    """Q5's supplier/nation/region joins must all be broadcasts; only
+    the two fact joins (lineitem⋈orders, ⋈customer) may shuffle."""
+    plan = physical_plan(_Q["tpch_q5_local_supplier"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_tpch_q4_is_semi_join(spark):
+    """The EXISTS must compile to a LEFT SEMI join (dedup-free), with
+    the orders date range pushed to the parquet scan."""
+    df = _Q["tpch_q4_late_orders"](spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "LeftSemi" in plan, plan
+    assert_parquet_pushdown(df, "o_orderdate")
+
+
+def test_tpch_q13_keeps_outer_join(spark):
+    """Q13's ON-clause priority filter must not turn the LEFT OUTER
+    into an inner join (order-less customers must survive)."""
+    plan = physical_plan(_Q["tpch_q13_cust_distribution"](spark, SF_SMOKE))
+    assert "LeftOuter" in plan, plan
+
+
+def test_tpch_q15_no_second_lineitem_scan(spark):
+    """Q15's scalar max must come from the |suppliers|-row revenue agg
+    (broadcast back), not a rescan: exactly one lineitem scan, with the
+    shipdate range pushed down."""
+    df = _Q["tpch_q15_top_supplier"](spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert plan.count("lineitem.parquet") <= 2, plan  # scan + reuse at most
+    assert_parquet_pushdown(df, "l_shipdate")
+
+
+def test_tpch_q22_anti_join(spark):
+    """NOT EXISTS must compile to LEFT ANTI against the pre-filtered
+    urgent orders."""
+    plan = physical_plan(_Q["tpch_q22_dormant_customers"](spark, SF_SMOKE))
+    assert "LeftAnti" in plan, plan
+
+
+def test_winsorized_bounds_broadcast(spark):
+    """The |groups|-row percentile bounds must broadcast back onto the
+    events scan (a shuffle join here would double the fact shuffle)."""
+    df = _Q["winsorized_event_stats"](spark, SF_SMOKE)
+    assert_broadcast_join(df)
+
+
+def test_bigram_pmi_vocab_broadcasts(spark):
+    """The unigram-vocabulary joins must broadcast (vocab ≪ corpus);
+    the bigram count agg must keep partial aggregation map-side."""
+    df = _Q["bigram_pmi_top"](spark, SF_SMOKE)
+    assert_broadcast_join(df)
+    assert_take_ordered(df)
