@@ -151,6 +151,7 @@ def _load_all() -> None:
         reference_parity,
         relational_ext,
         streaming_queries,
+        udf_surface,
         tpch,
     )
 
