@@ -299,3 +299,30 @@ def q_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_anomaly_spark.streaming.pipelines import ohlc_stream
 
     return run_to_memory(ohlc_stream(stream_events(spark, sf_dir)))
+
+
+@register(
+    "streaming_dim_enrich",
+    oracle="""
+    SELECT date_trunc('day', e.ts) AS window_start,
+           date_trunc('day', e.ts) + INTERVAL 1 DAY AS window_end,
+           c.c_mktsegment AS mktsegment,
+           count(*) AS n_events,
+           round(sum(e.value), 2) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2, 3
+    HAVING date_trunc('day', e.ts) + INTERVAL 1 DAY
+           <= (SELECT max(ts) - INTERVAL 20 SECONDS FROM events)
+    """,
+    doc="Stream–static dimension enrichment: the event stream "
+    "broadcast-joins the bounded customer dim (no streaming state — "
+    "the static side is re-planned per micro-batch), then daily "
+    "windowed count/sum per market segment under the 20 s watermark. "
+    "Single-batch finalization oracle like streaming_window_count.",
+)
+def q_streaming_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.streaming.pipelines import dim_enriched_count_stream
+    from flink_anomaly_spark.tables import load_table
+
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return run_to_memory(dim_enriched_count_stream(stream_events(spark, sf_dir), dim))

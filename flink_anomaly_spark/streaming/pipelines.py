@@ -299,3 +299,28 @@ def ohlc_stream(
             "n_events",
         )
     )
+
+
+def dim_enriched_count_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream–static enrichment join: the unbounded event stream joins a
+    bounded dimension (broadcast — re-planned per micro-batch, no state
+    store involvement), then aggregates per dimension attribute under
+    the usual 20 s watermark. The canonical "enrich clickstream with
+    user profile" shape; at scale the static side stays a broadcast as
+    long as the dim fits an executor, else Spark plans a shuffled join
+    per micro-batch.
+    """
+    enriched = events.withWatermark("ts", "20 seconds").join(
+        F.broadcast(dim), events.user_id == dim.c_custkey
+    )
+    return (
+        enriched.groupBy(F.window("ts", "1 day").alias("win"), "c_mktsegment")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            "n_events",
+            "sum_value",
+        )
+    )
