@@ -27,9 +27,10 @@ from flink_anomaly_spark.tables import load_table
 _STOPLIST_SQL = "[" + ",".join(f"'{s}'" for s in GOPHER_STOPWORDS) + "]"
 
 
-@register(
-    "gopher_quality_flags",
-    oracle=rf"""
+#: full Gopher-rule flag computation over `documents` — shared between
+#: the standalone flags query and the composed curation pipeline so the
+#: two oracles cannot drift apart
+_GOPHER_FLAGS_ORACLE = rf"""
     WITH t AS (
       SELECT doc_id, text, {_TOKS} AS toks FROM documents
     ), s AS (
@@ -62,7 +63,12 @@ _STOPLIST_SQL = "[" + ",".join(f"'{s}'" for s in GOPHER_STOPWORDS) + "]"
            pass_word_count * pass_mean_word_len * pass_symbol_ratio
              * pass_alpha_words * pass_stopwords AS keep
     FROM f
-    """,
+    """
+
+
+@register(
+    "gopher_quality_flags",
+    oracle=_GOPHER_FLAGS_ORACLE,
     doc="Gopher rule-based quality filter (Rae et al. 2021 A1.1): word "
     "count / mean word length / symbol ratio / alpha-word fraction / "
     "required-stopword rules, one flag each plus the combined keep "
@@ -521,4 +527,83 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("v"), 4).alias("win_mean"),
             F.round(F.stddev_samp("v"), 4).alias("win_std"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Composed curation pipeline: quality filter → exact dedup → near-dup
+# removal → per-language corpus report
+# ---------------------------------------------------------------------------
+
+
+def _curation_oracle() -> str:
+    from flink_anomaly_spark.plans.extensions import _minhash_oracle
+
+    return rf"""
+    WITH keepq AS (
+      SELECT doc_id FROM ({_GOPHER_FLAGS_ORACLE})
+      WHERE pass_word_count + pass_mean_word_len + pass_symbol_ratio
+            + pass_alpha_words + pass_stopwords >= 4
+    ), kept AS (
+      SELECT d.doc_id, d.text, d.lang FROM documents d
+      WHERE d.doc_id IN (SELECT doc_id FROM keepq)
+    ), survivors AS (
+      SELECT doc_id, text, lang FROM kept
+      WHERE doc_id IN (SELECT min(doc_id) FROM kept GROUP BY md5(text))
+    ), pairs AS (
+      {_minhash_oracle("survivors")}
+    ), final AS (
+      SELECT doc_id, lang, text FROM survivors
+      WHERE doc_id NOT IN (SELECT id2 FROM pairs)
+    )
+    SELECT lang, count(*) AS n_docs_kept,
+           CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens_kept
+    FROM final GROUP BY lang
+    """
+
+
+@register(
+    "corpus_curation_pipeline",
+    oracle=_curation_oracle(),
+    doc="End-to-end pre-training curation pass: Gopher majority-vote "
+    "quality filter (>=4 of 5 rules — the synthetic vocabulary can never "
+    "satisfy the 2-stopword rule, so the strict 5/5 keep is vacuous) "
+    "→ exact dedup (min doc_id per md5) → MinHash-LSH near-dup "
+    "removal → per-language kept-document and kept-token report. Each "
+    "stage is the already-verified operator (gopher_quality_flags, "
+    "exact_dedup, minhash_near_dup_pairs) composed by semi/anti joins "
+    "on doc_id — the join keys are ids only, so inter-stage shuffles "
+    "carry no text; the final report is one map-side-combined "
+    "aggregation.",
+)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.dedup import exact_dedup, minhash_near_dup_pairs
+    from flink_anomaly_spark.operators.text import gopher_quality_flags as _flags
+    from flink_anomaly_spark.plans.extensions import _BANDS, _NUM_PERM
+
+    docs = load_table(spark, sf_dir, "documents")
+    flags = _flags(docs, id_col="doc_id", text_col="text")
+    vote = (
+        F.col("pass_word_count")
+        + F.col("pass_mean_word_len")
+        + F.col("pass_symbol_ratio")
+        + F.col("pass_alpha_words")
+        + F.col("pass_stopwords")
+    )
+    keep_ids = flags.filter(vote >= 4).select("doc_id")
+    kept = docs.select("doc_id", "text", "lang").join(keep_ids, "doc_id", "left_semi")
+    exact_keep = exact_dedup(kept, content_col="text", id_col="doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    survivors = kept.join(exact_keep, "doc_id", "left_semi")
+    pairs = minhash_near_dup_pairs(
+        survivors, id_col="doc_id", text_col="text", k_shingle=3,
+        num_perm=_NUM_PERM, bands=_BANDS, jaccard_threshold=0.5,
+    )
+    losers = pairs.select(F.col("id2").alias("doc_id")).distinct()
+    final = survivors.join(losers, "doc_id", "left_anti")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    return final.groupBy("lang").agg(
+        F.count("*").alias("n_docs_kept"),
+        F.sum(F.size(toks)).alias("n_tokens_kept"),
     )
