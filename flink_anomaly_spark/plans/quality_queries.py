@@ -233,33 +233,17 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Character-level Shannon entropy per document — the gibberish/"
     "low-diversity signal real quality filters use (low entropy = "
-    "repeated chars, high = random noise). Explode chars → (doc, char) "
-    "partial-agg → per-doc window total → entropy sum; only (doc_id, "
-    "char, count) rows cross the exchange. Rounded to 6 so libm log2 "
-    "ulp and sum-order drift can't break the hash.",
+    "repeated chars, high = random noise). Arrow-vectorized mapInPandas "
+    "(UTF-32 codepoint bincount per doc): zero shuffle, no per-char "
+    "explode; the pure-Catalyst explode path remains as the "
+    "vectorized=False reference, asserted equal in tests. Rounded to 6 "
+    "so libm log2 ulp and sum-order drift can't break the hash.",
 )
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from flink_anomaly_spark.operators.text import char_entropy_profile
 
     docs = load_table(spark, sf_dir, "documents")
-    c = F.col("text")
-    chars = docs.select(
-        "doc_id",
-        F.explode(
-            F.transform(F.sequence(F.lit(1), F.length(c)), lambda i: c.substr(i, F.lit(1)))
-        ).alias("ch"),
-    )
-    g = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("cnt"))
-    n = F.sum("cnt").over(Window.partitionBy("doc_id"))
-    p = F.col("cnt") * 1.0 / F.col("n")
-    return (
-        g.withColumn("n", n)
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_distinct_chars"),
-            F.round(-F.sum(p * F.log2(p)), 6).alias("char_entropy"),
-        )
-    )
+    return char_entropy_profile(docs, id_col="doc_id", text_col="text")
 
 
 @register(

@@ -218,3 +218,26 @@ def test_ann_recall_bounds_and_self_consistency(spark):
     out = qs["ann_lsh_recall"](spark, "/root/testdata/sf0.001").toPandas()
     assert len(out) == 10
     assert ((out["recall_at_5"] >= 0) & (out["recall_at_5"] <= 1)).all()
+
+
+def test_char_entropy_vectorized_equals_catalyst(spark):
+    """The numpy codepoint-bincount path must match the explode-chars
+    Catalyst reference exactly (after the shared 6-decimal round),
+    including on empty and non-ASCII text."""
+    import pandas as pd
+
+    from flink_anomaly_spark.operators.text import char_entropy_profile
+
+    rows = [
+        (0, "aaabbc"),
+        (1, ""),
+        (2, "héllo wörld héllo"),
+        (3, "the quick brown fox jumps over the lazy dog"),
+        (4, "aAaA  \t\n zz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fast = char_entropy_profile(df, "doc_id", "text", vectorized=True).toPandas()
+    ref = char_entropy_profile(df, "doc_id", "text", vectorized=False).toPandas()
+    fast = fast.sort_values("doc_id").reset_index(drop=True)
+    ref = ref.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, ref)
