@@ -68,7 +68,12 @@ _LOADED = False
 #: customers_with_orders_semi / customers_without_orders_anti (also
 #: green r01+r02) ceded theirs to the new round-3 operators
 #: gopher_quality_flags / doc_repetition_profile /
-#: embedding_int8_quantize. See COVERAGE.md.
+#: embedding_int8_quantize; a third round-3 swap ceded
+#: clean_text_corpus / tfidf_top_terms / embedding_topk /
+#: zscore_outliers / interval_event_pairs (green r01+r02) to
+#: corpus_curation_pipeline / canonical_doc_per_cluster /
+#: udaf_weighted_mean / tpch_q5_local_supplier / streaming_dim_enrich
+#: (new this round, never driver-checked). See COVERAGE.md.
 DRIVER_WINDOW: tuple[str, ...] = (
     # LLM data-pipeline family (incl. every dedup variant and both ANN
     # index shapes; docs_by_lang_source / train_val_test_split /
@@ -76,17 +81,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "exact_dedup",
     "text_profile",
     "langid_char_ngram",
-    "clean_text_corpus",
-    "tfidf_top_terms",
+    "corpus_curation_pipeline",
+    "canonical_doc_per_cluster",
     "minhash_near_dup_pairs",
     "simhash_fingerprints",
     "simhash_near_dup_pairs",
     "ngram_jaccard_pairs",
-    "embedding_topk",
+    "udaf_weighted_mean",
     "dedup_clusters",
     "approx_stats",
     "dedup_pipeline_survivors",
-    "zscore_outliers",
+    "tpch_q5_local_supplier",
     "kmeans_embedding_outliers",
     "rolling_zscore_outliers",
     "multimodal_features",
@@ -110,7 +115,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # distinctive relational operators (pivot_order_status ceded its
     # slot in round 3 after two green rounds — locally gated)
     "asof_last_signup",
-    "interval_event_pairs",
+    "streaming_dim_enrich",
     # similarity / ANN (embedding_near_dup_lsh rotated IN round 3)
     "embedding_ann_lsh",
     "embedding_ann_ivf",
