@@ -1411,3 +1411,41 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "lineitem_grouping_sets",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           grouping(l_returnflag) AS g_flag,
+           grouping(l_linestatus) AS g_status,
+           count(*) AS n_rows,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    doc="Explicit GROUPING SETS through the SQL-text interface "
+    "(complements the DataFrame rollup/cube queries): three grouping "
+    "levels in one Expand+HashAggregate pass — Spark's Expand emits "
+    "one row per set per input row but partial aggregation collapses "
+    "them map-side, so the exchange carries ≤ Σ|groups| rows. "
+    "grouping() flags disambiguate real NULLs from subtotal rows.",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.functions.registry import sql
+
+    return sql(
+        spark,
+        sf_dir,
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               grouping(l_returnflag) AS g_flag,
+               grouping(l_linestatus) AS g_status,
+               count(*) AS n_rows,
+               round(sum(l_extendedprice), 2) AS sum_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """,
+    )

@@ -47,6 +47,14 @@ def read_json(spark: SparkSession, path: str, schema: T.StructType | str) -> Dat
     return spark.read.schema(schema).json(path)
 
 
+def read_orc(spark: SparkSession, path: str, schema: T.StructType | str | None = None) -> DataFrame:
+    """ORC scan (vectorized, predicate-pushdown-capable like parquet)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
 def stream_text(spark: SparkSession, directory: str) -> DataFrame:
     """Streaming twin of S3: unbounded text-file directory source."""
     return spark.readStream.text(directory)

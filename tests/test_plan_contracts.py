@@ -285,3 +285,20 @@ def test_bigram_pmi_vocab_broadcasts(spark):
     df = _Q["bigram_pmi_top"](spark, SF_SMOKE)
     assert_broadcast_join(df)
     assert_take_ordered(df)
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    """ORC connector: write → read → identical rows, and predicate
+    pushdown reaches the ORC scan just like parquet."""
+    from flink_anomaly_spark.sources.readers import read_orc
+    from flink_anomaly_spark.tables import load_table
+
+    cust = load_table(spark, SF_SMOKE, "customer").select("c_custkey", "c_name", "c_acctbal")
+    orc_dir = str(tmp_path / "orc")
+    cust.write.orc(orc_dir)
+    back = read_orc(spark, orc_dir)
+    expect = {(r.c_custkey, r.c_name, r.c_acctbal) for r in cust.collect()}
+    got = {(r.c_custkey, r.c_name, r.c_acctbal) for r in back.collect()}
+    assert got == expect
+    plan = physical_plan(back.filter(F.col("c_acctbal") > 1000.0))
+    assert "PushedFilters: [IsNotNull(c_acctbal), GreaterThan(c_acctbal" in plan, plan
