@@ -768,3 +768,84 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
     )
+
+
+def minhash_estimate_accuracy(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k_shingle: int = 3,
+    num_perm: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Index-quality self-evaluation for MinHash: over the LSH candidate
+    pairs (NO Jaccard threshold), compare the signature-agreement
+    estimate (matching components / num_perm — the textbook unbiased
+    Jaccard estimator) against the true shingle Jaccard, and report the
+    aggregate error profile plus the decision confusion at the 0.5
+    near-dup threshold. The eval a dedup deployment runs before
+    trusting estimate-only (verification-free) pair dropping.
+
+    Same plan shape as :func:`minhash_near_dup_pairs`; the extra cost is
+    carrying the num_perm-long signature through the two candidate
+    joins instead of dropping it after banding.
+    """
+    rows_per_band = num_perm // bands
+    base = spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text")))
+    projected = base.withColumn(
+        "__b", shingle_sig_pandas(k_shingle, num_perm)(F.col("__text"))
+    ).select("id", F.col("__b.sh").alias("sh"), F.col("__b.sig").alias("sig"))
+    sig = _persist(projected)
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+    cand = (
+        banded.alias("l")
+        .join(banded.alias("r"), ["band", "bucket"])
+        .select(F.col("l.id").alias("id1"), F.col("r.id").alias("id2"))
+        .filter(F.col("id1") < F.col("id2"))
+        .distinct()
+    )
+    sides = sig.select("id", "sh", "sig")
+    paired = cand.join(
+        sides.select(F.col("id").alias("id1"), F.col("sh").alias("sh1"), F.col("sig").alias("sig1")),
+        "id1",
+    ).join(
+        sides.select(F.col("id").alias("id2"), F.col("sh").alias("sh2"), F.col("sig").alias("sig2")),
+        "id2",
+    )
+    agree = F.aggregate(
+        F.zip_with("sig1", "sig2", lambda a, b: (a == b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    est = agree / F.lit(float(num_perm))
+    true = F.round(
+        F.size(F.array_intersect("sh1", "sh2")) / F.size(F.array_union("sh1", "sh2")), 4
+    )
+    scored = paired.select(est.alias("est"), true.alias("true_j"))
+    return scored.agg(
+        F.count("*").alias("n_candidate_pairs"),
+        F.round(F.avg(F.abs(F.col("est") - F.col("true_j"))), 4).alias("mean_abs_err"),
+        F.round(F.max(F.abs(F.col("est") - F.col("true_j"))), 4).alias("max_abs_err"),
+        F.count(F.when((F.col("est") >= 0.5) & (F.col("true_j") >= 0.5), 1)).alias("true_pos"),
+        F.count(F.when((F.col("est") >= 0.5) & (F.col("true_j") < 0.5), 1)).alias("false_pos"),
+        F.count(F.when((F.col("est") < 0.5) & (F.col("true_j") >= 0.5), 1)).alias("false_neg"),
+    )

@@ -865,3 +865,117 @@ def q_canonical_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").alias("kept_n_chars"),
         "cluster_size",
     )
+
+
+_MINHASH_ACCURACY_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id AS id, {_TOKS} AS toks FROM documents
+    ), base AS (
+      SELECT id, list_distinct({_shingle_sql(3)}) AS sh FROM t
+    ), hashed AS (
+      SELECT id, sh, list_transform(sh, s -> {_MD5_32.format(x="s")}) AS hashes FROM base
+    ), sigm AS (
+      SELECT id, sh,
+             [{{perm_exprs}}] AS sig
+      FROM hashed
+    ), banded AS (
+      SELECT id,
+             b.b AS band,
+             md5(array_to_string(sig[b.b*{_ROWS_PER_BAND}+1 : (b.b+1)*{_ROWS_PER_BAND}], ',')) AS bucket
+      FROM sigm, (SELECT unnest(range(0, {_BANDS})) AS b) b
+    ), cand AS (
+      SELECT DISTINCT l.id AS id1, r.id AS id2
+      FROM banded l JOIN banded r ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
+    ), scored AS (
+      SELECT len(list_filter(range(1, {_NUM_PERM} + 1), i -> a.sig[i] = b.sig[i]))
+               / CAST({_NUM_PERM} AS DOUBLE) AS est,
+             round(len(list_intersect(a.sh, b.sh))
+                   / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 4) AS true_j
+      FROM cand
+      JOIN sigm a ON cand.id1 = a.id
+      JOIN sigm b ON cand.id2 = b.id
+    )
+    SELECT count(*) AS n_candidate_pairs,
+           round(avg(abs(est - true_j)), 4) AS mean_abs_err,
+           round(max(abs(est - true_j)), 4) AS max_abs_err,
+           count(CASE WHEN est >= 0.5 AND true_j >= 0.5 THEN 1 END) AS true_pos,
+           count(CASE WHEN est >= 0.5 AND true_j < 0.5 THEN 1 END) AS false_pos,
+           count(CASE WHEN est < 0.5 AND true_j >= 0.5 THEN 1 END) AS false_neg
+    FROM scored
+"""
+
+
+def _minhash_accuracy_oracle() -> str:
+    perm_exprs = ",\n             ".join(
+        f"list_min(list_transform(hashes, h -> ({a}*h + {b}) % {MERSENNE_P}))"
+        for a, b in PERM_PARAMS[:_NUM_PERM]
+    )
+    return _MINHASH_ACCURACY_ORACLE.format(perm_exprs=perm_exprs)
+
+
+@register(
+    "minhash_estimate_accuracy",
+    oracle=_minhash_accuracy_oracle(),
+    doc="MinHash index-quality self-evaluation (companion to the ANN "
+    "recall evals): over ALL LSH candidate pairs, signature-agreement "
+    "Jaccard estimate vs true shingle Jaccard — mean/max absolute "
+    "error plus the 0.5-threshold decision confusion (TP/FP/FN). "
+    "Quantifies what verification-free (estimate-only) dedup would "
+    "get wrong with this (num_perm, bands) configuration.",
+)
+def q_minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.dedup import minhash_estimate_accuracy
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_estimate_accuracy(
+        docs, id_col="doc_id", text_col="text",
+        k_shingle=3, num_perm=_NUM_PERM, bands=_BANDS,
+    )
+
+
+@register(
+    "cross_doc_repeated_ngrams",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), g AS (
+      SELECT doc_id, unnest(list_distinct({_shingle_sql(10)})) AS gram FROM t
+    ), dfreq AS (
+      SELECT gram, count(*) AS n_docs FROM g GROUP BY gram
+    )
+    SELECT g.doc_id,
+           count(*) AS n_grams,
+           count(CASE WHEN d.n_docs >= 2 THEN 1 END) AS n_shared_grams,
+           round(count(CASE WHEN d.n_docs >= 2 THEN 1 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS shared_frac
+    FROM g JOIN dfreq d ON g.gram = d.gram
+    GROUP BY g.doc_id
+    """,
+    doc="Cross-document repeated-substring signal (the 10-gram "
+    "approximation of Lee et al. 2022 'Deduplicating Training Data "
+    "Makes Language Models Better' suffix-array dedup): per document, "
+    "the fraction of its distinct 10-grams that also occur in at least "
+    "one other document. Explode → doc-frequency agg → equi-join back "
+    "on the gram string — two shuffles of (doc_id, gram) pairs, no "
+    "all-pairs comparison; grams above a df-cap can be dropped at "
+    "scale exactly like the n-gram-Jaccard postings caveat.",
+)
+def q_cross_doc_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.dedup import shingles_pandas
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = (
+        spread(docs.select("doc_id", "text"))
+        .select("doc_id", F.explode(shingles_pandas(10)(F.col("text"))).alias("gram"))
+    )
+    dfreq = g.groupBy("gram").agg(F.count("*").alias("n_docs"))
+    shared = F.count(F.when(F.col("n_docs") >= 2, 1))
+    return (
+        g.join(dfreq, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            shared.alias("n_shared_grams"),
+            F.round(shared / F.count("*"), 4).alias("shared_frac"),
+        )
+    )
