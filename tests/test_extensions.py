@@ -420,3 +420,75 @@ def test_text_profile_columns(spark):
     assert row.n_chars_computed == 19
     assert 0.0 <= row.quality <= 1.0
     assert row.fingerprint >= 0
+
+
+def _mini_corpus_dir(spark, tmp_path, rows):
+    """Write a minimal documents.parquet so (spark, sf_dir) query
+    builders can run on crafted corpora."""
+    d = str(tmp_path / "sfmini")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    return d
+
+
+def test_minhash_estimate_accuracy_identical_docs(spark, tmp_path):
+    """A corpus of identical docs: every pair is an LSH candidate, the
+    signature estimate equals the true Jaccard (1.0) exactly, and the
+    0.5-threshold confusion has no errors."""
+    from flink_anomaly_spark.plans.registry import all_queries
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, text, "en", "src0", len(text)) for i in range(4)]
+    d = _mini_corpus_dir(spark, tmp_path, rows)
+    out = all_queries()["minhash_estimate_accuracy"](spark, d).collect()[0]
+    assert out.n_candidate_pairs == 6  # C(4,2)
+    assert out.mean_abs_err == 0.0 and out.max_abs_err == 0.0
+    assert out.true_pos == 6 and out.false_pos == 0 and out.false_neg == 0
+
+
+def test_cross_doc_repeated_ngrams_known_overlap(spark, tmp_path):
+    """Two identical docs share 100% of 10-grams; a disjoint doc shares
+    none."""
+    from flink_anomaly_spark.plans.registry import all_queries
+
+    dup = " ".join(f"w{i}" for i in range(20))
+    uniq = " ".join(f"u{i}" for i in range(20))
+    rows = [
+        (0, dup, "en", "s", len(dup)),
+        (1, dup, "en", "s", len(dup)),
+        (2, uniq, "en", "s", len(uniq)),
+    ]
+    d = _mini_corpus_dir(spark, tmp_path, rows)
+    got = {
+        r.doc_id: (r.n_grams, r.shared_frac)
+        for r in all_queries()["cross_doc_repeated_ngrams"](spark, d).collect()
+    }
+    assert got[0] == (11, 1.0) and got[1] == (11, 1.0)  # 20 - 10 + 1 grams
+    assert got[2] == (11, 0.0)
+
+
+def test_winsorized_stats_matches_numpy(spark):
+    """Winsorized mean/std vs a numpy reference (linear-interpolated
+    percentiles, sample std) on the real events table."""
+    import numpy as np
+
+    from flink_anomaly_spark.plans.registry import all_queries
+    from flink_anomaly_spark.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        r.event_type: (r.n_events, r.win_mean, r.win_std)
+        for r in all_queries()["winsorized_event_stats"](spark, SF_SMOKE).collect()
+    }
+    events = load_table(spark, SF_SMOKE, "events").select("event_type", "value").collect()
+    by_type: dict[str, list[float]] = {}
+    for r in events:
+        by_type.setdefault(r.event_type, []).append(r.value)
+    for t, vals in by_type.items():
+        v = np.array(vals)
+        lo, hi = np.percentile(v, 1), np.percentile(v, 99)
+        w = np.clip(v, lo, hi)
+        assert got[t][0] == len(v)
+        assert abs(got[t][1] - round(float(w.mean()), 4)) <= 2e-4
+        assert abs(got[t][2] - round(float(w.std(ddof=1)), 4)) <= 2e-4

@@ -275,3 +275,30 @@ def test_pack_sequences_property(spark, counts, seq_len):
         assert out[i]["bin_offset"] == cum % seq_len
         assert 0 <= out[i]["bin_offset"] < seq_len
         cum += n
+
+
+@settings(**_SETTINGS)
+@given(texts_strategy)
+def test_char_entropy_matches_python(spark, texts):
+    """Vectorized char entropy vs a pure-Python Counter reference."""
+    import math
+    from collections import Counter
+
+    from flink_anomaly_spark.operators.text import char_entropy_profile
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_distinct_chars, r.char_entropy)
+        for r in char_entropy_profile(df, "doc_id", "text").collect()
+    }
+    for i, t in enumerate(texts):
+        if not t:
+            assert i not in got  # empty text emits no row
+            continue
+        counts = Counter(t)
+        n = len(t)
+        ent = round(-sum((c / n) * math.log2(c / n) for c in counts.values()), 6)
+        assert got[i][0] == len(counts)
+        assert abs(got[i][1] - ent) <= 1e-6
