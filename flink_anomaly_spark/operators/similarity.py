@@ -404,3 +404,64 @@ def int8_quantize(
         ).alias("mse"),
         F.round(F.array_max(abs_arr), 9).alias("max_abs_err"),
     )
+
+
+def embedding_covariance(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """Distributed covariance of an embedding column — the building
+    block of PCA / whitening over a corpus too large to collect.
+
+    One mapInPandas pass computes per-Arrow-batch partial outer
+    products with a single BLAS matmul (M.T @ M — no per-row d² explode
+    in Catalyst), emitting dim·(dim+1)/2 upper-triangle partials per
+    batch; a groupBy(i, j) merges partials, and the per-dimension sums
+    (for the mean correction) ride the SAME partial rows' diagonal
+    companion columns. Shuffle volume is O(batches · d²), independent
+    of corpus size.
+
+    Returns (i, j, cov) for 1 ≤ i ≤ j ≤ dim (1-based, matching SQL
+    list indexing), sample covariance rounded to 6.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def op(batches):
+        iu = np.triu_indices(dim)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            S = M.T @ M
+            sums = M.sum(axis=0)
+            yield pd.DataFrame(
+                {
+                    "i": iu[0] + 1,
+                    "j": iu[1] + 1,
+                    "sxy": S[iu],
+                    # per-dim sums travel on the diagonal rows only (i==j)
+                    "si": np.where(iu[0] == iu[1], sums[iu[0]], 0.0),
+                    "n_part": np.where(iu[0] == iu[1], float(len(pdf)), 0.0),
+                }
+            )
+
+    part = spread(df.select(vec_col)).mapInPandas(
+        op, "i int, j int, sxy double, si double, n_part double"
+    )
+    merged = part.groupBy("i", "j").agg(
+        F.sum("sxy").alias("sxy"), F.sum("si").alias("si"), F.sum("n_part").alias("n_part")
+    )
+    diag = merged.filter(F.col("i") == F.col("j")).select(
+        F.col("i").alias("d"), F.col("si").alias("dim_sum"), F.col("n_part").alias("n")
+    )
+    n = F.col("n")
+    cov = (F.col("sxy") - F.col("si_full") * F.col("sj_full") / n) / (n - 1)
+    return (
+        merged.join(
+            F.broadcast(diag.select(F.col("d").alias("i"), F.col("dim_sum").alias("si_full"), "n")),
+            "i",
+        )
+        .join(
+            F.broadcast(diag.select(F.col("d").alias("j"), F.col("dim_sum").alias("sj_full"))),
+            "j",
+        )
+        .select("i", "j", (F.round(cov, 6) + F.lit(0.0)).alias("cov"))  # +0.0 folds IEEE -0.0 to +0.0
+    )

@@ -98,3 +98,30 @@ def q_embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         _MINMAX_CACHE[key] = collect_dim_minmax(emb, "embedding")
     mins, maxs = _MINMAX_CACHE[key]
     return int8_quantize(emb, id_col="vec_id", vec_col="embedding", mins=mins, maxs=maxs)
+
+
+@register(
+    "embedding_covariance",
+    oracle="""
+    WITH idx AS (SELECT CAST(unnest(range(1, 65)) AS INT) AS d),
+    pairs AS (SELECT a.d AS i, b.d AS j FROM idx a JOIN idx b ON a.d <= b.d)
+    SELECT p.i, p.j,
+           round((sum(CAST(e.embedding[p.i] AS DOUBLE) * CAST(e.embedding[p.j] AS DOUBLE))
+                  - sum(CAST(e.embedding[p.i] AS DOUBLE))
+                    * sum(CAST(e.embedding[p.j] AS DOUBLE)) / count(*))
+                 / (count(*) - 1), 6) + 0.0 AS cov
+    FROM pairs p, embeddings e
+    GROUP BY p.i, p.j
+    """,
+    doc="Distributed sample covariance of the 64-dim embedding corpus — "
+    "the PCA/whitening building block. One Arrow-batched mapInPandas "
+    "pass does a single BLAS M.T@M per batch (no per-row d-squared "
+    "explode); the exchange carries O(batches x d^2) partial rows "
+    "regardless of corpus size; the mean correction joins the 64-row "
+    "diagonal sums back as broadcasts.",
+)
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.similarity import embedding_covariance
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_covariance(emb, vec_col="embedding", dim=64)
