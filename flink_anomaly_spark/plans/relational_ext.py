@@ -779,3 +779,77 @@ def q_time_range_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("n_window"),
         F.round(F.avg("value").over(w), 4).alias("mov_avg"),
     )
+
+
+@register(
+    "event_sessionization",
+    oracle="""
+    WITH o AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id)
+    )
+    SELECT event_id, user_id,
+           sum(new_s) OVER p AS session_id,
+           max(CASE WHEN new_s = 1 THEN ts END) OVER p AS session_start
+    FROM o
+    WINDOW p AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id
+                 ROWS UNBOUNDED PRECEDING)
+    """,
+    doc="Per-event session assignment (gaps-and-islands, 30 min gap): "
+    "the row-level companion to session_window_agg — every event gets "
+    "its session ordinal and session start timestamp. Both the "
+    "boundary flag and the running session id/start come from ONE "
+    "user_id exchange (the session start is the prefix-max of "
+    "boundary timestamps, avoiding a second (user, session) shuffle); "
+    "ties broken by event_id so the assignment is deterministic.",
+)
+def q_event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ok = (
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts") - F.lag("ts").over(w) >= F.expr("INTERVAL 30 MINUTES"))
+    )
+    flagged = events.select(
+        "event_id", "user_id", "ts", gap_ok.cast("int").alias("new_s")
+    )
+    p = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return flagged.select(
+        "event_id",
+        "user_id",
+        F.sum("new_s").over(p).alias("session_id"),
+        F.max(F.when(F.col("new_s") == 1, F.col("ts"))).over(p).alias("session_start"),
+    )
+
+
+@register(
+    "map_functions",
+    oracle="""
+    SELECT event_id,
+           len(json_keys(props)) AS n_keys,
+           CAST(CASE WHEN json_extract(props, '$.k') IS NOT NULL THEN 1 ELSE 0 END
+                AS INT) AS has_k,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+    FROM events
+    """,
+    doc="MapType surface: parse the JSON props into map<string,bigint> "
+    "(from_json), then map_keys / map_contains_key / element_at — all "
+    "JVM-side Catalyst map expressions, narrow scan, no shuffle.",
+)
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return events.select(
+        "event_id",
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.map_contains_key(m, "k").cast("int").alias("has_k"),
+        F.element_at(m, "k").alias("k_value"),
+    )

@@ -302,3 +302,17 @@ def test_orc_roundtrip_and_pushdown(spark, tmp_path):
     assert got == expect
     plan = physical_plan(back.filter(F.col("c_acctbal") > 1000.0))
     assert "PushedFilters: [IsNotNull(c_acctbal), GreaterThan(c_acctbal" in plan, plan
+
+
+def test_sessionization_single_shuffle(spark):
+    """Per-event session assignment must be ONE user_id exchange: the
+    boundary flag, session ordinal, and session start all ride the same
+    window partitioning (a second (user, session) shuffle would double
+    the cost for nothing)."""
+    assert_single_shuffle(_Q["event_sessionization"](spark, SF_SMOKE))
+
+
+def test_map_functions_no_shuffle(spark):
+    """The MapType scalar battery is a pure narrow scan."""
+    plan = physical_plan(_Q["map_functions"](spark, SF_SMOKE))
+    assert "Exchange" not in plan, plan
