@@ -853,3 +853,61 @@ def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.map_contains_key(m, "k").cast("int").alias("has_k"),
         F.element_at(m, "k").alias("k_value"),
     )
+
+
+def _centroid_outlier_oracle(n_cells: int = 8, stride: int = 7, k: int = 20) -> str:
+    cos = (
+        f"{_pair_dot('v.embedding', 'c.cvec')} / "
+        f"(sqrt({_pair_dot('v.embedding', 'v.embedding')}) * "
+        f"sqrt({_pair_dot('c.cvec', 'c.cvec')}))"
+    )
+    return f"""
+    WITH cent AS (
+      SELECT c.cell, e.embedding AS cvec
+      FROM embeddings e JOIN (SELECT unnest(range(0, {n_cells})) AS cell) c
+        ON e.vec_id = c.cell * {stride}
+    ),
+    best AS (
+      SELECT vec_id, cell AS nearest_cell, round(1.0 - cos, 6) AS nearest_dist
+      FROM (
+        SELECT v.vec_id, c.cell, {cos} AS cos,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {cos} DESC, c.cell ASC) AS rn
+        FROM embeddings v CROSS JOIN cent c) t
+      WHERE rn = 1
+    )
+    SELECT vec_id, nearest_cell, nearest_dist
+    FROM best ORDER BY nearest_dist DESC, vec_id ASC LIMIT {k}
+    """
+
+
+@register(
+    "centroid_distance_outliers",
+    oracle=_centroid_outlier_oracle(),
+    doc="Distance-to-nearest-centroid outliers over the SAME fixed "
+    "deterministic centroid set the IVF index uses — the oracle-able "
+    "companion to the rows-only MLlib kmeans_embedding_outliers "
+    "(Lloyd iterations aren't portable across engines; fixed sampled "
+    "centroids are). Narrow no-shuffle cell scoring against 8 inlined "
+    "literals, then TakeOrdered top-20 by cosine distance.",
+)
+def q_centroid_distance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.relational import top_k
+    from flink_anomaly_spark.operators.similarity import _cell_scores, collect_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = _ivf_cache_key(sf_dir)
+    if key not in _IVF_CENTROID_CACHE:
+        _IVF_CENTROID_CACHE.clear()
+        _IVF_CENTROID_CACHE[key] = collect_centroids(
+            emb, "vec_id", "embedding", _IVF_CENTROID_IDS
+        )
+    best = F.array_max(_cell_scores(F.col("embedding"), _IVF_CENTROID_CACHE[key]))
+    scored = emb.select(
+        "vec_id",
+        best["cell"].alias("nearest_cell"),
+        (F.round(F.lit(1.0) - best["cos"], 6) + F.lit(0.0)).alias("nearest_dist"),
+    )
+    return top_k(
+        scored, order_by=[F.col("nearest_dist").desc(), F.col("vec_id").asc()], k=20
+    )
