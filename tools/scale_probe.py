@@ -50,6 +50,17 @@ PROBE = [
     "embedding_int8_quantize",
     "embedding_ann_ivf",
     "ohlc_resample",
+    # late round-3 additions (pair-generating dedup/eval ops stay
+    # excluded per the replication policy above)
+    "char_entropy",
+    "winsorized_event_stats",
+    "bigram_pmi_top",
+    "language_sampling_weights",
+    "embedding_covariance",
+    "udaf_weighted_mean",
+    "tpch_q5_local_supplier",
+    "tpch_q13_cust_distribution",
+    "lineitem_grouping_sets",
 ]
 
 #: fact-shift key per replicated table (dims stay unreplicated)
@@ -112,8 +123,18 @@ def main() -> None:
             r = big[name] / base[name] if base[name] > 0 else float("nan")
             lines.append(f"| {name} | {base[name]:.2f} | {big[name]:.2f} | {r:.1f}× |")
         lines.append("")
+        # preserve the hand-written narrative sections (everything from
+        # the first "## " heading onward)
+        tail = ""
+        try:
+            cur = open("docs/SCALE_NOTES.md").read()
+            idx = cur.find("\n## ")
+            if idx != -1:
+                tail = cur[idx:]
+        except OSError:
+            pass
         with open("docs/SCALE_NOTES.md", "w") as f:
-            f.write("\n".join(lines))
+            f.write("\n".join(lines) + tail)
         print("\n".join(lines))
     finally:
         shutil.rmtree(big_dir, ignore_errors=True)
