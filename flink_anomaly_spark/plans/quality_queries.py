@@ -591,3 +591,50 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs_kept"),
         F.sum(F.size(toks)).alias("n_tokens_kept"),
     )
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    oracle=rf"""
+    WITH t AS (
+      SELECT lang,
+             len({_TOKS}) AS n_tok,
+             len(regexp_extract_all(text, '[a-zA-Z]{{1,4}}|[0-9]{{1,4}}|[^a-zA-Z0-9\s]'))
+               AS n_sub,
+             length(text) AS n_ch
+      FROM documents
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST(sum(n_sub) AS BIGINT) AS total_subwords,
+           round(sum(n_sub) * 1.0 / greatest(sum(n_tok), 1), 4) AS fertility,
+           round(sum(n_ch) * 1.0 / greatest(sum(n_tok), 1), 4) AS chars_per_token
+    FROM t GROUP BY lang
+    """,
+    doc="Tokenizer fertility per language (subwords per whitespace "
+    "word, BPE-ish 4-char-piece approximation) plus chars/token — the "
+    "per-language statistic that converts document budgets into token "
+    "budgets when planning a multilingual mixture. Narrow scan + one "
+    "|languages|-group map-side-combined aggregation.",
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.text import bpe_ish_token_count, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        token_count(F.col("text")).alias("n_tok"),
+        bpe_ish_token_count(F.col("text")).alias("n_sub"),
+        F.length("text").alias("n_ch"),
+    )
+    return t.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.sum("n_sub").alias("total_subwords"),
+        F.round(F.sum("n_sub") * 1.0 / F.greatest(F.sum("n_tok"), F.lit(1)), 4).alias(
+            "fertility"
+        ),
+        F.round(F.sum("n_ch") * 1.0 / F.greatest(F.sum("n_tok"), F.lit(1)), 4).alias(
+            "chars_per_token"
+        ),
+    )
