@@ -1449,3 +1449,112 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """,
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape: the "sole late supplier" blame query
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q21_late_blame",
+    oracle="""
+    WITH flagged AS (
+      SELECT l_orderkey, l_suppkey,
+             CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END AS late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    ), per_order AS (
+      SELECT l_orderkey,
+             count(DISTINCT l_suppkey) AS n_supp,
+             count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late_supp
+      FROM flagged GROUP BY l_orderkey
+    ), blame AS (
+      SELECT DISTINCT f.l_orderkey, f.l_suppkey
+      FROM flagged f JOIN per_order p ON f.l_orderkey = p.l_orderkey
+      WHERE f.late = 1 AND p.n_supp >= 2 AND p.n_late_supp = 1
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM blame JOIN supplier ON s_suppkey = l_suppkey
+    GROUP BY s_name
+    """,
+    doc="TPC-H Q21 shape (adapted: 'late' = shipped >60 days after the "
+    "order date; no commit/receipt dates in the synthetic schema): "
+    "suppliers who were the SOLE late shipper on a multi-supplier "
+    "order. The classic EXISTS + NOT-EXISTS pair is decorrelated into "
+    "one per-order aggregate (distinct suppliers / distinct late "
+    "suppliers) joined back — two passes over the same orderkey "
+    "partitioning instead of three correlated subqueries, the rewrite "
+    "that keeps this shape one shuffle family at 100 TB.",
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    flagged = li.join(orders, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .cast("int")
+        .alias("late"),
+    )
+    per_order = flagged.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    blame = (
+        flagged.filter(F.col("late") == 1)
+        .join(
+            per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)),
+            "l_orderkey",
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        blame.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11 shape: HAVING against a scalar subquery over the same agg
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q11_important_parts",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS value
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey AS p_partkey, round(value, 2) AS part_value
+    FROM rev
+    WHERE value > (SELECT avg(value) * 1.2 FROM rev)
+    """,
+    doc="TPC-H Q11 shape (adapted: lineitem revenue per part stands in "
+    "for the missing partsupp stock value): parts whose revenue "
+    "exceeds 1.2x the MEAN part revenue (scale-free, unlike the spec's "
+    "fraction-of-total, which degenerates as |parts| grows) — a HAVING "
+    "against a scalar subquery over the same aggregate. Spark computes the per-part "
+    "agg once, derives the 1-row threshold from it, and broadcasts it "
+    "back; no second lineitem scan. The raw (unrounded) sums are "
+    "compared on both sides; only the emitted value is rounded, so "
+    "the threshold predicate and output agree bit-for-bit in shape.",
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value")
+    )
+    thr = rev.agg((F.avg("value") * 1.2).alias("thr"))
+    return (
+        rev.join(F.broadcast(thr))
+        .filter(F.col("value") > F.col("thr"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round("value", 2).alias("part_value"),
+        )
+    )
