@@ -638,3 +638,57 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_per_token"
         ),
     )
+
+
+@register(
+    "temperature_resampled_corpus",
+    oracle=rf"""
+    WITH per_lang AS (
+      SELECT lang, CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ), shares AS (
+      SELECT lang, CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS p
+      FROM per_lang
+    ), w AS (
+      SELECT lang, p, sqrt(p) / sum(sqrt(p)) OVER () AS tw FROM shares
+    ), rates AS (
+      SELECT lang,
+             CAST(floor(1000000.0 * (tw / p) / max(tw / p) OVER ()) AS BIGINT)
+               AS rate_ppm
+      FROM w
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    WHERE {_MD5_32.format(x="'mix:' || CAST(d.doc_id AS VARCHAR)")} % 1000000
+          < r.rate_ppm
+    """,
+    doc="Mixture materialization: turn the alpha=0.5 temperature "
+    "weights (language_sampling_weights) into an actual resampled "
+    "corpus — per-language keep rate ∝ target-weight / current-share, "
+    "normalized so the most up-weighted language keeps everything, "
+    "applied as a deterministic md5-bucket threshold per doc (no RNG, "
+    "reproducible across engines/cluster sizes). The rate table is "
+    "|languages| rows broadcast onto a pure filter scan; floor() is "
+    "used on BOTH engines (Spark's double->int cast truncates but "
+    "DuckDB's rounds).",
+)
+def q_temperature_resampled_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    per_lang = docs.groupBy("lang").agg(F.sum(F.size(toks)).alias("n_tokens"))
+    w = Window.partitionBy()
+    p = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w)
+    tw = F.sqrt(p) / F.sum(F.sqrt(p)).over(w)
+    ratio = tw / p
+    rates = per_lang.select(
+        F.col("lang").alias("r_lang"),
+        F.floor(1000000.0 * ratio / F.max(ratio).over(w)).alias("rate_ppm"),
+    )
+    bucket = md5_int32(F.concat_ws("", F.lit("mix:"), F.col("doc_id"))) % 1000000
+    return (
+        docs.join(F.broadcast(rates), docs.lang == F.col("r_lang"))
+        .filter(bucket < F.col("rate_ppm"))
+        .select("doc_id", "lang")
+    )

@@ -316,3 +316,27 @@ def test_map_functions_no_shuffle(spark):
     """The MapType scalar battery is a pure narrow scan."""
     plan = physical_plan(_Q["map_functions"](spark, SF_SMOKE))
     assert "Exchange" not in plan, plan
+
+
+def test_tpch_q21_two_aggregate_passes_no_correlated_rescans(spark):
+    """Q21's EXISTS/NOT-EXISTS must be the decorrelated per-order
+    aggregate join-back: at most two lineitem scans (flagged + reuse),
+    never three correlated subquery rescans."""
+    plan = physical_plan(_Q["tpch_q21_late_blame"](spark, SF_SMOKE))
+    assert plan.count("lineitem.parquet") <= 2, plan
+
+
+def test_tpch_q11_threshold_broadcast(spark):
+    """Q11's scalar threshold must broadcast back onto the per-part agg
+    (one lineitem scan total)."""
+    df = _Q["tpch_q11_important_parts"](spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert_broadcast_join(df)
+    assert plan.count("lineitem.parquet") <= 2, plan
+
+
+def test_resampled_corpus_rate_broadcast_and_pruned(spark):
+    """The mixture rates join must broadcast (|languages| rows) and the
+    text column must be pruned from the final document scan."""
+    df = _Q["temperature_resampled_corpus"](spark, SF_SMOKE)
+    assert_broadcast_join(df)
