@@ -98,3 +98,35 @@ def sink_foreach_batch(df: DataFrame, fn: Callable[[DataFrame, int], None], chec
         .trigger(availableNow=True)
         .start()
     )
+
+
+def sink_foreach_batch_idempotent(
+    df: DataFrame, fn: Callable[[DataFrame, int], None], checkpoint: str, ledger_dir: str
+):
+    """Exactly-once-effect variant of :func:`sink_foreach_batch`: the
+    standard production batchId-ledger pattern. foreachBatch re-invokes
+    a crashed batch with the SAME batchId on restart — recording each
+    completed batchId durably (one marker file, written after ``fn``
+    returns) and skipping already-recorded ids makes the side effect
+    idempotent, which upgrades the at-least-once foreach path to
+    exactly-once EFFECTS (Spark's own guarantee upgrade recipe; the
+    marker write itself must be atomic, which a file create is).
+    """
+    import os
+
+    os.makedirs(ledger_dir, exist_ok=True)
+
+    def wrapper(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(ledger_dir, f"batch-{batch_id}.done")
+        if os.path.exists(marker):
+            return  # replayed batch: effects already applied
+        fn(batch_df, batch_id)
+        with open(marker, "w") as f:
+            f.write("done")
+
+    return (
+        df.writeStream.foreachBatch(wrapper)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

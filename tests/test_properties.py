@@ -302,3 +302,56 @@ def test_char_entropy_matches_python(spark, texts):
         ent = round(-sum((c / n) * math.log2(c / n) for c in counts.values()), 6)
         assert got[i][0] == len(counts)
         assert abs(got[i][1] - ent) <= 1e-6
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),      # user
+            st.integers(min_value=0, max_value=50_000), # offset seconds
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_sessionization_matches_python(spark, rows):
+    """Per-event session assignment vs a pure-Python sessionizer (30 min
+    gap), on arbitrary (user, timestamp) streams."""
+    import datetime
+
+    from flink_anomaly_spark.plans.registry import all_queries  # noqa: F401  (pattern ref)
+    from pyspark.sql import Window
+
+    base = datetime.datetime(2024, 1, 1)
+    data = [
+        (i, u, base + datetime.timedelta(seconds=off))
+        for i, (u, off) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "event_id long, user_id long, ts timestamp")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ok = (
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts") - F.lag("ts").over(w) >= F.expr("INTERVAL 30 MINUTES"))
+    )
+    p = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    got = {
+        r.event_id: r.session_id
+        for r in df.select(
+            "event_id", F.sum(gap_ok.cast("int")).over(p).alias("session_id")
+        ).collect()
+    }
+    # python reference
+    by_user: dict[int, list[tuple]] = {}
+    for i, u, ts in data:
+        by_user.setdefault(u, []).append((ts, i))
+    expect = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        sid, last = 0, None
+        for ts, i in evs:
+            if last is None or (ts - last).total_seconds() >= 1800:
+                sid += 1
+            expect[i] = sid
+            last = ts
+    assert got == expect
