@@ -979,3 +979,35 @@ def q_cross_doc_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(shared / F.count("*"), 4).alias("shared_frac"),
         )
     )
+
+
+@register(
+    "equi_depth_histogram",
+    oracle="""
+    WITH t AS (
+      SELECT value, ntile(10) OVER (ORDER BY value, event_id) AS bucket
+      FROM events
+    )
+    SELECT bucket, count(*) AS n_rows,
+           round(min(value), 6) AS lo, round(max(value), 6) AS hi
+    FROM t GROUP BY bucket
+    """,
+    doc="Equi-depth (10-bucket) histogram of events.value — the "
+    "ANALYZE-style statistic an optimizer collects for selectivity "
+    "estimation. ntile assigns near-equal-count buckets over a total "
+    "order ((value, event_id) — the tiebreak makes bucket membership "
+    "deterministic); boundaries are the per-bucket min/max. NOTE: the "
+    "global ntile needs a total sort — fine for stats collection "
+    "(typically sampled); the scan itself is single-pass.",
+)
+def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.orderBy("value", "event_id")
+    t = events.select("value", F.ntile(10).over(w).alias("bucket"))
+    return t.groupBy("bucket").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.min("value"), 6).alias("lo"),
+        F.round(F.max("value"), 6).alias("hi"),
+    )

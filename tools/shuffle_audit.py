@@ -52,6 +52,13 @@ PROBE = [
     ("tpch_q5_local_supplier", "two fact exchanges (orderkey, custkey); supplier/nation/region broadcast"),
     ("udaf_weighted_mean", "one exchange on event_type into Arrow-batched groups"),
     ("lineitem_grouping_sets", "Expand collapsed map-side: exchange carries Σ|groups| partials"),
+    ("embedding_covariance", "O(batches x d^2) partial outer-product rows; corpus size stays map-side"),
+    ("event_sessionization", "one user_id exchange: flag + ordinal + start share the window"),
+    ("cross_doc_repeated_ngrams", "(doc_id, gram) posting shuffles; no all-pairs"),
+    ("minhash_estimate_accuracy", "band shuffle + signature-carrying candidate joins"),
+    ("tpch_q21_late_blame", "decorrelated per-order agg join-back on orderkey"),
+    ("temperature_resampled_corpus", "|languages|-row rate broadcast onto a filter scan"),
+    ("tokenizer_fertility_by_lang", "|languages| map-side-combined partials"),
 ]
 
 
