@@ -495,9 +495,14 @@ def char_entropy_profile(
                 p = counts / cps.size
                 ids.append(i)
                 nd.append(len(counts))
-                ent.append(round(float(-(p * np.log2(p)).sum()), 6))
+                ent.append(float(-(p * np.log2(p)).sum()))
             yield pd.DataFrame({id_col: ids, "n_distinct_chars": nd, "char_entropy": ent})
 
-    return spread(df.select(id_col, text_col)).mapInPandas(
+    raw = spread(df.select(id_col, text_col)).mapInPandas(
         op, f"{id_col} long, n_distinct_chars long, char_entropy double"
+    )
+    # round JVM-side: Python round() is banker's rounding; F.round is
+    # half-away-from-zero, matching both the Catalyst path and DuckDB
+    return raw.select(
+        id_col, "n_distinct_chars", F.round("char_entropy", 6).alias("char_entropy")
     )

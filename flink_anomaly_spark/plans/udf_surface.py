@@ -56,14 +56,17 @@ def q_udaf_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.DataFrame(
             {
                 "event_type": [key_tuple[0]],
-                "wmean": [round(num / den, 4)],
+                "wmean": [num / den],
                 "n_events": [len(pdf)],
             }
         )
 
-    return grouped_udaf(
+    out = grouped_udaf(
         events, "event_type", wmean, "event_type string, wmean double, n_events bigint"
     )
+    # round JVM-side: Python's round() is banker's rounding, SQL round is
+    # half-away-from-zero — F.round matches the DuckDB oracle exactly
+    return out.select("event_type", F.round("wmean", 4).alias("wmean"), "n_events")
 
 
 @register(

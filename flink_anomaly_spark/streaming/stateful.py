@@ -156,9 +156,10 @@ def _zscore_fn(
         if n >= 2:
             var = m2 / (n - 1)
             if var > 0:
-                zval = (x - mean) / math.sqrt(var)
-                z = round(zval, 4)
-                if n >= 10 and abs(zval) > 3:
+                # emitted unrounded; the stream builder F.rounds it
+                # (Python round() is banker's — the oracle's isn't)
+                z = (x - mean) / math.sqrt(var)
+                if n >= 10 and abs(z) > 3:
                     flag = 1
         out_ids.append(eid)
         out_n.append(n)
@@ -197,4 +198,5 @@ def running_zscore_stream(events: DataFrame, key: str = "event_type") -> DataFra
             "append",
             GroupStateTimeout.NoTimeout,
         )
+        .withColumn("z", F.round("z", 4))
     )
