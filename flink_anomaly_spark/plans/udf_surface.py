@@ -106,3 +106,44 @@ def q_udtf_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c DESC, ngram ASC LIMIT 15
         """
     )
+
+
+@register(
+    "synthetic_source_agg",
+    oracle="""
+    WITH t AS (
+      SELECT i AS event_id,
+             'type_' || CAST(i % 5 AS VARCHAR) AS event_type,
+             ((i * 9973) % 10000) / 10.0 AS value
+      FROM (SELECT unnest(range(5000, 20000)) AS i)
+    )
+    SELECT event_type, count(*) AS n_rows, round(sum(value), 2) AS sum_value
+    FROM t GROUP BY event_type
+    """,
+    doc="Custom Python DataSource surface (Spark 4 connector API): "
+    "scan the registered `synthetic_events` format (16 planned input "
+    "partitions, rows a pure function of event_id), with the "
+    "event_id >= 5000 predicate PUSHED INTO the source via "
+    "pushFilters (pruned rows are never generated). The oracle "
+    "regenerates the same rows from range() arithmetic — the source "
+    "is engine-portable by construction. Ignores sf_dir (the source "
+    "is synthetic).",
+)
+def q_synthetic_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.sources.synthetic import register_synthetic_source
+
+    register_synthetic_source(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("rows", 20000)
+        .option("partitions", 16)
+        .load()
+    )
+    return (
+        df.filter(F.col("event_id") >= 5000)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )

@@ -340,3 +340,29 @@ def test_resampled_corpus_rate_broadcast_and_pruned(spark):
     text column must be pruned from the final document scan."""
     df = _Q["temperature_resampled_corpus"](spark, SF_SMOKE)
     assert_broadcast_join(df)
+
+
+def test_python_datasource_pushdown_and_partitioning(spark):
+    """The custom Python DataSource must (a) plan the requested number
+    of input partitions, (b) produce deterministic rows, and (c) consume
+    event_id range predicates in pushFilters — after pushdown only the
+    isnotnull remnant may remain in the post-scan Filter."""
+    from flink_anomaly_spark.sources.synthetic import register_synthetic_source
+
+    register_synthetic_source(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("rows", 1000)
+        .option("partitions", 4)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == 1000
+    filt = df.filter((F.col("event_id") >= 100) & (F.col("event_id") < 110))
+    rows = sorted((r.event_id, r.event_type, r.value) for r in filt.collect())
+    assert [r[0] for r in rows] == list(range(100, 110))
+    assert rows[0][1] == "type_0" and rows[0][2] == ((100 * 9973) % 10000) / 10.0
+    plan = physical_plan(filt)
+    assert "PushedFilters: [GreaterThanOrEqual(event_id,100), LessThan(event_id,110)]" in plan, plan
+    cond = plan.split("Condition : ")[1].splitlines()[0]
+    assert cond == "isnotnull(event_id#0L)" or "GreaterThan" not in cond, plan
