@@ -17,7 +17,12 @@ the dataset exactly.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 def _row(i: int):
@@ -81,6 +86,9 @@ class SyntheticEventsDataSource(DataSource):
     def reader(self, schema) -> SyntheticEventsReader:
         return SyntheticEventsReader(self.options)
 
+    def simpleStreamReader(self, schema):
+        return SyntheticEventsStreamReader(self.options)
+
 
 def register_synthetic_source(spark) -> None:
     """Idempotent registration of the custom source format. Python-source
@@ -88,3 +96,28 @@ def register_synthetic_source(spark) -> None:
     runs (a dynamic SQLConf, safe under any session)."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SyntheticEventsDataSource)
+
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming flavor: a bounded deterministic stream that advances
+    ``batch_rows`` ids per micro-batch up to ``rows`` total. Offsets are
+    plain dicts (checkpoint-serializable); `read(start)` returns the
+    rows of one micro-batch plus the next offset, so restart-from-
+    checkpoint resumes exactly (same contract as any replayable source —
+    the property Spark's exactly-once state updates rest on)."""
+
+    def __init__(self, options):
+        self.total = int(options.get("rows", 1000))
+        self.batch_rows = int(options.get("batchRows", 100))
+
+    def initialOffset(self):
+        return {"next": 0}
+
+    def read(self, start):
+        lo = start["next"]
+        hi = min(lo + self.batch_rows, self.total)
+        return [_row(i) for i in range(lo, hi)], {"next": hi}
+
+    def readBetweenOffsets(self, start, end):
+        return [_row(i) for i in range(start["next"], end["next"])]
+

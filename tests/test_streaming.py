@@ -484,3 +484,42 @@ def test_idempotent_foreach_batch_skips_replayed_batch(spark, tmp_path):
     q2 = sink_foreach_batch_idempotent(stream, effect, str(tmp_path / "cp2"), ledger)
     q2.awaitTermination()
     assert open(effects_file).read().splitlines() == first
+
+
+def test_synthetic_stream_source_drains_in_micro_batches(spark, tmp_path):
+    """The custom Python streaming source must advance its offset per
+    micro-batch and deliver every row exactly once: 500 rows at 200
+    rows/batch → ≥3 micro-batches, 100 rows per event_type."""
+    import time
+    import uuid
+
+    from flink_anomaly_spark.sources.synthetic import register_synthetic_source
+
+    register_synthetic_source(spark)
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("rows", 500)
+        .option("batchRows", 200)
+        .load()
+    )
+    name = f"synth_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            rows = {r.event_type: r.n for r in spark.table(name).collect()}
+            if sum(rows.values()) >= 500:
+                break
+            time.sleep(0.5)
+        assert rows == {f"type_{i}": 100 for i in range(5)}, rows
+        assert len(q.recentProgress) >= 3  # 500/200 → at least 3 batches
+    finally:
+        q.stop()
