@@ -1,0 +1,74 @@
+"""Iterative graph algorithms over edge DataFrames.
+
+Connected components lives in :mod:`flink_anomaly_spark.operators.dedup`
+(it grew out of the dedup-cluster pipeline); this module holds the
+general iterative-computation surface. PageRank here is FIXED-iteration
+(not run-to-convergence): deterministic, engine-portable — the DuckDB
+oracle unrolls the same number of steps — and the per-iteration plan is
+the one that scales (edge-join + aggregate, lineage truncated by the
+loop structure itself since each iteration is a fresh narrow frame over
+the persisted edge list).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank.
+
+    ``edges``: (src, dst) directed edge list (symmetrize beforehand for
+    an undirected graph). ``nodes``: (id) — every vertex, including
+    isolated ones. Dangling mass (rank held by nodes with no out-edges)
+    is redistributed uniformly each step, so total rank is conserved.
+
+    Per iteration: one (src)-keyed join of ranks onto the edge list and
+    one (dst)-keyed aggregation — the standard two-shuffle PageRank
+    step; the out-degree table and the two scalar aggregates (N,
+    dangling mass) are broadcasts. Returns (id, pr) with pr rounded
+    to 6 (sum-order ulp across engines is ~1e-15 per step).
+    """
+    out_deg = edges.groupBy(F.col("src").alias("od_id")).agg(
+        F.count("*").alias("out_deg")
+    )
+    n_nodes = nodes.count()  # scalar: index-build-style driver fetch
+    ranks = nodes.select("id", (F.lit(1.0) / n_nodes).alias("pr"))
+    for _ in range(iterations):
+        with_deg = ranks.join(
+            F.broadcast(out_deg), ranks.id == F.col("od_id"), "left_outer"
+        )
+        dangling = with_deg.filter(F.col("out_deg").isNull()).agg(
+            F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dm")
+        )
+        contrib = (
+            edges.join(
+                with_deg.filter(F.col("out_deg").isNotNull()).select(
+                    F.col("id").alias("c_src"), "pr", "out_deg"
+                ),
+                F.col("src") == F.col("c_src"),
+            )
+            .select("dst", (F.col("pr") / F.col("out_deg")).alias("w"))
+            .groupBy("dst")
+            .agg(F.sum("w").alias("in_w"))
+        )
+        base = (1.0 - damping) / n_nodes
+        ranks = (
+            nodes.join(contrib, nodes.id == F.col("dst"), "left_outer")
+            .join(F.broadcast(dangling))
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("in_w"), F.lit(0.0)) + F.col("dm") / n_nodes)
+                ).alias("pr"),
+            )
+        )
+    return ranks.select("id", F.round("pr", 6).alias("pr"))

@@ -1011,3 +1011,66 @@ def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 6).alias("lo"),
         F.round(F.max("value"), 6).alias("hi"),
     )
+
+
+def _pagerank_oracle(iterations: int = 3, damping: float = 0.85) -> str:
+    prev = "pr0"
+    steps = []
+    for k in range(1, iterations + 1):
+        cur = f"pr{k}"
+        steps.append(f"""
+    {cur} AS (
+      SELECT d.doc_id AS id,
+             (1.0 - {damping}) / (SELECT n FROM nn)
+             + {damping} * (coalesce(c.in_w, 0.0)
+                 + (SELECT coalesce(sum(p.pr), 0.0)
+                    FROM {prev} p LEFT JOIN od ON p.id = od.od_id
+                    WHERE od.od_id IS NULL) / (SELECT n FROM nn)) AS pr
+      FROM documents d
+      LEFT JOIN (SELECT e.dst, sum(p.pr / od.out_deg) AS in_w
+                 FROM edges e
+                 JOIN {prev} p ON e.src = p.id
+                 JOIN od ON p.id = od.od_id
+                 GROUP BY e.dst) c ON d.doc_id = c.dst
+    )""")
+        prev = cur
+    return f"""
+    WITH
+    pairs AS ({_minhash_oracle("documents")}),
+    edges AS (
+      SELECT id1 AS src, id2 AS dst FROM pairs
+      UNION
+      SELECT id2 AS src, id1 AS dst FROM pairs
+    ),
+    od AS (SELECT src AS od_id, count(*) AS out_deg FROM edges GROUP BY src),
+    nn AS (SELECT count(*) AS n FROM documents),
+    pr0 AS (SELECT doc_id AS id, 1.0 / (SELECT n FROM nn) AS pr FROM documents),
+    {",".join(steps)}
+    SELECT id, round(pr, 6) AS pr FROM {prev}
+    """
+
+
+@register(
+    "pagerank_neardup",
+    oracle=_pagerank_oracle(),
+    doc="Fixed-iteration PageRank (3 steps, d=0.85) over the "
+    "symmetrized MinHash near-dup graph — the iterative-algorithm "
+    "surface beyond connected components. Each step is the standard "
+    "two-shuffle plan (rank⋈edges on src, aggregate on dst); "
+    "out-degree and the dangling-mass scalar broadcast. "
+    "Fixed iterations keep it deterministic and engine-portable — "
+    "the oracle unrolls the same 3 steps in SQL.",
+)
+def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        docs, id_col="doc_id", text_col="text", k_shingle=3,
+        num_perm=_NUM_PERM, bands=_BANDS, jaccard_threshold=0.5,
+    )
+    edges = pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst")).unionByName(
+        pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst"))
+    ).distinct()
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    return pagerank(edges, nodes, iterations=3, damping=0.85)
