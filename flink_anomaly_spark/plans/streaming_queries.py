@@ -247,7 +247,7 @@ def q_streaming_running_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT key, event_id, n_prev,
            CASE WHEN n_prev >= 2 AND std_prev > 0
-                THEN round((value - mean_prev) / std_prev, 4) END AS z,
+                THEN round((value - mean_prev) / std_prev, 4) + 0.0 END AS z,
            CASE WHEN n_prev >= 10 AND std_prev > 0
                      AND abs((value - mean_prev) / std_prev) > 3
                 THEN 1 ELSE 0 END AS is_outlier

@@ -198,5 +198,5 @@ def running_zscore_stream(events: DataFrame, key: str = "event_type") -> DataFra
             "append",
             GroupStateTimeout.NoTimeout,
         )
-        .withColumn("z", F.round("z", 4))
+        .withColumn("z", F.round("z", 4) + F.lit(0.0))  # +0.0 folds IEEE -0.0
     )
