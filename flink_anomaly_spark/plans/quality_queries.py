@@ -399,7 +399,7 @@ def q_language_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT b.w1, b.w2, b.c_xy,
              round(ln((CAST(b.c_xy AS DOUBLE) / n.n2)
                       / ((CAST(u1.c AS DOUBLE) / n.n1)
-                         * (CAST(u2.c AS DOUBLE) / n.n1))), 6) AS pmi
+                         * (CAST(u2.c AS DOUBLE) / n.n1))), 6) + 0.0 AS pmi
       FROM b JOIN u u1 ON b.w1 = u1.tok
              JOIN u u2 ON b.w2 = u2.tok
              CROSS JOIN n
@@ -451,7 +451,7 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
         6,
-    )
+    ) + F.lit(0.0)  # +0.0 folds IEEE -0.0 (PMI can straddle zero)
     scored = (
         b.join(F.broadcast(u1), F.col("w1") == F.col("u1_tok"))
         .join(F.broadcast(u2), F.col("w2") == F.col("u2_tok"))
