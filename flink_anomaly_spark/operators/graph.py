@@ -21,6 +21,7 @@ def pagerank(
     nodes: DataFrame,
     iterations: int = 3,
     damping: float = 0.85,
+    reliable_checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank.
 
@@ -35,10 +36,20 @@ def pagerank(
     dangling mass) are broadcasts. Returns (id, pr) with pr rounded
     to 6 (sum-order ulp across engines is ~1e-15 per step).
     """
+    from flink_anomaly_spark.operators.dedup import _truncate_fn
+
+    truncate = _truncate_fn(edges, reliable_checkpoint_dir)
+    # each rank frame is consumed by TWO branches per iteration (dangling
+    # mass + contributions) and feeds the next — without truncation the
+    # lineage (and the edge derivation, e.g. a minhash pair pipeline)
+    # recomputes ~2^iterations times. Materialize the edge list once and
+    # checkpoint ranks per step, exactly like connected_components.
+    edges = truncate(edges.select("src", "dst"))
     out_deg = edges.groupBy(F.col("src").alias("od_id")).agg(
         F.count("*").alias("out_deg")
     )
     n_nodes = nodes.count()  # scalar: index-build-style driver fetch
+    nodes = truncate(nodes.select("id"))
     ranks = nodes.select("id", (F.lit(1.0) / n_nodes).alias("pr"))
     for _ in range(iterations):
         with_deg = ranks.join(
@@ -71,4 +82,5 @@ def pagerank(
                 ).alias("pr"),
             )
         )
-    return ranks.select("id", F.round("pr", 6).alias("pr"))
+        ranks = truncate(ranks)
+    return ranks.select("id", (F.round("pr", 6) + F.lit(0.0)).alias("pr"))
