@@ -366,3 +366,13 @@ def test_python_datasource_pushdown_and_partitioning(spark):
     assert "PushedFilters: [GreaterThanOrEqual(event_id,100), LessThan(event_id,110)]" in plan, plan
     cond = plan.split("Condition : ")[1].splitlines()[0]
     assert cond == "isnotnull(event_id#0L)" or "GreaterThan" not in cond, plan
+
+
+def test_pagerank_lineage_truncated(spark):
+    """The final PageRank plan must start from the checkpointed rank
+    frame — if the documents parquet scan (the minhash pair pipeline)
+    appears in the FINAL plan, per-iteration truncation regressed and
+    the edge derivation recomputes exponentially with iterations."""
+    plan = physical_plan(_Q["pagerank_neardup"](spark, SF_SMOKE))
+    assert "documents.parquet" not in plan, plan
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan, plan
