@@ -1558,3 +1558,325 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("value", 2).alias("part_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 shape: minimum-cost supplier per part within a region
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH costs AS (
+      SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), eligible AS (
+      SELECT c.l_partkey, c.unit_cost, s.s_suppkey, s.s_acctbal, s.s_name, n.n_name
+      FROM costs c
+      JOIN supplier s ON c.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ), wanted AS (
+      SELECT p_partkey FROM part
+      WHERE p_type = 'LARGE' AND p_size BETWEEN 10 AND 20
+    ), best AS (
+      SELECT e.l_partkey, min(e.unit_cost) AS min_cost
+      FROM eligible e JOIN wanted w ON e.l_partkey = w.p_partkey
+      GROUP BY e.l_partkey
+    )
+    SELECT e.s_acctbal, e.s_name, e.n_name, e.l_partkey AS p_partkey,
+           e.unit_cost
+    FROM eligible e
+    JOIN best b ON e.l_partkey = b.l_partkey AND e.unit_cost = b.min_cost
+    """,
+    doc="TPC-H Q2 shape (adapted: the synthetic schema has no partsupp, "
+    "so a supplier's offer price for a part is the minimum observed "
+    "unit price min(l_extendedprice/l_quantity) in lineitem). The "
+    "correlated min-cost subquery is decorrelated into a per-part "
+    "pre-agg joined back on exact cost equality — safe across engines "
+    "because the min is one of the candidate doubles, not a recomputed "
+    "sum, so equality matches bit-for-bit. The emitted cost is the raw "
+    "double, NOT rounded: per-row IEEE division is bit-identical on "
+    "both engines, while decimal rounding of a tie like 2549.81375 is "
+    "not (observed at sf0.1). supplier/nation/region and the filtered part list are "
+    "broadcast; the only large shuffle is the lineitem "
+    "(partkey, suppkey) pre-agg, which runs map-side partial first.",
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    wanted = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "LARGE") & F.col("p_size").between(10, 20))
+        .select("p_partkey")
+    )
+    costs = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    region_supp = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    eligible = costs.join(
+        F.broadcast(region_supp), costs.l_suppkey == F.col("s_suppkey")
+    ).join(F.broadcast(wanted), costs.l_partkey == F.col("p_partkey"))
+    best = eligible.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    return (
+        eligible.join(
+            best,
+            (F.col("l_partkey") == F.col("b_partkey"))
+            & (F.col("unit_cost") == F.col("min_cost")),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("l_partkey").alias("p_partkey"),
+            "unit_cost",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9 shape: product-type profit by nation and year
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q9_product_profit",
+    oracle="""
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount)
+                     - 0.6 * p_retailprice * l_quantity), 2) AS profit_proxy
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+    doc="TPC-H Q9 shape (adapted: no partsupp, so unit cost is proxied "
+    "as 0.6 x p_retailprice instead of ps_supplycost; the spec's "
+    "'%red%' part-name filter is kept verbatim — the synthetic "
+    "p_name is '<adjective> <noun>'). Profit per supplier nation per "
+    "order year. part (filtered ~1/8), supplier, and nation broadcast; "
+    "the lineitem-orders join is the one fact-fact shuffle, on "
+    "orderkey, and the final agg carries |nations| x |years| groups.",
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    nation = load_table(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).alias("profit_proxy"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 shape: supplier count by part attributes with an exclusion list
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q16_supplier_cnt",
+    oracle="""
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM ps JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#9'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16 shape (adapted: the part-supplier relation is "
+    "DISTINCT (l_partkey, l_suppkey) from lineitem instead of the "
+    "missing partsupp, and 'Customer Complaints' suppliers are proxied "
+    "by s_acctbal < 0). NOT IN over a non-nullable key column compiles "
+    "to a broadcast anti join (no null-check penalty: s_suppkey and "
+    "l_suppkey are non-null by construction); part filters broadcast; "
+    "the distinct and the count-distinct agg reuse the same "
+    "(partkey, suppkey) shuffle partitioning.",
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#9")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    bad_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        ps.join(F.broadcast(bad_supp), ps.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q20 shape: suppliers with concentrated shipments of target parts
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q20_part_promotion",
+    oracle="""
+    WITH target_parts AS (
+      SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+    ), shipped AS (
+      SELECT l_suppkey,
+             sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+                      THEN l_quantity ELSE 0 END) AS qty_1996,
+             sum(l_quantity) AS qty_total
+      FROM lineitem JOIN target_parts ON p_partkey = l_partkey
+      GROUP BY l_suppkey
+    ), globe AS (
+      SELECT sum(qty_1996) AS g_1996, sum(qty_total) AS g_total FROM shipped
+    ), excess AS (
+      SELECT l_suppkey FROM shipped, globe
+      WHERE qty_1996 * g_total > g_1996 * qty_total
+    )
+    SELECT s_name, n_name
+    FROM supplier
+    JOIN excess ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    """,
+    doc="TPC-H Q20 shape (adapted: no partsupp availqty, so the "
+    "'excess stock' predicate becomes shipment concentration — "
+    "suppliers whose 1996 shipments of 'small%' parts exceed 30% of "
+    "their all-time volume of those parts). The nested-subquery chain "
+    "(part filter -> lineitem agg -> supplier semi-join) is the Q20 "
+    "skeleton. 'Concentrated' = the supplier's 1996 share of target-"
+    "part volume exceeds the GLOBAL 1996 share — scale-stable (a fixed "
+    "cutoff degenerates as per-supplier shares concentrate toward the "
+    "calendar mean at higher SF) and compared via cross-multiplication "
+    "of exact integral-double sums, so no division ulp on either "
+    "engine. The part filter "
+    "broadcasts into the lineitem scan; one agg shuffle on l_suppkey "
+    "(map-side partials), then the tiny survivor list broadcasts to "
+    "supplier⋈nation.",
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    target = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    in_1996 = (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")) & (
+        F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    shipped = (
+        li.join(F.broadcast(target), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.when(in_1996, F.col("l_quantity")).otherwise(0.0)).alias("qty_1996"),
+            F.sum("l_quantity").alias("qty_total"),
+        )
+    )
+    globe = shipped.agg(
+        F.sum("qty_1996").alias("g_1996"), F.sum("qty_total").alias("g_total")
+    )
+    excess = (
+        shipped.join(F.broadcast(globe))
+        .filter(F.col("qty_1996") * F.col("g_total") > F.col("g_1996") * F.col("qty_total"))
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(F.broadcast(excess), supp.s_suppkey == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("s_name", "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered fact⋈dim join (runtime-filter pattern, DIY bitmap)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bloom_prefilter_urgent_revenue",
+    oracle="""
+    SELECT year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY o_year, o_month
+    """,
+    doc="Runtime-bloom-filter join pattern: revenue of 1997 URGENT "
+    "orders. The filtered orders (~3% of the table) build a 64 Kbit "
+    "Bloom bitmap via map-side-partial bit_or (operators/relational.py "
+    "bloom_build — Spark's own bloom_filter_agg is not in the public "
+    "registry); lineitem is prefiltered by k=3 broadcast bitmap "
+    "lookups BEFORE its join shuffle, so at 100 TB the exchange "
+    "carries only probable-match lines (no false negatives; the exact "
+    "join removes false positives, which is why a plain-join oracle "
+    "is exact). The oracle is the join without the bloom — identical "
+    "results by construction.",
+)
+def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.relational import bloom_build, bloom_prefilter
+
+    orders_f = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    bloom = bloom_build(orders_f, F.col("o_orderkey"))
+    li_pref = bloom_prefilter(li, F.col("l_orderkey"), bloom)
+    return (
+        li_pref.join(
+            orders_f.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.year("o_orderdate").alias("o_year"),
+            F.month("o_orderdate").alias("o_month"),
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )

@@ -376,3 +376,40 @@ def test_pagerank_lineage_truncated(spark):
     plan = physical_plan(_Q["pagerank_neardup"](spark, SF_SMOKE))
     assert "documents.parquet" not in plan, plan
     assert "ExistingRDD" in plan or "LocalTableScan" in plan, plan
+
+
+def test_tpch_q2_dims_broadcast_one_lineitem_scan(spark):
+    """Q2's decorrelated min-cost join-back must reuse the one
+    (partkey, suppkey) pre-agg — supplier/nation/region/part all
+    broadcast, and lineitem is scanned at most twice (pre-agg + the
+    join-back branch), never once per correlated part."""
+    df = _Q["tpch_q2_min_cost_supplier"](spark, SF_SMOKE)
+    assert_broadcast_join(df)
+    plan = physical_plan(df)
+    assert plan.count("lineitem.parquet") <= 2, plan
+
+
+def test_tpch_q9_single_fact_fact_shuffle(spark):
+    """Q9's only non-broadcast join must be lineitem⋈orders: part,
+    supplier, and nation are broadcast so the snowflake collapses to
+    one fact-fact exchange pair plus the final agg."""
+    df = _Q["tpch_q9_product_profit"](spark, SF_SMOKE)
+    assert_broadcast_join(df)
+    plan = physical_plan(df)
+    # part-side filter must reach the part scan (1/8 of parts survive)
+    assert "p_name" in plan, plan
+
+
+def test_tpch_q16_anti_join_broadcast(spark):
+    """Q16's NOT IN exclusion list (suppliers with negative balance)
+    must compile to a broadcast anti join, not a shuffled one."""
+    plan = physical_plan(_Q["tpch_q16_supplier_cnt"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_tpch_q20_survivor_list_broadcast(spark):
+    """Q20's excess-supplier survivor list is tiny (≤ |suppliers|) and
+    must broadcast into the supplier⋈nation join; the lineitem agg is
+    the only wide shuffle."""
+    df = _Q["tpch_q20_part_promotion"](spark, SF_SMOKE)
+    assert_broadcast_join(df)
