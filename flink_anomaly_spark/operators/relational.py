@@ -228,3 +228,72 @@ def top_k_per_group(
 
     w = Window.partitionBy(*group_cols).orderBy(*order_by)
     return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
+
+
+def bloom_build(df: DataFrame, key: Column, m_bits: int = 1 << 16, k: int = 3) -> DataFrame:
+    """Distributed Bloom-filter BUILD over ``key``: returns a bitmap
+    table (word: long index, bits: long) with at most ``m_bits/64``
+    rows, computed with a map-side-partial ``bit_or`` aggregation —
+    the build side never leaves the JVM and the shuffle carries at most
+    |words| rows per partition regardless of build cardinality.
+
+    The k hash positions are ``pmod(xxhash64(key, seed), m_bits)`` —
+    engine-native, no Python. Spark's own runtime bloom filter
+    (``bloom_filter_agg``) is not exposed through the public function
+    registry, so this is the same pattern built from public primitives;
+    unlike ``df.stat.bloomFilter`` it never materializes the filter on
+    the driver — it stays a DataFrame and broadcasts into the probe.
+    """
+    if m_bits % 64:
+        raise ValueError(f"m_bits ({m_bits}) must be a multiple of 64")
+    positions = df.select(
+        F.explode(
+            F.array(*[F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m_bits)) for i in range(k)])
+        ).alias("pos")
+    )
+    return (
+        positions.select(
+            F.shiftright(F.col("pos"), 6).alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_prefilter(
+    probe: DataFrame,
+    key: Column,
+    bloom: DataFrame,
+    m_bits: int = 1 << 16,
+    k: int = 3,
+) -> DataFrame:
+    """Bloom-filter PROBE: keep only ``probe`` rows whose key is
+    (probably) in the filter built by :func:`bloom_build` with the same
+    ``m_bits``/``k``. Each of the k checks is a broadcast-hash join
+    against the ≤ m_bits/64-row bitmap table plus a bit test — O(k)
+    JVM-side lookups per probe row, zero shuffle of the probe side.
+
+    No false negatives (guaranteed by construction), tunable false
+    positives — so ``bloom_prefilter(...) ⋈ build == probe ⋈ build``
+    exactly, with the big side shrunk BEFORE the join shuffle: the 100 TB
+    pattern for joining a fact table against a selectively-filtered dim.
+    """
+    out = probe
+    for i in range(k):
+        pos = F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m_bits))
+        out = (
+            out.withColumn(f"__w{i}", F.shiftright(pos, 6))
+            .withColumn(f"__b{i}", (pos % 64).cast("int"))
+            .join(
+                F.broadcast(
+                    bloom.select(
+                        F.col("word").alias(f"__w{i}"), F.col("bits").alias(f"__bits{i}")
+                    )
+                ),
+                f"__w{i}",
+            )
+            .filter(F.expr(f"(shiftrightunsigned(__bits{i}, __b{i}) & 1) = 1"))
+            .drop(f"__w{i}", f"__b{i}", f"__bits{i}")
+        )
+    return out

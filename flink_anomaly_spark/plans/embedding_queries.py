@@ -125,3 +125,72 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_covariance(emb, vec_col="embedding", dim=64)
+
+
+# ---------------------------------------------------------------------------
+# Johnson–Lindenstrauss random projection 64d → 16d (sign matrix)
+# ---------------------------------------------------------------------------
+
+_RP_IN, _RP_OUT = 64, 16
+
+
+def _rp_sign(i: int, j: int) -> int:
+    """Deterministic ±1 from md5('rp:i:j') — computed ONCE at plan-build
+    time in Python and inlined as literals into BOTH the Spark plan and
+    the oracle SQL, so the 'random' matrix cannot drift between engines."""
+    import hashlib
+
+    return 1 if hashlib.md5(f"rp:{i}:{j}".encode()).digest()[0] % 2 == 0 else -1
+
+
+_RP_SIGNS = [[_rp_sign(i, j) for i in range(_RP_IN)] for j in range(_RP_OUT)]
+
+
+def _rp_oracle() -> str:
+    cols = []
+    for j in range(_RP_OUT):
+        # LEFT-associated sum, written term by term: both engines fold
+        # the same doubles in the same order → bit-identical, no rounding
+        terms = [
+            ("+ " if s > 0 else "- ") + f"CAST(embedding[{i + 1}] AS DOUBLE)"
+            for i, s in enumerate(_RP_SIGNS[j])
+        ]
+        expr = terms[0].replace("+ ", "", 1) if terms[0].startswith("+ ") else (
+            "-" + terms[0][2:]
+        )
+        for t in terms[1:]:
+            expr = f"({expr}) {t[0]} {t[2:]}"
+        cols.append(f"{expr} AS p{j:02d}")
+    return "SELECT vec_id, " + ", ".join(cols) + " FROM embeddings"
+
+
+@register(
+    "embedding_random_projection",
+    oracle=_rp_oracle(),
+    doc="Johnson–Lindenstrauss random projection 64d -> 16d with a "
+    "deterministic ±1 sign matrix (Achlioptas 2003: database-friendly "
+    "random projections — sign matrices preserve pairwise distances in "
+    "expectation like Gaussians at 1/3 the multiplies). Fully narrow: "
+    "zero shuffle, zero Python — each output dim is a left-associated "
+    "chain of 64 adds/subtracts inside whole-stage codegen, "
+    "bit-identical to the oracle's identically-ordered fold. The 4x "
+    "dimensionality cut feeds the ANN index (same pattern as SQ8 "
+    "quantization: shrink BEFORE the O(N x Q) distance work).",
+)
+def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = [F.col("vec_id")]
+    for j in range(_RP_OUT):
+        expr = None
+        for i, s in enumerate(_RP_SIGNS[j]):
+            term = F.col("embedding")[i].cast("double")
+            if expr is None:
+                expr = term if s > 0 else -term
+            elif s > 0:
+                expr = expr + term
+            else:
+                expr = expr - term
+        out.append(expr.alias(f"p{j:02d}"))
+    return emb.select(*out)

@@ -692,3 +692,70 @@ def q_temperature_resampled_corpus(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(bucket < F.col("rate_ppm"))
         .select("doc_id", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted Bernoulli sampling — deterministic, engine-stable
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "weighted_doc_sample",
+    oracle=f"""
+    WITH mx AS (SELECT max(n_chars) AS max_chars FROM documents)
+    SELECT doc_id, lang, n_chars
+    FROM documents, mx
+    WHERE {_MD5_32.format(x="'wsamp:' || CAST(doc_id AS VARCHAR)")}
+          < floor(4294967296.0 * n_chars / max_chars)
+    """,
+    doc="Deterministic weighted Bernoulli sample: keep doc with "
+    "probability n_chars/max(n_chars) — longer documents oversampled, "
+    "the quality-weighted downsampling pass of a curation pipeline. "
+    "The keep decision compares a 32-bit md5 hash of the key against "
+    "floor(2^32 * weight): one integer compare per row, identical on "
+    "any engine / rerun / partitioning (seeded rand() is neither). The "
+    "1-row global max broadcasts; the scan stays narrow (3 columns).",
+)
+def q_weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("n_chars").alias("max_chars"))
+    u = md5_int32(F.concat(F.lit("wsamp:"), F.col("doc_id").cast("string")))
+    thr = F.floor(4294967296.0 * F.col("n_chars") / F.col("max_chars"))
+    return (
+        docs.join(F.broadcast(mx))
+        .filter(u < thr)
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantile (rank) normalization of a per-document score within language
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_quantile_normalize",
+    oracle="""
+    SELECT doc_id, lang,
+           percent_rank() OVER (PARTITION BY lang
+                                ORDER BY n_chars ASC, doc_id ASC) AS score_pct
+    FROM documents
+    """,
+    doc="Quantile normalization: map each document's raw quality proxy "
+    "(n_chars) to its within-language percentile — makes thresholds "
+    "comparable across languages with wildly different length "
+    "distributions (the cross-lingual filtering problem). percent_rank "
+    "over a UNIQUE ordering key (score, doc_id) is (row_number-1)/(n-1) "
+    "— an exact integer division, bit-identical on both engines, no "
+    "rounding needed. One hash shuffle on lang; per-partition sort; "
+    "skew bounded by the largest language (salt via the composite key "
+    "if one language dominates a real corpus).",
+)
+def q_quality_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+    return docs.select(
+        "doc_id", "lang", F.percent_rank().over(w).alias("score_pct")
+    )

@@ -1,0 +1,118 @@
+"""Tests for the late-round-3 scale operators: bloom prefilter join,
+weighted Bernoulli sampling, quantile normalization, and the JL random
+projection. (Oracle equivalence is covered by the registered oracles;
+these pin the operator-level invariants the oracles can't see.)"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from flink_anomaly_spark.operators.relational import bloom_build, bloom_prefilter
+from flink_anomaly_spark.plans.registry import all_queries
+from flink_anomaly_spark.tables import load_table
+from tests.conftest import SF_SMOKE
+
+_Q = all_queries()
+
+
+def test_bloom_prefilter_no_false_negatives(spark):
+    """Every key present in the build side must survive the prefilter —
+    the invariant that makes the bloom join exact after the final join."""
+    build = spark.range(0, 200).select((F.col("id") * 7).alias("k"))
+    probe = spark.range(0, 3000).select((F.col("id")).alias("k"))
+    bloom = bloom_build(build, F.col("k"), m_bits=1 << 12, k=3)
+    kept = set(
+        r.k for r in bloom_prefilter(probe, F.col("k"), bloom, m_bits=1 << 12, k=3).collect()
+    )
+    required = set(r.k for r in build.filter(F.col("k") < 3000).collect())
+    assert required <= kept
+
+
+def test_bloom_prefilter_filters_most_non_members(spark):
+    """With 64 Kbits over ~200 keys the false-positive rate must be tiny:
+    the prefilter keeps ≪ the full probe side (the point of the pattern)."""
+    build = spark.range(0, 200).select((F.col("id") * 13).alias("k"))
+    probe = spark.range(0, 20000).select(F.col("id").alias("k"))
+    bloom = bloom_build(build, F.col("k"), m_bits=1 << 16, k=3)
+    n = bloom_prefilter(probe, F.col("k"), bloom, m_bits=1 << 16, k=3).count()
+    # 200 true members with k*13 < 20000 → ~1539 members; FP rate at
+    # 600 set bits / 65536 words ≈ (0.009)^3 — essentially zero extras
+    assert n < 2000
+
+
+def test_bloom_bitmap_is_bounded(spark):
+    """The bitmap table can never exceed m_bits/64 rows, whatever the
+    build cardinality — the property that makes it broadcastable."""
+    build = spark.range(0, 100000).select(F.col("id").alias("k"))
+    assert bloom_build(build, F.col("k"), m_bits=1 << 12, k=3).count() <= (1 << 12) // 64
+
+
+def test_weighted_sample_keeps_max_weight_rows(spark):
+    """A document at the global max n_chars has keep-probability 1
+    (hash32 < 2^32 always) — it must appear in the sample."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    mx = docs.agg(F.max("n_chars").alias("m")).collect()[0].m
+    sampled = _Q["weighted_doc_sample"](spark, SF_SMOKE)
+    assert sampled.filter(F.col("n_chars") == mx).count() == docs.filter(
+        F.col("n_chars") == mx
+    ).count()
+
+
+def test_weighted_sample_rate_tracks_weight(spark):
+    """Overall keep-rate must sit near E[n_chars]/max(n_chars) — the
+    defining property of weight-proportional sampling."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    row = docs.agg(
+        (F.avg("n_chars") / F.max("n_chars")).alias("expected"), F.count("*").alias("n")
+    ).collect()[0]
+    got = _Q["weighted_doc_sample"](spark, SF_SMOKE).count() / row.n
+    assert abs(got - row.expected) < 0.1
+
+
+def test_quantile_normalize_spans_unit_interval(spark):
+    """Within every language: min percentile 0, max percentile 1, and
+    values strictly increase along the (n_chars, doc_id) order."""
+    out = _Q["quality_quantile_normalize"](spark, SF_SMOKE)
+    per_lang = out.groupBy("lang").agg(
+        F.min("score_pct").alias("lo"),
+        F.max("score_pct").alias("hi"),
+        F.countDistinct("score_pct").alias("n_distinct"),
+        F.count("*").alias("n"),
+    )
+    for r in per_lang.collect():
+        assert r.lo == 0.0
+        assert r.hi == 1.0
+        assert r.n_distinct == r.n  # unique ordering key ⇒ unique ranks
+
+
+def test_random_projection_matches_numpy(spark):
+    """The JL projection of one vector must equal the numpy dot product
+    with the same ±1 sign matrix (bit-exact: both are ordered folds of
+    the same float32→float64 values)."""
+    from flink_anomaly_spark.plans.embedding_queries import _RP_SIGNS
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    first = emb.orderBy("vec_id").limit(1).collect()[0]
+    vec = np.array(first.embedding, dtype=np.float32).astype(np.float64)
+    got = (
+        _Q["embedding_random_projection"](spark, SF_SMOKE)
+        .filter(F.col("vec_id") == first.vec_id)
+        .collect()[0]
+    )
+    for j, signs in enumerate(_RP_SIGNS):
+        expect = 0.0
+        for i, s in enumerate(signs):
+            expect = expect + vec[i] if s > 0 else expect - vec[i]
+        assert got[f"p{j:02d}"] == expect
+
+
+def test_random_projection_sign_matrix_is_stable():
+    """The sign matrix derives from md5 literals — pin one row so a
+    refactor cannot silently reshuffle the projection."""
+    from flink_anomaly_spark.plans.embedding_queries import _rp_sign
+
+    expect = 1 if hashlib.md5(b"rp:0:0").digest()[0] % 2 == 0 else -1
+    assert _rp_sign(0, 0) == expect
