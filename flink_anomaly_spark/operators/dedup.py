@@ -849,3 +849,85 @@ def minhash_estimate_accuracy(
         F.count(F.when((F.col("est") >= 0.5) & (F.col("true_j") < 0.5), 1)).alias("false_pos"),
         F.count(F.when((F.col("est") < 0.5) & (F.col("true_j") >= 0.5), 1)).alias("false_neg"),
     )
+
+
+def minhash_pairs_between(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    tag_col: str,
+    left_tag: str,
+    right_tag: str,
+    k_shingle: int = 3,
+    num_perm: int = 8,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Cross-set MinHash-LSH near-dup pairs: candidates ONLY between the
+    ``left_tag`` partition and the ``right_tag`` partition of ``df``
+    (e.g. existing corpus × incoming batch). Same shingle→signature→
+    band pipeline as :func:`minhash_near_dup_pairs` — one Arrow pass
+    over ALL rows, computed once — but the band self-join keys on
+    (band, bucket) with ``l.tag = left_tag AND r.tag = right_tag``, so
+    intra-set candidate pairs are never materialized: at 100 TB an
+    incremental dedup run pays |batch|-sized candidate lists, not the
+    |corpus|² the full pairwise op would re-derive.
+
+    Returns (id1 ∈ left, id2 ∈ right, jaccard).
+    """
+    if num_perm % bands != 0:
+        raise ValueError(f"num_perm ({num_perm}) must be divisible by bands ({bands})")
+    rows_per_band = num_perm // bands
+    base = spread(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(tag_col).alias("tag"),
+            F.col(text_col).alias("__text"),
+        )
+    )
+    projected = base.withColumn(
+        "__b", shingle_sig_pandas(k_shingle, num_perm)(F.col("__text"))
+    ).select("id", "tag", F.col("__b.sh").alias("sh"), F.col("__b.sig").alias("sig"))
+    sig = _persist(projected)
+
+    banded = sig.select(
+        "id",
+        "tag",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("id", "tag", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+
+    cand = (
+        banded.filter(F.col("tag") == left_tag)
+        .alias("l")
+        .join(banded.filter(F.col("tag") == right_tag).alias("r"), ["band", "bucket"])
+        .select(F.col("l.id").alias("id1"), F.col("r.id").alias("id2"))
+        .distinct()
+    )
+    shingle_sets = sig.select("id", "sh")
+    verified = (
+        cand.join(shingle_sets.select(F.col("id").alias("id1"), F.col("sh").alias("sh1")), "id1")
+        .join(shingle_sets.select(F.col("id").alias("id2"), F.col("sh").alias("sh2")), "id2")
+    )
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    uni = F.size(F.array_union("sh1", "sh2"))
+    return (
+        verified.withColumn("jaccard", F.round(inter / uni, 4))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id1", "id2", "jaccard")
+    )

@@ -1074,3 +1074,177 @@ def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     nodes = docs.select(F.col("doc_id").alias("id"))
     return pagerank(edges, nodes, iterations=3, damping=0.85)
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: incoming batch vs existing corpus (cross-set LSH)
+# ---------------------------------------------------------------------------
+
+
+def _minhash_between_oracle() -> str:
+    """DuckDB replica of the TAGGED MinHash pipeline: one signature pass
+    over all documents, candidates only between tag partitions
+    (corpus × batch) — mirrors ``dedup.minhash_pairs_between``."""
+    perm_exprs = ",\n             ".join(
+        f"list_min(list_transform(hashes, h -> ({a}*h + {b}) % {MERSENNE_P}))"
+        for a, b in PERM_PARAMS[:_NUM_PERM]
+    )
+    split_h = _MD5_32.format(x="'inc:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+      SELECT doc_id AS id, text,
+             CASE WHEN {split_h} % 100 < 80 THEN 'corpus' ELSE 'batch' END AS tag
+      FROM documents
+    ), t AS (
+      SELECT id, tag, {_TOKS} AS toks FROM src
+    ), base AS (
+      SELECT id, tag, list_distinct({_shingle_sql(3)}) AS sh FROM t
+    ), hashed AS (
+      SELECT id, tag, sh, list_transform(sh, s -> {_MD5_32.format(x="s")}) AS hashes FROM base
+    ), sigm AS (
+      SELECT id, tag, sh,
+             [{perm_exprs}] AS sig
+      FROM hashed
+    ), banded AS (
+      SELECT id, tag,
+             b.b AS band,
+             md5(array_to_string(sig[b.b*{_ROWS_PER_BAND}+1 : (b.b+1)*{_ROWS_PER_BAND}], ',')) AS bucket
+      FROM sigm, (SELECT unnest(range(0, {_BANDS})) AS b) b
+    ), cand AS (
+      SELECT DISTINCT l.id AS id1, r.id AS id2
+      FROM banded l JOIN banded r
+        ON l.band = r.band AND l.bucket = r.bucket
+       AND l.tag = 'corpus' AND r.tag = 'batch'
+    ), pairs AS (
+      SELECT id1, id2
+      FROM cand
+      JOIN base a ON cand.id1 = a.id
+      JOIN base b ON cand.id2 = b.id
+      WHERE round(len(list_intersect(a.sh, b.sh))
+                  / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 4) >= 0.5
+    )"""
+
+
+@register(
+    "incremental_dedup_new_batch",
+    oracle=f"""
+    WITH src AS ({_minhash_between_oracle()},
+    exactd AS (
+      SELECT DISTINCT b.id FROM src b JOIN src c
+        ON b.tag = 'batch' AND c.tag = 'corpus' AND md5(b.text) = md5(c.text)
+    ), neard AS (SELECT DISTINCT id2 AS id FROM pairs)
+    SELECT b.id AS doc_id,
+           CASE WHEN e.id IS NOT NULL THEN 'exact'
+                WHEN n.id IS NOT NULL THEN 'near'
+                ELSE 'unique' END AS dup_kind
+    FROM (SELECT id FROM src WHERE tag = 'batch') b
+    LEFT JOIN exactd e ON b.id = e.id
+    LEFT JOIN neard  n ON b.id = n.id
+    """,
+    doc="Incremental dedup — the steady-state shape of a production "
+    "corpus pipeline: an incoming batch (deterministic 20% hash split "
+    "stands in for 'today's crawl') is checked against the existing "
+    "corpus (80%) for exact dups (md5 join — 16-byte keys, never full "
+    "text, on the exchange) and near-dups (dedup.minhash_pairs_between: "
+    "ONE tagged signature pass, band join constrained corpus-side × "
+    "batch-side, so intra-corpus candidate pairs — the quadratically "
+    "dominant term a full re-dedup would pay — are never materialized). "
+    "Emits every batch doc labeled exact/near/unique.",
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.dedup import md5_int32, minhash_pairs_between
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = md5_int32(F.concat(F.lit("inc:"), F.col("doc_id").cast("string"))) % 100
+    tagged = docs.select(
+        "doc_id",
+        "text",
+        F.when(h < 80, "corpus").otherwise("batch").alias("tag"),
+    )
+    batch = tagged.filter(F.col("tag") == "batch")
+    corpus = tagged.filter(F.col("tag") == "corpus")
+    exactd = (
+        batch.alias("b")
+        .join(
+            corpus.select(F.md5("text").alias("c_md5")).distinct(),
+            F.md5(F.col("b.text")) == F.col("c_md5"),
+        )
+        .select(F.col("b.doc_id").alias("e_id"))
+        .distinct()
+    )
+    neard = (
+        minhash_pairs_between(
+            tagged, "doc_id", "text", "tag", "corpus", "batch",
+            k_shingle=3, num_perm=_NUM_PERM, bands=_BANDS, jaccard_threshold=0.5,
+        )
+        .select(F.col("id2").alias("n_id"))
+        .distinct()
+    )
+    return (
+        batch.select("doc_id")
+        .join(exactd, F.col("doc_id") == F.col("e_id"), "left")
+        .join(neard, F.col("doc_id") == F.col("n_id"), "left")
+        .select(
+            "doc_id",
+            F.when(F.col("e_id").isNotNull(), "exact")
+            .when(F.col("n_id").isNotNull(), "near")
+            .otherwise("unique")
+            .alias("dup_kind"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Triangle count over the near-dup graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "neardup_triangle_count",
+    oracle=f"""
+    WITH pairs AS ({_minhash_oracle("documents")}),
+    e AS (SELECT id1 AS a, id2 AS b FROM pairs),
+    tri AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM e e1 JOIN e e2 ON e1.b = e2.a
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT (SELECT count(*) FROM tri) AS n_triangles,
+           (SELECT count(*) FROM e) AS n_edges,
+           (SELECT count(DISTINCT x) FROM (
+              SELECT a AS x FROM e UNION SELECT b AS x FROM e) u) AS n_nodes
+    """,
+    doc="Triangle count over the near-dup graph (id1<id2 edges from the "
+    "MinHash pairs): the standard graph-cohesion metric — triangles "
+    "mean clusters are dense near-dup families rather than chains, "
+    "which changes how aggressively canonical-doc selection can prune. "
+    "Ordered-edge wedge join (a<b<c counts each triangle once): two "
+    "self-joins of an edge list whose size LSH verification already "
+    "bounded; no vertex ever sees more than its degree² wedges. The "
+    "count trio (triangles/edges/nodes) rides one plan.",
+)
+def q_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.dedup import _persist
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        docs, id_col="doc_id", text_col="text", k_shingle=3,
+        num_perm=_NUM_PERM, bands=_BANDS, jaccard_threshold=0.5,
+    )
+    e = _persist(pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b")))
+    tri = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e.alias("e3"),
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+    )
+    n_tri = tri.agg(F.count("*").alias("n_triangles"))
+    n_edges = e.agg(F.count("*").alias("n_edges"))
+    n_nodes = (
+        e.select(F.col("a").alias("x"))
+        .union(e.select(F.col("b").alias("x")))
+        .distinct()
+        .agg(F.count("*").alias("n_nodes"))
+    )
+    return n_tri.join(n_edges).join(n_nodes)

@@ -759,3 +759,64 @@ def q_quality_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", "lang", F.percent_rank().over(w).alias("score_pct")
     )
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking: fixed token windows with stride overlap
+# ---------------------------------------------------------------------------
+
+_CHUNK, _STRIDE = 64, 48
+
+
+@register(
+    "doc_token_chunks",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sized AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             CASE WHEN len(toks) <= {_CHUNK} THEN 1
+                  ELSE ((len(toks) - {_CHUNK} + {_STRIDE} - 1) // {_STRIDE}) + 1
+             END AS n_chunks
+      FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_idx,
+           least(u.i * {_STRIDE} + {_CHUNK}, n) - u.i * {_STRIDE} AS n_tokens,
+           md5(array_to_string(
+             toks[u.i * {_STRIDE} + 1 : least(u.i * {_STRIDE} + {_CHUNK}, n)], ' '
+           )) AS chunk_md5
+    FROM sized, unnest(range(0, n_chunks)) AS u(i)
+    """,
+    doc=f"Training-window chunking: split each document into "
+    f"{_CHUNK}-token windows with stride {_STRIDE} ({_CHUNK - _STRIDE}-"
+    "token overlap so no span is cut at a hard boundary) — the "
+    "doc→sample explosion step before sequence packing. Entirely "
+    "narrow (tokenize → per-row sequence explode → md5), zero shuffle, "
+    "zero Python; emitting the chunk md5 instead of the chunk text "
+    "keeps the operator's output (and at 100 TB, the downstream "
+    "exchange) at 16 bytes per window — downstream joins back to the "
+    "text by (doc_id, chunk_idx) only for windows that survive "
+    "selection. Chunk count uses integer arithmetic (no float ceil) "
+    "on both engines.",
+)
+def q_doc_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    sized = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
+    n = F.size("toks")
+    n_chunks = F.when(n <= _CHUNK, F.lit(1)).otherwise(
+        F.expr(f"((size(toks) - {_CHUNK} + {_STRIDE} - 1) div {_STRIDE}) + 1")
+    )
+    exploded = sized.select(
+        "doc_id",
+        "toks",
+        n.alias("n"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * _STRIDE
+    end = F.least(start + _CHUNK, F.col("n"))
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        (end - start).alias("n_tokens"),
+        F.md5(F.concat_ws(" ", F.slice("toks", start + 1, end - start))).alias("chunk_md5"),
+    )

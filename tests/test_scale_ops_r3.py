@@ -116,3 +116,100 @@ def test_random_projection_sign_matrix_is_stable():
 
     expect = 1 if hashlib.md5(b"rp:0:0").digest()[0] % 2 == 0 else -1
     assert _rp_sign(0, 0) == expect
+
+
+def test_minhash_between_emits_no_intra_set_pairs(spark):
+    """Two identical texts with the SAME tag must produce no pair; the
+    same texts across tags must. (The whole point of the cross-set
+    band join: intra-set candidates never materialize.)"""
+    from flink_anomaly_spark.operators.dedup import minhash_pairs_between
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "corpus"),
+        (2, "the quick brown fox jumps over the lazy dog", "corpus"),
+        (3, "completely different text about spark engines here", "batch"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "tag"])
+    assert (
+        minhash_pairs_between(df, "doc_id", "text", "tag", "corpus", "batch").count() == 0
+    )
+    rows2 = rows[:2] + [(3, rows[0][1], "batch")]
+    out = minhash_pairs_between(
+        spark.createDataFrame(rows2, ["doc_id", "text", "tag"]),
+        "doc_id", "text", "tag", "corpus", "batch",
+    ).collect()
+    assert {(r.id1, r.id2) for r in out} == {(1, 3), (2, 3)}
+    assert all(r.jaccard == 1.0 for r in out)
+
+
+def test_incremental_dedup_covers_batch_exactly_once(spark):
+    """Output must contain every batch doc exactly once, labeled with
+    one of the three kinds."""
+    from flink_anomaly_spark.operators.dedup import md5_int32
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    h = md5_int32(F.concat(F.lit("inc:"), F.col("doc_id").cast("string"))) % 100
+    n_batch = docs.filter(h >= 80).count()
+    out = _Q["incremental_dedup_new_batch"](spark, SF_SMOKE)
+    rows = out.collect()
+    assert len(rows) == n_batch
+    assert len({r.doc_id for r in rows}) == n_batch
+    assert {r.dup_kind for r in rows} <= {"exact", "near", "unique"}
+
+
+def test_triangle_count_matches_python_enumeration(spark):
+    """n_triangles must equal a brute-force Python count over the same
+    LSH pair list (and edges/nodes must agree)."""
+    from itertools import combinations
+
+    from flink_anomaly_spark.operators.dedup import minhash_near_dup_pairs
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    pairs = {
+        (r.id1, r.id2)
+        for r in minhash_near_dup_pairs(
+            docs, id_col="doc_id", text_col="text", k_shingle=3,
+            num_perm=8, bands=4, jaccard_threshold=0.5,
+        ).collect()
+    }
+    nodes = {x for p in pairs for x in p}
+    tri = sum(
+        1
+        for a, b, c in combinations(sorted(nodes), 3)
+        if (a, b) in pairs and (b, c) in pairs and (a, c) in pairs
+    )
+    got = _Q["neardup_triangle_count"](spark, SF_SMOKE).collect()[0]
+    assert (got.n_triangles, got.n_edges, got.n_nodes) == (tri, len(pairs), len(nodes))
+
+
+def test_doc_chunks_reconstruct(spark):
+    """Chunk windows must tile each document: full-size windows except
+    the last, stride-spaced starts, last window ending at n."""
+    out = _Q["doc_token_chunks"](spark, SF_SMOKE)
+    per_doc = (
+        out.groupBy("doc_id")
+        .agg(
+            F.max("chunk_idx").alias("max_idx"),
+            F.count("*").alias("n_chunks"),
+            F.min("n_tokens").alias("min_len"),
+            F.max("n_tokens").alias("max_len"),
+        )
+        .collect()
+    )
+    docs = {
+        r.doc_id: [t for t in r.text.split() if t]
+        for r in load_table(spark, SF_SMOKE, "documents").collect()
+    }
+    C, S = 64, 48
+    for r in per_doc:
+        n = len(docs[r.doc_id])
+        expect_chunks = 1 if n <= C else -(-(n - C) // S) + 1
+        assert r.n_chunks == expect_chunks
+        assert r.max_idx == expect_chunks - 1
+        assert r.max_len <= C
+        # every chunk but possibly the last is full-size
+        last_len = min((expect_chunks - 1) * S + C, n) - (expect_chunks - 1) * S
+        assert r.min_len == min(C, last_len, n)
+    # docs with zero tokens produce zero chunks
+    empty = [d for d, t in docs.items() if not t]
+    assert out.filter(F.col("doc_id").isin(empty)).count() == 0
