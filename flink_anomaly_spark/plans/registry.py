@@ -131,14 +131,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "streaming_dedup",
     "streaming_running_concat",
     "streaming_interval_join",
-    # TPC-H core + join variants
+    # TPC-H (q6/q18/q3/revenue_by_nation ceded their slots late in
+    # round 3 after two green rounds — locally gated; q1 stays as the
+    # headline agg shape)
     "tpch_q1_pricing",
-    "tpch_q6_forecast",
-    "tpch_q18_big_orders",
-    "revenue_by_nation",
-    "tpch_q3_sql",
-    # reproducible sampling
-    "hash_sample_10pct",
+    # late-round-3 additions, never driver-checked (hash_sample_10pct
+    # — green r01+r02 — ceded its slot to its weighted sibling)
+    "bloom_prefilter_urgent_revenue",
+    "incremental_dedup_new_batch",
+    "embedding_random_projection",
+    "doc_token_chunks",
+    "weighted_doc_sample",
 )
 
 
