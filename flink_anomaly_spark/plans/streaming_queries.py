@@ -326,3 +326,34 @@ def q_streaming_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     return run_to_memory(dim_enriched_count_stream(stream_events(spark, sf_dir), dim))
+
+
+@register(
+    "streaming_two_level_agg",
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('minute', ts) AS w1, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT date_trunc('hour', w1) AS window_start,
+           date_trunc('hour', w1) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           max(n) AS max_minute_n,
+           sum(n) AS total
+    FROM m GROUP BY 1, 2, 3
+    HAVING date_trunc('hour', w1) + INTERVAL 1 HOUR
+           <= (SELECT max(ts) - INTERVAL 20 SECONDS FROM events)
+    """,
+    doc="Chained stateful aggregations in ONE streaming query "
+    "(window_time re-windowing, Spark >=3.4): per-minute event counts "
+    "rolled up to hourly max-minute-rate and totals — the "
+    "downsample-then-rollup pattern that otherwise needs two jobs and "
+    "an intermediate sink. An hour finalizes exactly when its last "
+    "minute does (shared 20 s watermark), so the append-mode output is "
+    "the oracle's HAVING end <= max(ts) - 20 s; verified row-identical "
+    "at all three SFs.",
+)
+def q_streaming_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.streaming.pipelines import two_level_window_stream
+
+    return run_to_memory(two_level_window_stream(stream_events(spark, sf_dir)))

@@ -324,3 +324,30 @@ def dim_enriched_count_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
             "sum_value",
         )
     )
+
+
+def two_level_window_stream(events: DataFrame) -> DataFrame:
+    """CHAINED stateful aggregations in one streaming query (Spark ≥3.4
+    multi-stateful-operator support): per-minute counts per event_type,
+    re-windowed via ``window_time`` into hourly max/total — the
+    downsample-then-rollup shape (metrics pipelines, OHLC-of-OHLC) that
+    previously required two jobs with an intermediate sink. Both levels
+    share the 20 s watermark; an hour finalizes only when its last
+    minute did, so append mode emits exactly the hours with
+    end ≤ watermark."""
+    minute = (
+        events.withWatermark("ts", "20 seconds")
+        .groupBy(F.window("ts", "1 minute").alias("w1"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        minute.groupBy(F.window(F.window_time("w1"), "1 hour").alias("w2"), "event_type")
+        .agg(F.max("n").alias("max_minute_n"), F.sum("n").alias("total"))
+        .select(
+            F.col("w2.start").alias("window_start"),
+            F.col("w2.end").alias("window_end"),
+            "event_type",
+            "max_minute_n",
+            "total",
+        )
+    )

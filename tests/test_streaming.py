@@ -523,3 +523,33 @@ def test_synthetic_stream_source_drains_in_micro_batches(spark, tmp_path):
         assert len(q.recentProgress) >= 3  # 500/200 → at least 3 batches
     finally:
         q.stop()
+
+
+def test_streaming_two_level_agg_matches_batch(spark):
+    """The chained minute→hour aggregation must equal the same two-level
+    rollup computed in batch, restricted to watermark-finalized hours —
+    pins both the window_time re-windowing and the shared-watermark
+    finalization the oracle relies on."""
+    from flink_anomaly_spark.plans.registry import all_queries
+    from flink_anomaly_spark.tables import load_table
+
+    got = {
+        (r.window_start, r.event_type): (r.max_minute_n, r.total)
+        for r in all_queries()["streaming_two_level_agg"](spark, SF_SMOKE).collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events")
+    wm = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 20 SECONDS")).alias("wm")
+    ).collect()[0].wm
+    minute = ev.groupBy(
+        F.date_trunc("minute", "ts").alias("w1"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    batch = (
+        minute.groupBy(F.date_trunc("hour", "w1").alias("ws"), "event_type")
+        .agg(F.max("n").alias("mx"), F.sum("n").alias("tot"))
+        .filter(F.col("ws") + F.expr("INTERVAL 1 HOUR") <= F.lit(wm))
+    )
+    expect = {
+        (r.ws, r.event_type): (r.mx, r.tot) for r in batch.collect()
+    }
+    assert got == expect and len(got) > 0

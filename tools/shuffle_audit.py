@@ -59,6 +59,16 @@ PROBE = [
     ("tpch_q21_late_blame", "decorrelated per-order agg join-back on orderkey"),
     ("temperature_resampled_corpus", "|languages|-row rate broadcast onto a filter scan"),
     ("tokenizer_fertility_by_lang", "|languages| map-side-combined partials"),
+    # final round-3 operators
+    ("bloom_prefilter_urgent_revenue", "bitmap build ≤ m/64 rows; probe side shrinks BEFORE its join exchange"),
+    ("incremental_dedup_new_batch", "tagged band keys + cross-set candidate ids; md5 keys for the exact join"),
+    ("neardup_triangle_count", "wedge joins over the LSH-bounded edge list only"),
+    ("doc_token_chunks", "zero inherent shuffle: tokenize → window explode → md5"),
+    ("weighted_doc_sample", "zero inherent shuffle: 1-row max broadcast onto a filter scan"),
+    ("quality_quantile_normalize", "one lang exchange; rank window rides it"),
+    ("embedding_random_projection", "zero shuffle: 16 codegen'd add-chains per row"),
+    ("tpch_q2_min_cost_supplier", "one (partkey,suppkey) pre-agg exchange; all dims + min join-back broadcast"),
+    ("tpch_q9_product_profit", "one fact-fact exchange (orderkey); part/supplier/nation broadcast"),
 ]
 
 
