@@ -931,3 +931,75 @@ def minhash_pairs_between(
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id1", "id2", "jaccard")
     )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.6,
+    k_shingle: int = 4,
+) -> DataFrame:
+    """Exact token-set Jaccard pairs ≥ ``threshold`` via PREFIX
+    FILTERING (PPJoin family; the MapReduce formulation is Vernica et
+    al., SIGMOD'10 "Efficient Parallel Set-Similarity Joins Using
+    MapReduce"): instead of indexing every token of every document
+    (Σ postings² candidate cost), each document indexes only its
+    ``|x| − ⌈t·|x|⌉ + 1`` RAREST tokens — any pair with J ≥ t must
+    share one of them under a global token order, so the result set is
+    provably identical while the candidate join runs over a fraction
+    of the postings, concentrated on low-frequency (short-postings)
+    tokens. The frequent tokens — exactly the ones whose postings²
+    blow up an unfiltered inverted index at web scale — never enter
+    the index.
+
+    The set elements are ``k_shingle``-gram shingles, not unigrams: on
+    a small-vocabulary corpus unigram SETS collapse (most docs share
+    most words — measured 71k pairs ≥0.6 over 500 synthetic docs,
+    where 4-gram sets give 25), and an undiscriminative element
+    universe is exactly where prefix filtering loses its pruning power.
+
+    Plan: shingle → global doc-frequency agg → postings⋈freq →
+    per-doc rank window (df asc, gram asc) → prefix postings
+    self-join → exact verify via the full shingle arrays. Every shuffle
+    key is a gram or an id; full shingle arrays travel only to verify
+    surviving candidates.
+    """
+    base = spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text")))
+    toksets = _persist(
+        base.select(
+            "id",
+            F.array_distinct(shingles(F.col("__text"), k_shingle)).alias("toks"),
+            # shingles() maps a zero-token doc to [''] — drop those
+            # (equivalent to the oracle's len(token_list) > 0 filter)
+        ).filter(F.col("toks") != F.array(F.lit("")))
+    )
+    postings = toksets.select("id", F.size("toks").alias("sz"), F.explode("toks").alias("tok"))
+    freq = postings.groupBy("tok").agg(F.count("*").alias("df"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("tok").asc())
+    ranked = postings.join(freq, "tok").withColumn("rnk", F.row_number().over(w))
+    # prefix size |x| - ceil(t*|x|) + 1, integer-only ceil
+    tnum, tden = int(round(threshold * 10000)), 10000
+    prefix_len = F.col("sz") - F.expr(f"CAST((sz * {tnum} + {tden} - 1) div {tden} AS INT)") + 1
+    prefix = ranked.filter(F.col("rnk") <= prefix_len).select("tok", "id")
+    cand = (
+        prefix.alias("l")
+        .join(prefix.alias("r"), "tok")
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id1"), F.col("r.id").alias("id2"))
+        .distinct()
+    )
+    sets = toksets.select("id", "toks")
+    verified = (
+        cand.join(sets.select(F.col("id").alias("id1"), F.col("toks").alias("t1")), "id1")
+        .join(sets.select(F.col("id").alias("id2"), F.col("toks").alias("t2")), "id2")
+    )
+    inter = F.size(F.array_intersect("t1", "t2"))
+    uni = F.size(F.array_union("t1", "t2"))
+    return (
+        verified.withColumn("jaccard", F.round(inter / uni, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )

@@ -1248,3 +1248,48 @@ def q_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_nodes"))
     )
     return n_tri.join(n_edges).join(n_nodes)
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered set-similarity join (PPJoin family)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "prefix_filter_jaccard_pairs",
+    oracle=f"""
+    WITH t0 AS (
+      SELECT doc_id AS id, {_TOKS} AS toks FROM documents
+    ), sized AS (
+      SELECT id, list_distinct({_shingle_sql(4)}) AS toks
+      FROM t0 WHERE len(toks) > 0
+    ),
+    postings AS (SELECT id, unnest(toks) AS tok FROM sized),
+    cand AS (
+      SELECT DISTINCT a.id AS id1, b.id AS id2
+      FROM postings a JOIN postings b ON a.tok = b.tok AND a.id < b.id
+    )
+    SELECT id1, id2,
+           round(len(list_intersect(x.toks, y.toks))
+                 / CAST(len(list_distinct(list_concat(x.toks, y.toks))) AS DOUBLE), 4)
+             AS jaccard
+    FROM cand JOIN sized x ON cand.id1 = x.id JOIN sized y ON cand.id2 = y.id
+    WHERE round(len(list_intersect(x.toks, y.toks))
+                / CAST(len(list_distinct(list_concat(x.toks, y.toks))) AS DOUBLE), 4)
+          >= 0.6
+    """,
+    doc="Exact 4-gram-shingle-set Jaccard >= 0.6 pairs via PREFIX FILTERING "
+    "(dedup.prefix_filter_jaccard_pairs; PPJoin / Vernica et al. "
+    "SIGMOD'10): each doc indexes only its |x|-ceil(t|x|)+1 RAREST "
+    "tokens — provably the same result set as the full inverted index "
+    "(any pair with J>=t shares a prefix token under the global "
+    "frequency order), but frequent tokens, whose postings-squared "
+    "cost dominates at web scale, never enter the candidate join. The "
+    "oracle runs the unfiltered inverted-index form: identical rows "
+    "IS the losslessness theorem, checked.",
+)
+def q_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return prefix_filter_jaccard_pairs(docs, id_col="doc_id", text_col="text", threshold=0.6)

@@ -911,3 +911,50 @@ def q_centroid_distance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_k(
         scored, order_by=[F.col("nearest_dist").desc(), F.col("vec_id").asc()], k=20
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention matrix (signup week × activity-week offset)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH first AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.act_week) // 7 AS BIGINT)
+             AS week_offset,
+           count(DISTINCT f.user_id) AS n_active_users
+    FROM first f JOIN activity a ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+    doc="Cohort retention: users bucketed by first-seen week, counted "
+    "in each later activity week — the classic retention triangle. "
+    "Both inputs hash-partition on user_id (the min-ts agg and the "
+    "distinct reuse ONE exchange layout, and the join is co-located on "
+    "it — no third shuffle); the final matrix agg carries "
+    "|cohorts| x |offsets| groups. Week truncation is Monday-based on "
+    "both engines; the offset is integer day-diff // 7, exact.",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    first = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = events.select(
+        "user_id", F.date_trunc("week", "ts").alias("act_week")
+    ).distinct()
+    return (
+        first.join(activity, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("act_week", "cohort_week") / 7).cast("bigint").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+    )

@@ -213,3 +213,26 @@ def test_doc_chunks_reconstruct(spark):
     # docs with zero tokens produce zero chunks
     empty = [d for d, t in docs.items() if not t]
     assert out.filter(F.col("doc_id").isin(empty)).count() == 0
+
+
+def test_prefix_filter_prunes_postings(spark):
+    """The prefix index must be strictly smaller than the full posting
+    list (the point of prefix filtering), while the oracle equality —
+    checked by the registered query's gate — proves losslessness. Here:
+    recompute both posting sizes and assert real pruning."""
+    from flink_anomaly_spark.operators.dedup import shingles
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    toks = docs.select(
+        F.array_distinct(shingles(F.col("text"), 4)).alias("sh")
+    ).filter(F.col("sh") != F.array(F.lit("")))
+    full = toks.select(F.explode("sh")).count()
+    t = 0.6
+    prefix = toks.select(
+        (
+            F.size("sh")
+            - F.expr(f"CAST((size(sh) * {int(t * 10000)} + 9999) div 10000 AS INT)")
+            + 1
+        ).alias("p")
+    ).agg(F.sum("p")).collect()[0][0]
+    assert prefix < full * 0.55  # at t=0.6 the prefix is < ~45% of each set
