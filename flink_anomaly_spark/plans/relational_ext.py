@@ -958,3 +958,58 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_active_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Table column profile (ANALYZE-style data-quality pass)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "table_column_profile",
+    oracle="""
+    SELECT 'doc_id' AS column_name, count(*) AS n_rows,
+           count(*) - count(doc_id) AS n_nulls,
+           count(DISTINCT doc_id) AS n_distinct,
+           min(CAST(doc_id AS VARCHAR)) AS min_str,
+           max(CAST(doc_id AS VARCHAR)) AS max_str
+    FROM documents
+    UNION ALL
+    SELECT 'lang', count(*), count(*) - count(lang), count(DISTINCT lang),
+           min(CAST(lang AS VARCHAR)), max(CAST(lang AS VARCHAR)) FROM documents
+    UNION ALL
+    SELECT 'source', count(*), count(*) - count(source), count(DISTINCT source),
+           min(CAST(source AS VARCHAR)), max(CAST(source AS VARCHAR)) FROM documents
+    UNION ALL
+    SELECT 'n_chars', count(*), count(*) - count(n_chars), count(DISTINCT n_chars),
+           min(CAST(n_chars AS VARCHAR)), max(CAST(n_chars AS VARCHAR)) FROM documents
+    """,
+    doc="ANALYZE-style column profile of the documents table: row/null/"
+    "distinct counts and lexicographic min/max per column (values "
+    "cast to string so one schema covers every column type — the "
+    "data-quality pass a pipeline runs before trusting a new corpus "
+    "drop). ONE scan: unpivot to (column_name, value) then a single "
+    "grouped agg — 4 groups whose partial aggs combine map-side; no "
+    "per-column rescans. At 100 TB swap count(DISTINCT) for "
+    "approx_count_distinct per column if exactness isn't required "
+    "(the approx_stats query shows that form).",
+)
+def q_table_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    unpivoted = docs.select(
+        F.expr(
+            "stack(4, "
+            "'doc_id', CAST(doc_id AS STRING), "
+            "'lang', CAST(lang AS STRING), "
+            "'source', CAST(source AS STRING), "
+            "'n_chars', CAST(n_chars AS STRING)"
+            ") AS (column_name, value)"
+        )
+    )
+    return unpivoted.groupBy("column_name").agg(
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.count("value")).alias("n_nulls"),
+        F.countDistinct("value").alias("n_distinct"),
+        F.min("value").alias("min_str"),
+        F.max("value").alias("max_str"),
+    )
