@@ -974,12 +974,23 @@ def prefix_filter_jaccard_pairs(
             # (equivalent to the oracle's len(token_list) > 0 filter)
         ).filter(F.col("toks") != F.array(F.lit("")))
     )
-    postings = toksets.select("id", F.size("toks").alias("sz"), F.explode("toks").alias("tok"))
-    freq = postings.groupBy("tok").agg(F.count("*").alias("df"))
+    # 60-bit md5 of each gram as the posting/join key: 8 fixed bytes on
+    # every exchange instead of a multi-word string. Any TOTAL order
+    # works for prefix selection as long as both occurrences of a gram
+    # sort identically — (df asc, hash asc) keeps the
+    # rarest-first property that gives prefix filtering its pruning
+    # power, and the ~2^-60 collision chance only ever ADDS a candidate
+    # (the exact verify removes it), never drops a true pair.
+    postings = toksets.select(
+        "id", F.size("toks").alias("sz"), F.explode("toks").alias("__tok")
+    ).select("id", "sz", md5_long(F.col("__tok")).alias("tok"))
     from pyspark.sql import Window
 
+    # df as an analytic count over the tok partitioning: ONE exchange on
+    # tok (vs the agg + join-back form's two postings-sized exchanges)
+    df_w = F.count("*").over(Window.partitionBy("tok"))
     w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("tok").asc())
-    ranked = postings.join(freq, "tok").withColumn("rnk", F.row_number().over(w))
+    ranked = postings.withColumn("df", df_w).withColumn("rnk", F.row_number().over(w))
     # prefix size |x| - ceil(t*|x|) + 1, integer-only ceil
     tnum, tden = int(round(threshold * 10000)), 10000
     prefix_len = F.col("sz") - F.expr(f"CAST((sz * {tnum} + {tden} - 1) div {tden} AS INT)") + 1

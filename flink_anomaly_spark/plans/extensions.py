@@ -494,7 +494,7 @@ _QUERY_IDS = list(range(10))
 
 @register(
     "embedding_topk",
-    oracle=f"""
+    oracle="""
     WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 10),
          c AS (SELECT vec_id AS nid, embedding AS nvec FROM embeddings),
          scored AS (

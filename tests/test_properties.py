@@ -355,3 +355,57 @@ def test_sessionization_matches_python(spark, rows):
             expect[i] = sid
             last = ts
     assert got == expect
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.integers(min_value=-(10**9), max_value=10**9), min_size=1, max_size=60,
+             unique=True),
+    st.lists(st.integers(min_value=-(10**9), max_value=10**9), min_size=1, max_size=120,
+             unique=True),
+)
+def test_bloom_prefilter_never_drops_members(spark, build_keys, probe_keys):
+    """For ARBITRARY key sets: every probe key that exists in the build
+    side survives the bloom prefilter (zero false negatives), so
+    prefilter + exact join == exact join."""
+    from flink_anomaly_spark.operators.relational import bloom_build, bloom_prefilter
+
+    build = spark.createDataFrame([(k,) for k in build_keys], ["k"])
+    probe = spark.createDataFrame([(k,) for k in probe_keys], ["k"])
+    bloom = bloom_build(build, F.col("k"), m_bits=1 << 10, k=3)
+    kept = {r.k for r in bloom_prefilter(probe, F.col("k"), bloom, m_bits=1 << 10, k=3).collect()}
+    members = set(build_keys) & set(probe_keys)
+    assert members <= kept
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(list("abcdefgh")), min_size=1, max_size=12),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_prefix_filter_equals_brute_force(spark, docs):
+    """prefix_filter_jaccard_pairs(shingle_k=1) must equal the O(n²)
+    brute-force token-set Jaccard on arbitrary tiny corpora — the
+    losslessness theorem, randomized."""
+    from itertools import combinations
+
+    from flink_anomaly_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.id1, r.id2)
+        for r in prefix_filter_jaccard_pairs(
+            df, id_col="doc_id", text_col="text", threshold=0.6, k_shingle=1
+        ).collect()
+    }
+    sets = {i: set(toks) for i, toks in enumerate(docs)}
+    expect = set()
+    for a, b in combinations(sorted(sets), 2):
+        inter, uni = len(sets[a] & sets[b]), len(sets[a] | sets[b])
+        if round(inter / uni, 4) >= 0.6:
+            expect.add((a, b))
+    assert got == expect
