@@ -61,6 +61,20 @@ PROBE = [
     "tpch_q5_local_supplier",
     "tpch_q13_cust_distribution",
     "lineitem_grouping_sets",
+    # final round-3 additions (pair-generating ops — prefix filter,
+    # incremental dedup, triangles — stay excluded per the replication
+    # policy; their scaling evidence is the shuffle audit)
+    "bloom_prefilter_urgent_revenue",
+    "embedding_random_projection",
+    "doc_token_chunks",
+    "weighted_doc_sample",
+    "quality_quantile_normalize",
+    "cohort_retention",
+    "table_column_profile",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q16_supplier_cnt",
+    "tpch_q20_part_promotion",
 ]
 
 #: fact-shift key per replicated table (dims stay unreplicated)
