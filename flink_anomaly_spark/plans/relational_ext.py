@@ -1013,3 +1013,69 @@ def q_table_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("min_str"),
         F.max("value").alias("max_str"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation (recency / frequency / monetary quartiles)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rfm_customer_segments",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_order,
+             count(*) AS frequency,
+             round(sum(o_totalprice), 2) AS monetary
+      FROM orders GROUP BY o_custkey
+    ), scored AS (
+      SELECT o_custkey, frequency, monetary,
+             ntile(4) OVER (ORDER BY last_order DESC, o_custkey ASC) AS r_quartile,
+             ntile(4) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f_quartile,
+             ntile(4) OVER (ORDER BY monetary DESC, o_custkey ASC) AS m_quartile
+      FROM per_cust
+    )
+    SELECT r_quartile, f_quartile, m_quartile,
+           count(*) AS n_customers,
+           round(sum(monetary), 2) AS segment_value
+    FROM scored GROUP BY 1, 2, 3
+    """,
+    doc="RFM segmentation: per-customer recency/frequency/monetary "
+    "rollup, quartile-scored by ntile over UNIQUE orderings (metric "
+    "desc, custkey asc — deterministic on both engines; ntile with "
+    "tied, non-unique orderings is partition-order-dependent and would "
+    "not oracle), aggregated into the 4x4x4 segment matrix. One "
+    "custkey agg exchange; the three ntiles share one single-partition "
+    "sort over |customers| pre-aggregated rows — at 100 TB swap ntile "
+    "for percentile-threshold joins (approx_percentile bounds broadcast "
+    "back) to avoid the global sort; the segment matrix agg is 64 "
+    "groups regardless of scale.",
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    scored = per_cust.select(
+        "o_custkey",
+        "frequency",
+        "monetary",
+        F.ntile(4)
+        .over(Window.orderBy(F.col("last_order").desc(), F.col("o_custkey").asc()))
+        .alias("r_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc()))
+        .alias("f_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("monetary").desc(), F.col("o_custkey").asc()))
+        .alias("m_quartile"),
+    )
+    return scored.groupBy("r_quartile", "f_quartile", "m_quartile").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum("monetary"), 2).alias("segment_value"),
+    )
