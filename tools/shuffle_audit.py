@@ -69,6 +69,10 @@ PROBE = [
     ("embedding_random_projection", "zero shuffle: 16 codegen'd add-chains per row"),
     ("tpch_q2_min_cost_supplier", "one (partkey,suppkey) pre-agg exchange; all dims + min join-back broadcast"),
     ("tpch_q9_product_profit", "one fact-fact exchange (orderkey); part/supplier/nation broadcast"),
+    ("prefix_filter_jaccard_pairs", "8-byte gram-md5 exchange keys; df rides the tok partitioning (no agg+join-back)"),
+    ("rfm_customer_segments", "one custkey agg exchange; ntiles sort |customers| pre-agg rows; 64-group matrix agg"),
+    ("cohort_retention", "min-ts agg, distinct, and join share one user_id exchange layout"),
+    ("table_column_profile", "stack-unpivot then ONE grouped agg; 4 groups map-side combined"),
 ]
 
 
