@@ -236,3 +236,26 @@ def test_prefix_filter_prunes_postings(spark):
         ).alias("p")
     ).agg(F.sum("p")).collect()[0][0]
     assert prefix < full * 0.55  # at t=0.6 the prefix is < ~45% of each set
+
+
+def test_rfm_partitions_customers_exactly_once(spark):
+    """The segment matrix must partition the customer base: cell counts
+    sum to |customers with orders|, and every quartile value is 1–4."""
+    out = _Q["rfm_customer_segments"](spark, SF_SMOKE).collect()
+    n_cust = (
+        load_table(spark, SF_SMOKE, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(r.n_customers for r in out) == n_cust
+    for r in out:
+        assert 1 <= r.r_quartile <= 4 and 1 <= r.f_quartile <= 4 and 1 <= r.m_quartile <= 4
+
+
+def test_column_profile_consistency(spark):
+    """Every profiled column reports the same row count (one table scan)
+    and zero nulls (the synthetic tables are complete); doc_id is unique."""
+    rows = {r.column_name: r for r in _Q["table_column_profile"](spark, SF_SMOKE).collect()}
+    n = load_table(spark, SF_SMOKE, "documents").count()
+    assert set(rows) == {"doc_id", "lang", "source", "n_chars"}
+    for r in rows.values():
+        assert r.n_rows == n and r.n_nulls == 0
+    assert rows["doc_id"].n_distinct == n
