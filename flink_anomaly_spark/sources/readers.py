@@ -68,3 +68,21 @@ def stream_rate(spark: SparkSession, rows_per_second: int = 10) -> DataFrame:
         .option("rowsPerSecond", str(rows_per_second))
         .load()
     )
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Binary-file source for media ingestion: one row per file with
+    (path, modificationTime, length, content: binary) — the entry point
+    that turns a directory of images/audio/video into the opaque-binary
+    media frame the multimodal operators consume
+    (``operators.multimodal``). ``pathGlobFilter`` prunes by extension
+    at LISTING time (no bytes read for filtered files); pair with
+    ``spark.sql.files.maxPartitionBytes`` so many small media files
+    coalesce into sane tasks at 100 TB.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

@@ -62,3 +62,28 @@ def test_read_text_lines(spark, tmp_path):
     p.write_text("alpha\nbeta\n")
     got = sorted(r.value for r in read_text(spark, str(p)).collect())
     assert got == ["alpha", "beta"]
+
+
+def test_binary_file_source_feeds_media_dedup(spark, tmp_path):
+    """binaryFile source: one row per file with the opaque content
+    column; glob filtering prunes at listing time; and the content
+    flows straight into the sha256 exact-dedup used by the multimodal
+    family (two identical payloads collapse to one group)."""
+    from flink_anomaly_spark.sources.readers import read_binary_files
+
+    payload = bytes(range(256))
+    (tmp_path / "a.bin").write_bytes(payload)
+    (tmp_path / "b.bin").write_bytes(payload)          # exact duplicate
+    (tmp_path / "c.bin").write_bytes(payload[::-1])
+    (tmp_path / "skip.txt").write_bytes(b"not media")
+    df = read_binary_files(spark, str(tmp_path), glob="*.bin")
+    assert {"path", "modificationTime", "length", "content"} <= set(df.columns)
+    rows = df.collect()
+    assert len(rows) == 3  # skip.txt pruned by the glob
+    assert all(r.length == 256 for r in rows)
+    groups = (
+        df.groupBy(F.sha2("content", 256).alias("fp"))
+        .agg(F.count("*").alias("n"), F.min("path").alias("keep_path"))
+        .collect()
+    )
+    assert sorted(g.n for g in groups) == [1, 2]
