@@ -820,3 +820,94 @@ def q_doc_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         (end - start).alias("n_tokens"),
         F.md5(F.concat_ws(" ", F.slice("toks", start + 1, end - start))).alias("chunk_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed chunk → pack pipeline (windows into fixed training bins)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "chunk_pack_pipeline",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sized AS (
+      SELECT doc_id, len(toks) AS n,
+             CASE WHEN len(toks) <= {_CHUNK} THEN 1
+                  ELSE ((len(toks) - {_CHUNK} + {_STRIDE} - 1) // {_STRIDE}) + 1
+             END AS n_chunks
+      FROM t WHERE len(toks) > 0
+    ), chunks AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_idx,
+             least(u.i * {_STRIDE} + {_CHUNK}, n) - u.i * {_STRIDE} AS n_tokens
+      FROM sized, unnest(range(0, n_chunks)) AS u(i)
+    ), c AS (
+      SELECT doc_id, chunk_idx, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id, chunk_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM chunks
+    )
+    SELECT doc_id, chunk_idx, n_tokens,
+           (cum - n_tokens) // 2048 AS bin_id,
+           (cum - n_tokens) % 2048 AS bin_offset
+    FROM c
+    """,
+    doc="Composed training-prep tail: stride-64/48 token windows "
+    "(doc_token_chunks semantics) packed into 2048-token bins in "
+    "(doc_id, chunk_idx) order — window explode feeds the same "
+    "DISTRIBUTED exclusive prefix sum as sequence_packing "
+    "(range-partition local cumsum + per-partition offsets broadcast "
+    "back; never a single-partition global window). Integer-exact, so "
+    "the oracle's plain global-window form matches bit-for-bit "
+    "whatever the partition boundaries.",
+)
+def q_chunk_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    sized = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
+    n = F.size("toks")
+    n_chunks = F.when(n <= _CHUNK, F.lit(1)).otherwise(
+        F.expr(f"((size(toks) - {_CHUNK} + {_STRIDE} - 1) div {_STRIDE}) + 1")
+    )
+    start = F.col("chunk_idx") * _STRIDE
+    chunks = sized.select(
+        "doc_id",
+        n.alias("n"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        (F.least(start + _CHUNK, F.col("n")) - start).alias("n_tokens"),
+    )
+    d = chunks.repartitionByRange(32, "doc_id", "chunk_idx").withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy("doc_id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("__local_cum", F.sum("n_tokens").over(w_local))
+    w_parts = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        d.groupBy("__pid")
+        .agg(F.sum("n_tokens").alias("__part_total"))
+        .withColumn(
+            "__part_offset",
+            F.coalesce(F.sum("__part_total").over(w_parts), F.lit(0)),
+        )
+        .select("__pid", "__part_offset")
+    )
+    startpos = F.col("__local_cum") + F.col("__part_offset") - F.col("n_tokens")
+    return (
+        d.join(F.broadcast(offsets), "__pid")
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "n_tokens",
+            F.floor(startpos / 2048).cast("bigint").alias("bin_id"),
+            (startpos % 2048).cast("bigint").alias("bin_offset"),
+        )
+    )
