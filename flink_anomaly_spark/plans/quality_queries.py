@@ -801,7 +801,10 @@ _CHUNK, _STRIDE = 64, 48
 def q_doc_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
-    sized = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
+    # zero-token filter on the RAW text (equivalent to size(toks) > 0):
+    # a predicate on the computed token array would be pushed below any
+    # upstream exchange and force the tokenization into the scan stage
+    sized = docs.filter(F.col("text").rlike(r"\S")).select("doc_id", toks.alias("toks"))
     n = F.size("toks")
     n_chunks = F.when(n <= _CHUNK, F.lit(1)).otherwise(
         F.expr(f"((size(toks) - {_CHUNK} + {_STRIDE} - 1) div {_STRIDE}) + 1")
@@ -866,7 +869,10 @@ def q_chunk_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
-    sized = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
+    # zero-token filter on the RAW text (equivalent to size(toks) > 0):
+    # a predicate on the computed token array would be pushed below any
+    # upstream exchange and force the tokenization into the scan stage
+    sized = docs.filter(F.col("text").rlike(r"\S")).select("doc_id", toks.alias("toks"))
     n = F.size("toks")
     n_chunks = F.when(n <= _CHUNK, F.lit(1)).otherwise(
         F.expr(f"((size(toks) - {_CHUNK} + {_STRIDE} - 1) div {_STRIDE}) + 1")
