@@ -506,3 +506,77 @@ def char_entropy_profile(
     return raw.select(
         id_col, "n_distinct_chars", F.round("char_entropy", 6).alias("char_entropy")
     )
+
+
+def boilerplate_segment_removal(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seg_words: int = 2,
+    min_df_frac: float = 0.02,
+) -> DataFrame:
+    """CCNet-style boilerplate removal at segment granularity
+    (Wenzek et al. 2019 §4.1 dedups paragraphs by hash; with no
+    newline structure in the corpus, fixed ``seg_words``-word
+    non-overlapping chunks stand in for paragraphs).
+
+    Chunks each document, computes every segment's document frequency,
+    drops segments whose DF >= ``min_df_frac`` of the corpus, and
+    reassembles survivors in order. Returns
+    (id_col, n_segments, n_removed, cleaned_text).
+
+    Plan: narrow chunking -> 1 shuffle for the segment-DF count ->
+    broadcast anti-join against the (small-by-construction) blacklist
+    -> 1 shuffle to reassemble per doc. At 100 TB the blacklist stays
+    broadcastable because only segments above the DF cutoff enter it;
+    drop the broadcast hint if a pathological corpus inflates it.
+    """
+    docs = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+    base = docs.select(
+        "_id", F.split("_text", " ").alias("ws")
+    ).withColumn(
+        "n_segments",
+        F.greatest(
+            F.lit(1), F.ceil(F.size("ws") / F.lit(float(seg_words)))
+        ).cast("bigint"),
+    )
+    seg_arr = F.transform(
+        F.sequence(F.lit(0), F.col("n_segments") - 1),
+        lambda i: F.array_join(F.slice("ws", i * seg_words + 1, seg_words), " "),
+    )
+    segs = base.select("_id", F.posexplode(seg_arr).alias("seg_idx", "seg"))
+    min_df = F.broadcast(
+        docs.agg(
+            F.ceil(F.lit(min_df_frac) * F.count("*")).cast("bigint").alias("min_df")
+        )
+    )
+    blacklist = (
+        segs.groupBy("seg")
+        .agg(F.countDistinct("_id").alias("df"))
+        .crossJoin(min_df)
+        .filter(F.col("df") >= F.col("min_df"))
+        .select("seg")
+    )
+    kept = segs.join(F.broadcast(blacklist), "seg", "left_anti")
+    re = kept.groupBy("_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("cleaned"),
+    )
+    return (
+        base.select("_id", "n_segments")
+        .join(re, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_segments",
+            (F.col("n_segments") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+                "n_removed"
+            ),
+            F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned_text"),
+        )
+    )

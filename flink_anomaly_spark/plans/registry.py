@@ -154,6 +154,7 @@ def _load_all() -> None:
     from flink_anomaly_spark.plans import (  # noqa: F401
         embedding_queries,
         extensions,
+        governance,
         multimodal_queries,
         quality_queries,
         reference_parity,

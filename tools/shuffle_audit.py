@@ -73,6 +73,10 @@ PROBE = [
     ("rfm_customer_segments", "one custkey agg exchange; ntiles sort |customers| pre-agg rows; 64-group matrix agg"),
     ("cohort_retention", "min-ts agg, distinct, and join share one user_id exchange layout"),
     ("table_column_profile", "stack-unpivot then ONE grouped agg; 4 groups map-side combined"),
+    ("boilerplate_segment_removal", "segment-DF exchange + doc_id reassembly; blacklist broadcast"),
+    ("data_quality_suite", "1-row partial-agg merges per table; dim keys broadcast for the FK check"),
+    ("zorder_file_layout", "narrow bit-math; one ≤256-group zvalue exchange"),
+    ("scd2_customer_history", "ONE custkey exchange serves row_number/lead/running-sum (fused Window)"),
 ]
 
 
