@@ -103,15 +103,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # corpus-quality filters (NEW round 3, never driver-checked)
     "gopher_quality_flags",
     "doc_repetition_profile",
-    # SURVEY §2 reference parity
+    # SURVEY §2 reference parity (map_upper / filter_project /
+    # union_bag / global_concat_single_key ceded their slots after two
+    # green driver rounds — still locally gated AND pinned by the
+    # fixture parity tests; the stateful/window/keyed parity rows stay)
     "flagship_running_concat",
-    "map_upper",
-    "filter_project",
-    "union_bag",
     "window_argmax",
     "window_count_agg",
     "keyed_concat_total",
-    "global_concat_single_key",
     # distinctive relational operators (pivot_order_status ceded its
     # slot in round 3 after two green rounds — locally gated)
     "asof_last_signup",
@@ -142,6 +141,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "embedding_random_projection",
     "doc_token_chunks",
     "weighted_doc_sample",
+    # governance/layout additions (round-3 final rotation; scd2 +
+    # global_rank_export stay local-only this round, see COVERAGE.md)
+    "boilerplate_segment_removal",
+    "data_quality_suite",
+    "zorder_file_layout",
+    "snapshot_diff_orders",
 )
 
 

@@ -39,15 +39,20 @@ def test_driver_window_is_first_50():
     qs = list(entrymod.queries())
     assert len(DRIVER_WINDOW) == 50
     assert qs[:50] == list(DRIVER_WINDOW)
-    # every §2-mapped query, the streaming set, and the flagship dedup /
-    # ANN operators are inside the checked window
-    for must in ["flagship_running_concat", "map_upper", "filter_project",
-                 "union_bag", "window_argmax", "window_count_agg",
+    # the load-bearing §2 rows, the streaming set, and the flagship
+    # dedup / ANN operators are inside the checked window (map_upper /
+    # filter_project / union_bag / global_concat_single_key ceded their
+    # slots after two green driver rounds — still pinned by the fixture
+    # parity tests and the local oracle gate)
+    for must in ["flagship_running_concat",
+                 "window_argmax", "window_count_agg", "keyed_concat_total",
                  "streaming_window_count", "streaming_running_concat",
                  "streaming_interval_join", "minhash_near_dup_pairs",
                  "simhash_near_dup_pairs", "embedding_ann_ivf",
-                 "weighted_doc_sample"]:  # the sampling-family slot —
-        # hash_sample_10pct ceded it after two green rounds
+                 "weighted_doc_sample",  # the sampling-family slot —
+                 # hash_sample_10pct ceded it after two green rounds
+                 "boilerplate_segment_removal", "data_quality_suite",
+                 "zorder_file_layout", "snapshot_diff_orders"]:
         assert must in qs[:50], must
 
 

@@ -75,6 +75,15 @@ PROBE = [
     "tpch_q9_product_profit",
     "tpch_q16_supplier_cnt",
     "tpch_q20_part_promotion",
+    # governance/layout additions (boilerplate removal is replication-
+    # safe: DF thresholds are corpus-FRACTION-based, so replicating docs
+    # and corpus together leaves every segment's relative DF unchanged)
+    "boilerplate_segment_removal",
+    "data_quality_suite",
+    "zorder_file_layout",
+    "scd2_customer_history",
+    "global_rank_export",
+    "snapshot_diff_orders",
 ]
 
 #: fact-shift key per replicated table (dims stay unreplicated)

@@ -77,6 +77,8 @@ PROBE = [
     ("data_quality_suite", "1-row partial-agg merges per table; dim keys broadcast for the FK check"),
     ("zorder_file_layout", "narrow bit-math; one ≤256-group zvalue exchange"),
     ("scd2_customer_history", "ONE custkey exchange serves row_number/lead/running-sum (fused Window)"),
+    ("global_rank_export", "one lang exchange for the keyed rank; |langs|-row offset broadcast"),
+    ("snapshot_diff_orders", "exchanges carry (key, 32-byte row-hash), not the full row"),
 ]
 
 
