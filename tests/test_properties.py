@@ -409,3 +409,51 @@ def test_prefix_filter_equals_brute_force(spark, docs):
         if round(inter / uni, 4) >= 0.6:
             expect.add((a, b))
     assert got == expect
+
+
+corpus_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["ad", "buy", "now", "x", "y", "z", "w"]),
+        min_size=1,
+        max_size=9,
+    ).map(" ".join),
+    min_size=1,
+    max_size=15,
+)
+
+
+@settings(**_SETTINGS)
+@given(corpus_strategy, st.sampled_from([0.2, 0.5]))
+def test_boilerplate_removal_matches_python_reference(spark, texts, frac):
+    """boilerplate_segment_removal == a pure-Python reimplementation on
+    arbitrary small corpora (tiny vocab so segments actually collide)."""
+    import math
+
+    from flink_anomaly_spark.operators.text import boilerplate_segment_removal
+
+    seg_w = 2
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_segments, r.n_removed, r.cleaned_text)
+        for r in boilerplate_segment_removal(
+            df, "doc_id", "text", seg_words=seg_w, min_df_frac=frac
+        ).collect()
+    }
+
+    # pure-python reference
+    def segs_of(text):
+        ws = text.split(" ")
+        n = max(1, math.ceil(len(ws) / seg_w))
+        return [" ".join(ws[i * seg_w : i * seg_w + seg_w]) for i in range(n)]
+
+    min_df = math.ceil(frac * len(rows))
+    df_count: dict = {}
+    for i, t in rows:
+        for s in set(segs_of(t)):
+            df_count[s] = df_count.get(s, 0) + 1
+    black = {s for s, c in df_count.items() if c >= min_df}
+    for i, t in rows:
+        ss = segs_of(t)
+        kept = [s for s in ss if s not in black]
+        assert got[i] == (len(ss), len(ss) - len(kept), " ".join(kept)), (i, t)
