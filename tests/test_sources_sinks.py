@@ -87,3 +87,34 @@ def test_binary_file_source_feeds_media_dedup(spark, tmp_path):
         .collect()
     )
     assert sorted(g.n for g in groups) == [1, 2]
+
+
+def test_write_audit_publish_promotes_only_on_pass(spark, tmp_path):
+    """WAP: a passing audit atomically promotes the staging dir; a
+    failing audit leaves the published table untouched (old version
+    still readable) and keeps staging for inspection."""
+    from flink_anomaly_spark.sinks import write_audit_publish
+
+    final = str(tmp_path / "docs")
+    v1 = spark.range(0, 100).select(F.col("id"), F.lit("v1").alias("tag"))
+
+    def audit_nonempty(df):
+        return ("nonempty", df.count() > 0)
+
+    def audit_unique(df):
+        return ("id_unique", df.select("id").distinct().count() == df.count())
+
+    res = write_audit_publish(v1, final, [audit_nonempty, audit_unique])
+    assert res == [("nonempty", True), ("id_unique", True)]
+    assert not os.path.exists(final + "._staging")
+    assert spark.read.parquet(final).count() == 100
+
+    # v2 violates uniqueness -> must NOT replace v1
+    v2 = v1.unionAll(v1).select("id", F.lit("v2").alias("tag"))
+    res = write_audit_publish(v2, final, [audit_nonempty, audit_unique])
+    assert ("id_unique", False) in res
+    pub = spark.read.parquet(final)
+    assert pub.count() == 100
+    assert pub.select("tag").distinct().collect()[0][0] == "v1"
+    # staging left for inspection
+    assert os.path.exists(final + "._staging")
