@@ -586,3 +586,50 @@ def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o.o_orderstatus").alias("old_status"),
         F.col("n.o_orderstatus").alias("new_status"),
     )
+
+
+def _install_leakage_free_split() -> None:
+    """Registered late so it can compose dedup_clusters' builder and
+    oracle verbatim — the split stays in lockstep with the cluster
+    definition by construction (same pattern as ann_lsh_recall)."""
+    from flink_anomaly_spark.operators.dedup import md5_int32
+    from flink_anomaly_spark.plans.extensions import _CLUSTERS_ORACLE
+    from flink_anomaly_spark.plans.fragments import MD5_32
+    from flink_anomaly_spark.plans.registry import QUERIES
+
+    hb = MD5_32.format(x="CAST(cluster_id AS VARCHAR)") + " % 100"
+    oracle = f"""
+    WITH clusters AS ({_CLUSTERS_ORACLE})
+    SELECT id AS doc_id, cluster_id,
+           CASE WHEN {hb} < 80 THEN 'train'
+                WHEN {hb} < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM clusters
+    """
+
+    def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        clusters = QUERIES["dedup_clusters"].build(spark, sf_dir)
+        h = md5_int32(F.col("cluster_id").cast("string")) % 100
+        return clusters.select(
+            F.col("id").alias("doc_id"),
+            "cluster_id",
+            F.when(h < 80, "train").when(h < 90, "val").otherwise("test").alias(
+                "split"
+            ),
+        )
+
+    register(
+        "leakage_free_split",
+        oracle=oracle,
+        doc="Contamination-safe train/val/test split: assign the WHOLE "
+        "near-dup cluster to one split by hashing the cluster id, not "
+        "the doc id — a near-duplicate of a test document can never "
+        "land in train (the leakage plain per-doc hash splits allow). "
+        "Composes dedup_clusters verbatim (builder AND oracle), so the "
+        "guarantee tracks the cluster definition; the split itself "
+        "adds zero shuffle on top of clustering (narrow hash-mod on "
+        "the cluster column).",
+    )(build)
+
+
+_install_leakage_free_split()

@@ -175,3 +175,19 @@ def test_snapshot_diff_classifies_by_construction(spark):
             # unchanged rows (status not rewritten) must NOT appear
             if k % 7 != 0:
                 assert k not in out, k
+
+
+def test_leakage_free_split_keeps_clusters_whole(spark):
+    """No near-dup cluster straddles splits (the contamination guard),
+    and the split fractions are near 80/10/10 over clusters."""
+    rows = _Q["leakage_free_split"](spark, SF_SMOKE).collect()
+    splits_per_cluster: dict = {}
+    for r in rows:
+        splits_per_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in splits_per_cluster.values())
+    by_split = {"train": 0, "val": 0, "test": 0}
+    for cid, s in splits_per_cluster.items():
+        by_split[next(iter(s))] += 1
+    n = sum(by_split.values())
+    assert by_split["train"] / n > 0.6
+    assert by_split["val"] / n < 0.25 and by_split["test"] / n < 0.25
