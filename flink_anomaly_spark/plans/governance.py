@@ -633,3 +633,110 @@ def _install_leakage_free_split() -> None:
 
 
 _install_leakage_free_split()
+
+
+@register(
+    "encoding_anomaly_flags",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(length(text) - length(replace(text, chr(65533), '')) AS BIGINT)
+             AS n_replacement_chars,
+           CAST(len(regexp_extract_all(text, 'Ã[Â-Å]|â€|Â[ -¥]')) AS BIGINT)
+             AS n_mojibake_marks,
+           CAST(len(regexp_extract_all(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]')) AS BIGINT)
+             AS n_control_chars,
+           CASE WHEN (length(text) - length(replace(text, chr(65533), ''))) > 0
+                  OR len(regexp_extract_all(text, 'Ã[Â-Å]|â€|Â[ -¥]')) > 0
+                  OR len(regexp_extract_all(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]')) > 0
+                THEN 1 ELSE 0 END AS suspect
+    FROM documents
+    """,
+    doc="Encoding-anomaly (mojibake) detection, ftfy-style heuristics: "
+    "counts of U+FFFD replacement characters, classic UTF-8-as-Latin-1 "
+    "double-encoding marks (A-tilde/a-circumflex lead-byte sequences), "
+    "and stray C0 control characters — the three signatures of a "
+    "corrupted decode pipeline upstream. Pure narrow Catalyst regexp "
+    "counting: pruned 2-column scan, zero shuffle, whole-stage "
+    "codegen; at 100 TB this is a free rider on any other full scan.",
+)
+def q_encoding_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    repl = (
+        F.length("text") - F.length(F.regexp_replace("text", "�", ""))
+    ).cast("bigint")
+    moji = F.size(F.regexp_extract_all("text", F.lit("Ã[Â-Å]|â€|Â[ -¥]"), F.lit(0))).cast(
+        "bigint"
+    )
+    ctrl = F.size(
+        F.regexp_extract_all(
+            "text", F.lit("[\x00-\x08\x0B\x0C\x0E-\x1F]"), F.lit(0)
+        )
+    ).cast("bigint")
+    return docs.select(
+        "doc_id",
+        repl.alias("n_replacement_chars"),
+        moji.alias("n_mojibake_marks"),
+        ctrl.alias("n_control_chars"),
+        F.when((repl > 0) | (moji > 0) | (ctrl > 0), 1)
+        .otherwise(0)
+        .alias("suspect"),
+    )
+
+
+#: target output-file capacity for the compaction plan, in characters
+#: (stands in for bytes on the synthetic corpus).
+_COMPACT_CAPACITY = 4000
+
+
+@register(
+    "compaction_file_plan",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, lang, n_chars,
+             sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS cum_chars
+      FROM documents
+    ), assigned AS (
+      SELECT lang,
+             CAST(floor((cum_chars - n_chars) / {_COMPACT_CAPACITY}.0) AS BIGINT)
+               AS file_seq,
+             doc_id, n_chars
+      FROM sized
+    )
+    SELECT lang, file_seq, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM assigned GROUP BY lang, file_seq
+    """,
+    doc="Small-files compaction plan (the OPTIMIZE/rewriteDataFiles "
+    "shape): within each lang partition, docs are laid into output "
+    "files by running cumulative size against a fixed capacity — "
+    "file_seq = floor((cumsum - own_size) / capacity), the greedy "
+    "first-fit-in-order packing every table-maintenance service uses. "
+    "One keyed window exchange (the running sum) + the bounded "
+    "per-file aggregate that rides the same partitioning. "
+    "Deterministic (doc_id order), so the plan is reproducible — a "
+    "writer executes it with partitionBy(lang) + per-file row groups.",
+)
+def q_compaction_file_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    assigned = docs.select(
+        "lang",
+        F.floor(
+            (F.sum("n_chars").over(w) - F.col("n_chars")) / float(_COMPACT_CAPACITY)
+        )
+        .cast("bigint")
+        .alias("file_seq"),
+        "doc_id",
+        "n_chars",
+    )
+    return assigned.groupBy("lang", "file_seq").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

@@ -191,3 +191,48 @@ def test_leakage_free_split_keeps_clusters_whole(spark):
     n = sum(by_split.values())
     assert by_split["train"] / n > 0.6
     assert by_split["val"] / n < 0.25 and by_split["test"] / n < 0.25
+
+
+def test_encoding_anomalies_detected_on_injected_corruption(spark, tmp_path):
+    """Inject the three corruption signatures into a synthetic documents
+    table; each must be counted, and clean text must not be flagged."""
+    rows = [
+        (1, "perfectly clean ascii text", "en", "web", 26),
+        (2, "bad char � here � twice", "en", "web", 20),
+        (3, "double encoded donâ€™t quote", "en", "web", 28),
+        (4, "control\x07bell and\x01soh chars", "en", "web", 26),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r for r in _Q["encoding_anomaly_flags"](spark, str(tmp_path)).collect()}
+    assert out[1].suspect == 0
+    assert out[2].n_replacement_chars == 2 and out[2].suspect == 1
+    assert out[3].n_mojibake_marks >= 1 and out[3].suspect == 1
+    assert out[4].n_control_chars == 2 and out[4].suspect == 1
+
+
+def test_encoding_clean_corpus_not_flagged(spark):
+    out = _Q["encoding_anomaly_flags"](spark, SF_SMOKE)
+    assert out.filter(F.col("suspect") == 1).count() == 0
+
+
+def test_compaction_plan_covers_corpus_and_respects_capacity(spark):
+    """Every doc lands in exactly one file; no file exceeds capacity by
+    more than one document's worth (first-fit-in-order invariant); doc
+    ranges of consecutive files within a lang never interleave."""
+    from flink_anomaly_spark.plans.governance import _COMPACT_CAPACITY
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    max_doc = docs.agg(F.max("n_chars")).collect()[0][0]
+    rows = _Q["compaction_file_plan"](spark, SF_SMOKE).collect()
+    assert sum(r.n_docs for r in rows) == docs.count()
+    by_lang: dict = {}
+    for r in rows:
+        assert r.total_chars <= _COMPACT_CAPACITY + max_doc
+        by_lang.setdefault(r.lang, []).append(r)
+    for files in by_lang.values():
+        files.sort(key=lambda r: r.file_seq)
+        assert [f.file_seq for f in files] == list(range(len(files)))
+        for a, b in zip(files, files[1:]):
+            assert a.last_doc < b.first_doc
