@@ -79,6 +79,8 @@ PROBE = [
     ("scd2_customer_history", "ONE custkey exchange serves row_number/lead/running-sum (fused Window)"),
     ("global_rank_export", "one lang exchange for the keyed rank; |langs|-row offset broadcast"),
     ("snapshot_diff_orders", "exchanges carry (key, 32-byte row-hash), not the full row"),
+    ("encoding_anomaly_flags", "zero inherent shuffle: narrow regexp counts on a 2-column scan"),
+    ("compaction_file_plan", "one lang exchange: running-sum window + per-file agg share it"),
 ]
 
 
