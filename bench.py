@@ -75,7 +75,13 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    # SPARK_GRAFT_BENCH_DETAIL lets tests redirect the per-query detail
+    # to a tmpdir — without it every pytest run (sf0.001) clobbered the
+    # committed sf0.1 artifact (round-3 verdict, What's wrong #3).
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+    )
     try:
         with open(detail_path, "w") as f:
             json.dump(out, f, indent=1)

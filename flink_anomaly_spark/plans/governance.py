@@ -407,10 +407,16 @@ def q_zorder_file_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
            o_orderdate AS valid_from,
            lead(o_orderdate) OVER w AS valid_to,
            CASE WHEN lead(o_orderdate) OVER w IS NULL THEN 1 ELSE 0 END AS is_current,
-           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
-                                         ORDER BY o_orderdate, o_orderkey
-                                         ROWS BETWEEN UNBOUNDED PRECEDING
-                                                  AND CURRENT ROW), 2) AS cum_spend
+           -- running sum over exact integer cents: DuckDB's windowed
+           -- sum(double) uses a segment tree whose association order
+           -- differs from Spark's sequential running sum, so a
+           -- half-cent rounding tie could flip between engines
+           -- (round-4 ADVICE fix); integers are associative-exact
+           sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) / 100.0 AS cum_spend
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """,
@@ -437,7 +443,12 @@ def q_scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.lead("o_orderdate").over(w).isNull(), 1)
         .otherwise(0)
         .alias("is_current"),
-        F.round(F.sum("o_totalprice").over(wsum), 2).alias("cum_spend"),
+        # exact-cents running sum (see the oracle comment): integer
+        # accumulation is association-order-free, so Spark's sequential
+        # running sum and DuckDB's segment-tree sum agree bit-for-bit
+        (F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).over(wsum) / 100.0).alias(
+            "cum_spend"
+        ),
     )
 
 

@@ -97,7 +97,10 @@ def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM g GROUP BY doc_id
     )
     SELECT nn.doc_id,
-           coalesce(a.n_tok, 0) AS n_tokens,
+           -- DuckDB sum(BIGINT) returns HUGEINT which pandas renders as
+           -- float64 (32.0 vs Spark's bigint 32) — the round-3 driver-red
+           -- row; CAST pins the oracle to the Spark column type.
+           CAST(coalesce(a.n_tok, 0) AS BIGINT) AS n_tokens,
            round(coalesce(a.top_cnt, 0) / CAST(greatest(coalesce(a.n_tok, 0), 1) AS DOUBLE), 4)
              AS top_token_frac,
            round(1.0 - coalesce(a.n_tok_distinct, 0)
@@ -197,8 +200,10 @@ def q_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t
     )
     SELECT doc_id, n_tok,
-           (cum - n_tok) // 2048 AS bin_id,
-           (cum - n_tok) % 2048 AS bin_offset
+           -- CAST: DuckDB windowed sum(BIGINT) yields HUGEINT → pandas
+           -- float64; Spark emits bigint (round-4 strict-gate fix)
+           CAST((cum - n_tok) // 2048 AS BIGINT) AS bin_id,
+           CAST((cum - n_tok) % 2048 AS BIGINT) AS bin_offset
     FROM c
     """,
     doc="Concat-and-chunk sequence packing (GPT-style pretraining prep): "
@@ -306,7 +311,7 @@ def _install_langid_accuracy_oracle() -> None:
     oracle = f"""
     WITH pred AS ({_langid_ngram_oracle()})
     SELECT lang, count(*) AS n_docs,
-           sum(CASE WHEN lang_ngram = lang THEN 1 ELSE 0 END) AS n_correct,
+           CAST(sum(CASE WHEN lang_ngram = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
            round(sum(CASE WHEN lang_ngram = lang THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
              AS accuracy
     FROM pred GROUP BY lang
@@ -851,8 +856,9 @@ def q_doc_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM chunks
     )
     SELECT doc_id, chunk_idx, n_tokens,
-           (cum - n_tokens) // 2048 AS bin_id,
-           (cum - n_tokens) % 2048 AS bin_offset
+           -- CAST: HUGEINT→float64 hazard, see sequence_packing oracle
+           CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin_id,
+           CAST((cum - n_tokens) % 2048 AS BIGINT) AS bin_offset
     FROM c
     """,
     doc="Composed training-prep tail: stride-64/48 token windows "

