@@ -75,79 +75,83 @@ _LOADED = False
 #: udaf_weighted_mean / tpch_q5_local_supplier / streaming_dim_enrich
 #: (new this round, never driver-checked). See COVERAGE.md.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # LLM data-pipeline family (incl. every dedup variant and both ANN
-    # index shapes; docs_by_lang_source / train_val_test_split /
-    # lineitem_rollup ceded their slots in round 2 — locally gated)
-    "exact_dedup",
-    "text_profile",
-    "langid_char_ngram",
+    # ---- kept from round 3 (first driver check was r3 — each row
+    # stays until it has TWO green driver rounds; doc_repetition_profile
+    # stays to prove the round-4 oracle-type fix on the driver itself)
     "corpus_curation_pipeline",
     "canonical_doc_per_cluster",
-    "minhash_near_dup_pairs",
-    "simhash_fingerprints",
-    "simhash_near_dup_pairs",
-    "ngram_jaccard_pairs",
     "udaf_weighted_mean",
-    "dedup_clusters",
-    "approx_stats",
-    "dedup_pipeline_survivors",
     "tpch_q5_local_supplier",
-    "kmeans_embedding_outliers",
-    "rolling_zscore_outliers",
-    "multimodal_features",
-    "multimodal_frame_plan",
-    # anomaly + decontamination (rotated IN round 3)
     "mad_outliers",
     "ewma_smoothing",
     "ngram_decontamination",
-    # corpus-quality filters (NEW round 3, never driver-checked)
     "gopher_quality_flags",
     "doc_repetition_profile",
-    # SURVEY §2 reference parity (map_upper / filter_project /
-    # union_bag / global_concat_single_key ceded their slots after two
-    # green driver rounds — still locally gated AND pinned by the
-    # fixture parity tests; the stateful/window/keyed parity rows stay)
-    "flagship_running_concat",
-    "window_argmax",
-    "window_count_agg",
-    "keyed_concat_total",
-    # distinctive relational operators (pivot_order_status ceded its
-    # slot in round 3 after two green rounds — locally gated)
-    "asof_last_signup",
     "streaming_dim_enrich",
-    # similarity / ANN (embedding_near_dup_lsh rotated IN round 3)
-    "embedding_ann_lsh",
-    "embedding_ann_ivf",
-    "embedding_near_dup",
     "embedding_near_dup_lsh",
-    # embedding compression (NEW round 3)
     "embedding_int8_quantize",
-    # skew-handling aggregation (rotated IN round 3)
     "salted_event_type_stats",
-    # streaming (oracle-checked single-batch finalization)
-    "streaming_window_count",
-    "streaming_window_argmax",
     "streaming_dedup",
-    "streaming_running_concat",
-    "streaming_interval_join",
-    # TPC-H (q6/q18/q3/revenue_by_nation ceded their slots late in
-    # round 3 after two green rounds — locally gated; q1 stays as the
-    # headline agg shape)
-    "tpch_q1_pricing",
-    # late-round-3 additions, never driver-checked (hash_sample_10pct
-    # — green r01+r02 — ceded its slot to its weighted sibling)
     "bloom_prefilter_urgent_revenue",
     "incremental_dedup_new_batch",
     "embedding_random_projection",
     "doc_token_chunks",
     "weighted_doc_sample",
-    # governance/layout additions (round-3 final rotation; scd2 +
-    # global_rank_export stay local-only this round, see COVERAGE.md)
     "boilerplate_segment_removal",
     "data_quality_suite",
     "zorder_file_layout",
     "snapshot_diff_orders",
+    # ---- rotated IN round 4, never driver-checked before. The two
+    # permanent rows-only slots ceded first (VERDICT r3 #3):
+    # approx_stats / kmeans_embedding_outliers can never hash-match by
+    # design; their oracle-able companions take the slots.
+    "centroid_distance_outliers",
+    "ann_lsh_recall",
+    "ann_ivf_recall",
+    # graph/cluster analytics over the near-dup graph (VERDICT r3 #6)
+    "pagerank_neardup",
+    "neardup_triangle_count",
+    "prefix_filter_jaccard_pairs",
+    "cross_doc_repeated_ngrams",
+    # training-prep + governance with intricate oracles
+    "sequence_packing",
+    "chunk_pack_pipeline",
+    "scd2_customer_history",
+    "global_rank_export",
+    "leakage_free_split",
+    "temperature_resampled_corpus",
+    "encoding_anomaly_flags",
+    # text-analysis breadth
+    "heavy_hitter_terms",
+    "bigram_pmi_top",
+    "tokenizer_fertility_by_lang",
+    # sessionization / funnels
+    "event_sessionization",
+    "funnel_transitions",
+    # streaming: the NEW end-of-stream flush query (round-4 W1 parity
+    # closure) plus the sliding/session window live twins
+    "streaming_window_count_final",
+    "streaming_sliding_count",
+    "streaming_session_count",
+    # TPC-H round-3 additions (q2/q7/q8/q9/q21 per VERDICT r3 #6)
+    "tpch_q2_min_cost_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q21_late_blame",
 )
+# Rotated OUT in round 4 after two (or three) green driver rounds —
+# all remain locally hash-gated at 3 scale factors and fixture-tested:
+# exact_dedup, text_profile, langid_char_ngram, minhash_near_dup_pairs,
+# simhash_fingerprints, simhash_near_dup_pairs, ngram_jaccard_pairs,
+# dedup_clusters, dedup_pipeline_survivors, rolling_zscore_outliers,
+# multimodal_features, multimodal_frame_plan, flagship_running_concat,
+# window_argmax, window_count_agg, keyed_concat_total, asof_last_signup,
+# embedding_ann_lsh, embedding_ann_ivf, embedding_near_dup,
+# streaming_window_count, streaming_window_argmax,
+# streaming_running_concat, streaming_interval_join, tpch_q1_pricing;
+# plus the two permanently rows-only rows approx_stats /
+# kmeans_embedding_outliers (VERDICT r3 #3). See COVERAGE.md.
 
 
 def _load_all() -> None:

@@ -31,6 +31,7 @@ from flink_anomaly_spark.plans.registry import register
 from flink_anomaly_spark.streaming.pipelines import (
     run_to_memory,
     stream_events,
+    stream_events_with_final_flush,
     windowed_argmax_stream,
     windowed_count_stream,
 )
@@ -57,6 +58,35 @@ from flink_anomaly_spark.streaming.stateful import running_concat_stream
 )
 def q_streaming_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(windowed_count_stream(stream_events(spark, sf_dir)))
+
+
+@register(
+    "streaming_window_count_final",
+    oracle="""
+    SELECT date_trunc('day', ts) AS window_start,
+           date_trunc('day', ts) + INTERVAL 1 DAY AS window_end,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    doc="W1 live with Flink END-OF-STREAM parity "
+    "(TestFlinkStreams.java:78-82: a bounded Flink source advances the "
+    "watermark to +inf at exhaustion and flushes the trailing window; "
+    "plain Spark append mode drops it): the end-of-stream sentinel "
+    "source (stream_events_with_final_flush) pushes the watermark past "
+    "every real window, so this streaming query emits ALL windows — "
+    "the oracle is the full batch aggregation with NO watermark cut, "
+    "unlike streaming_window_count whose oracle mirrors the append-"
+    "mode watermark HAVING.",
+)
+def q_streaming_window_count_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="eos_flush_")
+    events = stream_events_with_final_flush(spark, sf_dir, work)
+    return run_to_memory(windowed_count_stream(events))
 
 
 @register(

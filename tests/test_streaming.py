@@ -50,6 +50,71 @@ def test_streaming_window_count_matches_batch(spark):
     assert len(s) > 0
 
 
+def test_final_flush_emits_all_windows(spark, tmp_path):
+    """End-of-stream flush parity: with the sentinel source the
+    streaming windowed agg emits EVERY window — including the trailing
+    one plain append mode drops — and equals the batch query exactly,
+    with no sentinel artifacts in the output."""
+    from flink_anomaly_spark.streaming.pipelines import stream_events_with_final_flush
+
+    events = stream_events_with_final_flush(spark, SF_SMOKE, str(tmp_path / "eos"))
+    got = run_to_memory(windowed_count_stream(events))
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    s = {tuple(r) for r in got.collect()}
+    b = {
+        (r.win.start, r.win.end, r.event_type, r.n_events, r.sum_value)
+        for r in batch.collect()
+    }
+    assert s == b
+    assert not any("__eos__" in str(row) for row in s)
+    # and it strictly extends the plain append-mode result (the trailing
+    # window that motivated the helper really was missing before)
+    plain = run_to_memory(windowed_count_stream(stream_events(spark, SF_SMOKE)))
+    assert plain.count() < got.count()
+
+
+def test_final_flush_three_element_fixture(spark, tmp_path):
+    """Mirror of the reference's testPrintWindowed fixture
+    (TestFlinkStreams.java:62-83): three timestamped elements, tumbling
+    windows, whole-record maxBy — Flink emits BOTH windows because the
+    bounded source flushes at exhaustion; the sentinel source must
+    reproduce that, trailing window included."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_anomaly_spark.streaming.pipelines import stream_events_with_final_flush
+
+    sf_dir = tmp_path / "fixture_sf"
+    sf_dir.mkdir()
+    base = 1_700_000_000_000_000  # µs epoch
+    hour = 3_600_000_000
+    # two events in hour-window 0 (values 1.0 < 5.0), one in window 1 —
+    # the reference's 3-element shape: the LAST window only ever emits
+    # because of the end-of-stream flush
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array([base, base + 60_000_000, base + hour], pa.timestamp("us")),
+            "user_id": pa.array([10, 11, 12], pa.int64()),
+            "event_type": pa.array(["a", "a", "b"], pa.string()),
+            "value": pa.array([1.0, 5.0, 3.0], pa.float64()),
+            "props": pa.array([None, None, None], pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(sf_dir / "events.parquet"))
+
+    events = stream_events_with_final_flush(spark, str(sf_dir), str(tmp_path / "eos3"))
+    got = run_to_memory(windowed_argmax_stream(events))
+    rows = sorted(got.collect(), key=lambda r: r.window_start)
+    assert len(rows) == 2  # plain append mode would emit 0 windows here
+    assert rows[0].event_id == 2 and rows[0].value == 5.0  # maxBy window 0
+    assert rows[1].event_id == 3 and rows[1].value == 3.0  # the trailing window
+
+
 def test_streaming_argmax_runs(spark):
     out = run_to_memory(windowed_argmax_stream(stream_events(spark, SF_SMOKE)))
     events = load_table(spark, SF_SMOKE, "events")

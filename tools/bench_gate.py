@@ -1,0 +1,85 @@
+"""Bench regression gate — fail when a query got materially slower.
+
+Compares a fresh ``BENCH_DETAIL.json`` against the committed one with
+the same tolerance the round-3 judge applied to the r2-vs-r3 diff
+(a regression = > RATIO× AND > +ABS_SLACK s, so sub-second jitter on
+fast queries and fixed-overhead noise cannot trip it). Intentional
+slowdowns are legitimate — update the committed detail in the same
+commit that introduces them.
+
+Usage:
+    python tools/bench_gate.py FRESH.json [BASELINE.json]
+
+Baseline defaults to the repo-root ``BENCH_DETAIL.json``. Exit 0 =
+no regressions; 1 = regressions listed on stdout; 2 = usage/IO error.
+Queries present on only one side are reported informationally (new
+queries have no baseline; removed ones no longer run).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+RATIO = 1.5
+ABS_SLACK = 0.3  # seconds
+
+
+def compare(fresh: dict[str, float], base: dict[str, float]) -> dict:
+    regressions = []
+    improved = []
+    for name, t in sorted(fresh.items()):
+        b = base.get(name)
+        if b is None:
+            continue
+        if t > b * RATIO and t > b + ABS_SLACK:
+            regressions.append((name, b, t))
+        elif b > t * RATIO and b > t + ABS_SLACK:
+            improved.append((name, b, t))
+    return {
+        "regressions": regressions,
+        "improved": improved,
+        "new": sorted(set(fresh) - set(base)),
+        "removed": sorted(set(base) - set(fresh)),
+    }
+
+
+def main() -> int:
+    if len(sys.argv) < 2:
+        print(__doc__)
+        return 2
+    fresh_path = sys.argv[1]
+    base_path = (
+        sys.argv[2]
+        if len(sys.argv) > 2
+        else os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_DETAIL.json")
+    )
+    try:
+        fresh = json.load(open(fresh_path))
+        base = json.load(open(base_path))
+    except (OSError, json.JSONDecodeError) as e:
+        print(f"ERROR: {e}")
+        return 2
+    if fresh.get("sf") != base.get("sf"):
+        print(
+            f"ERROR: scale factors differ (fresh sf={fresh.get('sf')}, "
+            f"baseline sf={base.get('sf')}) — only same-SF runs are comparable"
+        )
+        return 2
+    r = compare(fresh["queries"], base["queries"])
+    for name, b, t in r["regressions"]:
+        print(f"REGRESSION {name}: {b:.3f}s -> {t:.3f}s ({t / b:.2f}x)")
+    for name, b, t in r["improved"]:
+        print(f"improved   {name}: {b:.3f}s -> {t:.3f}s")
+    if r["new"]:
+        print(f"new (no baseline): {', '.join(r['new'])}")
+    if r["removed"]:
+        print(f"removed: {', '.join(r['removed'])}")
+    n = len(r["regressions"])
+    print(f"\n{'OK' if n == 0 else f'{n} REGRESSIONS'} (tolerance >{RATIO}x and >+{ABS_SLACK}s vs {base_path})")
+    return 1 if n else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
