@@ -90,6 +90,74 @@ def q_streaming_window_count_final(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "streaming_window_argmax_final",
+    oracle="""
+    SELECT window_start, window_end, event_id, user_id, event_type, value
+    FROM (
+      SELECT date_trunc('hour', ts) AS window_start,
+             date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+             event_id, user_id, event_type, value,
+             row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                                ORDER BY value DESC, event_id ASC) AS rn
+      FROM events
+    ) t
+    WHERE rn = 1
+    """,
+    doc="W2+W3 live with end-of-stream flush: the sentinel source "
+    "finalizes every real hour window, so the streaming whole-record "
+    "arg-max emits ALL windows — the trailing-window parity the "
+    "reference's testPrintWindowed asserts. Oracle = the full batch "
+    "arg-max with no watermark cut (the sentinel row itself sits in a "
+    "far-future window that can never finalize, so it needs no "
+    "filtering).",
+)
+def q_streaming_window_argmax_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="eos_flush_")
+    events = stream_events_with_final_flush(spark, sf_dir, work)
+    return run_to_memory(windowed_argmax_stream(events))
+
+
+@register(
+    "streaming_session_count_final",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT min(ts) AS window_start,
+           max(ts) + INTERVAL 30 MINUTE AS window_end,
+           user_id, count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+    doc="Streaming session windows with end-of-stream flush: the "
+    "sentinel pushes the watermark past every real session's end "
+    "(last event + 30 min gap), so ALL sessions emit — including the "
+    "trailing per-user sessions append mode drops. The sentinel's own "
+    "session (user −1, far future) can never finalize and never "
+    "reaches the sink. Oracle = full lag+cumsum sessionization, no "
+    "watermark HAVING — proving the flush helper generalizes beyond "
+    "tumbling windows to merged session state.",
+)
+def q_streaming_session_count_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from flink_anomaly_spark.streaming.pipelines import session_count_stream
+
+    work = tempfile.mkdtemp(prefix="eos_flush_")
+    events = stream_events_with_final_flush(spark, sf_dir, work)
+    return run_to_memory(session_count_stream(events))
+
+
+@register(
     "streaming_window_argmax",
     oracle="""
     SELECT window_start, window_end, event_id, user_id, event_type, value

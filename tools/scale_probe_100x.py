@@ -1,0 +1,171 @@
+"""x100 scale probe for the three shuffle-heaviest query shapes.
+
+The x10/x30 probe (tools/scale_probe.py) certifies wall-clock scaling
+for the narrow/agg shapes but deliberately EXCLUDES the pair-generating
+dedup operators: replicating documents verbatim makes every doc an
+N-way near-duplicate, a pathological quadratic-pairs corpus that
+measures the wrong thing. This probe pushes one more decade (x100) for
+the three shapes the round-3 shuffle audit ranked heaviest —
+``tpch_q21_late_blame``, ``prefix_filter_jaccard_pairs``,
+``cross_doc_repeated_ngrams`` — and synthesizes NON-DUPLICATE
+replicas so the workload grows linearly the way a real 100x corpus
+would:
+
+- facts (lineitem/orders): key-shifted copies (orderkeys disjoint per
+  replica), exactly like the x10 probe;
+- documents: every token gets a replica-id suffix
+  (``concat(tok, 'r', rep)``), so replica token/gram SPACES are
+  disjoint — cross-replica Jaccard ~ 0, no artificial near-dup pairs,
+  and the gram-key shuffle grows like a genuinely bigger corpus.
+
+Recorded per query at base and x100: wall seconds, shuffle-write
+bytes (Spark status REST, same method as tools/shuffle_audit.py), and
+shuffle BYTES PER INPUT FACT ROW — the number that must stay ~flat for
+the plan to survive a 100 TB scale-up (flat bytes/row = total shuffle
+grows linearly with data; growing bytes/row = a super-linear shuffle
+lurking). Appends/refreshes the "## x100 scale probe" section of
+docs/SCALE_NOTES.md.
+
+    python tools/scale_probe_100x.py [N]          # default 100
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import tempfile
+import time
+import urllib.request
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F
+
+from flink_anomaly_spark.plans.registry import all_queries
+from flink_anomaly_spark.session import get_spark
+from flink_anomaly_spark.tables import TABLE_NAMES, load_table
+
+BASE_SF = "/root/testdata/sf0.1"
+
+#: (query, fact table whose row count normalizes shuffle bytes)
+PROBE = [
+    ("tpch_q21_late_blame", "lineitem"),
+    ("prefix_filter_jaccard_pairs", "documents"),
+    ("cross_doc_repeated_ngrams", "documents"),
+]
+
+_KEY_SHIFT = {"lineitem": ["l_orderkey"], "orders": ["o_orderkey"], "documents": ["doc_id"]}
+
+
+def replicate(spark, n: int, out_dir: str) -> None:
+    """Write x-n replicas of the probe's fact tables into out_dir;
+    symlink every other table unchanged. One broadcast-nested-loop
+    cross join against a n-row range — a narrow x-n fan-out, no
+    driver-side loops or n-branch union plans."""
+    reps = spark.range(n).select(F.col("id").alias("__rep"))
+    for t in TABLE_NAMES:
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        if t not in _KEY_SHIFT:
+            os.symlink(os.path.join(BASE_SF, f"{t}.parquet"), dst)
+            continue
+        df = load_table(spark, BASE_SF, t).crossJoin(F.broadcast(reps))
+        for k in _KEY_SHIFT[t]:
+            df = df.withColumn(k, F.col(k) + F.col("__rep") * F.lit(100_000_000))
+        if t == "documents":
+            # disjoint token space per replica (see module docstring);
+            # n_chars drifts slightly vs text but no probe query uses it
+            df = df.withColumn(
+                "text",
+                F.expr(
+                    "concat_ws(' ', transform(split(text, '\\\\s+'), "
+                    "t -> concat(t, 'r', CAST(__rep AS STRING))))"
+                ),
+            )
+        df.drop("__rep").write.mode("overwrite").parquet(dst)
+
+
+def rest(spark, path: str):
+    port = spark.sparkContext.uiWebUrl.rsplit(":", 1)[1]
+    with urllib.request.urlopen(f"http://localhost:{port}/api/v1/{path}") as r:
+        return json.load(r)
+
+
+def stable_stages(spark, app_id):
+    prev = -1
+    for _ in range(50):
+        cur = rest(spark, f"applications/{app_id}/stages?status=complete")
+        if len(cur) == prev:
+            return cur
+        prev = len(cur)
+        time.sleep(0.2)
+    return cur
+
+
+def measure(spark, app_id, sf_dir: str) -> dict[str, dict]:
+    qs = all_queries()
+    out = {}
+    for name, fact in PROBE:
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()  # warm
+        before = {s["stageId"] for s in stable_stages(spark, app_id)}
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        wall = time.perf_counter() - t0
+        new = [s for s in stable_stages(spark, app_id) if s["stageId"] not in before]
+        sw = sum(s.get("shuffleWriteBytes", 0) for s in new)
+        rows = load_table(spark, sf_dir, fact).count()
+        out[name] = {"wall": wall, "shuffle": sw, "rows": rows}
+    return out
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    spark = get_spark("scale-probe-100x", extra_conf={"spark.ui.enabled": "true"})
+    app_id = spark.sparkContext.applicationId
+    big_dir = tempfile.mkdtemp(prefix="scaleprobe100_")
+    try:
+        base = measure(spark, app_id, BASE_SF)
+        replicate(spark, n, big_dir)
+        big = measure(spark, app_id, big_dir)
+        lines = [
+            f"## x100 scale probe (round 4) — shuffle bytes/row at x{n} facts",
+            "",
+            f"Generated by `python tools/scale_probe_100x.py {n}`. Documents are",
+            "replicated with DISJOINT per-replica token spaces (every token gets",
+            "a replica suffix) so the pair-generating shapes scale like a real",
+            "bigger corpus instead of a pathological N-way-duplicate one; facts",
+            "are key-shifted. `B/row` = shuffle-write bytes / input fact rows —",
+            "flat B/row across a 100x scale-up means total shuffle grows",
+            "linearly with data, i.e. the plan's shuffle survives 100 TB.",
+            "",
+            f"| query | sf0.1 s | x{n} s | sf0.1 shuffle | x{n} shuffle | sf0.1 B/row | x{n} B/row | B/row ratio |",
+            "|---|---|---|---|---|---|---|---|",
+        ]
+        for name, _ in PROBE:
+            b, g = base[name], big[name]
+            bpr_b = b["shuffle"] / b["rows"]
+            bpr_g = g["shuffle"] / g["rows"]
+            fmt = lambda x: f"{x / (1 << 20):.1f} MiB" if x >= 1 << 20 else f"{x / 1024:.1f} KiB"
+            lines.append(
+                f"| {name} | {b['wall']:.2f} | {g['wall']:.2f} | {fmt(b['shuffle'])} "
+                f"| {fmt(g['shuffle'])} | {bpr_b:.1f} | {bpr_g:.1f} | {bpr_g / bpr_b:.2f}x |"
+            )
+        lines.append("")
+        section = "\n".join(lines)
+        cur = open("docs/SCALE_NOTES.md").read()
+        marker = "\n## x100 scale probe"
+        if marker in cur:
+            head, rest_ = cur.split(marker, 1)
+            nxt = re.search(r"\n## (?!x100)", rest_)
+            cur = head + (rest_[nxt.start() :] if nxt else "")
+        with open("docs/SCALE_NOTES.md", "w") as f:
+            f.write(cur.rstrip("\n") + "\n\n" + section)
+        print(section)
+    finally:
+        shutil.rmtree(big_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
