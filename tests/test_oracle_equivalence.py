@@ -42,3 +42,25 @@ def test_entry_smoke(spark):
 def test_registry_consistency():
     # every oracle key must have a query
     assert set(_ORACLES) <= set(_QUERIES)
+
+
+def test_canonicalizer_distinguishes_int_from_float():
+    """The local gate's value canonicalizer must preserve the int/float
+    distinction the driver's canonicalizer preserves: DuckDB sum(BIGINT)
+    returns HUGEINT -> pandas float64, so an oracle emitting 32.0
+    against Spark's bigint 32 must FAIL locally (the round-3
+    doc_repetition_profile bug slipped through the old '%.12g'
+    formatting, which printed 32.0 as '32')."""
+    import numpy as np
+    import pandas as pd
+
+    from tools.check_oracle import _canon, normalize
+
+    assert _canon(np.int64(32)) != _canon(np.float64(32.0))
+    assert _canon(32) == _canon(np.int64(32))
+    assert _canon(32.0) == _canon(np.float64(32.0))
+    # shortest-round-trip repr keeps full double precision
+    assert _canon(0.1 + 0.2) != _canon(0.3)
+    spark_like = pd.DataFrame({"n": pd.array([32, 7], dtype="int64")})
+    oracle_like = pd.DataFrame({"n": pd.array([32.0, 7.0], dtype="float64")})
+    assert normalize(spark_like)[2] != normalize(oracle_like)[2]
