@@ -618,3 +618,46 @@ def test_streaming_two_level_agg_matches_batch(spark):
         (r.ws, r.event_type): (r.mx, r.tot) for r in batch.collect()
     }
     assert got == expect and len(got) > 0
+
+
+def test_rocksdb_state_store_matches_default(spark):
+    """enable_rocksdb_state switches streaming state to the RocksDB
+    provider — the at-scale store (keyed state spills to local disk
+    instead of the executor heap). The windowed agg and the stateful
+    running concat must produce byte-identical results under it; this
+    also proves the provider class actually loads in this Spark build
+    rather than failing at query start (docs/DEPLOY.md row)."""
+    from flink_anomaly_spark.session import enable_rocksdb_state
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    default_counts = {
+        tuple(r)
+        for r in run_to_memory(
+            windowed_count_stream(stream_events(spark, SF_SMOKE))
+        ).collect()
+    }
+    default_concat = {
+        tuple(r)
+        for r in run_to_memory(
+            running_concat_stream(stream_events(spark, SF_SMOKE))
+        ).collect()
+    }
+    enable_rocksdb_state(spark)
+    try:
+        assert "RocksDB" in spark.conf.get(key)
+        rocks_counts = {
+            tuple(r)
+            for r in run_to_memory(
+                windowed_count_stream(stream_events(spark, SF_SMOKE))
+            ).collect()
+        }
+        rocks_concat = {
+            tuple(r)
+            for r in run_to_memory(
+                running_concat_stream(stream_events(spark, SF_SMOKE))
+            ).collect()
+        }
+    finally:
+        spark.conf.unset(key)
+    assert rocks_counts == default_counts and len(rocks_counts) > 0
+    assert rocks_concat == default_concat and len(rocks_concat) > 0
