@@ -413,3 +413,46 @@ def test_tpch_q20_survivor_list_broadcast(spark):
     the only wide shuffle."""
     df = _Q["tpch_q20_part_promotion"](spark, SF_SMOKE)
     assert_broadcast_join(df)
+
+
+def test_scd2_single_fused_window_exchange(spark):
+    """scd2_customer_history computes row_number + lead + running sum
+    over the same (custkey; orderdate, orderkey) partitioning/ordering —
+    Catalyst must fuse them into ONE Window node behind ONE hash
+    exchange; a second exchange means the fusion regressed and the fact
+    table shuffles twice at scale."""
+    df = _Q["scd2_customer_history"](spark, SF_SMOKE)
+    assert_single_shuffle(df)
+    plan = physical_plan(df)
+    assert plan.count("Window") <= 2, plan  # one Window node (+header line)
+
+
+def test_sequence_packing_distributed_prefix_sum(spark):
+    """sequence_packing's exclusive prefix sum must stay DISTRIBUTED:
+    range-partitioned local cumsums joined (broadcast) to tiny
+    per-partition offsets. A SinglePartition exchange is allowed ONLY
+    for the ≤32-row offsets table — i.e. above an aggregate — never as
+    a global window over the raw docs (the classic O(corpus)-through-
+    one-task antipattern)."""
+    df = _Q["sequence_packing"](spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "rangepartitioning" in plan or "REPARTITION_BY_RANGE" in plan, plan
+    assert_broadcast_join(df)
+    # the offsets window's SinglePartition exchange must consume an
+    # aggregated (HashAggregate) input, not the raw scan
+    assert plan.count("SinglePartition") <= 1, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_global_rank_export_no_global_sort(spark):
+    """global_rank_export must rank within lang partitions plus a
+    broadcast offset join — NEVER a global ORDER BY (which would funnel
+    the corpus through one range-partitioned sort task chain and, at
+    the final window, one task)."""
+    df = _Q["global_rank_export"](spark, SF_SMOKE)
+    plan = physical_plan(df)
+    # exactly one tiny SinglePartition exchange (the |langs|-row offset
+    # window), no range partitioning of the documents table
+    assert "rangepartitioning" not in plan, plan
+    assert plan.count("SinglePartition") <= 1, plan
+    assert_broadcast_join(df)
