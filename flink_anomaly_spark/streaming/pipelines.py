@@ -229,6 +229,7 @@ def stream_events_with_final_flush(
     sf_dir: str,
     work_dir: str,
     horizon: str = "3 days",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Streaming events source whose trailing event-time windows DO
     emit — Flink end-of-stream watermark parity (the last semantic gap
@@ -297,11 +298,16 @@ def stream_events_with_final_flush(
     if nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    raw = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "*.parquet")
-        .parquet(work_dir)
-    )
+    reader = spark.readStream.schema(schema).option("pathGlobFilter", "*.parquet")
+    if max_files_per_trigger is not None:
+        # multi-batch replay: real data and the sentinel land in
+        # SEPARATE micro-batches (file source lists lexicographically,
+        # and the sentinel's zz_ prefix sorts last), proving the flush
+        # doesn't depend on single-batch processing — the watermark
+        # simply advances batch by batch and the final batch emits the
+        # remaining windows, exactly like a live source reaching EOS
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.parquet(work_dir)
     if nanos:
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:

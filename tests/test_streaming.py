@@ -661,3 +661,28 @@ def test_rocksdb_state_store_matches_default(spark):
         spark.conf.unset(key)
     assert rocks_counts == default_counts and len(rocks_counts) > 0
     assert rocks_concat == default_concat and len(rocks_concat) > 0
+
+
+def test_final_flush_multi_batch(spark, tmp_path):
+    """The flush must not depend on single-batch processing: with
+    maxFilesPerTrigger=1 the real data and the sentinel arrive in
+    SEPARATE micro-batches (the sentinel's zz_ filename sorts last), the
+    watermark advances batch by batch, and the final batch still emits
+    every real window — the closest local analogue of a live bounded
+    source reaching end-of-stream."""
+    from flink_anomaly_spark.streaming.pipelines import stream_events_with_final_flush
+
+    events = stream_events_with_final_flush(
+        spark, SF_SMOKE, str(tmp_path / "eos_mb"), max_files_per_trigger=1
+    )
+    got = {tuple(r) for r in run_to_memory(windowed_count_stream(events)).collect()}
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    expect = {
+        (r.win.start, r.win.end, r.event_type, r.n_events, r.sum_value)
+        for r in batch.collect()
+    }
+    assert got == expect
