@@ -268,6 +268,68 @@ def embedding_near_dup_lsh(
     )
 
 
+def semantic_decontamination(
+    corpus: DataFrame,
+    evalset: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.3,
+    n_planes: int = 4,
+) -> DataFrame:
+    """Embedding-level decontamination: flag corpus vectors whose
+    cosine to ANY eval-set vector reaches ``threshold`` — the semantic
+    complement of the n-gram containment check
+    (text.ngram_decontamination): paraphrased or lightly-rewritten
+    benchmark items share no 8-gram but sit next to the eval item in
+    embedding space (the contamination mode n-gram matching misses;
+    cf. GPT-4/Llama technical-report decontamination discussions).
+
+    Scale shape: both sides get the SAME deterministic LSH bucket
+    (random-hyperplane signs), the candidate join is a hash equi-join
+    on the bucket id, and only same-bucket (similar-direction) pairs
+    are ever scored — per-corpus-row candidate cost is |eval|/2^n_planes
+    in expectation instead of |eval|. The eval side is small by nature
+    (benchmarks), so Catalyst broadcasts it; the corpus side streams.
+    Approximate by design (cross-bucket matches unseen) but
+    deterministic, so a SQL oracle reproduces it exactly.
+
+    Returns one row per contaminated corpus vector: (id,
+    closest_eval_id, cos_sim) with ties on cosine broken by the lower
+    eval id.
+    """
+    planes = hyperplane_matrix(n_planes, _dim_of(corpus, vec_col))
+    c = spread(
+        corpus.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        )
+    ).withColumn("nrm", norm(F.col("v")))
+    e = evalset.select(
+        F.col(id_col).alias("eid"),
+        F.col(vec_col).alias("ev"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    ).withColumn("enrm", norm(F.col("ev")))
+    cs = F.round(dot(F.col("v"), F.col("ev")) / (F.col("nrm") * F.col("enrm")), 6)
+    pairs = (
+        c.join(e, "bucket")
+        .select("id", "eid", cs.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= F.lit(threshold))
+    )
+    best = F.max_by(
+        F.struct("eid", "cos_sim"), F.struct(F.col("cos_sim"), -F.col("eid"))
+    ).alias("best")
+    return (
+        pairs.groupBy("id")
+        .agg(best)
+        .select(
+            F.col("id").alias(id_col),
+            F.col("best.eid").alias("closest_eval_id"),
+            F.col("best.cos_sim").alias("cos_sim"),
+        )
+    )
+
+
 def brute_force_topk(
     df: DataFrame,
     id_col: str,

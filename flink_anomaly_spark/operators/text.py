@@ -580,3 +580,106 @@ def boilerplate_segment_removal(
             F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned_text"),
         )
     )
+
+
+def unigram_logprob_quality(
+    df: DataFrame, id_col: str, text_col: str, n_buckets: int = 3
+) -> DataFrame:
+    """CCNet-style language-model quality scoring, unigram flavor: each
+    document's mean negative log2-probability under the corpus's own
+    unigram distribution, then a head/middle/tail split by corpus
+    terciles (Wenzek et al. 2020 bucket documents by KenLM perplexity;
+    the unigram model is the engine-native approximation — no external
+    LM artifact, fully oracle-checkable).
+
+    Plan shape at 100 TB:
+    - one (doc_id, token) pair shuffle with map-side partial counts
+      (the same floor as doc_repetition_profile);
+    - the unigram table derives from those pairs (vocabulary-sized
+      after partial agg) and joins back on the token;
+    - the corpus-total is a 1-row broadcast;
+    - the tercile assignment uses a TWO-PHASE global rank (range
+      exchange + per-partition offsets, the global_rank_export /
+      sequence_packing pattern) plus the closed-form ntile group
+      formula — never a single-partition Window over the corpus, which
+      is how a naive ntile(3) funnels 100 TB through one task.
+
+    Bucket determinism: ranks order by (round(score, 6), doc_id) — the
+    rounding absorbs cross-engine float-sum association drift and the
+    unique id makes the order total, so the bucket is a pure function
+    of the data.
+    """
+    from pyspark.sql import Window
+
+    from flink_anomaly_spark.operators.dedup import _persist
+
+    g = _persist(
+        spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")))
+        .select("id", F.explode(tokens(F.col("__t"))).alias("tk"))
+        .groupBy("id", "tk")
+        .agg(F.count("*").alias("c"))
+    )
+    vocab = g.groupBy("tk").agg(F.sum("c").alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").alias("total"))
+    d = (
+        g.join(vocab, "tk")
+        .groupBy("id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tok"),
+            F.sum(F.col("c") * F.log2("cnt")).alias("__slog"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "id",
+            "n_tok",
+            (F.log2("total") - F.col("__slog") / F.col("n_tok").cast("double")).alias("__s"),
+        )
+    )
+    scored = d.select(
+        "id",
+        "n_tok",
+        F.round("__s", 4).alias("mean_neglog2p"),
+        F.round("__s", 6).alias("__s6"),
+    )
+    # two-phase global rank over (score, id): range exchange, local
+    # row_number, tiny per-partition offsets broadcast back — exact
+    # whatever the range boundaries are, because the order is total
+    r = scored.repartitionByRange(32, "__s6", "id").withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("__pid").orderBy("__s6", "id")
+    r = r.withColumn("__lr", F.row_number().over(w_local))
+    w_parts = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        r.groupBy("__pid")
+        .agg(F.count("*").alias("__n"))
+        .withColumn("__off", F.coalesce(F.sum("__n").over(w_parts), F.lit(0)))
+        .select("__pid", "__off")
+    )
+    n_total = scored.agg(F.count("*").alias("__N"))
+    rank = F.col("__lr") + F.col("__off")
+    # closed-form SQL-standard ntile(k): the first (N % k) groups carry
+    # one extra row — identical to the Window-function ntile the oracle
+    # uses, without its single-partition exchange
+    k = F.lit(n_buckets)
+    q = (F.col("__N") / k).cast("bigint")
+    rem = F.col("__N") % k
+    big_span = rem * (q + 1)
+    bucket = F.when(rank <= big_span, F.ceil(rank / (q + 1))).otherwise(
+        rem + F.ceil((rank - big_span) / q)
+    )
+    label = (
+        F.when(bucket == 1, "head").when(bucket == 2, "middle").otherwise("tail")
+        if n_buckets == 3
+        else F.concat(F.lit("b"), bucket.cast("string"))
+    )
+    return (
+        r.join(F.broadcast(offs), "__pid")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            F.col("id").alias(id_col),
+            "n_tok",
+            "mean_neglog2p",
+            label.alias("ccnet_bucket"),
+        )
+    )

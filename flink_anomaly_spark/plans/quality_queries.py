@@ -119,6 +119,43 @@ def q_doc_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_repetition_profile(docs, id_col="doc_id", text_col="text")
 
 
+@register(
+    "unigram_logprob_quality",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, unnest({_TOKS}) AS tk FROM documents
+    ), g AS (
+      SELECT doc_id, tk, count(*) AS c FROM t GROUP BY doc_id, tk
+    ), v AS (
+      SELECT tk, sum(c) AS cnt FROM g GROUP BY tk
+    ), tot AS (
+      SELECT sum(cnt) AS total FROM v
+    ), d AS (
+      SELECT g.doc_id, CAST(sum(g.c) AS BIGINT) AS n_tok,
+             log2(total) - sum(g.c * log2(v.cnt)) / CAST(sum(g.c) AS DOUBLE) AS s
+      FROM g JOIN v USING (tk) CROSS JOIN tot GROUP BY g.doc_id, total
+    )
+    SELECT doc_id, n_tok, round(s, 4) AS mean_neglog2p,
+           CASE ntile(3) OVER (ORDER BY round(s, 6), doc_id)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+             AS ccnet_bucket
+    FROM d
+    """,
+    doc="CCNet-style LM quality scoring (Wenzek et al. 2020), unigram "
+    "flavor: per-doc mean -log2 p(token) under the corpus's own "
+    "unigram distribution, bucketed head/middle/tail by corpus "
+    "terciles. The oracle's ntile(3) window is the semantic spec; the "
+    "engine computes the identical buckets with a two-phase global "
+    "rank + the closed-form ntile formula so no single-partition "
+    "Window ever sees the corpus.",
+)
+def q_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.text import unigram_logprob_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_logprob_quality(docs, id_col="doc_id", text_col="text")
+
+
 #: per-language keep rates (out of 1000) for the stratified rebalance:
 #: downsample the dominant language, keep the tail. Integer thresholds
 #: so both engines compare exact ints — no float-boundary hazard.

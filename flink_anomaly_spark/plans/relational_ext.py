@@ -454,6 +454,52 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_lsh(emb, id_col="vec_id", vec_col="embedding", threshold=0.3)
 
 
+def _semantic_decontam_oracle() -> str:
+    cos = (
+        f"{_pair_dot('c.embedding', 'e.embedding')} / "
+        f"(sqrt({_pair_dot('c.embedding', 'c.embedding')}) * "
+        f"sqrt({_pair_dot('e.embedding', 'e.embedding')}))"
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, embedding, {_bucket_sql()} AS bucket FROM embeddings),
+    c AS (SELECT * FROM v WHERE vec_id % 20 != 0),
+    e AS (SELECT * FROM v WHERE vec_id % 20 = 0),
+    p AS (
+      SELECT c.vec_id, e.vec_id AS eid, round({cos}, 6) AS cs
+      FROM c JOIN e ON c.bucket = e.bucket
+      WHERE round({cos}, 6) >= 0.3
+    )
+    SELECT vec_id, eid AS closest_eval_id, cs AS cos_sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY cs DESC, eid ASC) AS rn FROM p)
+    WHERE rn = 1
+    """
+
+
+@register(
+    "semantic_decontamination",
+    oracle=_semantic_decontam_oracle(),
+    doc="Embedding-level decontamination (the semantic complement of "
+    "ngram_decontamination): corpus vectors within cosine 0.3 of any "
+    "eval-set vector (deterministic eval split: vec_id % 20 == 0), "
+    "candidate-joined on the shared LSH bucket so per-row cost is "
+    "|eval|/2^4 in expectation; reports each contaminated vector's "
+    "closest eval item. Catches paraphrased benchmark leakage that "
+    "shares no n-gram with the original.",
+)
+def q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.similarity import semantic_decontamination
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_decontamination(
+        emb.filter(F.col("vec_id") % 20 != 0),
+        emb.filter(F.col("vec_id") % 20 == 0),
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=0.3,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Time-series OHLC downsampling
 # ---------------------------------------------------------------------------

@@ -456,3 +456,30 @@ def test_global_rank_export_no_global_sort(spark):
     assert "rangepartitioning" not in plan, plan
     assert plan.count("SinglePartition") <= 1, plan
     assert_broadcast_join(df)
+
+
+def test_unigram_quality_distributed_ntile(spark):
+    """unigram_logprob_quality's tercile assignment must be the
+    two-phase rank (range exchange + broadcast offsets), never the
+    naive global ntile whose Window funnels the corpus through one
+    task. SinglePartition exchanges are allowed only above aggregates
+    (the ≤32-row offsets table and the two 1-row totals)."""
+    df = _Q["unigram_logprob_quality"](spark, SF_SMOKE)
+    plan = physical_plan(df)
+    assert "rangepartitioning" in plan, plan
+    assert_broadcast_join(df)
+    # every SinglePartition exchange feeds from an aggregate, so the
+    # corpus-sized side never collapses to one task: the plan has at
+    # least as many HashAggregates as SinglePartition exchanges
+    assert plan.count("HashAggregate") >= 2 * plan.count("SinglePartition") or (
+        plan.count("SinglePartition") <= 3
+    ), plan
+
+
+def test_semantic_decontamination_bucket_equi_join(spark):
+    """The corpus×eval candidate join must stay a hash equi-join on the
+    LSH bucket — a cartesian/nested-loop product would score every
+    corpus row against every eval row."""
+    plan = physical_plan(_Q["semantic_decontamination"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
