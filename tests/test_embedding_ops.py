@@ -60,3 +60,29 @@ def test_int8_quantize_validates_lengths(spark):
     df = _vecs(spark, [(1, [0.0])])
     with pytest.raises(ValueError):
         int8_quantize(df, "vec_id", "embedding", [0.0], [1.0, 2.0])
+
+
+def test_semantic_decontamination_known_values(spark):
+    """An exact copy of an eval vector and a near-copy must be flagged
+    with the right closest_eval_id; an anti-parallel vector (cos = -1)
+    must not, whatever bucket it lands in."""
+    from flink_anomaly_spark.operators.similarity import semantic_decontamination
+
+    ev = spark.createDataFrame([(0, [1.0, 0.0, 0.0, 0.0])], ["vec_id", "embedding"])
+    corpus = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0, 0.0, 0.0]),   # exact copy: cos 1.0
+            (11, [0.9, 0.1, 0.0, 0.0]),   # near-copy: cos ~0.994
+            (12, [-1.0, 0.0, 0.0, 0.0]),  # anti-parallel: cos -1
+        ],
+        ["vec_id", "embedding"],
+    )
+    out = {
+        r.vec_id: r
+        for r in semantic_decontamination(
+            corpus, ev, "vec_id", "embedding", threshold=0.3
+        ).collect()
+    }
+    assert set(out) == {10, 11}
+    assert out[10].closest_eval_id == 0 and out[10].cos_sim == 1.0
+    assert out[11].closest_eval_id == 0 and abs(out[11].cos_sim - 0.993884) < 1e-5

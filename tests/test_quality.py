@@ -241,3 +241,25 @@ def test_char_entropy_vectorized_equals_catalyst(spark):
     fast = fast.sort_values("doc_id").reset_index(drop=True)
     ref = ref.sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(fast, ref)
+
+
+def test_unigram_logprob_quality_known_values(spark):
+    """Hand-computed fixture: corpus counts x=4, y=1, z=1 (total 6).
+    doc A 'x x x' -> log2(6) - log2(4) ~ 0.585 (most probable -> head);
+    doc B 'x y'   -> log2(6) - (log2 4 + 0)/2 = 1.585 (middle);
+    doc C 'z'     -> log2(6) ~ 2.585 (least probable -> tail)."""
+    from flink_anomaly_spark.operators.text import unigram_logprob_quality
+
+    docs = spark.createDataFrame(
+        [(1, "x x x"), (2, "x y"), (3, "z")], ["doc_id", "text"]
+    )
+    out = {
+        r.doc_id: r
+        for r in unigram_logprob_quality(docs, "doc_id", "text").collect()
+    }
+    assert out[1].ccnet_bucket == "head" and out[1].n_tok == 3
+    assert out[2].ccnet_bucket == "middle" and out[2].n_tok == 2
+    assert out[3].ccnet_bucket == "tail" and out[3].n_tok == 1
+    assert abs(out[1].mean_neglog2p - 0.585) < 1e-3
+    assert abs(out[2].mean_neglog2p - 1.585) < 1e-3
+    assert abs(out[3].mean_neglog2p - 2.585) < 1e-3
