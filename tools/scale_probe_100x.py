@@ -55,6 +55,12 @@ PROBE = [
     ("tpch_q21_late_blame", "lineitem"),
     ("prefix_filter_jaccard_pairs", "documents"),
     ("cross_doc_repeated_ngrams", "documents"),
+    # round-4 extension: the composed 5-stage curation pipeline (the
+    # bench's most expensive query — disjoint replica token spaces keep
+    # its MinHash/exact-dedup stages honest) and the CCNet-style LM
+    # quality op (heaviest (doc_id, token) shuffle + two-phase ntile)
+    ("corpus_curation_pipeline", "documents"),
+    ("unigram_logprob_quality", "documents"),
 ]
 
 _KEY_SHIFT = {"lineitem": ["l_orderkey"], "orders": ["o_orderkey"], "documents": ["doc_id"]}
@@ -158,7 +164,9 @@ def main() -> None:
         marker = "\n## x100 scale probe"
         if marker in cur:
             head, rest_ = cur.split(marker, 1)
-            nxt = re.search(r"\n## (?!x100)", rest_)
+            # stop at the next section that is NOT this probe's own table
+            # ("## x100 probe analysis" is hand-written and must survive)
+            nxt = re.search(r"\n## (?!x100 scale probe)", rest_)
             cur = head + (rest_[nxt.start() :] if nxt else "")
         with open("docs/SCALE_NOTES.md", "w") as f:
             f.write(cur.rstrip("\n") + "\n\n" + section)
