@@ -81,6 +81,9 @@ PROBE = [
     ("snapshot_diff_orders", "exchanges carry (key, 32-byte row-hash), not the full row"),
     ("encoding_anomaly_flags", "zero inherent shuffle: narrow regexp counts on a 2-column scan"),
     ("compaction_file_plan", "one lang exchange: running-sum window + per-file agg share it"),
+    # round-4 operators
+    ("semantic_decontamination", "corpus x eval equi-join on the LSH bucket; eval side broadcast (benchmarks are small)"),
+    ("unigram_logprob_quality", "(doc_id, token) pair exchange + vocab join + two-phase rank; no single-partition window over the corpus"),
 ]
 
 
