@@ -77,10 +77,21 @@ def main() -> int:
     import os
 
     args = sys.argv[1:]
+    plain = "--plain" in args
+    args = [a for a in args if a != "--plain"]
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
     only = [a for a in args if not os.path.isdir(a)]
 
-    spark = get_spark("oracle-check")
+    if plain:
+        # driver-sim: a VANILLA session (no tuned config — not our UTC
+        # timezone, 200 shuffle partitions, default broadcast
+        # threshold). Every query must still hash-match its oracle, or
+        # it silently depends on session config the driver won't have.
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[32]").appName("oracle-check-plain").getOrCreate()
+    else:
+        spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
