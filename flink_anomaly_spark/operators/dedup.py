@@ -233,6 +233,7 @@ def minhash_near_dup_pairs(
     bands: int = 4,
     jaccard_threshold: float = 0.5,
     vectorized: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding near-duplicate pairs.
 
@@ -249,6 +250,19 @@ def minhash_near_dup_pairs(
     At 100 TB this is the standard LSH plan: candidate count is bounded
     by bucket collisions (tunable via bands×rows), and the wide shingle
     payload only travels for verified candidates.
+
+    ``max_bucket_size`` is the web-scale skew guard: a band bucket hit
+    by N documents emits N² candidate pairs, so one boilerplate flood
+    (cookie banners, license headers) can turn a single bucket
+    quadratic while every other task finishes. Setting a cap DROPS
+    buckets with more than that many members before the self-join —
+    the standard mitigation in production LSH dedup (oversized buckets
+    are non-discriminative; their members are near-dups of half the
+    corpus and are better handled by the exact/boilerplate passes).
+    The bucket-count window partitions on the same (band, bucket) keys
+    the join shuffles on, so the guard rides the exchange the join
+    needs anyway. Recall loss is confined to the dropped buckets and
+    the other bands still cover their pairs at normal sizes.
     """
     if num_perm % bands != 0:
         raise ValueError(
@@ -297,6 +311,16 @@ def minhash_near_dup_pairs(
             )
         ).alias("bk"),
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        n_in_bucket = F.count("*").over(Window.partitionBy("band", "bucket"))
+        banded = (
+            banded.withColumn("__n", n_in_bucket)
+            .filter(F.col("__n") <= max_bucket_size)
+            .drop("__n")
+        )
 
     cand = (
         banded.alias("l")

@@ -308,14 +308,26 @@ _BANDS = 4
 _ROWS_PER_BAND = _NUM_PERM // _BANDS
 
 
-def _minhash_oracle(source: str = "documents") -> str:
+def _minhash_oracle(source: str = "documents", max_bucket: int | None = None) -> str:
     """DuckDB replica of the full MinHash-LSH pipeline (shingles →
     signatures → banding → candidates → exact-Jaccard verify) over any
-    source relation with (doc_id, text)."""
+    source relation with (doc_id, text). ``max_bucket`` mirrors the
+    operator's oversized-bucket skew guard (buckets with more members
+    are dropped before the candidate self-join)."""
     perm_exprs = ",\n             ".join(
         f"list_min(list_transform(hashes, h -> ({a}*h + {b}) % {MERSENNE_P}))"
         for a, b in PERM_PARAMS[:_NUM_PERM]
     )
+    cap_cte = (
+        f""", banded AS (
+      SELECT id, band, bucket FROM (
+        SELECT *, count(*) OVER (PARTITION BY band, bucket) AS __n FROM banded0
+      ) WHERE __n <= {max_bucket}
+    )"""
+        if max_bucket is not None
+        else ""
+    )
+    banded_name = "banded0" if max_bucket is not None else "banded"
     return f"""
     WITH t AS (
       SELECT doc_id AS id, {_TOKS} AS toks FROM {source}
@@ -327,12 +339,12 @@ def _minhash_oracle(source: str = "documents") -> str:
       SELECT id, sh,
              [{perm_exprs}] AS sig
       FROM hashed
-    ), banded AS (
+    ), {banded_name} AS (
       SELECT id,
              b.b AS band,
              md5(array_to_string(sig[b.b*{_ROWS_PER_BAND}+1 : (b.b+1)*{_ROWS_PER_BAND}], ',')) AS bucket
       FROM sigm, (SELECT unnest(range(0, {_BANDS})) AS b) b
-    ), cand AS (
+    ){cap_cte}, cand AS (
       SELECT DISTINCT l.id AS id1, r.id AS id2
       FROM banded l JOIN banded r ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
     )
@@ -364,6 +376,34 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_perm=_NUM_PERM,
         bands=_BANDS,
         jaccard_threshold=0.5,
+    )
+
+
+@register(
+    "minhash_near_dup_pairs_capped",
+    oracle=_minhash_oracle(max_bucket=2),
+    doc="MinHash-LSH near-dup pairs with the OVERSIZED-BUCKET skew "
+    "guard engaged: band buckets with more than max_bucket_size "
+    "members are dropped before the candidate self-join. At 100 TB one "
+    "boilerplate flood can make a single bucket quadratic (N docs -> "
+    "N^2 candidate pairs in one task) while every other task is idle — "
+    "capping is the standard production mitigation (oversized buckets "
+    "are non-discriminative). The demo cap of 2 bites at test scale "
+    "(drops the size-3/4 buckets); production uses O(hundreds). The "
+    "bucket-count window rides the same (band, bucket) exchange the "
+    "join needs.",
+)
+def q_minhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        k_shingle=3,
+        num_perm=_NUM_PERM,
+        bands=_BANDS,
+        jaccard_threshold=0.5,
+        max_bucket_size=2,
     )
 
 

@@ -492,3 +492,20 @@ def test_winsorized_stats_matches_numpy(spark):
         assert got[t][0] == len(v)
         assert abs(got[t][1] - round(float(w.mean()), 4)) <= 2e-4
         assert abs(got[t][2] - round(float(w.std(ddof=1)), 4)) <= 2e-4
+
+
+def test_minhash_bucket_cap_drops_flood_keeps_pairs(spark):
+    """max_bucket_size: a 5-way identical flood group (every band
+    bucket holds all 5) is dropped by a cap of 3, while a small
+    2-doc duplicate pair survives untouched; uncapped sees both."""
+    flood = "common boilerplate banner text repeated on every page here"
+    pair = "a genuinely unique document about riverbank erosion patterns"
+    rows = [(i, flood) for i in range(1, 6)] + [(10, pair), (11, pair)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {(p.id1, p.id2) for p in minhash_near_dup_pairs(df, "doc_id", "text").collect()}
+    assert (10, 11) in uncapped and len(uncapped) == 10 + 1  # C(5,2) flood pairs + 1
+    capped = {
+        (p.id1, p.id2)
+        for p in minhash_near_dup_pairs(df, "doc_id", "text", max_bucket_size=3).collect()
+    }
+    assert capped == {(10, 11)}
