@@ -483,3 +483,34 @@ def test_semantic_decontamination_bucket_equi_join(spark):
     plan = physical_plan(_Q["semantic_decontamination"](spark, SF_SMOKE))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_runtime_bloom_filter_injects_on_big_scans(spark):
+    """Spark's runtime bloom-filter join pruning (on by default in our
+    session) is gated on a 10 GB application-side scan — the 100 TB
+    case. Lowering the gate must inject a bloom_filter_agg built from
+    the selective orders side into the lineitem scan side of the
+    shuffle join; at cluster scale this prunes fact rows BEFORE the
+    join exchange. Conf-gated, so test-scale plans stay clean."""
+    from flink_anomaly_spark.tables import load_table
+
+    thr_key = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    bc_key = "spark.sql.autoBroadcastJoinThreshold"
+    old_thr, old_bc = spark.conf.get(thr_key), spark.conf.get(bc_key)
+    assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    try:
+        spark.conf.set(thr_key, "0")
+        spark.conf.set(bc_key, "-1")  # force a shuffle join (the target shape)
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        orders = load_table(spark, SF_SMOKE, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy()
+            .agg(F.sum("l_extendedprice").alias("s"))
+        )
+        assert "bloom_filter_agg" in physical_plan(j)
+    finally:
+        spark.conf.set(thr_key, old_thr)
+        spark.conf.set(bc_key, old_bc)
