@@ -149,3 +149,28 @@ def test_write_audit_publish_pointer_swap_never_drops_table(spark, tmp_path):
     res = write_audit_publish(bad, final, [lambda df: ("big_enough", df.count() >= 10)])
     assert res == [("big_enough", False)]
     assert spark.read.parquet(final).select("tag").distinct().collect()[0][0] == "v3"
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution across table versions (a column added later):
+    reading the whole directory with mergeSchema must union the
+    schemas, null-filling the old files - the lake behavior a 100 TB
+    table accumulated over months depends on. Without mergeSchema,
+    Spark picks an arbitrary file's schema, silently dropping the new
+    column for some read orders."""
+    root = tmp_path / "evolving"
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(
+        str(root / "batch=1")
+    )
+    spark.createDataFrame(
+        [(2, "b", 0.9)], "id long, name string, quality double"
+    ).write.parquet(str(root / "batch=2"))
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", str(root))
+        .parquet(str(root / "batch=*"))
+    )
+    assert set(merged.columns) == {"id", "name", "quality", "batch"}
+    rows = {r.id: r for r in merged.collect()}
+    assert rows[1].quality is None and rows[2].quality == 0.9
+    assert rows[1].batch == 1 and rows[2].batch == 2
