@@ -174,3 +174,53 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     rows = {r.id: r for r in merged.collect()}
     assert rows[1].quality is None and rows[2].quality == 0.9
     assert rows[1].batch == 1 and rows[2].batch == 2
+
+
+def test_ignore_corrupt_files_salvages_scan(spark, tmp_path):
+    """A single corrupt parquet file must not kill a scan spanning
+    thousands of files: with ignoreCorruptFiles the valid files'
+    rows survive (a 10-hour 100 TB job should not die at hour 9 on one
+    bad object); without it the scan raises, which is the safe
+    default (silent data loss must be opted into)."""
+    import pytest as _pytest
+
+    root = tmp_path / "lake"
+    spark.range(0, 50).write.parquet(str(root))
+    # a truncated/corrupt part file inside the same table directory
+    (root / "part-zz-corrupt.snappy.parquet").write_bytes(
+        b"PAR1 this is not a real parquet file"
+    )
+    key = "spark.sql.files.ignoreCorruptFiles"
+    old = spark.conf.get(key)
+    try:
+        # explicit schema: footers are then only read at SCAN time,
+        # which is where ignoreCorruptFiles applies (schema inference
+        # would die on the corrupt footer during analysis either way)
+        spark.conf.set(key, "true")
+        got = spark.read.schema("id long").parquet(str(root))
+        assert got.count() == 50
+        spark.conf.set(key, "false")
+        with _pytest.raises(Exception):
+            spark.read.schema("id long").parquet(str(root)).count()
+    finally:
+        spark.conf.set(key, old)
+
+
+def test_permissive_json_quarantines_malformed(spark, tmp_path):
+    """PERMISSIVE JSON parsing: malformed lines land in
+    _corrupt_record instead of failing the job — the ingest contract
+    for scraped/third-party feeds where some fraction of lines is
+    always broken. FAILFAST raises, for pipelines that prefer to halt."""
+    import pytest as _pytest
+
+    p = tmp_path / "feed.jsonl"
+    p.write_text('{"id": 1, "v": "ok"}\n{broken json!!\n{"id": 2, "v": "fine"}\n')
+    schema = "id long, v string, _corrupt_record string"
+    df = spark.read.schema(schema).option("mode", "PERMISSIVE").json(str(p))
+    rows = df.collect()
+    good = {r.id: r.v for r in rows if r.id is not None}
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert good == {1: "ok", 2: "fine"}
+    assert len(bad) == 1 and "broken" in bad[0]._corrupt_record
+    with _pytest.raises(Exception):
+        spark.read.schema("id long, v string").option("mode", "FAILFAST").json(str(p)).collect()
