@@ -35,13 +35,30 @@ def write_text(df: DataFrame, path: str, max_records_per_file: int | None = None
 
 
 def write_parquet(
-    df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite"
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    compression: str | None = None,
+    max_records_per_file: int | None = None,
 ) -> None:
     """Columnar sink; ``partition_by`` gives partition pruning to every
-    downstream reader — the default layout choice at 100 TB."""
+    downstream reader — the default layout choice at 100 TB.
+
+    ``compression``: parquet codec per write ('zstd', 'snappy', 'gzip',
+    'lz4', 'none'); at 100 TB zstd typically stores ~25-30% smaller
+    than snappy for similar scan CPU — that difference is tens of TB
+    of storage and network. ``max_records_per_file`` bounds file size
+    (the batch analog of the streaming rolling policy) so a skewed
+    partition can't produce one multi-GB file that serializes a
+    downstream task."""
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
+    if compression is not None:
+        writer = writer.option("compression", compression)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     writer.parquet(path)
 
 

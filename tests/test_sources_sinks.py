@@ -224,3 +224,16 @@ def test_permissive_json_quarantines_malformed(spark, tmp_path):
     assert len(bad) == 1 and "broken" in bad[0]._corrupt_record
     with _pytest.raises(Exception):
         spark.read.schema("id long, v string").option("mode", "FAILFAST").json(str(p)).collect()
+
+
+def test_write_parquet_codec_and_file_size_bounds(spark, tmp_path):
+    """Per-write codec selection (zstd files carry the codec in their
+    names and round-trip) and maxRecordsPerFile (the batch rolling
+    policy: a single task's output splits into bounded files)."""
+    docs = load_table(spark, SF_SMOKE, "documents").coalesce(1)
+    out = str(tmp_path / "zstd_rolled")
+    write_parquet(docs, out, compression="zstd", max_records_per_file=100)
+    parts = [f for f in os.listdir(out) if f.startswith("part-")]
+    assert len(parts) == 5  # 500 docs / 100 per file, single task
+    assert all(".zstd.parquet" in f for f in parts), parts
+    assert spark.read.parquet(out).count() == docs.count()
