@@ -316,8 +316,12 @@ def semantic_decontamination(
         .select("id", "eid", cs.alias("cos_sim"))
         .filter(F.col("cos_sim") >= F.lit(threshold))
     )
-    best = F.max_by(
-        F.struct("eid", "cos_sim"), F.struct(F.col("cos_sim"), -F.col("eid"))
+    # min_by over (-cos_sim, eid) = highest cosine, ties to the LOWER
+    # eval id — negating only the numeric cosine keeps the tie-break
+    # type-agnostic for string/any orderable eval ids (round-5 ADVICE
+    # fix; the previous max_by negated eid and required it numeric).
+    best = F.min_by(
+        F.struct("eid", "cos_sim"), F.struct((-F.col("cos_sim")).alias("n"), F.col("eid"))
     ).alias("best")
     return (
         pairs.groupBy("id")

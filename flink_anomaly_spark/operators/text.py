@@ -607,7 +607,17 @@ def unigram_logprob_quality(
     Bucket determinism: ranks order by (round(score, 6), doc_id) — the
     rounding absorbs cross-engine float-sum association drift and the
     unique id makes the order total, so the bucket is a pure function
-    of the data.
+    of the data. Residual risk (documented, accepted): a document whose
+    float score sits within association drift of a 5e-7 rounding
+    boundary could round differently across engines and land one bucket
+    off; fixed-point accumulation (the scd2 cents pattern) would remove
+    it but log2 has no exact integer representation, so rounding is the
+    practical containment.
+
+    The range exchange sizes itself from
+    ``spark.sparkContext.defaultParallelism`` (clamped to ≥16) instead
+    of a hard-coded 32, so on a 1000-core cluster the global rank uses
+    the cluster's width (round-5 ADVICE fix).
     """
     from pyspark.sql import Window
 
@@ -644,7 +654,8 @@ def unigram_logprob_quality(
     # two-phase global rank over (score, id): range exchange, local
     # row_number, tiny per-partition offsets broadcast back — exact
     # whatever the range boundaries are, because the order is total
-    r = scored.repartitionByRange(32, "__s6", "id").withColumn(
+    n_parts = max(16, df.sparkSession.sparkContext.defaultParallelism)
+    r = scored.repartitionByRange(n_parts, "__s6", "id").withColumn(
         "__pid", F.spark_partition_id()
     )
     w_local = Window.partitionBy("__pid").orderBy("__s6", "id")

@@ -927,6 +927,99 @@ def _centroid_outlier_oracle(n_cells: int = 8, stride: int = 7, k: int = 20) -> 
     """
 
 
+def _lloyd_oracle(
+    n_cells: int = 8, stride: int = 7, n_iter: int = 2, top_n: int = 20
+) -> str:
+    """DuckDB SQL unrolling the SAME fixed-iteration spherical Lloyd
+    steps as anomaly.kmeans_lloyd_outliers: sampled init, cosine
+    assignment with the bit-identical list_reduce dot fold, fixed-point
+    micro-unit centroid means (integer sums are order-independent, so
+    the cross-engine float-association problem that makes generic
+    KMeans un-oracle-able disappears), empty cells dropped by the
+    group-by on both sides."""
+
+    def cos(v: str, c: str) -> str:
+        return (
+            f"{_pair_dot(v, c)} / "
+            f"(sqrt({_pair_dot(v, v)}) * sqrt({_pair_dot(c, c)}))"
+        )
+
+    ctes = [
+        f"""cent0 AS (
+      SELECT c.cell, e.embedding AS cvec
+      FROM embeddings e JOIN (SELECT unnest(range(0, {n_cells})) AS cell) c
+        ON e.vec_id = c.cell * {stride}
+    )"""
+    ]
+    for i in range(1, n_iter + 1):
+        prev, cur = f"cent{i - 1}", f"cent{i}"
+        c = cos("v.embedding", "c.cvec")
+        ctes.append(
+            f"""a{i} AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT v.vec_id, v.embedding, c.cell,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {c} DESC, c.cell ASC) AS rn
+        FROM embeddings v CROSS JOIN {prev} c) t
+      WHERE rn = 1
+    )"""
+        )
+        ctes.append(
+            f"""{cur} AS (
+      SELECT cell, list(c ORDER BY pos) AS cvec FROM (
+        SELECT cell, pos,
+               round(sum(ival) / (count(*) * 1000000.0), 6) AS c
+        FROM (
+          SELECT a.cell, i.pos,
+                 CAST(round(CAST(a.embedding[i.pos + 1] AS DOUBLE)
+                            * 1000000.0) AS BIGINT) AS ival
+          FROM a{i} a CROSS JOIN
+               (SELECT unnest(range(0, {_DIM})) AS pos) i) p
+        GROUP BY cell, pos) g
+      GROUP BY cell
+    )"""
+        )
+    cf = cos("v.embedding", "c.cvec")
+    final = f"""best AS (
+      SELECT vec_id, cell AS cluster,
+             round(1.0 - cos, 6) + 0.0 AS centroid_dist
+      FROM (
+        SELECT v.vec_id, c.cell, {cf} AS cos,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {cf} DESC, c.cell ASC) AS rn
+        FROM embeddings v CROSS JOIN cent{n_iter} c) t
+      WHERE rn = 1
+    )"""
+    ctes.append(final)
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT vec_id, cluster, centroid_dist
+    FROM best ORDER BY centroid_dist DESC, vec_id ASC LIMIT {top_n}
+    """
+    )
+
+
+@register(
+    "kmeans_lloyd_outliers",
+    oracle=_lloyd_oracle(),
+    doc="Fixed-iteration spherical Lloyd KMeans outliers (VERDICT r4 "
+    "#2): 2 unrolled assign/update steps from the deterministic IVF "
+    "init set, centroid means accumulated in integer micro-units so "
+    "the update is order-independent and the DuckDB oracle unrolls "
+    "identical steps — the hash-checkable replacement for the "
+    "permanently-rows-only MLlib kmeans_embedding_outliers. Assignment "
+    "is a narrow literal-inlined map (no shuffle); each update is one "
+    "k*dim-group partial agg + a 512-value model collect.",
+)
+def q_kmeans_lloyd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.anomaly import kmeans_lloyd_outliers
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_lloyd_outliers(
+        emb, "vec_id", "embedding", _IVF_CENTROID_IDS, n_iter=2, top_n=20
+    )
+
+
 @register(
     "centroid_distance_outliers",
     oracle=_centroid_outlier_oracle(),

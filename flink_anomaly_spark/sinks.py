@@ -178,7 +178,14 @@ def write_audit_publish(
 
     (The earlier rmtree-then-rename implementation had a window where
     no table existed and lost the published table if the process died
-    between the two calls — round-4 ADVICE fix.)
+    between the two calls — round-4 ADVICE fix. Round-5 ADVICE fix:
+    a legacy plain directory is migrated to the versioned layout
+    up-front — demote + immediately re-link — and a crash inside that
+    one-time migration is recovered on the next call: a missing
+    ``final_path`` with orphan ``.v-`` siblings gets its pointer
+    restored to the newest intact version before anything else runs,
+    so the "readers never see a missing table" claim holds across
+    re-runs even for the migration window.)
 
     Returns the audit results. At 100 TB the pattern is identical —
     the version-dir + pointer swap is exactly Iceberg/Delta's
@@ -186,9 +193,34 @@ def write_audit_publish(
     stores without rename the pointer is a catalog entry, same three
     phases.
     """
+    import glob
     import os
     import shutil
     import uuid
+
+    def _swap_pointer(version_dir: str) -> None:
+        # atomic pointer swap: build the symlink under a temp name in
+        # the same directory, then rename over final_path in one call
+        tmp_link = final_path + ".lnk-" + uuid.uuid4().hex[:6]
+        os.symlink(os.path.basename(version_dir), tmp_link)
+        os.replace(tmp_link, final_path)
+
+    # --- recovery: a crash inside the one-time plain-dir migration (or
+    # a manually deleted pointer) leaves version dirs with no symlink.
+    # Restore the pointer to the newest intact version so the publish
+    # below always starts from "final_path resolves".
+    if not os.path.lexists(final_path):
+        orphans = [d for d in glob.glob(final_path + ".v-*") if os.path.isdir(d)]
+        if orphans:
+            _swap_pointer(max(orphans, key=os.path.getmtime))
+    # --- one-time migration of a legacy plain directory to the
+    # versioned layout, done BEFORE the write/audit phases so the only
+    # non-atomic instant (demote → re-link, two renames) is as narrow
+    # as possible and is crash-recoverable via the restore above.
+    if os.path.isdir(final_path) and not os.path.islink(final_path):
+        demoted = final_path + ".v-" + uuid.uuid4().hex[:12]
+        os.rename(final_path, demoted)
+        _swap_pointer(demoted)
 
     staging = final_path + staging_suffix
     df.write.mode("overwrite").parquet(staging)
@@ -197,19 +229,8 @@ def write_audit_publish(
     if all(ok for _, ok in results):
         version = final_path + ".v-" + uuid.uuid4().hex[:12]
         os.rename(staging, version)
-        prev_target = None
-        if os.path.islink(final_path):
-            prev_target = os.path.realpath(final_path)
-        elif os.path.isdir(final_path):
-            # first publish over a plain directory: demote it to a
-            # version dir so the pointer swap below stays atomic
-            prev_target = final_path + ".v-" + uuid.uuid4().hex[:12]
-            os.rename(final_path, prev_target)
-        # atomic pointer swap: build the symlink under a temp name in
-        # the same directory, then rename over final_path in one call
-        tmp_link = final_path + ".lnk-" + uuid.uuid4().hex[:6]
-        os.symlink(os.path.basename(version), tmp_link)
-        os.replace(tmp_link, final_path)
+        prev_target = os.path.realpath(final_path) if os.path.islink(final_path) else None
+        _swap_pointer(version)
         if prev_target and os.path.isdir(prev_target):
             shutil.rmtree(prev_target, ignore_errors=True)
     return results

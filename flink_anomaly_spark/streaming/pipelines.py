@@ -294,6 +294,20 @@ def stream_events_with_final_flush(
             }
         )
         pq.write_table(tbl, sentinel_path)
+    # Spark's FileStreamSource orders files by MODIFICATION TIME (not
+    # lexicographically), so the sentinel must carry a strictly newer
+    # mtime than the (symlinked) events file or it could land in an
+    # EARLIER micro-batch and the real events would be dropped as late
+    # data under maxFilesPerTrigger. Make the ordering explicit instead
+    # of relying on "freshly written is newest" (round-5 ADVICE fix).
+    events_mtime = os.stat(link).st_mtime  # stat follows the symlink target
+    sentinel_mtime = os.stat(sentinel_path).st_mtime
+    if sentinel_mtime <= events_mtime:
+        os.utime(sentinel_path, (events_mtime + 2.0, events_mtime + 2.0))
+    assert os.stat(sentinel_path).st_mtime > os.stat(link).st_mtime, (
+        "EOS sentinel must sort after the events file in the file "
+        "stream's mtime order"
+    )
 
     if nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -301,8 +315,8 @@ def stream_events_with_final_flush(
     reader = spark.readStream.schema(schema).option("pathGlobFilter", "*.parquet")
     if max_files_per_trigger is not None:
         # multi-batch replay: real data and the sentinel land in
-        # SEPARATE micro-batches (file source lists lexicographically,
-        # and the sentinel's zz_ prefix sorts last), proving the flush
+        # SEPARATE micro-batches (FileStreamSource orders by mtime and
+        # the sentinel's mtime is forced newest above), proving the flush
         # doesn't depend on single-batch processing — the watermark
         # simply advances batch by batch and the final batch emits the
         # remaining windows, exactly like a live source reaching EOS

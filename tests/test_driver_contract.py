@@ -172,3 +172,14 @@ def test_bench_gate_flags_only_material_regressions(tmp_path):
         text=True,
     )
     assert out.returncode == 2
+    # malformed detail file (no 'queries' mapping) — exit 2 with a
+    # message, not a traceback (round-5 ADVICE fix)
+    fp.write_text(json.dumps({"sf": 0.1}))
+    out = subprocess.run(
+        [_sys.executable, os.path.join(repo, "tools", "bench_gate.py"), str(fp), str(bp)],
+        capture_output=True,
+        text=True,
+    )
+    assert out.returncode == 2
+    assert "not a bench detail document" in out.stdout
+    assert "Traceback" not in out.stderr

@@ -86,3 +86,58 @@ def test_semantic_decontamination_known_values(spark):
     assert set(out) == {10, 11}
     assert out[10].closest_eval_id == 0 and out[10].cos_sim == 1.0
     assert out[11].closest_eval_id == 0 and abs(out[11].cos_sim - 0.993884) < 1e-5
+
+
+def test_semantic_decontamination_string_ids(spark):
+    """Round-5 ADVICE: the cosine tie-break must be type-agnostic — a
+    STRING id column (common for doc ids) must analyze fine and break
+    exact-cosine ties toward the LOWER eval id."""
+    from flink_anomaly_spark.operators.similarity import semantic_decontamination
+
+    # two eval vectors with the SAME direction => any flagged corpus
+    # vector ties on cosine; the lower eval id must win
+    ev = spark.createDataFrame(
+        [("eb", [2.0, 0.0, 0.0, 0.0]), ("ea", [1.0, 0.0, 0.0, 0.0])],
+        ["doc_id", "embedding"],
+    )
+    corpus = spark.createDataFrame(
+        [("c1", [1.0, 0.0, 0.0, 0.0])], ["doc_id", "embedding"]
+    )
+    rows = semantic_decontamination(
+        corpus, ev, "doc_id", "embedding", threshold=0.3
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0].doc_id == "c1"
+    assert rows[0].closest_eval_id == "ea"
+    assert rows[0].cos_sim == 1.0
+
+
+def test_kmeans_lloyd_empty_cell_shrinks_k(spark):
+    """Fixed-iteration Lloyd: a centroid that captures no members
+    (here: a duplicate-direction init, so the cosine tie sends every
+    vector to the smaller cell id) disappears for later iterations on
+    both engines — the k-shrink semantics the oracle's group-by
+    reproduces. The run must stay deterministic across invocations."""
+    from flink_anomaly_spark.operators.anomaly import kmeans_lloyd_outliers
+
+    rows = [(0, [1.0, 0.0]), (1, [2.0, 0.0])] + [
+        (i, [1.0, 0.001 * i]) for i in range(2, 12)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = kmeans_lloyd_outliers(
+        df, "vec_id", "embedding", init_ids=[0, 1], n_iter=2, top_n=5
+    )
+    got = [(r.vec_id, r.cluster, r.centroid_dist) for r in out.collect()]
+    # vec 0 and 1 share a direction: cell 1 starves on the first
+    # assignment, every row lands in cluster 0
+    assert all(c == 0 for _, c, _ in got)
+    assert len(got) == 5
+    # farthest-from-mean rows first, ties by id
+    assert got == sorted(got, key=lambda t: (-t[2], t[0]))
+    again = [
+        (r.vec_id, r.cluster, r.centroid_dist)
+        for r in kmeans_lloyd_outliers(
+            df, "vec_id", "embedding", init_ids=[0, 1], n_iter=2, top_n=5
+        ).collect()
+    ]
+    assert got == again

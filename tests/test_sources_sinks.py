@@ -151,6 +151,68 @@ def test_write_audit_publish_pointer_swap_never_drops_table(spark, tmp_path):
     assert spark.read.parquet(final).select("tag").distinct().collect()[0][0] == "v3"
 
 
+def test_write_audit_publish_migration_and_crash_recovery(spark, tmp_path):
+    """Round-5 ADVICE (medium): first publish over a LEGACY PLAIN
+    DIRECTORY pre-migrates it to the versioned layout before any
+    write/audit work, and a crash inside that migration (final_path
+    missing, orphan .v- dir present) is recovered on the next call by
+    restoring the pointer to the newest version."""
+    import glob
+    import shutil
+
+    from flink_anomaly_spark.sinks import write_audit_publish
+
+    final = str(tmp_path / "docs")
+    ok = [lambda df: ("nonempty", df.count() > 0)]
+
+    # 1) legacy layout: a plain parquet directory, no symlink
+    spark.range(0, 10).select(F.col("id"), F.lit("legacy").alias("tag")).write.parquet(final)
+    assert os.path.isdir(final) and not os.path.islink(final)
+    res = write_audit_publish(
+        spark.range(0, 20).select(F.col("id"), F.lit("v2").alias("tag")), final, ok
+    )
+    assert res == [("nonempty", True)]
+    assert os.path.islink(final)  # migrated to pointer layout
+    assert spark.read.parquet(final).select("tag").distinct().collect()[0][0] == "v2"
+
+    # 2) migration even happens when the AUDIT FAILS (no promote): the
+    # table is still readable through the new pointer afterwards
+    final2 = str(tmp_path / "docs2")
+    spark.range(0, 10).select(F.col("id"), F.lit("legacy").alias("tag")).write.parquet(final2)
+    res = write_audit_publish(
+        spark.range(0, 3).select(F.col("id"), F.lit("bad").alias("tag")),
+        final2,
+        [lambda df: ("big_enough", df.count() >= 10)],
+    )
+    assert res == [("big_enough", False)]
+    assert os.path.islink(final2)
+    assert spark.read.parquet(final2).select("tag").distinct().collect()[0][0] == "legacy"
+
+    # 3) simulate a crash between demote and re-link: pointer gone,
+    # version dir orphaned — next publish must first restore the
+    # pointer (recovery), then publish normally
+    os.remove(final)
+    assert not os.path.lexists(final)
+    versions_before = set(glob.glob(final + ".v-*"))
+    assert versions_before  # the orphan exists
+    res = write_audit_publish(
+        spark.range(0, 30).select(F.col("id"), F.lit("v3").alias("tag")), final, ok
+    )
+    assert res == [("nonempty", True)]
+    assert spark.read.parquet(final).select("tag").distinct().collect()[0][0] == "v3"
+    # recovery alone (crash again, then a FAILING publish): table must
+    # resolve to the restored previous version, never be missing
+    os.remove(final)
+    write_audit_publish(
+        spark.range(0, 1).select(F.col("id"), F.lit("bad").alias("tag")),
+        final,
+        [lambda df: ("big_enough", df.count() >= 10)],
+    )
+    assert os.path.islink(final)
+    assert spark.read.parquet(final).select("tag").distinct().collect()[0][0] == "v3"
+    shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
 def test_parquet_schema_evolution_merge(spark, tmp_path):
     """Schema evolution across table versions (a column added later):
     reading the whole directory with mergeSchema must union the

@@ -61,6 +61,15 @@ def main() -> int:
     except (OSError, json.JSONDecodeError) as e:
         print(f"ERROR: {e}")
         return 2
+    # shape validation (round-5 ADVICE fix): a detail file missing the
+    # 'queries' mapping must exit 2 with a message, not a traceback
+    for label, doc in (("fresh", fresh), ("baseline", base)):
+        if not isinstance(doc, dict) or not isinstance(doc.get("queries"), dict):
+            print(
+                f"ERROR: {label} file is not a bench detail document "
+                "(expected a JSON object with a 'queries' mapping and 'sf')"
+            )
+            return 2
     if fresh.get("sf") != base.get("sf"):
         print(
             f"ERROR: scale factors differ (fresh sf={fresh.get('sf')}, "
