@@ -509,3 +509,72 @@ def test_minhash_bucket_cap_drops_flood_keeps_pairs(spark):
         for p in minhash_near_dup_pairs(df, "doc_id", "text", max_bucket_size=3).collect()
     }
     assert capped == {(10, 11)}
+
+
+def test_decode_ppm_parser():
+    """The pure-Python P6 parser: full header grammar (comments,
+    arbitrary whitespace), strict errors on anything that is not a
+    complete image — the ValueError is what routes non-PPM payloads to
+    the stub path in extract_features."""
+    import pytest as _pytest
+
+    from flink_anomaly_spark.operators.multimodal import decode_ppm, encode_ppm
+
+    raster = bytes(range(2 * 2 * 3))
+    assert decode_ppm(encode_ppm(2, 2, raster)) == (2, 2, raster)
+    # netpbm comments + mixed whitespace in the header
+    fancy = b"P6 # a comment\n 2\t2 # another\n 255\n" + raster
+    assert decode_ppm(fancy) == (2, 2, raster)
+    for bad in (
+        b"not an image",
+        b"P6\n2 2\n255\n" + raster[:-1],   # truncated raster
+        b"P6\n2 2\n65535\n" + raster * 2,  # 2-byte samples unsupported
+        b"P6\n2 2\n255",                   # missing raster separator
+        b"P5\n2 2\n255\n" + raster,        # greyscale PGM, not PPM
+    ):
+        with _pytest.raises(ValueError):
+            decode_ppm(bad)
+
+
+def test_extract_features_real_ppm_path(spark):
+    """A P6 payload takes the REAL decode path (features = [w, h, n,
+    r_mean, g_mean, b_mean, min, max]); a non-PPM payload still gets
+    the deterministic sha256 stub; a null payload is flagged not-ok."""
+    from flink_anomaly_spark.operators.multimodal import encode_ppm, extract_features
+
+    # 1x2 image: pixels (10,20,30) and (40,50,60)
+    img = encode_ppm(2, 1, bytes([10, 20, 30, 40, 50, 60]))
+    media = spark.createDataFrame(
+        [
+            (1, "image", img, "image/x-portable-pixmap", 2, 1, None),
+            (2, "image", b"plain bytes", "application/octet-stream", None, None, None),
+            (3, "image", None, None, None, None, None),
+        ],
+        "media_id long, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms long",
+    )
+    out = {r.media_id: r for r in extract_features(media).collect()}
+    assert out[1].decode_ok and out[1].feat == [2.0, 1.0, 2.0, 25.0, 35.0, 45.0, 10.0, 60.0]
+    assert out[2].decode_ok and all(0.0 <= x < 1.0 for x in out[2].feat)
+    assert not out[3].decode_ok and out[3].feat is None
+
+
+def test_resize_images_real_nn_path(spark):
+    """P6 payloads are really resized: 2x2 -> 1x1 nearest-neighbor
+    keeps the top-left pixel, and the output re-decodes as a valid P6
+    with the target dimensions."""
+    from flink_anomaly_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+        resize_images,
+    )
+
+    img = encode_ppm(2, 2, bytes([1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12]))
+    media = spark.createDataFrame(
+        [(1, "image", img, "image/x-portable-pixmap", 2, 2, None)],
+        "media_id long, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms long",
+    )
+    row = resize_images(media, 1, 1).collect()[0]
+    assert (row.width, row.height) == (1, 1)
+    assert decode_ppm(bytes(row.payload)) == (1, 1, bytes([1, 2, 3]))
