@@ -58,100 +58,114 @@ _LOADED = False
 #: still run in the LOCAL gate (tools/check_oracle.py checks ALL
 #: registered queries); they lose only the driver's duplicate signal.
 #:
-#: Round-3 rotation (VERDICT r2 #5): a few slots rotate each round so
-#: every query eventually gets the driver's independent check —
-#: sliding_window_agg / session_window_agg / merge_upsert_customers /
-#: topk_orders / exact_percentiles (driver-green in r01 AND r02) ceded
-#: their slots to mad_outliers / ewma_smoothing / ngram_decontamination
-#: / embedding_near_dup_lsh / salted_event_type_stats (never
-#: driver-checked before), and pivot_order_status /
-#: customers_with_orders_semi / customers_without_orders_anti (also
-#: green r01+r02) ceded theirs to the new round-3 operators
-#: gopher_quality_flags / doc_repetition_profile /
-#: embedding_int8_quantize; a third round-3 swap ceded
-#: clean_text_corpus / tfidf_top_terms / embedding_topk /
-#: zscore_outliers / interval_event_pairs (green r01+r02) to
-#: corpus_curation_pipeline / canonical_doc_per_cluster /
-#: udaf_weighted_mean / tpch_q5_local_supplier / streaming_dim_enrich
-#: (new this round, never driver-checked). See COVERAGE.md.
+#: Rotation history (rounds 3-4 swaps) is recorded in COVERAGE.md.
+#:
+#: ROUND-5 TENANCY CHANGE (VERDICT r4 #1): a window row now cedes its
+#: slot after ONE green driver round (was two). Justification: round 4
+#: proved the local gate driver-equivalent — all 27 first-time
+#: rotate-ins passed the driver on the first try, and the strict
+#: canonicalizer replica (tools/check_oracle.py) can no longer be more
+#: lenient than the driver. Coverage breadth beats double-checking:
+#: 58 registered queries had NEVER been driver-checked entering round
+#: 5; this window burns down 47 of them plus the three new round-5
+#: queries (kmeans_lloyd_outliers, media_pixel_stats,
+#: streaming_window_count_update). The 11 deferred never-checked rows
+#: (embedding_dim_stats, embedding_covariance,
+#: minhash_estimate_accuracy, char_entropy, token_count_histogram,
+#: langid_accuracy_by_lang, winsorized_event_stats,
+#: equi_depth_histogram, cumulative_distinct_users,
+#: time_range_moving_avg, synthetic_source_agg — each a close sibling
+#: of an already-driver-green query) plus round-5's media_resize_stats
+#: rotate in next round.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # ---- kept from round 3 (first driver check was r3 — each row
-    # stays until it has TWO green driver rounds; doc_repetition_profile
-    # stays to prove the round-4 oracle-type fix on the driver itself)
-    "corpus_curation_pipeline",
-    "canonical_doc_per_cluster",
-    "udaf_weighted_mean",
-    "tpch_q5_local_supplier",
-    "mad_outliers",
-    "ewma_smoothing",
-    "ngram_decontamination",
-    "gopher_quality_flags",
-    "doc_repetition_profile",
-    "streaming_dim_enrich",
-    "embedding_near_dup_lsh",
-    "embedding_int8_quantize",
-    "salted_event_type_stats",
-    "streaming_dedup",
-    "bloom_prefilter_urgent_revenue",
-    "incremental_dedup_new_batch",
-    "embedding_random_projection",
-    "doc_token_chunks",
-    "weighted_doc_sample",
-    "boilerplate_segment_removal",
-    "data_quality_suite",
-    "zorder_file_layout",
-    "snapshot_diff_orders",
-    # ---- rotated IN round 4, never driver-checked before. The two
-    # permanent rows-only slots ceded first (VERDICT r3 #3):
-    # approx_stats / kmeans_embedding_outliers can never hash-match by
-    # design; their oracle-able companions take the slots.
-    "centroid_distance_outliers",
-    "ann_lsh_recall",
-    "ann_ivf_recall",
-    # graph/cluster analytics over the near-dup graph (VERDICT r3 #6)
-    "pagerank_neardup",
-    "neardup_triangle_count",
-    "prefix_filter_jaccard_pairs",
-    "cross_doc_repeated_ngrams",
-    # training-prep + governance with intricate oracles
-    "sequence_packing",
-    "chunk_pack_pipeline",
-    "scd2_customer_history",
-    "global_rank_export",
-    "leakage_free_split",
-    "temperature_resampled_corpus",
-    "encoding_anomaly_flags",
-    # text-analysis breadth
-    "heavy_hitter_terms",
-    "bigram_pmi_top",
-    "tokenizer_fertility_by_lang",
-    # sessionization / funnels
-    "event_sessionization",
-    "funnel_transitions",
-    # streaming: the NEW end-of-stream flush query (round-4 W1 parity
-    # closure) plus the sliding/session window live twins
-    "streaming_window_count_final",
-    "streaming_sliding_count",
-    "streaming_session_count",
-    # TPC-H round-3 additions (q2/q7/q8/q9/q21 per VERDICT r3 #6)
-    "tpch_q2_min_cost_supplier",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q21_late_blame",
+    # ---- NEW round-5 queries (prove them on the driver immediately)
+    "kmeans_lloyd_outliers",
+    "media_pixel_stats",
+    "streaming_window_count_update",
+    # ---- round-4 late additions, never driver-checked (VERDICT r4 #1
+    # priority list)
+    "semantic_decontamination",
+    "unigram_logprob_quality",
+    "minhash_near_dup_pairs_capped",
+    # ---- streaming: the r4 flush twins + the three never-checked
+    # live queries
+    "streaming_window_argmax_final",
+    "streaming_session_count_final",
+    "streaming_running_zscore",
+    "streaming_ohlc",
+    "streaming_two_level_agg",
+    # ---- the 12 never-checked TPC-H shapes
+    "tpch_q4_late_orders",
+    "tpch_q10_returns",
+    "tpch_q11_important_parts",
+    "tpch_q12_priority_class",
+    "tpch_q13_cust_distribution",
+    "tpch_q14_promo",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt",
+    "tpch_q17_small_qty",
+    "tpch_q19_disjunct",
+    "tpch_q20_part_promotion",
+    "tpch_q22_dormant_customers",
+    # ---- scalar / date / string / array / JSON / map / analytic
+    # function families (the driver's duplicate signal has never seen
+    # any of the function-surface queries)
+    "scalar_functions",
+    "date_functions",
+    "string_date_functions",
+    "array_functions",
+    "json_extract_props",
+    "map_functions",
+    "lead_lag_window",
+    "analytic_functions_extended",
+    "customer_rank_window",
+    # ---- grouping-set / rollup / cube family
+    "lineitem_rollup",
+    "lineitem_cube",
+    "lineitem_grouping_sets",
+    "unpivot_lineitem_measures",
+    "orders_distinct_agg",
+    "topk_events_per_type",
+    # ---- LLM-pipeline + governance never-checked remainder
+    "media_exact_dedup",
+    "compaction_file_plan",
+    "stratified_sample_by_lang",
+    "language_sampling_weights",
+    "quality_quantile_normalize",
+    "train_val_test_split",
+    "udtf_bigram_counts",
+    # ---- relational/analytics never-checked remainder
+    "ohlc_resample",
+    "salted_hot_key_join",
+    "cohort_retention",
+    "table_column_profile",
+    "rfm_customer_segments",
 )
-# Rotated OUT in round 4 after two (or three) green driver rounds —
-# all remain locally hash-gated at 3 scale factors and fixture-tested:
-# exact_dedup, text_profile, langid_char_ngram, minhash_near_dup_pairs,
-# simhash_fingerprints, simhash_near_dup_pairs, ngram_jaccard_pairs,
-# dedup_clusters, dedup_pipeline_survivors, rolling_zscore_outliers,
-# multimodal_features, multimodal_frame_plan, flagship_running_concat,
-# window_argmax, window_count_agg, keyed_concat_total, asof_last_signup,
-# embedding_ann_lsh, embedding_ann_ivf, embedding_near_dup,
-# streaming_window_count, streaming_window_argmax,
-# streaming_running_concat, streaming_interval_join, tpch_q1_pricing;
-# plus the two permanently rows-only rows approx_stats /
-# kmeans_embedding_outliers (VERDICT r3 #3). See COVERAGE.md.
+# Rotated OUT in round 5 under the new one-green-round tenancy — every
+# round-3/4 window row was green in CORRECTNESS_r04 (50/50) and all
+# remain locally hash-gated at 3 scale factors and fixture-tested:
+# corpus_curation_pipeline, canonical_doc_per_cluster,
+# udaf_weighted_mean, tpch_q5_local_supplier, mad_outliers,
+# ewma_smoothing, ngram_decontamination, gopher_quality_flags,
+# doc_repetition_profile, streaming_dim_enrich, embedding_near_dup_lsh,
+# embedding_int8_quantize, salted_event_type_stats, streaming_dedup,
+# bloom_prefilter_urgent_revenue, incremental_dedup_new_batch,
+# embedding_random_projection, doc_token_chunks, weighted_doc_sample,
+# boilerplate_segment_removal, data_quality_suite, zorder_file_layout,
+# snapshot_diff_orders, centroid_distance_outliers, ann_lsh_recall,
+# ann_ivf_recall, pagerank_neardup, neardup_triangle_count,
+# prefix_filter_jaccard_pairs, cross_doc_repeated_ngrams,
+# sequence_packing, chunk_pack_pipeline, scd2_customer_history,
+# global_rank_export, leakage_free_split, temperature_resampled_corpus,
+# encoding_anomaly_flags, heavy_hitter_terms, bigram_pmi_top,
+# tokenizer_fertility_by_lang, event_sessionization,
+# funnel_transitions, streaming_window_count_final,
+# streaming_sliding_count, streaming_session_count,
+# tpch_q2_min_cost_supplier, tpch_q7_volume_shipping,
+# tpch_q8_market_share, tpch_q9_product_profit, tpch_q21_late_blame;
+# earlier rotations are listed in COVERAGE.md. The two permanently
+# rows-only rows approx_stats / kmeans_embedding_outliers never occupy
+# window slots (VERDICT r3 #3).
 
 
 def _load_all() -> None:
