@@ -485,6 +485,21 @@ def test_semantic_decontamination_bucket_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_semantic_decontamination_eval_side_broadcasts(spark):
+    """VERDICT r4 #6: the EVAL side (benchmark-sized by nature) must be
+    the broadcast side of the bucket equi-join, so the corpus side
+    streams without an exchange for the join itself — at 100 TB the
+    corpus never shuffles to meet the eval set. The bucket-space
+    sizing probe (tools/lsh_bucket_probe.py) asserts the same contract
+    at a ×25 corpus; this pins it at test scale."""
+    plan = physical_plan(_Q["semantic_decontamination"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan
+    # the broadcast exchange must exist and there must be no
+    # shuffle-hash/sort-merge variant of the candidate join
+    assert "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_runtime_bloom_filter_injects_on_big_scans(spark):
     """Spark's runtime bloom-filter join pruning (on by default in our
     session) is gated on a 10 GB application-side scan — the 100 TB

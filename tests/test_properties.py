@@ -457,3 +457,205 @@ def test_boilerplate_removal_matches_python_reference(spark, texts, frac):
         ss = segs_of(t)
         kept = [s for s in ss if s not in black]
         assert got[i] == (len(ss), len(ss) - len(kept), " ".join(kept)), (i, t)
+
+
+# ---------------------------------------------------------------------------
+# Recall properties for the round-4/5 approximate operators (VERDICT r4
+# #7): compare against brute-force all-pairs at tiny scale.
+# ---------------------------------------------------------------------------
+
+import hashlib as _hashlib
+import math as _math
+import re as _re
+
+
+def _shingle_set(text: str, k: int = 3) -> frozenset:
+    toks = [t for t in _re.split(r"\s+", text) if t]
+    if len(toks) >= k:
+        return frozenset(" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1))
+    return frozenset([" ".join(toks)])
+
+
+def _jaccard(a: frozenset, b: frozenset) -> float:
+    return len(a & b) / len(a | b)
+
+
+_doc_strategy = st.lists(
+    st.sampled_from([f"w{i}" for i in range(12)]), min_size=4, max_size=10
+).map(" ".join)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_doc_strategy, min_size=2, max_size=8))
+def test_minhash_pairs_precision_and_exact_dup_recall(spark, docs):
+    """MinHash-LSH near-dup pairs vs brute-force all-pairs Jaccard:
+    (1) PRECISION is 1 by construction — the verify step computes exact
+    Jaccard, so every returned pair must appear in the brute-force
+    J >= 0.5 set; (2) an EXACT duplicate (J = 1) has an identical
+    signature, so every band collides and the pair can never be missed
+    (the guaranteed-recall core; banding probability only affects pairs
+    below J = 1)."""
+    from flink_anomaly_spark.operators.dedup import minhash_near_dup_pairs
+
+    rows = [(i, d) for i, d in enumerate(docs)] + [(len(docs), docs[0])]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.id1, r.id2)
+        for r in minhash_near_dup_pairs(df, "doc_id", "text").collect()
+    }
+    sets = {i: _shingle_set(d) for i, d in rows}
+    truth = {
+        (i, j)
+        for i in sets
+        for j in sets
+        if i < j and _jaccard(sets[i], sets[j]) >= 0.5
+    }
+    assert got <= truth, f"false positives: {got - truth}"
+    assert (0, len(docs)) in got  # the injected exact duplicate
+
+
+_vec_strategy = st.lists(
+    st.lists(st.integers(min_value=-5, max_value=5), min_size=4, max_size=4).filter(
+        lambda v: any(v)
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(**_SETTINGS)
+@given(_vec_strategy, _vec_strategy)
+def test_semantic_decontam_precision_and_exact_copy_recall(spark, cvecs, evecs):
+    """semantic_decontamination vs brute-force corpus x eval cosine:
+    (1) PRECISION 1 — every flagged vector really has cosine >= 0.3 to
+    some eval vector (the operator scores candidates exactly);
+    (2) a positively-SCALED COPY of an eval vector (cos = 1) has
+    identical hyperplane signs, so it shares the bucket and can never
+    be missed."""
+    from flink_anomaly_spark.operators.similarity import semantic_decontamination
+
+    corpus_rows = [(100 + i, [float(x) for x in v]) for i, v in enumerate(cvecs)]
+    # inject a 2x-scaled copy of eval vector 0 — same direction, same
+    # bucket by construction
+    corpus_rows.append((999, [2.0 * x for x in evecs[0]]))
+    eval_rows = [(i, [float(x) for x in v]) for i, v in enumerate(evecs)]
+    corpus = spark.createDataFrame(corpus_rows, ["vec_id", "embedding"])
+    evalset = spark.createDataFrame(eval_rows, ["vec_id", "embedding"])
+    got = {
+        r.vec_id: r.cos_sim
+        for r in semantic_decontamination(
+            corpus, evalset, "vec_id", "embedding", threshold=0.3
+        ).collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (_math.sqrt(sum(x * x for x in a)) * _math.sqrt(sum(y * y for y in b)))
+
+    flagged_truth = {
+        cid
+        for cid, cv in corpus_rows
+        if any(round(cos(cv, ev), 6) >= 0.3 for _, ev in eval_rows)
+    }
+    assert set(got) <= flagged_truth, f"false positives: {set(got) - flagged_truth}"
+    assert 999 in got and got[999] == 1.0
+
+
+def _seeded_words(tag: str, n: int) -> list[str]:
+    """Deterministic pseudo-random word list (md5 stream — no RNG state)."""
+    return [
+        f"t{int.from_bytes(_hashlib.md5(f'{tag}:{i}'.encode()).digest()[:4], 'big') % 50}"
+        for i in range(n)
+    ]
+
+
+def test_minhash_measured_recall_vs_bruteforce(spark):
+    """Measured banding recall on a seeded corpus with designed
+    near-dups (the last of 12 words replaced -> 9 of 10/11 shingles
+    shared, Jaccard ~ 0.82): with 8 perms x 4 bands at J ~ 0.82 the
+    theoretical pair-capture probability is 1-(1-J^2)^4 ~ 0.99. The pipeline is fully
+    deterministic (md5 permutations), so the measured recall is a
+    constant of the corpus; assert the bound it actually achieves,
+    and that the capped variant loses nothing here (no bucket exceeds
+    the cap)."""
+    from flink_anomaly_spark.operators.dedup import minhash_near_dup_pairs
+
+    rows = []
+    for i in range(25):
+        words = _seeded_words(f"doc{i}", 12)
+        rows.append((i, " ".join(words)))
+        mutated = list(words)
+        mutated[11] = "zz_mut"  # last word: kills only 1 of 10 shingles
+        rows.append((100 + i, " ".join(mutated)))  # designed near-dup, J ~ 0.8
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sets = {i: _shingle_set(t) for i, t in rows}
+    truth = {
+        (i, j)
+        for i in sets
+        for j in sets
+        if i < j and _jaccard(sets[i], sets[j]) >= 0.5
+    }
+    assert len(truth) >= 20  # the designed pairs exist
+    got = {(r.id1, r.id2) for r in minhash_near_dup_pairs(df, "doc_id", "text").collect()}
+    assert got <= truth
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.75, f"measured recall {recall:.2f} fell below the pinned bound"
+    capped = {
+        (r.id1, r.id2)
+        for r in minhash_near_dup_pairs(
+            df, "doc_id", "text", max_bucket_size=10
+        ).collect()
+    }
+    assert capped == got  # no flood bucket at this scale -> identical
+
+
+def test_semantic_decontam_measured_recall_vs_bruteforce(spark):
+    """Measured single-bucket recall on a seeded embedding corpus:
+    eval items are small perturbations of corpus vectors (cos ~ 0.99),
+    so most land in the same 16-bucket cell; the deterministic measured
+    recall is pinned with the brute-force all-pairs set as truth."""
+    from flink_anomaly_spark.operators.similarity import semantic_decontamination
+
+    def vec(tag: str) -> list[float]:
+        return [
+            (int.from_bytes(_hashlib.md5(f"{tag}:{d}".encode()).digest()[:4], "big") % 19)
+            - 9.0
+            for d in range(8)
+        ]
+
+    corpus_rows = [(i, vec(f"c{i}")) for i in range(40)]
+    # eval = perturbed copies of the first 10 corpus vectors
+    eval_rows = []
+    for i in range(10):
+        v = list(corpus_rows[i][1])
+        v[0] += 0.25
+        eval_rows.append((i, v))
+    corpus = spark.createDataFrame(corpus_rows, ["vec_id", "embedding"])
+    evalset = spark.createDataFrame(eval_rows, ["vec_id", "embedding"])
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = _math.sqrt(sum(x * x for x in a))
+        nb = _math.sqrt(sum(y * y for y in b))
+        return d / (na * nb)
+
+    truth = {
+        cid
+        for cid, cv in corpus_rows
+        if any(round(cos(cv, ev), 6) >= 0.3 for _, ev in eval_rows)
+    }
+    got = {
+        r.vec_id
+        for r in semantic_decontamination(
+            corpus, evalset, "vec_id", "embedding", threshold=0.3
+        ).collect()
+    }
+    assert got <= truth
+    # the designed near-copies (cos ~ 0.999) are caught 9/10: vector 2's
+    # +0.25 perturbation flips one hyperplane sign (its plane-dot sits
+    # near 0), the textbook LSH boundary miss — more planes or
+    # multi-probe would recover it; the measured rate is pinned
+    designed = {i for i in range(10)}
+    assert len(designed & got) >= 9, f"missed designed near-copies: {designed - got}"
+    recall = len(got) / len(truth)
+    assert recall >= 0.5, f"measured recall {recall:.2f} fell below the pinned bound"
