@@ -529,3 +529,17 @@ def test_runtime_bloom_filter_injects_on_big_scans(spark):
     finally:
         spark.conf.set(thr_key, old_thr)
         spark.conf.set(bc_key, old_bc)
+
+
+def test_kmeans_lloyd_assignment_is_narrow(spark):
+    """kmeans_lloyd_outliers' FINAL scoring pass must be a narrow map
+    over literal-inlined centroids feeding TakeOrderedAndProject: no
+    join of any kind (the centroids ride the plan as literals, not a
+    table) and no full-corpus single-partition window. The per-
+    iteration update aggs run eagerly during plan build (bounded model
+    collects); this contract pins the shape of the scoring plan a 100
+    TB scan would execute."""
+    plan = physical_plan(_Q["kmeans_lloyd_outliers"](spark, SF_SMOKE))
+    for bad in ("Join", "CartesianProduct", "Exchange SinglePartition"):
+        assert bad not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
