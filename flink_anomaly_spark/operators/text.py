@@ -694,3 +694,111 @@ def unigram_logprob_quality(
             label.alias("ccnet_bucket"),
         )
     )
+
+
+#: (name, pattern, replacement) — patterns restricted to the regex
+#: subset where Java (Spark) and RE2 (DuckDB) agree exactly: character
+#: classes, bounded repetition, \b word boundaries; no lookaround, no
+#: backreferences. Counts are taken on the ORIGINAL text; redaction
+#: applies the replacements in THIS list order on both engines.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", EMAIL_PATTERN, "<EMAIL>"),
+    ("phone", r"\b\d{3}[- ]\d{4}\b", "<PHONE>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII detection + redaction — the scrub pass every training-data
+    pipeline runs before text leaves the quarantine zone (C4/Dolma/
+    FineWeb all ship regex-family PII removal). Emits per-document
+    match counts per category (from the original text) and the
+    redacted text with each match replaced by a typed placeholder.
+
+    Entirely JVM-side regexp expressions (regexp_extract_all /
+    regexp_replace inside whole-stage codegen) — zero shuffle, zero
+    Python; at 100 TB this is a pure map over the scan. The pattern
+    set is deliberately in the Java∩RE2 regex subset so a SQL oracle
+    running RE2 reproduces matches exactly."""
+    counts = [
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))
+        ).cast("bigint").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    redacted = F.col(text_col)
+    for _, pat, rep in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, rep)
+    return df.select(F.col(id_col), *counts, redacted.alias("redacted_text"))
+
+
+def dsir_importance_weights(
+    df: DataFrame, id_col: str, text_col: str, is_target
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"), unigram flavor:
+    each document is scored by the mean per-token log-likelihood RATIO
+    between a TARGET distribution (the docs matching ``is_target`` —
+    in DSIR, a high-quality seed corpus) and the SOURCE distribution
+    (the whole corpus), with add-one smoothing over the source vocab.
+    Resampling keeps documents with high ratios — "looks like the
+    target" — which is the importance-sampling correction that made
+    DSIR competitive with trained quality classifiers. The hashed
+    n-gram features of the paper reduce to exact unigram counts at
+    this vocabulary size; the estimator is otherwise the same.
+
+    Plan shape (the unigram_logprob_quality floor): one (doc, token)
+    pair shuffle with map-side partial counts; the two vocab tables
+    derive from it (vocabulary-sized); the scoring join is per-token;
+    corpus totals are 1-row broadcasts. log2 on identical integer-
+    derived doubles is cross-engine exact (the proven log2 path)."""
+    from flink_anomaly_spark.operators.dedup import _persist
+
+    base = spread(
+        df.select(
+            F.col(id_col).alias("id"),
+            is_target.cast("boolean").alias("__t"),
+            F.col(text_col).alias("__x"),
+        )
+    )
+    g = _persist(
+        base.select("id", "__t", F.explode(tokens(F.col("__x"))).alias("tk"))
+        .groupBy("id", "__t", "tk")
+        .agg(F.count("*").alias("c"))
+    )
+    vocab_s = g.groupBy("tk").agg(F.sum("c").alias("cs"))
+    vocab_t = g.filter(F.col("__t")).groupBy("tk").agg(F.sum("c").alias("ct"))
+    vocab = vocab_s.join(vocab_t, "tk", "left").select(
+        "tk", "cs", F.coalesce("ct", F.lit(0)).alias("ct")
+    )
+    tots = vocab.agg(
+        F.sum("cs").alias("Ts"),
+        F.sum("ct").alias("Tt"),
+        F.count("*").alias("V"),
+    )
+    w = (
+        vocab.crossJoin(F.broadcast(tots))
+        .select(
+            "tk",
+            (
+                F.log2((F.col("ct") + 1) / (F.col("Tt") + F.col("V")))
+                - F.log2((F.col("cs") + 1) / (F.col("Ts") + F.col("V")))
+            ).alias("w"),
+        )
+    )
+    return (
+        g.join(w, "tk")
+        .groupBy("id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tok"),
+            (F.sum(F.col("c") * F.col("w")) / F.sum("c")).alias("__s"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_tok",
+            # + 0.0 canonicalizes IEEE -0.0 (a tiny negative ratio
+            # rounds to -0.0 in Spark, 0.0 in DuckDB — hash mismatch
+            # with identical values)
+            (F.round("__s", 4) + F.lit(0.0)).alias("dsir_logratio"),
+        )
+    )

@@ -960,3 +960,131 @@ def q_chunk_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             (startpos % 2048).cast("bigint").alias("bin_offset"),
         )
     )
+
+
+#: synthetic-PII injection, shared between the Spark query and the SQL
+#: oracle: the word-soup documents carry no PII, so deterministic
+#: emails / phone numbers / IPs are appended by doc_id rule — the
+#: operator then has real matches to find and the oracle recomputes
+#: them from the same construction.
+_PII_TEXT_SQL = (
+    "text"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' call 555-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END"
+)
+
+
+def _pii_text_spark():
+    did = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit(" call 555-"), F.lpad((did % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" from 10.0."),
+                (did % 256).cast("string"),
+                F.lit("."),
+                (did % 100).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+
+
+def _pii_oracle() -> str:
+    from flink_anomaly_spark.operators.text import PII_PATTERNS
+
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(t, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    red = "t"
+    for _, pat, rep in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{rep}', 'g')"
+    return f"""
+    WITH p AS (SELECT doc_id, {_PII_TEXT_SQL} AS t FROM documents)
+    SELECT doc_id, {counts}, md5({red}) AS redacted_md5
+    FROM p
+    """
+
+
+@register(
+    "pii_redaction_stats",
+    oracle=_pii_oracle(),
+    doc="PII scrub pass (the C4/Dolma/FineWeb-style regex family): "
+    "per-document email/phone/IP match counts plus the md5 of the "
+    "fully redacted text — hashing the redacted output means the "
+    "oracle verifies the REDACTION ITSELF byte-for-byte, not just the "
+    "counts. Patterns live in the Java-regex ∩ RE2 subset so Spark "
+    "and DuckDB match identically. Pure codegen regexp map over the "
+    "scan: zero shuffle, zero Python at any scale.",
+)
+def q_pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.text import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _pii_text_spark().alias("pii_text")
+    )
+    out = redact_pii(docs, "doc_id", "pii_text")
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_phone",
+        "n_ip",
+        F.md5("redacted_text").alias("redacted_md5"),
+    )
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, lang = 'en' AS is_t, unnest({_TOKS}) AS tk FROM documents
+    ), g AS (
+      SELECT doc_id, is_t, tk, count(*) AS c FROM t GROUP BY doc_id, is_t, tk
+    ), vs AS (
+      SELECT tk, sum(c) AS cs FROM g GROUP BY tk
+    ), vt AS (
+      SELECT tk, sum(c) AS ct FROM g WHERE is_t GROUP BY tk
+    ), v AS (
+      SELECT vs.tk, vs.cs, coalesce(vt.ct, 0) AS ct
+      FROM vs LEFT JOIN vt USING (tk)
+    ), tot AS (
+      SELECT sum(cs) AS Ts, sum(ct) AS Tt, count(*) AS V FROM v
+    ), w AS (
+      SELECT tk,
+             log2((ct + 1) / CAST(Tt + V AS DOUBLE))
+             - log2((cs + 1) / CAST(Ts + V AS DOUBLE)) AS w
+      FROM v CROSS JOIN tot
+    )
+    SELECT g.doc_id, CAST(sum(g.c) AS BIGINT) AS n_tok,
+           round(sum(g.c * w.w) / CAST(sum(g.c) AS DOUBLE), 4) + 0.0 AS dsir_logratio
+    FROM g JOIN w USING (tk) GROUP BY g.doc_id
+    """,
+    doc="DSIR importance weights (Xie et al. 2023), unigram flavor: "
+    "mean per-token log2-likelihood ratio of the TARGET distribution "
+    "(lang='en' docs, standing in for a high-quality seed corpus) over "
+    "the SOURCE (whole corpus), add-one smoothed over the source "
+    "vocab. High ratio = 'looks like the target' = keep under "
+    "importance resampling. Same shuffle floor as "
+    "unigram_logprob_quality: one (doc, token) pair shuffle, "
+    "vocabulary-sized join tables, 1-row broadcast totals.",
+)
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.text import dsir_importance_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_importance_weights(
+        docs, "doc_id", "text", is_target=F.col("lang") == "en"
+    )

@@ -263,3 +263,50 @@ def test_unigram_logprob_quality_known_values(spark):
     assert abs(out[1].mean_neglog2p - 0.585) < 1e-3
     assert abs(out[2].mean_neglog2p - 1.585) < 1e-3
     assert abs(out[3].mean_neglog2p - 2.585) < 1e-3
+
+
+def test_redact_pii_known_strings(spark):
+    """The PII scrub finds and replaces emails, phones, and IPs on
+    crafted text, leaves clean text untouched, and counts from the
+    ORIGINAL text (so overlapping replacements can't hide matches)."""
+    from flink_anomaly_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-corp.io or x@y.co now"),
+            (2, "call 555-0199 or 555 0200 from 192.168.1.77"),
+            (3, "nothing sensitive here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in redact_pii(df, "doc_id", "text").collect()}
+    assert (out[1].n_email, out[1].n_phone, out[1].n_ip) == (2, 0, 0)
+    assert out[1].redacted_text == "mail <EMAIL> or <EMAIL> now"
+    assert (out[2].n_email, out[2].n_phone, out[2].n_ip) == (0, 2, 1)
+    assert out[2].redacted_text == "call <PHONE> or <PHONE> from <IP>"
+    assert (out[3].n_email, out[3].n_phone, out[3].n_ip) == (0, 0, 0)
+    assert out[3].redacted_text == "nothing sensitive here"
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """DSIR sanity: documents made of target-corpus vocabulary score a
+    HIGHER importance ratio than documents of source-only vocabulary —
+    the resampling direction of the estimator."""
+    from flink_anomaly_spark.operators.text import dsir_importance_weights
+
+    rows = (
+        [(i, "alpha beta gamma alpha beta", "en") for i in range(5)]
+        + [(10 + i, "zeta eta theta zeta eta", "de") for i in range(5)]
+        + [(100, "alpha beta alpha", "de"), (101, "zeta eta zeta", "en2")]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {
+        r.doc_id: r.dsir_logratio
+        for r in dsir_importance_weights(
+            df, "doc_id", "text", is_target=F.col("lang") == "en"
+        ).collect()
+    }
+    # doc 100 uses only target vocab -> positive ratio;
+    # doc 101 uses only source-side vocab -> negative ratio
+    assert out[100] > 0 > out[101]
+    assert out[100] > out[101]
