@@ -543,3 +543,22 @@ def test_kmeans_lloyd_assignment_is_narrow(spark):
     for bad in ("Join", "CartesianProduct", "Exchange SinglePartition"):
         assert bad not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_pii_redaction_zero_shuffle(spark):
+    """The PII scrub must stay a pure codegen regexp map over the scan:
+    no Exchange of any kind — at 100 TB it costs one pass, embarrassingly
+    parallel."""
+    plan = physical_plan(_Q["pii_redaction_stats"](spark, SF_SMOKE))
+    assert "Exchange" not in plan, f"PII scrub must not shuffle:\n{plan}"
+    assert_whole_stage_codegen(_Q["pii_redaction_stats"](spark, SF_SMOKE))
+
+
+def test_dsir_no_cartesian_and_broadcast_totals(spark):
+    """DSIR importance weights: the corpus-totals row must broadcast
+    (never a shuffled join against a 1-row table) and no join may
+    degrade to a cartesian/nested-loop product. The (doc, token) pair
+    shuffle + vocabulary-keyed joins are the accepted floor."""
+    plan = physical_plan(_Q["dsir_importance_weights"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastExchange" in plan, plan

@@ -659,3 +659,66 @@ def test_semantic_decontam_measured_recall_vs_bruteforce(spark):
     assert len(designed & got) >= 9, f"missed designed near-copies: {designed - got}"
     recall = len(got) / len(truth)
     assert recall >= 0.5, f"measured recall {recall:.2f} fell below the pinned bound"
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=-4, max_value=4), min_size=3, max_size=3).filter(
+            lambda v: any(v)
+        ),
+        min_size=3,
+        max_size=10,
+    )
+)
+def test_kmeans_lloyd_matches_python_reference(spark, vecs):
+    """Fixed-iteration spherical Lloyd vs a pure-Python replica of the
+    SAME spec (cosine assignment with ties to the lower cell, fixed-
+    point micro-unit means, k-shrink on empty cells): cluster
+    assignments and rounded distances must agree on arbitrary inputs —
+    the engine-portability property the DuckDB oracle checks on one
+    dataset, generalized."""
+    from flink_anomaly_spark.operators.anomaly import kmeans_lloyd_outliers
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    init_ids = [0, 1] if len(rows) > 1 else [0]
+    got = {
+        r.vec_id: (r.cluster, r.centroid_dist)
+        for r in kmeans_lloyd_outliers(
+            df, "vec_id", "embedding", init_ids=init_ids, n_iter=2, top_n=len(rows)
+        ).collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = _math.sqrt(sum(x * x for x in a))
+        nb = _math.sqrt(sum(y * y for y in b))
+        return d / (na * nb)
+
+    cents = {ci: rows[cid][1] for ci, cid in enumerate(init_ids)}
+    data = dict(rows)
+    for _ in range(2):
+        assign = {}
+        for vid, v in data.items():
+            # max cosine, ties to the smaller cell id
+            best = max(cents, key=lambda c: (cos(data[vid], cents[c]), -c))
+            assign[vid] = best
+        nxt = {}
+        for c in set(assign.values()):
+            members = [data[v] for v in assign if assign[v] == c]
+            dim = len(members[0])
+            cent = []
+            for p in range(dim):
+                s = sum(int(round(m[p] * 1e6)) for m in members)
+                cent.append(round(s / (len(members) * 1e6), 6))
+            nxt[c] = cent
+        cents = nxt
+    expect = {}
+    for vid, v in data.items():
+        best = max(cents, key=lambda c: (cos(v, cents[c]), -c))
+        expect[vid] = (best, round(1.0 - cos(v, cents[best]), 6) + 0.0)
+    assert set(got) == set(expect)
+    for vid in expect:
+        assert got[vid][0] == expect[vid][0], (vid, got[vid], expect[vid])
+        assert abs(got[vid][1] - expect[vid][1]) < 2e-6, (vid, got[vid], expect[vid])
