@@ -154,6 +154,7 @@ def write_audit_publish(
     final_path: str,
     audits: list[Callable[[DataFrame], tuple[str, bool]]],
     staging_suffix: str = "._staging",
+    keep_versions: int = 0,
 ) -> list[tuple[str, bool]]:
     """Write-audit-publish: the batch sink pattern a production lake
     uses so a bad batch never becomes visible (popularized by Netflix's
@@ -192,6 +193,12 @@ def write_audit_publish(
     manifest-pointer commit, expressed on a filesystem; on object
     stores without rename the pointer is a catalog entry, same three
     phases.
+
+    ``keep_versions`` (round 5) retains that many SUPERSEDED version
+    directories after each publish — the snapshot-retention half of
+    the lakehouse pattern: ``read_table_version`` time-travels into
+    them and ``rollback_table`` re-points the table at one atomically,
+    exactly Delta's ``VERSION AS OF`` + ``RESTORE`` on plain parquet.
     """
     import glob
     import os
@@ -229,8 +236,76 @@ def write_audit_publish(
     if all(ok for _, ok in results):
         version = final_path + ".v-" + uuid.uuid4().hex[:12]
         os.rename(staging, version)
-        prev_target = os.path.realpath(final_path) if os.path.islink(final_path) else None
         _swap_pointer(version)
-        if prev_target and os.path.isdir(prev_target):
-            shutil.rmtree(prev_target, ignore_errors=True)
+        # retention: keep the newest ``keep_versions`` SUPERSEDED
+        # version dirs for time travel / rollback (Delta/Iceberg
+        # snapshot retention on a filesystem); 0 = live version only.
+        live = os.path.realpath(final_path)
+        old = sorted(
+            (
+                d
+                for d in glob.glob(final_path + ".v-*")
+                if os.path.isdir(d) and os.path.realpath(d) != live
+            ),
+            key=os.path.getmtime,
+            reverse=True,
+        )
+        for stale in old[keep_versions:]:
+            shutil.rmtree(stale, ignore_errors=True)
     return results
+
+
+def list_table_versions(final_path: str) -> list[str]:
+    """Version directories of a WAP-published table, LIVE FIRST then
+    retained superseded versions newest-first — the filesystem analogue
+    of Delta's ``DESCRIBE HISTORY`` (ordering by directory mtime: each
+    publish creates a strictly newer dir)."""
+    import glob
+    import os
+
+    live = os.path.realpath(final_path)
+    others = sorted(
+        (
+            d
+            for d in glob.glob(final_path + ".v-*")
+            if os.path.isdir(d) and os.path.realpath(d) != live
+        ),
+        key=os.path.getmtime,
+        reverse=True,
+    )
+    return [live] + others
+
+
+def read_table_version(spark, final_path: str, n_back: int = 0) -> DataFrame:
+    """Time travel over a WAP table published with ``keep_versions``:
+    ``n_back=0`` reads the live version (identical to reading
+    ``final_path``), ``n_back=1`` the previous one, etc. Raises
+    IndexError past the retention window — the same contract as
+    querying a vacuumed Delta snapshot."""
+    versions = list_table_versions(final_path)
+    if n_back >= len(versions):
+        raise IndexError(
+            f"version {n_back} not retained (have {len(versions)}; "
+            "publish with a larger keep_versions)"
+        )
+    return spark.read.parquet(versions[n_back])
+
+
+def rollback_table(final_path: str, n_back: int = 1) -> str:
+    """Roll the table pointer back to a retained previous version with
+    the same atomic symlink swap the publish path uses — readers see
+    either the bad version or the restored one, never a missing table.
+    The rolled-back-FROM version dir is retained (it becomes the newest
+    superseded version), so a rollback is itself reversible. Returns
+    the version dir now live."""
+    import os
+    import uuid
+
+    versions = list_table_versions(final_path)
+    if n_back >= len(versions):
+        raise IndexError(f"version {n_back} not retained (have {len(versions)})")
+    target = versions[n_back]
+    tmp_link = final_path + ".lnk-" + uuid.uuid4().hex[:6]
+    os.symlink(os.path.basename(target), tmp_link)
+    os.replace(tmp_link, final_path)
+    return target

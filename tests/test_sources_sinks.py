@@ -299,3 +299,54 @@ def test_write_parquet_codec_and_file_size_bounds(spark, tmp_path):
     assert len(parts) == 5  # 500 docs / 100 per file, single task
     assert all(".zstd.parquet" in f for f in parts), parts
     assert spark.read.parquet(out).count() == docs.count()
+
+
+def test_wap_time_travel_and_rollback(spark, tmp_path):
+    """Snapshot retention + time travel + rollback on the WAP table
+    (round 5): keep_versions retains superseded version dirs,
+    read_table_version reads them (Delta VERSION AS OF), rollback_table
+    atomically re-points the live table (Delta RESTORE) and is itself
+    reversible; retention evicts beyond the window."""
+    from flink_anomaly_spark.sinks import (
+        list_table_versions,
+        read_table_version,
+        rollback_table,
+        write_audit_publish,
+    )
+
+    final = str(tmp_path / "docs")
+    ok = [lambda df: ("nonempty", df.count() > 0)]
+    for tag, n in (("v1", 10), ("v2", 20), ("v3", 30)):
+        frame = spark.range(0, n).select(F.col("id"), F.lit(tag).alias("tag"))
+        assert write_audit_publish(frame, final, ok, keep_versions=2) == [
+            ("nonempty", True)
+        ]
+    # live + 2 retained
+    assert len(list_table_versions(final)) == 3
+    assert read_table_version(spark, final, 0).count() == 30
+    assert read_table_version(spark, final, 1).count() == 20
+    assert read_table_version(spark, final, 2).count() == 10
+    import pytest as _pytest
+
+    with _pytest.raises(IndexError):
+        read_table_version(spark, final, 3)
+
+    # v3 turns out bad -> restore v2; readers never lose the table
+    rollback_table(final, 1)
+    assert spark.read.parquet(final).select("tag").distinct().collect()[0][0] == "v2"
+    # the rollback is reversible: v3 is now the newest superseded dir
+    assert read_table_version(spark, final, 1).select("tag").distinct().collect()[0][0] == "v3"
+    rollback_table(final, 1)
+    assert spark.read.parquet(final).select("tag").distinct().collect()[0][0] == "v3"
+
+    # retention window: a 4th publish with keep_versions=1 evicts older
+    frame = spark.range(0, 40).select(F.col("id"), F.lit("v4").alias("tag"))
+    write_audit_publish(frame, final, ok, keep_versions=1)
+    vs = list_table_versions(final)
+    assert len(vs) == 2
+    assert spark.read.parquet(final).count() == 40
+    assert read_table_version(spark, final, 1).count() == 30  # v3 kept
+    # default keep_versions=0 reverts to live-only (the old behavior)
+    frame = spark.range(0, 50).select(F.col("id"), F.lit("v5").alias("tag"))
+    write_audit_publish(frame, final, ok)
+    assert len(list_table_versions(final)) == 1
