@@ -1,0 +1,229 @@
+"""Manifest-committed table format — the scalable half of the
+lakehouse story.
+
+The WAP table in ``sinks.py`` (versioned dirs + symlink pointer) is an
+OVERWRITE table: every publish rewrites the full dataset, which is
+right for curated snapshots but wrong for a table that grows by
+appends — at 100 TB an append must add files, never copy them. This
+module implements the manifest-log pattern Delta/Iceberg use, on plain
+parquet + JSON:
+
+- data files are immutable, written once under ``data/``;
+- a COMMIT is a new manifest JSON listing the table's full live file
+  set (previous list ± this commit's files) plus metadata (version,
+  parent, schema, committed streaming batch ids);
+- the only mutation is an atomic pointer update (``_latest`` written
+  via rename(2)), so readers always see a complete committed file set
+  — snapshot isolation on a filesystem. On an object store the
+  pointer is a catalog entry / conditional PUT; everything else is
+  identical.
+
+Operations: append, overwrite, read (any retained version), history,
+rollback (re-point, reversible), compaction (rewrite ONLY the small
+files, swap them in one commit), and exactly-once STREAMING appends —
+foreachBatch records the micro-batch id in the manifest itself, so a
+replayed batch after a crash is recognized and skipped: the commit and
+the idempotence ledger are the same atomic write (no separate marker
+file to fall out of sync).
+
+Manifests are O(files), not O(rows): at 100 TB with 1 GiB files a
+manifest lists ~100k paths (a few MB of JSON); production formats
+shard this into manifest FILES + a manifest list, which changes the
+constant, not the design.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ManifestTable:
+    """Handle on a manifest-committed table rooted at ``path``."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.data_dir = os.path.join(path, "data")
+        self.log_dir = os.path.join(path, "_log")
+        self.pointer = os.path.join(path, "_latest")
+
+    # -- commit plumbing ----------------------------------------------------
+
+    @classmethod
+    def create(cls, path: str, schema_ddl: str | None = None) -> "ManifestTable":
+        t = cls(path)
+        os.makedirs(t.data_dir, exist_ok=True)
+        os.makedirs(t.log_dir, exist_ok=True)
+        if not os.path.exists(t.pointer):
+            t._commit(files=[], parent=None, schema_ddl=schema_ddl, batch_ids=[])
+        return t
+
+    def _latest_name(self) -> str:
+        with open(self.pointer) as fh:
+            return fh.read().strip()
+
+    def _load(self, name: str) -> dict:
+        with open(os.path.join(self.log_dir, name)) as fh:
+            return json.load(fh)
+
+    def latest(self) -> dict:
+        return self._load(self._latest_name())
+
+    def _commit(
+        self,
+        files: list[str],
+        parent: str | None,
+        schema_ddl: str | None,
+        batch_ids: list,
+    ) -> dict:
+        version = 0 if parent is None else self._load(parent)["version"] + 1
+        man = {
+            "version": version,
+            "parent": parent,
+            "files": sorted(files),
+            "schema_ddl": schema_ddl,
+            "batch_ids": batch_ids,
+        }
+        name = f"manifest-{version:06d}-{uuid.uuid4().hex[:8]}.json"
+        with open(os.path.join(self.log_dir, name), "w") as fh:
+            json.dump(man, fh)
+        # the ONLY mutation: atomic pointer replace. A crash before this
+        # line leaves an orphan manifest that is never referenced; a
+        # crash after is a completed commit.
+        tmp = self.pointer + "." + uuid.uuid4().hex[:6]
+        with open(tmp, "w") as fh:
+            fh.write(name)
+        os.replace(tmp, self.pointer)
+        return man
+
+    # -- writes -------------------------------------------------------------
+
+    def _write_files(self, df: DataFrame) -> tuple[list[str], str]:
+        """Write a frame's parquet files into a fresh immutable subdir;
+        return (relative file paths, schema ddl)."""
+        sub = "batch-" + uuid.uuid4().hex[:12]
+        out = os.path.join(self.data_dir, sub)
+        df.write.mode("overwrite").parquet(out)
+        rel = [
+            os.path.join("data", sub, f)
+            for f in os.listdir(out)
+            if f.startswith("part-") and f.endswith(".parquet")
+        ]
+        return rel, df.schema.simpleString()
+
+    def append(self, df: DataFrame, batch_id: int | None = None) -> dict:
+        """Commit an append. ``batch_id`` makes the commit idempotent:
+        if the latest manifest chain already recorded it (a replayed
+        foreachBatch after a crash), the append is a no-op — the
+        exactly-once upgrade with the ledger INSIDE the commit."""
+        cur = self.latest()
+        if batch_id is not None and batch_id in cur["batch_ids"]:
+            return cur
+        files, ddl = self._write_files(df)
+        return self._commit(
+            files=cur["files"] + files,
+            parent=self._latest_name(),
+            schema_ddl=cur["schema_ddl"] or ddl,
+            batch_ids=cur["batch_ids"] + ([batch_id] if batch_id is not None else []),
+        )
+
+    def overwrite(self, df: DataFrame) -> dict:
+        cur = self.latest()
+        files, ddl = self._write_files(df)
+        return self._commit(
+            files=files,
+            parent=self._latest_name(),
+            schema_ddl=ddl,
+            batch_ids=cur["batch_ids"],
+        )
+
+    def compact(self, spark: SparkSession, small_file_bytes: int = 8 << 20) -> dict:
+        """Rewrite ONLY the files smaller than the threshold into one
+        consolidated batch and swap them in a single commit — large
+        files are untouched (the property that makes compaction
+        affordable at 100 TB: cost scales with the small-file tail,
+        not the table)."""
+        cur = self.latest()
+        small = [
+            f
+            for f in cur["files"]
+            if os.path.getsize(os.path.join(self.path, f)) < small_file_bytes
+        ]
+        if len(small) <= 1:
+            return cur
+        keep = [f for f in cur["files"] if f not in set(small)]
+        df = spark.read.parquet(*[os.path.join(self.path, f) for f in small])
+        files, _ = self._write_files(df.coalesce(1))
+        return self._commit(
+            files=keep + files,
+            parent=self._latest_name(),
+            schema_ddl=cur["schema_ddl"],
+            batch_ids=cur["batch_ids"],
+        )
+
+    # -- reads --------------------------------------------------------------
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Snapshot read: the file set is fixed by the manifest, so a
+        concurrent append cannot change rows mid-query (snapshot
+        isolation). ``version`` time-travels along the parent chain."""
+        man = self.latest()
+        while version is not None and man["version"] > version:
+            if man["parent"] is None:
+                raise IndexError(f"version {version} not found")
+            man = self._load(man["parent"])
+        if version is not None and man["version"] != version:
+            raise IndexError(f"version {version} not found")
+        if not man["files"]:
+            if man["schema_ddl"]:
+                return spark.createDataFrame([], man["schema_ddl"])
+            raise ValueError("empty table with no schema recorded")
+        return spark.read.parquet(*[os.path.join(self.path, f) for f in man["files"]])
+
+    def history(self) -> list[dict]:
+        """Commit chain, newest first (the DESCRIBE HISTORY analog)."""
+        out, name = [], self._latest_name()
+        while name is not None:
+            man = self._load(name)
+            out.append({"version": man["version"], "n_files": len(man["files"]), "manifest": name})
+            name = man["parent"]
+        return out
+
+    def rollback(self, version: int) -> dict:
+        """Re-point the table at an earlier commit — a NEW commit whose
+        content equals the old one (Delta RESTORE), so the rollback is
+        itself in the history and reversible."""
+        man = self.latest()
+        while man["version"] > version:
+            if man["parent"] is None:
+                raise IndexError(f"version {version} not found")
+            man = self._load(man["parent"])
+        if man["version"] != version:
+            raise IndexError(f"version {version} not found")
+        return self._commit(
+            files=man["files"],
+            parent=self._latest_name(),
+            schema_ddl=man["schema_ddl"],
+            batch_ids=self.latest()["batch_ids"],
+        )
+
+
+def stream_append(result: DataFrame, table: ManifestTable, checkpoint: str):
+    """Exactly-once streaming appends: foreachBatch commits each
+    micro-batch through ``table.append(df, batch_id=...)`` — the batch
+    id rides inside the manifest, so a post-crash replay of a committed
+    batch is a no-op even though foreachBatch itself is at-least-once.
+    """
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        table.append(batch_df, batch_id=batch_id)
+
+    return (
+        result.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
