@@ -297,3 +297,63 @@ def bloom_prefilter(
             .drop(f"__w{i}", f"__b{i}", f"__bits{i}")
         )
     return out
+
+
+def kmv_distinct_estimate(df: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch — the classic
+    bottom-k estimator (Bar-Yossef et al. 2002; the basis of the theta
+    sketch): hash every value to [0, 2^32), keep the k smallest
+    DISTINCT hashes, estimate N ≈ (k-1) · 2^32 / h_(k), where h_(k) is
+    the k-th smallest hash. Unlike HLL (whose register layout is
+    engine-private, which is why approx_stats stays rows-only), KMV
+    over a deterministic md5 hash is EXACTLY reproducible in SQL — an
+    approximate sketch with an exact oracle.
+
+    Scale shape: the hash is a narrow map; distinct-of-hash aggregates
+    with map-side partials; the bottom-k is TakeOrdered (per-partition
+    heap of k + driver merge of k·p values) — no global sort, no wide
+    shuffle of raw values. A mergeable production variant keeps the
+    bottom-k set per partition and merges; the estimate is identical.
+
+    Returns one row: (k_used, kth_hash, est_distinct, exact_distinct,
+    rel_err_pct). ``exact_distinct`` rides along because the sketch's
+    whole point is the accuracy trade — the query self-reports its
+    error. k_used < k when the column has fewer distinct values (the
+    sketch is then exact by construction: est falls back to count)."""
+    from flink_anomaly_spark.operators.dedup import md5_int32
+
+    hashes = df.select(md5_int32(F.col(col).cast("string")).alias("h")).distinct()
+    bottom = hashes.orderBy("h").limit(k)
+    agg = bottom.agg(
+        F.count("*").alias("k_used"),
+        F.max("h").alias("kth_hash"),
+    )
+    exact = df.agg(F.countDistinct(col).alias("exact_distinct"))
+    est = (
+        F.when(
+            F.col("k_used") < k, F.col("exact_distinct").cast("double")
+        ).otherwise(
+            (F.lit(float(k - 1)) * F.lit(4294967296.0)) / F.col("kth_hash")
+        )
+    ).alias("__est")
+    return (
+        agg.crossJoin(F.broadcast(exact))
+        .select("k_used", "kth_hash", "exact_distinct", est)
+        .select(
+            "k_used",
+            "kth_hash",
+            F.round("__est", 4).alias("est_distinct"),
+            "exact_distinct",
+            # + 0.0: a tiny negative error rounding to zero must not
+            # emit IEEE -0.0 (oracle-hash gotcha)
+            (
+                F.round(
+                    (F.col("__est") - F.col("exact_distinct"))
+                    / F.col("exact_distinct")
+                    * 100,
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("rel_err_pct"),
+        )
+    )

@@ -1218,3 +1218,40 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_customers"),
         F.round(F.sum("monetary"), 2).alias("segment_value"),
     )
+
+
+def _kmv_oracle(col: str = "user_id", table: str = "events", k: int = 256) -> str:
+    h = f"CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)),1,8)) AS BIGINT)"
+    est = (
+        f"CASE WHEN k_used < {k} THEN CAST(exact_distinct AS DOUBLE) "
+        f"ELSE {float(k - 1)} * 4294967296.0 / kth_hash END"
+    )
+    return f"""
+    WITH h AS (SELECT DISTINCT {h} AS h FROM {table}),
+    b AS (SELECT h FROM h ORDER BY h LIMIT {k}),
+    a AS (SELECT CAST(count(*) AS BIGINT) AS k_used, max(h) AS kth_hash FROM b),
+    e AS (SELECT CAST(count(DISTINCT {col}) AS BIGINT) AS exact_distinct
+          FROM {table})
+    SELECT k_used, kth_hash, round({est}, 4) AS est_distinct, exact_distinct,
+           round(({est} - exact_distinct) / exact_distinct * 100, 4) + 0.0
+             AS rel_err_pct
+    FROM a CROSS JOIN e
+    """
+
+
+@register(
+    "kmv_distinct_users",
+    oracle=_kmv_oracle(),
+    doc="KMV bottom-k distinct sketch over events.user_id — the "
+    "deterministic, ORACLE-EXACT approximate-distinct counter "
+    "(Bar-Yossef et al. 2002; basis of the theta sketch). HLL's "
+    "register layout is engine-private (approx_stats stays rows-only "
+    "for that reason); KMV over md5 reproduces exactly in SQL, so the "
+    "sketch's estimate AND its self-reported error are hash-checked. "
+    "Narrow hash map, partial-agg distinct, TakeOrdered bottom-k — no "
+    "wide shuffle at any scale.",
+)
+def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.relational import kmv_distinct_estimate
+
+    return kmv_distinct_estimate(load_table(spark, sf_dir, "events"), "user_id", k=256)

@@ -578,3 +578,20 @@ def test_resize_images_real_nn_path(spark):
     row = resize_images(media, 1, 1).collect()[0]
     assert (row.width, row.height) == (1, 1)
     assert decode_ppm(bytes(row.payload)) == (1, 1, bytes([1, 2, 3]))
+
+
+def test_kmv_sketch_accuracy_and_exact_fallback(spark):
+    """KMV bottom-k distinct sketch: with k=256 the standard error is
+    ~1/sqrt(k-1) ~ 6%, so the estimate must land within 20% of truth on
+    10k distinct values; with fewer than k distinct values the sketch
+    is exact by construction (k_used < k -> est = exact)."""
+    from flink_anomaly_spark.operators.relational import kmv_distinct_estimate
+
+    big = spark.range(0, 10_000).select(F.col("id").alias("v"))
+    r = kmv_distinct_estimate(big, "v", k=256).collect()[0]
+    assert r.k_used == 256 and r.exact_distinct == 10_000
+    assert abs(r.rel_err_pct) < 20.0, r
+    small = spark.range(0, 50).select(F.col("id").alias("v"))
+    r = kmv_distinct_estimate(small, "v", k=256).collect()[0]
+    assert r.k_used == 50
+    assert r.est_distinct == 50.0 and r.rel_err_pct == 0.0
