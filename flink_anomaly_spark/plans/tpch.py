@@ -1880,3 +1880,69 @@ def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
+
+
+@register(
+    "variant_props_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(count(json_extract_string(props, '$.k')) AS BIGINT) AS n_with_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(count(*) FILTER (WHERE props IS NULL) AS BIGINT) AS n_null_props
+    FROM events GROUP BY event_type
+    """,
+    doc="Spark 4 VARIANT type surface: parse_json(props) into a "
+    "variant column, typed extraction via variant_get(v, '$.k', "
+    "'bigint'), aggregated per event_type. Variant stores shredded "
+    "binary JSON — repeated path extraction skips re-parsing the "
+    "string per access, the semi-structured answer to a JSON-heavy "
+    "100 TB events table. The oracle reads the same numbers through "
+    "DuckDB's JSON functions (variant is an encoding, not a "
+    "semantics change).",
+)
+def q_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "bigint")
+    return (
+        events.select("event_type", k.alias("k"), F.col("props"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.count_if(F.col("props").isNull()).alias("n_null_props"),
+        )
+    )
+
+
+@register(
+    "bitmap_distinct_by_type",
+    oracle="""
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+    doc="Exact distinct counting via Spark 4's bitmap aggregate family "
+    "(bitmap_bucket_number / bitmap_bit_position / "
+    "bitmap_construct_agg / bitmap_count): ids bucket into 32k-bit "
+    "bitmaps, partial aggs OR bitmaps map-side, and the final count "
+    "sums per-bucket popcounts. Same answer as count(DISTINCT) — the "
+    "win at scale is that bitmaps are mergeable and storable: "
+    "incremental/rollup distinct without re-scanning history (the "
+    "oracle checks the semantics on the final number; the bitmap "
+    "bytes themselves are engine-private).",
+)
+def q_bitmap_distinct_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    per_bucket = (
+        events.select(
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+            F.expr("bitmap_bit_position(user_id)").alias("pos"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("n_users")
+    )
