@@ -58,7 +58,7 @@ class ManifestTable:
         os.makedirs(t.data_dir, exist_ok=True)
         os.makedirs(t.log_dir, exist_ok=True)
         if not os.path.exists(t.pointer):
-            t._commit(files=[], parent=None, schema_ddl=schema_ddl, batch_ids=[])
+            t._commit(files=[], parent=None, schema_ddl=schema_ddl, batch_ids=[], stats={})
         return t
 
     def _latest_name(self) -> str:
@@ -78,6 +78,7 @@ class ManifestTable:
         parent: str | None,
         schema_ddl: str | None,
         batch_ids: list,
+        stats: dict,
     ) -> dict:
         version = 0 if parent is None else self._load(parent)["version"] + 1
         man = {
@@ -86,6 +87,11 @@ class ManifestTable:
             "files": sorted(files),
             "schema_ddl": schema_ddl,
             "batch_ids": batch_ids,
+            # per-file column min/max from the parquet FOOTERS (no data
+            # scan) — the Delta/Iceberg data-skipping statistics; reads
+            # with a range predicate prune whole files before Spark
+            # ever lists them
+            "stats": {f: stats[f] for f in stats if f in set(files)},
         }
         name = f"manifest-{version:06d}-{uuid.uuid4().hex[:8]}.json"
         with open(os.path.join(self.log_dir, name), "w") as fh:
@@ -114,6 +120,43 @@ class ManifestTable:
         ]
         return rel, df.schema.simpleString()
 
+    def _footer_stats(self, rel_files: list[str]) -> dict:
+        """Per-file top-level column min/max harvested from parquet
+        footers (pure metadata read). Values kept when JSON-safe
+        (int/float/decoded str); a column without usable stats is
+        simply absent — readers treat absence as "cannot prune"."""
+        import pyarrow.parquet as pq
+
+        out: dict = {}
+        for rf in rel_files:
+            md = pq.ParquetFile(os.path.join(self.path, rf)).metadata
+            cols: dict = {}
+            for ci in range(md.num_columns):
+                name = md.schema.column(ci).name
+                lo = hi = None
+                ok = True
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ci).statistics
+                    if st is None or not st.has_min_max:
+                        ok = False
+                        break
+                    mn, mx = st.min, st.max
+                    if isinstance(mn, bytes):
+                        try:
+                            mn, mx = mn.decode(), mx.decode()
+                        except UnicodeDecodeError:
+                            ok = False
+                            break
+                    if not isinstance(mn, (int, float, str)):
+                        ok = False
+                        break
+                    lo = mn if lo is None or mn < lo else lo
+                    hi = mx if hi is None or mx > hi else hi
+                if ok and lo is not None:
+                    cols[name] = [lo, hi]
+            out[rf] = cols
+        return out
+
     def append(self, df: DataFrame, batch_id: int | None = None) -> dict:
         """Commit an append. ``batch_id`` makes the commit idempotent:
         if the latest manifest chain already recorded it (a replayed
@@ -123,11 +166,14 @@ class ManifestTable:
         if batch_id is not None and batch_id in cur["batch_ids"]:
             return cur
         files, ddl = self._write_files(df)
+        stats = dict(cur.get("stats", {}))
+        stats.update(self._footer_stats(files))
         return self._commit(
             files=cur["files"] + files,
             parent=self._latest_name(),
             schema_ddl=cur["schema_ddl"] or ddl,
             batch_ids=cur["batch_ids"] + ([batch_id] if batch_id is not None else []),
+            stats=stats,
         )
 
     def overwrite(self, df: DataFrame) -> dict:
@@ -138,6 +184,7 @@ class ManifestTable:
             parent=self._latest_name(),
             schema_ddl=ddl,
             batch_ids=cur["batch_ids"],
+            stats=self._footer_stats(files),
         )
 
     def compact(self, spark: SparkSession, small_file_bytes: int = 8 << 20) -> dict:
@@ -157,11 +204,14 @@ class ManifestTable:
         keep = [f for f in cur["files"] if f not in set(small)]
         df = spark.read.parquet(*[os.path.join(self.path, f) for f in small])
         files, _ = self._write_files(df.coalesce(1))
+        stats = {f: v for f, v in cur.get("stats", {}).items() if f in set(keep)}
+        stats.update(self._footer_stats(files))
         return self._commit(
             files=keep + files,
             parent=self._latest_name(),
             schema_ddl=cur["schema_ddl"],
             batch_ids=cur["batch_ids"],
+            stats=stats,
         )
 
     # -- reads --------------------------------------------------------------
@@ -182,6 +232,42 @@ class ManifestTable:
                 return spark.createDataFrame([], man["schema_ddl"])
             raise ValueError("empty table with no schema recorded")
         return spark.read.parquet(*[os.path.join(self.path, f) for f in man["files"]])
+
+    def prune_files(self, col: str, lo=None, hi=None) -> tuple[list[str], int]:
+        """File-skipping: (files whose [min, max] for ``col`` overlaps
+        [lo, hi], total live files). A file without stats for the
+        column is kept (absence = cannot prune, never wrong results).
+        This is manifest-level pruning — BEFORE Spark lists or opens
+        anything; parquet row-group pruning still applies inside the
+        surviving files."""
+        man = self.latest()
+        stats = man.get("stats", {})
+        kept = [
+            f
+            for f in man["files"]
+            if col not in stats.get(f, {}) or _overlaps(stats[f][col], lo, hi)
+        ]
+        return kept, len(man["files"])
+
+    def read_where(self, spark: SparkSession, col: str, lo=None, hi=None) -> DataFrame:
+        """Range-predicate read with data skipping: prune files by
+        manifest stats, then apply the residual predicate to the
+        survivors (the pruning is an optimization, never the filter).
+        With a range-sorted layout (repartitionByRange before append —
+        the zorder_file_layout story) file ranges are disjoint and the
+        scan touches only the matching slice of a 100 TB table."""
+        kept, _ = self.prune_files(col, lo, hi)
+        if not kept:
+            man = self.latest()
+            empty = spark.createDataFrame([], man["schema_ddl"])
+            return empty
+        df = spark.read.parquet(*[os.path.join(self.path, f) for f in kept])
+        c = df[col]
+        if lo is not None:
+            df = df.filter(c >= lo)
+        if hi is not None:
+            df = df.filter(df[col] <= hi)
+        return df
 
     def history(self) -> list[dict]:
         """Commit chain, newest first (the DESCRIBE HISTORY analog)."""
@@ -208,7 +294,13 @@ class ManifestTable:
             parent=self._latest_name(),
             schema_ddl=man["schema_ddl"],
             batch_ids=self.latest()["batch_ids"],
+            stats=man.get("stats", {}),
         )
+
+
+def _overlaps(span: list, lo, hi) -> bool:
+    mn, mx = span
+    return not (hi is not None and mn > hi) and not (lo is not None and mx < lo)
 
 
 def stream_append(result: DataFrame, table: ManifestTable, checkpoint: str):

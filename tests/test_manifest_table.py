@@ -116,3 +116,42 @@ def test_stream_append_exactly_once_effects(spark, tmp_path):
                                             F.lit(0.0).alias("value")),
              batch_id=committed[0])
     assert t.read(spark).count() == n
+
+
+def test_data_skipping_prunes_files_with_sorted_layout(spark, tmp_path):
+    """Manifest-level data skipping: per-file min/max harvested from
+    parquet footers at commit time prune whole files for a range
+    predicate. With a range-sorted write (repartitionByRange — the
+    zorder/clustering story) file ranges are disjoint, so a narrow
+    predicate reads ~1 of N files; results always equal the unpruned
+    filter."""
+    t = ManifestTable.create(str(tmp_path / "t"))
+    df = spark.range(0, 10_000).select(F.col("id"), (F.col("id") % 7).alias("m"))
+    t.append(df.repartitionByRange(8, "id"))
+    assert len(t.latest()["files"]) == 8
+    kept, total = t.prune_files("id", 100, 200)
+    assert total == 8 and len(kept) == 1  # disjoint sorted ranges
+    got = t.read_where(spark, "id", 100, 200)
+    assert got.count() == 101
+    assert got.agg(F.min("id"), F.max("id")).collect()[0] == (100, 200)
+    # an unsorted append degrades pruning but never correctness
+    t.append(df.repartition(4))
+    kept2, total2 = t.prune_files("id", 100, 200)
+    assert total2 == 12 and len(kept2) >= 5  # 1 sorted + all 4 unsorted
+    assert t.read_where(spark, "id", 100, 200).count() == 202
+    # open-ended ranges and a no-match range
+    kept3, _ = t.prune_files("id", lo=9990)
+    assert t.read_where(spark, "id", lo=9990).count() == 20
+    kept4, _ = t.prune_files("id", 50_000, 60_000)
+    assert t.read_where(spark, "id", 50_000, 60_000).count() == 0
+    # string-column stats work too
+    t2 = ManifestTable.create(str(tmp_path / "t2"))
+    t2.append(
+        spark.createDataFrame([("apple", 1), ("pear", 2)], ["w", "n"]).coalesce(1)
+    )
+    t2.append(
+        spark.createDataFrame([("zebra", 3)], ["w", "n"]).coalesce(1)
+    )
+    kept5, total5 = t2.prune_files("w", "aa", "q")
+    assert total5 == 2 and len(kept5) == 1
+    assert t2.read_where(spark, "w", "aa", "q").count() == 2
