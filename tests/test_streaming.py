@@ -741,3 +741,113 @@ def test_update_mode_vs_append_mode_emission(spark, tmp_path):
         for k in keys:
             seen[k] = seen.get(k, 0) + 1
     assert max(seen.values()) > 1
+
+
+def test_late_data_drop_metrics_and_observe(spark, tmp_path):
+    """Streaming observability on an OUT-OF-ORDER replay (newest half,
+    then a middle slice, then the oldest quarter): Spark applies the
+    late-row filter with the watermark as of the PREVIOUS batch (one
+    batch of lag — pinned here, probed empirically), so the middle
+    slice is still accepted while the oldest quarter arrives behind
+    the long-since-advanced watermark and every row of it is dropped.
+    numRowsDroppedByWatermark counts the dropped rows AFTER map-side
+    partial aggregation (one per surviving (window, event_type) group
+    per partial partition — not raw inputs; pinned here because a
+    monitoring rule naively comparing it to source counts would
+    under-alert), df.observe() reports per-batch source counts, and
+    the update-mode sink contains exactly the accepted slices' windows
+    — the surface an operator watches for late-data loss."""
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    from flink_anomaly_spark.streaming.pipelines import _events_ts_schema
+
+    schema, nanos = _events_ts_schema(SF_SMOKE)
+    tbl = _pq.read_table(_os.path.join(SF_SMOKE, "events.parquet")).sort_by(
+        [("ts", "ascending"), ("event_id", "ascending")]
+    )
+    n = tbl.num_rows
+    q1, q2 = n // 4, n // 2
+    work = str(tmp_path / "ooo")
+    _os.makedirs(work)
+    slices = [
+        ("chunk_000.parquet", tbl.slice(q2)),          # newest half first
+        ("chunk_001.parquet", tbl.slice(q1, q2 - q1)), # middle: late but accepted (lag)
+        ("chunk_002.parquet", tbl.slice(0, q1)),       # oldest: dropped
+    ]
+    base = None
+    for i, (name, part) in enumerate(slices):
+        p = _os.path.join(work, name)
+        _pq.write_table(part, p)
+        base = base or _os.stat(p).st_mtime
+        _os.utime(p, (base + 2.0 * i, base + 2.0 * i))
+
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "chunk_*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(work)
+    )
+    raw = raw.withColumn(
+        "ts",
+        F.timestamp_micros(F.expr("ts div 1000")) if nanos else F.col("ts").cast("timestamp"),
+    )
+    observed = raw.observe("src", F.count(F.lit(1)).alias("rows"))
+    agg = windowed_count_stream(observed)
+    name = "late_metrics_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = q.recentProgress
+    per_batch_dropped = {
+        p["batchId"]: sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for op in p.get("stateOperators", [])
+        )
+        for p in progress
+    }
+    # batches 0 and 1 accepted (1 via the one-batch watermark lag);
+    # batch 2 arrives behind the advanced watermark and is dropped —
+    # the metric counts post-partial-agg rows, so it is bounded by
+    # [#old windows, #old input rows]
+    assert per_batch_dropped.get(0, 0) == 0 and per_batch_dropped.get(1, 0) == 0
+    assert per_batch_dropped.get(2, 0) > 0, per_batch_dropped
+    observed_rows = sorted(
+        p["observedMetrics"]["src"]["rows"]
+        for p in progress
+        if "src" in p.get("observedMetrics", {})
+    )
+    assert observed_rows == sorted([n - q2, q2 - q1, q1])
+    # the sink holds exactly the accepted slices' windows
+    got_windows = {r.window_start for r in spark.table(name).collect()}
+    batch = load_table(spark, SF_SMOKE, "events")
+    cut_ts = sorted(r.ts for r in batch.select("ts").collect())[q1]
+    expect_windows = {
+        r.win.start
+        for r in batch.filter(F.col("ts") >= F.lit(cut_ts))
+        .groupBy(F.window("ts", "1 day").alias("win"))
+        .agg(F.count("*"))
+        .collect()
+    }
+    assert got_windows == expect_windows
+    old_windows = {
+        r.win.start
+        for r in batch.filter(F.col("ts") < F.lit(cut_ts))
+        .groupBy(F.window("ts", "1 day").alias("win"))
+        .agg(F.count("*"))
+        .collect()
+    }
+    # dropped-row bound: at least one state row per dropped window
+    assert len(old_windows) <= per_batch_dropped[2] <= q1, per_batch_dropped
+    # windows exclusive to the dropped slice never reach the sink
+    exclusive_old = old_windows - expect_windows
+    assert exclusive_old and exclusive_old.isdisjoint(got_windows)
