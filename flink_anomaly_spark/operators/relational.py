@@ -357,3 +357,74 @@ def kmv_distinct_estimate(df: DataFrame, col: str, k: int = 256) -> DataFrame:
             ).alias("rel_err_pct"),
         )
     )
+
+
+def kmv_set_overlap(
+    dfa: DataFrame, col_a: str, dfb: DataFrame, col_b: str, k: int = 256
+) -> DataFrame:
+    """KMV sketch SET ALGEBRA (the theta-sketch construction): build
+    the bottom-k hash sets of A and B, take the bottom-k of their
+    UNION; the union estimate is the standard KMV estimate on that
+    set, and the intersection follows by inclusion-exclusion on the
+    Jaccard estimate |bottom-k(union) ∩ A ∩ B| / k (Beyer et al. 2007
+    / Dasu et al.). Everything is deterministic md5 arithmetic, so the
+    estimates — normally "approximate, engine-private" — are
+    oracle-exact.
+
+    Scale shape: each side reduces to k hashes (TakeOrdered); the set
+    algebra then runs on 2k rows. Estimating overlap of two 100 TB key
+    columns costs two narrow scans and constant-size math — the sketch
+    union/intersection never touches raw keys again, which is why
+    theta sketches power cross-table overlap profiling in production
+    catalogs.
+
+    Returns one row: (k_used, est_union, est_intersection, est_jaccard,
+    exact_union, exact_intersection)."""
+    from flink_anomaly_spark.operators.dedup import md5_int32
+
+    ha = dfa.select(md5_int32(F.col(col_a).cast("string")).alias("h")).distinct()
+    hb = dfb.select(md5_int32(F.col(col_b).cast("string")).alias("h")).distinct()
+    bka = ha.orderBy("h").limit(k).select(F.col("h").alias("h"), F.lit(1).alias("in_a"))
+    bkb = hb.orderBy("h").limit(k).select(F.col("h").alias("h"), F.lit(1).alias("in_b"))
+    merged = (
+        bka.join(bkb, "h", "full")
+        .select(
+            "h",
+            F.coalesce("in_a", F.lit(0)).alias("in_a"),
+            F.coalesce("in_b", F.lit(0)).alias("in_b"),
+        )
+        .orderBy("h")
+        .limit(k)
+    )
+    stats = merged.agg(
+        F.count("*").alias("k_used"),
+        F.max("h").alias("kth"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("n_both"),
+    )
+    # exact counts ride along so the sketch self-reports its error
+    # (they are the expensive full computation the sketch replaces)
+    ea = dfa.select(F.col(col_a).alias("v")).distinct()
+    eb = dfb.select(F.col(col_b).alias("v")).distinct()
+    exact = ea.join(eb, "v", "full").agg(F.count("*").alias("exact_union"))
+    exact_i = ea.join(eb, "v", "inner").agg(F.count("*").alias("exact_intersection"))
+    est_u = (
+        F.when(F.col("k_used") < k, F.col("exact_union").cast("double")).otherwise(
+            F.lit(float(k - 1)) * F.lit(4294967296.0) / F.col("kth")
+        )
+    ).alias("__eu")
+    out = (
+        stats.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(exact_i))
+        .select("k_used", "n_both", "exact_union", "exact_intersection", est_u)
+        .select(
+            "k_used",
+            F.round("__eu", 4).alias("est_union"),
+            F.round(
+                F.col("n_both") / F.col("k_used") * F.col("__eu"), 4
+            ).alias("est_intersection"),
+            F.round(F.col("n_both") / F.col("k_used"), 4).alias("est_jaccard"),
+            "exact_union",
+            "exact_intersection",
+        )
+    )
+    return out

@@ -1255,3 +1255,61 @@ def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_anomaly_spark.operators.relational import kmv_distinct_estimate
 
     return kmv_distinct_estimate(load_table(spark, sf_dir, "events"), "user_id", k=256)
+
+
+def _kmv_overlap_oracle(k: int = 256) -> str:
+    def h(x: str) -> str:
+        return f"CAST(('0x' || substr(md5(CAST({x} AS VARCHAR)),1,8)) AS BIGINT)"
+
+    est_u = (
+        f"CASE WHEN k_used < {k} THEN CAST(exact_union AS DOUBLE) "
+        f"ELSE {float(k - 1)} * 4294967296.0 / kth END"
+    )
+    return f"""
+    WITH ha AS (SELECT DISTINCT {h("c_custkey")} AS h FROM customer),
+    hb AS (SELECT DISTINCT {h("o_custkey")} AS h FROM orders),
+    bka AS (SELECT h, 1 AS in_a FROM ha ORDER BY h LIMIT {k}),
+    bkb AS (SELECT h, 1 AS in_b FROM hb ORDER BY h LIMIT {k}),
+    m AS (
+      SELECT h, coalesce(in_a, 0) AS in_a, coalesce(in_b, 0) AS in_b
+      FROM bka FULL JOIN bkb USING (h)
+      ORDER BY h LIMIT {k}
+    ),
+    st AS (SELECT CAST(count(*) AS BIGINT) AS k_used, max(h) AS kth,
+                  CAST(sum(in_a * in_b) AS BIGINT) AS n_both FROM m),
+    ea AS (SELECT DISTINCT c_custkey AS v FROM customer),
+    eb AS (SELECT DISTINCT o_custkey AS v FROM orders),
+    eu AS (SELECT CAST(count(*) AS BIGINT) AS exact_union
+           FROM (SELECT v FROM ea FULL JOIN eb USING (v)) t),
+    ei AS (SELECT CAST(count(*) AS BIGINT) AS exact_intersection
+           FROM ea JOIN eb USING (v))
+    SELECT k_used,
+           round({est_u}, 4) AS est_union,
+           round(n_both / k_used * ({est_u}), 4) AS est_intersection,
+           round(n_both / k_used, 4) AS est_jaccard,
+           exact_union, exact_intersection
+    FROM st CROSS JOIN eu CROSS JOIN ei
+    """
+
+
+@register(
+    "kmv_custkey_overlap",
+    oracle=_kmv_overlap_oracle(),
+    doc="KMV/theta-sketch SET ALGEBRA over two key columns (customers "
+    "vs ordering customers): bottom-k union sketch -> union estimate, "
+    "Jaccard from the sketch overlap, intersection by inclusion-"
+    "exclusion (Beyer et al. 2007). Deterministic md5 arithmetic makes "
+    "the normally engine-private sketch ORACLE-EXACT, and the exact "
+    "counts ride along so the estimate self-reports its error. Each "
+    "100 TB side reduces to k hashes via TakeOrdered before any join.",
+)
+def q_kmv_custkey_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.relational import kmv_set_overlap
+
+    return kmv_set_overlap(
+        load_table(spark, sf_dir, "customer"),
+        "c_custkey",
+        load_table(spark, sf_dir, "orders"),
+        "o_custkey",
+        k=256,
+    )

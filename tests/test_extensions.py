@@ -595,3 +595,50 @@ def test_kmv_sketch_accuracy_and_exact_fallback(spark):
     r = kmv_distinct_estimate(small, "v", k=256).collect()[0]
     assert r.k_used == 50
     assert r.est_distinct == 50.0 and r.rel_err_pct == 0.0
+
+
+def test_kmv_overlap_accuracy(spark):
+    """KMV set algebra on known overlap: A = 0..6000, B = 4000..10000
+    (union 10k, intersection 2k, J = 0.2). Estimates must land within
+    sketch error (~3/sqrt(k) ~ 20% relative) and the exact columns
+    must be exact."""
+    from flink_anomaly_spark.operators.relational import kmv_set_overlap
+
+    a = spark.range(0, 6000).select(F.col("id").alias("x"))
+    b = spark.range(4000, 10000).select(F.col("id").alias("y"))
+    r = kmv_set_overlap(a, "x", b, "y", k=256).collect()[0]
+    assert (r.exact_union, r.exact_intersection) == (10000, 2000)
+    assert abs(r.est_union - 10000) / 10000 < 0.25, r
+    assert abs(r.est_jaccard - 0.2) < 0.1, r
+    assert abs(r.est_intersection - 2000) / 2000 < 0.5, r
+
+
+def test_bitmap_aggs_merge_across_stored_partials(spark, tmp_path):
+    """The bitmap family's mergeability is the point: per-day bitmaps
+    stored to parquet, then OR-merged WITHOUT rescanning the raw rows,
+    must give the same distinct count as a full recount — incremental
+    distinct rollup (the thing count(DISTINCT) can never do)."""
+    events = spark.range(0, 5000).select(
+        (F.col("id") % 97).alias("user_id"), (F.col("id") % 7).alias("day")
+    )
+    daily = (
+        events.select(
+            "day",
+            F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+            F.expr("bitmap_bit_position(user_id)").alias("pos"),
+        )
+        .groupBy("day", "bucket")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    store = str(tmp_path / "daily_bitmaps")
+    daily.write.parquet(store)  # the stored incremental state
+    merged = (
+        spark.read.parquet(store)
+        .groupBy("bucket")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n"))
+        .collect()[0]
+        .n
+    )
+    assert merged == 97
+    assert events.select("user_id").distinct().count() == 97
