@@ -200,3 +200,78 @@ def running_zscore_stream(events: DataFrame, key: str = "event_type") -> DataFra
         )
         .withColumn("z", F.round("z", 4) + F.lit(0.0))  # +0.0 folds IEEE -0.0
     )
+
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, n_events long"
+)
+SESSION_STATE_SCHEMA = "start long, last long, n long"
+
+
+def session_stream_custom(events: DataFrame, gap_ms: int = 30 * 60 * 1000) -> DataFrame:
+    """Gap-based session windows as a CUSTOM stateful operator with
+    EVENT-TIME TIMEOUTS — the applyInPandasWithState pattern the
+    declarative ``F.session_window`` cannot demonstrate: per-key open-
+    session state (start, last, count), in-batch closure when a later
+    event's gap exceeds the threshold, and CROSS-BATCH closure when
+    the watermark passes ``last + gap`` — Spark then invokes the
+    function for the timed-out key with NO input rows
+    (``state.hasTimedOut``), which emits the final session and clears
+    the state. Emitted ``session_end`` is ``last + gap`` (the
+    F.session_window convention), so results are comparable to the
+    declarative sessionization row for row.
+
+    State is one fixed-width tuple per OPEN session per key —
+    bounded by active keys, evicted on timeout; at 100 TB scale the
+    state store is RocksDB-backed and partitioned by user_id, exactly
+    like the declarative operator's internal state."""
+
+    gap_us = gap_ms * 1000
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        # state carries MICROSECOND epochs — the events table's native
+        # precision; ms-flooring here would shift emitted session
+        # bounds off the batch sessionization by sub-ms digits
+        def emit(start_us: int, last_us: int, n: int) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(last_us + gap_us, unit="us")],
+                    "n_events": [n],
+                }
+            )
+
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield emit(start, last, n)
+            return
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(["ts", "event_id"])
+        ts_us = (pdf["ts"].astype("int64") // 1_000).tolist()
+        cur = state.get if state.exists else None
+        for t in ts_us:
+            if cur is not None and t - cur[1] >= gap_us:
+                yield emit(*cur)
+                cur = None
+            if cur is None:
+                cur = (t, t, 0)
+            cur = (cur[0], t, cur[2] + 1)
+        state.update(cur)
+        # fire when the EVENT-TIME watermark passes the session's close
+        # (timeout API is ms-precision: round UP so it never fires a
+        # sub-ms early)
+        state.setTimeoutTimestamp((cur[1] + gap_us + 999) // 1000)
+
+    return (
+        events.select("user_id", "event_id", "ts")
+        .withWatermark("ts", "20 seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            SESSION_OUTPUT_SCHEMA,
+            SESSION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -851,3 +851,57 @@ def test_late_data_drop_metrics_and_observe(spark, tmp_path):
     # windows exclusive to the dropped slice never reach the sink
     exclusive_old = old_windows - expect_windows
     assert exclusive_old and exclusive_old.isdisjoint(got_windows)
+
+
+def test_custom_session_operator_with_event_time_timeout(spark, tmp_path):
+    """The applyInPandasWithState session operator must equal the batch
+    lag+cumsum sessionization exactly: in-batch closures come from gap
+    comparisons, cross-batch closures from EVENT-TIME TIMEOUTS (the
+    sentinel batch raises the watermark past last+gap, Spark invokes
+    the function with hasTimedOut and no rows, the final sessions
+    emit). The sentinel's own session (user -1) can never time out and
+    must not appear. Runs multi-batch (events, then sentinel) so the
+    timeout path — not single-batch luck — produces the trailing
+    sessions."""
+    from pyspark.sql import Window as W
+
+    from flink_anomaly_spark.streaming.pipelines import stream_events_with_final_flush
+    from flink_anomaly_spark.streaming.stateful import session_stream_custom
+
+    events = stream_events_with_final_flush(
+        spark, SF_SMOKE, str(tmp_path / "sess"), max_files_per_trigger=1
+    )
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in run_to_memory(session_stream_custom(events)).collect()
+    }
+    batch = load_table(spark, SF_SMOKE, "events")
+    w = W.partitionBy("user_id").orderBy("ts")
+    lagged = batch.withColumn("prev", F.lag("ts").over(w)).withColumn(
+        "new_s",
+        F.when(
+            F.col("prev").isNull()
+            | (
+                F.col("ts").cast("timestamp").cast("long")
+                - F.col("prev").cast("timestamp").cast("long")
+                >= 1800
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sess = lagged.withColumn(
+        "sid", F.sum("new_s").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    expect = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in sess.groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+        .collect()
+    }
+    assert got == expect
+    assert all(uid != -1 for uid, *_ in got)  # sentinel session never emits
