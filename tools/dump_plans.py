@@ -47,6 +47,15 @@ HEADLINE = {
     "scd2_customer_history": "ONE custkey exchange: row_number/lead/running-sum fused into a single Window node.",
     "global_rank_export": "Keyed rank + |langs|-row offset broadcast — global row_number with no single-partition Window over the corpus.",
     "snapshot_diff_orders": "Full-outer diff where exchanges carry (key, md5 row-hash), not the full row width.",
+    # round-4/5 operators
+    "semantic_decontamination": "Eval side broadcast into the LSH-bucket equi-join; corpus streams with no exchange for the join.",
+    "unigram_logprob_quality": "(doc, token) pair shuffle with partial counts; vocab join; two-phase global rank — no single-partition Window.",
+    "kmeans_lloyd_outliers": "Final scoring pass: literal-inlined centroids, join-free narrow map into TakeOrderedAndProject (per-iteration update aggs run at plan build).",
+    "media_pixel_stats": "Arrow mapInPandas encode -> decode -> stats; payload bytes never cross an exchange, only fixed-width stat rows.",
+    "kmv_distinct_users": "Distinct-of-hash partial agg + TakeOrdered bottom-k; 1-row broadcast exact count rides along.",
+    "dsir_importance_weights": "Same pair-shuffle floor as the unigram LM op; totals broadcast; per-token score join.",
+    "pii_redaction_stats": "Zero-exchange whole-stage-codegen regexp map over the scan.",
+    "bitmap_distinct_by_type": "Two-level bitmap agg: per-(type, bucket) bitmap construct, then popcount sum — mergeable distinct.",
 }
 
 
