@@ -530,10 +530,17 @@ def test_decode_ppm_parser():
         b"P6\n2 2\n255\n" + raster[:-1],   # truncated raster
         b"P6\n2 2\n65535\n" + raster * 2,  # 2-byte samples unsupported
         b"P6\n2 2\n255",                   # missing raster separator
-        b"P5\n2 2\n255\n" + raster,        # greyscale PGM, not PPM
+        b"P5\n2 2\n255\n" + raster[:3],    # P5 via the P6-only wrapper
     ):
         with _pytest.raises(ValueError):
             decode_ppm(bad)
+    # P5 greyscale decodes through the generic decoder
+    from flink_anomaly_spark.operators.multimodal import decode_pnm
+
+    grey = bytes([0, 100, 200, 255])
+    assert decode_pnm(b"P5\n2 2\n255\n" + grey) == (2, 2, 1, grey)
+    with _pytest.raises(ValueError):
+        decode_pnm(b"P5\n2 2\n255\n" + grey[:-1])  # truncated
 
 
 def test_extract_features_real_ppm_path(spark):
@@ -642,3 +649,19 @@ def test_bitmap_aggs_merge_across_stored_partials(spark, tmp_path):
     )
     assert merged == 97
     assert events.select("user_id").distinct().count() == 97
+
+
+def test_extract_features_grey_p5_path(spark):
+    """A P5 greyscale payload also takes the REAL decode path: one
+    sample per pixel, the three channel means coincide."""
+    from flink_anomaly_spark.operators.multimodal import extract_features
+
+    img = b"P5\n2 2\n255\n" + bytes([0, 100, 200, 100])
+    media = spark.createDataFrame(
+        [(1, "image", img, "image/x-portable-graymap", 2, 2, None)],
+        "media_id long, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms long",
+    )
+    r = extract_features(media).collect()[0]
+    assert r.decode_ok
+    assert r.feat == [2.0, 2.0, 4.0, 100.0, 100.0, 100.0, 0.0, 200.0]
