@@ -362,3 +362,137 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         ).alias("frame_idx"),
     )
     return frames.withColumn("offset_ms", F.col("frame_idx") * every_ms)
+
+
+def encode_wav(sample_rate: int, samples: bytes) -> bytes:
+    """Minimal RIFF/WAVE encoder: PCM, mono, 16-bit little-endian.
+    ``samples`` is the raw int16-LE data chunk payload."""
+    import struct
+
+    n = len(samples)
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    data = struct.pack("<4sI", b"data", n) + samples
+    riff = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + len(data), b"WAVE")
+    return riff + fmt + data
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL pure-Python RIFF/WAVE (PCM) decoder — walks the chunk list
+    like any WAV reader: 'RIFF'+size+'WAVE', then chunks until 'data'
+    (skipping unknown ones, honoring the odd-size pad byte). Supports
+    PCM (format 1) at 8 or 16 bits, any channel count / sample rate.
+    Returns (sample_rate, n_channels, bits_per_sample, data bytes);
+    raises ValueError on anything that is not a complete PCM WAV —
+    routing non-audio payloads to the stub path, the decode_pnm
+    pattern for the audio modality."""
+    import struct
+
+    if payload is None or len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt_info = 12, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        pos += 8
+        body = payload[pos : pos + size]
+        if len(body) < size:
+            raise ValueError("truncated WAV chunk")
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("short fmt chunk")
+            audio_fmt, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
+            if audio_fmt != 1:
+                raise ValueError(f"unsupported WAV format {audio_fmt} (PCM only)")
+            if bits not in (8, 16):
+                raise ValueError(f"unsupported bit depth {bits}")
+            fmt_info = (rate, channels, bits)
+        elif cid == b"data":
+            if fmt_info is None:
+                raise ValueError("data chunk before fmt")
+            rate, channels, bits = fmt_info
+            frame = channels * bits // 8
+            if frame and len(body) % frame:
+                raise ValueError("data chunk not frame-aligned")
+            return rate, channels, bits, body
+        pos += size + (size & 1)  # odd chunk sizes are padded
+    raise ValueError("no data chunk")
+
+
+def synth_wav_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL PCM WAVs, one per id: mono 16-bit at 8 kHz,
+    n = 50 + id % 50 samples with sample[i] = (id·37 + i·11) % 2001 −
+    1000. The closed-form rule lets a SQL oracle verify the decoder
+    without bytes — the audio twin of synth_ppm_media."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, durs = [], []
+            for did in pdf["id"]:
+                did = int(did)
+                n = 50 + did % 50
+                s = (((did * 37 + np.arange(n) * 11) % 2001) - 1000).astype("<i2")
+                payloads.append(encode_wav(8000, s.tobytes()))
+                durs.append(n * 1000 // 8000)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["id"],
+                    "kind": "audio",
+                    "payload": payloads,
+                    "mime": "audio/wav",
+                    "width": pd.array([None] * len(pdf), dtype="Int32"),
+                    "height": pd.array([None] * len(pdf), dtype="Int32"),
+                    "duration_ms": durs,
+                }
+            )
+
+    return spread(ids.select(F.col(id_col).alias("id"))).mapInPandas(op, MEDIA_SCHEMA)
+
+
+AUDIO_STATS_SCHEMA = (
+    "media_id long, sample_rate int, n_samples long, "
+    "mean_amp double, rms double, peak long"
+)
+
+
+def audio_pcm_stats(media: DataFrame) -> DataFrame:
+    """Per-clip PCM statistics from REAL decoded samples: mean
+    amplitude (exact int64 sum / one double division), RMS
+    (sqrt(sum(s²)/n) — integer squares sum exactly, the sqrt of an
+    identical double is identical), and peak |s|. Emits unrounded
+    doubles; callers round with F.round after the UDF."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, ch, bits, data = decode_wav(bytes(payload))
+                s = np.frombuffer(data, dtype="<i2" if bits == 16 else "u1").astype(
+                    np.int64
+                )
+                n = len(s) // ch
+                rows.append(
+                    (
+                        int(mid),
+                        rate,
+                        n,
+                        float(int(s.sum())) / len(s),
+                        float(int((s * s).sum())) / len(s),
+                        int(np.abs(s).max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "sample_rate",
+                    "n_samples",
+                    "mean_amp",
+                    "rms",  # mean-square here; sqrt applied JVM-side
+                    "peak",
+                ],
+            )
+
+    return media.mapInPandas(op, AUDIO_STATS_SCHEMA)

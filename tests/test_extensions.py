@@ -665,3 +665,31 @@ def test_extract_features_grey_p5_path(spark):
     r = extract_features(media).collect()[0]
     assert r.decode_ok
     assert r.feat == [2.0, 2.0, 4.0, 100.0, 100.0, 100.0, 0.0, 200.0]
+
+
+def test_decode_wav_parser():
+    """The RIFF/PCM walker: round-trip, unknown-chunk skipping with odd
+    -size padding, and strict errors on truncation / non-PCM /
+    unsupported widths."""
+    import struct
+
+    import pytest as _pytest
+
+    from flink_anomaly_spark.operators.multimodal import decode_wav, encode_wav
+
+    samples = struct.pack("<4h", -1000, 0, 500, 32767)
+    wav = encode_wav(8000, samples)
+    assert decode_wav(wav) == (8000, 1, 16, samples)
+    # an unknown odd-sized chunk between fmt and data must be skipped
+    # (with its pad byte honored)
+    fmt_end = 12 + 8 + 16
+    junk = struct.pack("<4sI", b"LIST", 3) + b"abc" + b"\x00"
+    wav2 = wav[:fmt_end] + junk + wav[fmt_end:]
+    assert decode_wav(wav2) == (8000, 1, 16, samples)
+    for bad in (
+        b"not audio at all",
+        wav[:-2],                                   # truncated data chunk
+        wav.replace(b"\x01\x00\x01\x00", b"\x03\x00\x01\x00", 1),  # IEEE float fmt
+    ):
+        with _pytest.raises(ValueError):
+            decode_wav(bad)
