@@ -496,3 +496,148 @@ def audio_pcm_stats(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(op, AUDIO_STATS_SCHEMA)
+
+
+def encode_y4m(width: int, height: int, frames: list[bytes], fps: str = "25:1") -> bytes:
+    """Minimal YUV4MPEG2 encoder, monochrome (Cmono: one luma plane of
+    width·height bytes per frame) — the uncompressed video container
+    mplayer/ffmpeg exchange raw frames in."""
+    for fr in frames:
+        if len(fr) != width * height:
+            raise ValueError("frame size != width*height (Cmono)")
+    head = f"YUV4MPEG2 W{width} H{height} F{fps} Ip A1:1 Cmono\n".encode()
+    return head + b"".join(b"FRAME\n" + fr for fr in frames)
+
+
+def decode_y4m(payload: bytes) -> tuple[int, int, str, list[bytes]]:
+    """REAL pure-Python YUV4MPEG2 decoder (monochrome): parses the
+    stream header's tagged parameters, then walks FRAME markers
+    (tolerating per-frame parameters after FRAME, per spec) collecting
+    fixed-size luma planes. Returns (width, height, fps, frames);
+    raises ValueError on anything that is not a complete mono y4m —
+    the video member of the decode_pnm / decode_wav family."""
+    if payload is None or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.find(b"\n")
+    if nl < 0:
+        raise ValueError("unterminated y4m header")
+    width = height = None
+    fps = ""
+    colorspace = "C420"
+    for tag in payload[9:nl].split(b" "):
+        if not tag:
+            continue
+        k, v = tag[:1], tag[1:].decode()
+        if k == b"W":
+            width = int(v)
+        elif k == b"H":
+            height = int(v)
+        elif k == b"F":
+            fps = v
+        elif k == b"C":
+            colorspace = "C" + v
+    if not width or not height:
+        raise ValueError("y4m header missing dimensions")
+    if colorspace != "Cmono":
+        raise ValueError(f"unsupported colorspace {colorspace} (Cmono only)")
+    frame_size = width * height
+    frames: list[bytes] = []
+    pos = nl + 1
+    while pos < len(payload):
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("expected FRAME marker")
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0:
+            raise ValueError("unterminated FRAME header")
+        pos = fnl + 1
+        fr = payload[pos : pos + frame_size]
+        if len(fr) < frame_size:
+            raise ValueError("truncated y4m frame")
+        frames.append(fr)
+        pos += frame_size
+    if not frames:
+        raise ValueError("y4m stream with no frames")
+    return width, height, fps, frames
+
+
+def synth_y4m_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL mono y4m clips: width = 4 + id % 3, height =
+    3 + id % 2, 2 + id % 4 frames at 25:1; frame f's luma byte j =
+    (id·13 + f·7 + j) % 256 — the video member of synth_ppm_media /
+    synth_wav_media."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, durs = [], []
+            for did in pdf["id"]:
+                did = int(did)
+                w, h, nf = 4 + did % 3, 3 + did % 2, 2 + did % 4
+                frames = [
+                    (((did * 13 + f * 7 + np.arange(w * h)) % 256).astype(np.uint8).tobytes())
+                    for f in range(nf)
+                ]
+                payloads.append(encode_y4m(w, h, frames))
+                durs.append(nf * 40)  # 25 fps
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["id"],
+                    "kind": "video",
+                    "payload": payloads,
+                    "mime": "video/x-yuv4mpeg",
+                    "width": pd.array([None] * len(pdf), dtype="Int32"),
+                    "height": pd.array([None] * len(pdf), dtype="Int32"),
+                    "duration_ms": durs,
+                }
+            )
+
+    return spread(ids.select(F.col(id_col).alias("id"))).mapInPandas(op, MEDIA_SCHEMA)
+
+
+FRAME_STATS_SCHEMA = (
+    "media_id long, frame_idx int, width int, height int, "
+    "luma_mean double, luma_min long, luma_max long"
+)
+
+
+def video_frame_stats(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame-sampling EXECUTED (frame_sample_plan is the planning
+    half): decode each y4m payload, keep every ``every_n``-th frame,
+    emit per-frame luma stats from the REAL decoded plane (exact int64
+    sums; mean emitted unrounded, callers round JVM-side). One output
+    row per sampled frame — the decode fan-out happens inside the
+    Arrow batch, and only fixed-width stat rows cross exchanges."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, _, frames = decode_y4m(bytes(payload))
+                for f in range(0, len(frames), every_n):
+                    px = np.frombuffer(frames[f], dtype=np.uint8).astype(np.int64)
+                    rows.append(
+                        (
+                            int(mid),
+                            f,
+                            w,
+                            h,
+                            float(int(px.sum())) / (w * h),
+                            int(px.min()),
+                            int(px.max()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "frame_idx",
+                    "width",
+                    "height",
+                    "luma_mean",
+                    "luma_min",
+                    "luma_max",
+                ],
+            )
+
+    return media.mapInPandas(op, FRAME_STATS_SCHEMA)

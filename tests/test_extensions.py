@@ -693,3 +693,26 @@ def test_decode_wav_parser():
     ):
         with _pytest.raises(ValueError):
             decode_wav(bad)
+
+
+def test_decode_y4m_parser():
+    """The y4m walker: round-trip, per-frame parameter tolerance,
+    strict errors on truncation / chroma formats / missing frames."""
+    import pytest as _pytest
+
+    from flink_anomaly_spark.operators.multimodal import decode_y4m, encode_y4m
+
+    f0, f1 = bytes(range(6)), bytes(range(6, 12))
+    clip = encode_y4m(3, 2, [f0, f1])
+    assert decode_y4m(clip) == (3, 2, "25:1", [f0, f1])
+    # per-frame parameters after the FRAME marker are legal y4m
+    with_params = clip.replace(b"FRAME\n" + f1, b"FRAME Ip\n" + f1)
+    assert decode_y4m(with_params)[3] == [f0, f1]
+    for bad in (
+        b"not video",
+        clip[:-1],                                    # truncated frame
+        clip.replace(b"Cmono", b"C420"),              # chroma unsupported
+        encode_y4m(3, 2, [f0])[: len("YUV4MPEG2 W3 H2 F25:1 Ip A1:1 Cmono\n")],
+    ):
+        with _pytest.raises(ValueError):
+            decode_y4m(bad)
