@@ -69,14 +69,17 @@ _LOADED = False
 #: 58 registered queries had NEVER been driver-checked entering round
 #: 5; this window burns down 47 of them plus the three new round-5
 #: queries (kmeans_lloyd_outliers, media_pixel_stats,
-#: streaming_window_count_update). The 11 deferred never-checked rows
-#: (embedding_dim_stats, embedding_covariance,
+#: streaming_window_count_update). ROUND-6 ROTATE-INS (never
+#: driver-checked; all local-gate green at 3 SFs): the 11 deferred
+#: close siblings (embedding_dim_stats, embedding_covariance,
 #: minhash_estimate_accuracy, char_entropy, token_count_histogram,
 #: langid_accuracy_by_lang, winsorized_event_stats,
 #: equi_depth_histogram, cumulative_distinct_users,
-#: time_range_moving_avg, synthetic_source_agg — each a close sibling
-#: of an already-driver-green query) plus round-5's media_resize_stats
-#: rotate in next round.
+#: time_range_moving_avg, synthetic_source_agg) plus the round-5 late
+#: additions (media_resize_stats, pii_redaction_stats,
+#: dsir_importance_weights, kmv_distinct_users, kmv_custkey_overlap,
+#: variant_props_stats, bitmap_distinct_by_type, audio_pcm_stats,
+#: video_frame_sample_stats).
 DRIVER_WINDOW: tuple[str, ...] = (
     # ---- NEW round-5 queries (prove them on the driver immediately)
     "kmeans_lloyd_outliers",
