@@ -802,3 +802,196 @@ def dsir_importance_weights(
             (F.round("__s", 4) + F.lit(0.0)).alias("dsir_logratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing document fingerprints (rolling-hash k-grams)
+# ---------------------------------------------------------------------------
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS algorithm): normalize → char ``k``-grams →
+    polynomial rolling hash → per-window-of-``w`` minimum → distinct
+    selected hashes.
+
+    Returns ``(id_col, n_grams, fp)`` with one row per distinct selected
+    fingerprint per document. Documents whose normalized text is shorter
+    than ``k`` produce no grams and are absent.
+
+    Winnowing's guarantee: any shared substring of length ``k + w - 1``
+    between two documents yields at least one shared fingerprint, while
+    only ~``2/(w+1)`` of all gram hashes are kept — the standard
+    sub-linear fingerprint density for plagiarism/near-dup detection.
+
+    Scale shape: everything up to the explode is per-row array math
+    (the Horner hash chain is generated SQL — no Python UDF); output
+    carries only ``(id, int64)`` pairs, never text. Higher-order array
+    functions evaluate OUTSIDE whole-stage codegen, so the per-row CPU
+    cost is real — ``spread`` guarantees the gram stage has at least
+    ``defaultParallelism`` input splits (a single small parquet file
+    would otherwise serialize ~1M interpreted lambda evals into one
+    task; at 100 TB the scan is already split and spread is a no-op).
+    The hash expression is shared verbatim with the DuckDB oracle via
+    :func:`flink_anomaly_spark.plans.fragments.gram_hash_horner`.
+    """
+    from flink_anomaly_spark.plans.fragments import gram_hash_horner
+
+    horner = gram_hash_horner("__clean", "i", k)
+    base = (
+        spread(df.select(
+            F.col(id_col),
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "").alias("__clean"),
+        ))
+        .filter(F.length("__clean") >= k)
+        .withColumn(
+            "__hs",
+            F.expr(f"transform(sequence(1, length(__clean) - {k - 1}), i -> {horner})"),
+        )
+        .withColumn("n_grams", F.size("__hs").cast("bigint"))
+    )
+    # one window min per window start; <w hashes degenerate to one window
+    sel = F.expr(
+        f"CASE WHEN size(__hs) >= {w} "
+        f"THEN transform(sequence(1, size(__hs) - {w - 1}), s -> array_min(slice(__hs, s, {w}))) "
+        f"ELSE array(array_min(__hs)) END"
+    )
+    return base.select(
+        id_col, "n_grams", F.explode(F.array_distinct(sel)).alias("fp")
+    )
+
+
+def winnowing_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    max_postings: int = 20,
+    min_shared: int = 8,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via shared winnowing fingerprints.
+
+    Join shape is a POSTINGS-LIST join (bucketed on the fingerprint
+    value), never all-pairs: docs meet only inside a fingerprint's
+    posting list. Fingerprints with more than ``max_postings`` docs are
+    dropped first — the boilerplate/stop-fingerprint skew guard, the
+    same pattern as the MinHash LSH ``max_bucket_size`` cap (a gram
+    every document contains identifies nothing and would otherwise
+    quadratically dominate the join).
+
+    Output: ``(doc_a, doc_b, n_shared, overlap)`` where ``overlap`` =
+    shared / min(|fp_a|, |fp_b|), for pairs sharing ≥ ``min_shared``
+    fingerprints.
+    """
+    from pyspark.sql import Window
+
+    fps = winnow_fingerprints(df, id_col=id_col, text_col=text_col, k=k, w=w)
+    sizes = fps.groupBy(id_col).agg(F.count("*").alias("n_fp"))
+    posting = F.count("*").over(Window.partitionBy("fp"))
+    kept = fps.withColumn("__post", posting).filter(F.col("__post") <= max_postings)
+    a = kept.select(F.col(id_col).alias("doc_a"), "fp")
+    b = kept.select(F.col(id_col).alias("doc_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_fp").alias("__na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_fp").alias("__nb"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.round(F.col("n_shared") / F.least("__na", "__nb"), 4).alias("overlap"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval
+# ---------------------------------------------------------------------------
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 10,
+) -> DataFrame:
+    """Okapi BM25 ranked retrieval for a fixed bag of query terms
+    (Robertson/Walker — the standard public formula):
+
+        idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+        tfc(d,t)= tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+        score   = Σ_t idf(t)·tfc(d,t)
+
+    Scale shape: documents are cut to (doc, term) counts with the term
+    filter applied BEFORE any shuffle (only query-term postings leave
+    the scan stage); ``df``/``N``/``avgdl`` are a per-term aggregate and
+    a 1-row corpus aggregate, broadcast back; the final top-``top_n``
+    ranks only documents containing ≥1 query term. Scores are rounded
+    to 6 so libm ulp differences can't break the cross-engine hash.
+    """
+    q = F.array(*[F.lit(t) for t in query_terms])
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).alias("dl"),
+        F.filter(toks, lambda t: F.array_contains(q, t)).alias("qtoks"),
+    )
+    corpus = base.agg(
+        F.count("*").alias("N"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        base.select("id", "dl", F.explode("qtoks").alias("term"))
+        .groupBy("id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "__idf",
+            F.log(F.lit(1.0) + (F.col("N") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+        .withColumn(
+            "__tfc",
+            F.col("tf")
+            * (k1 + 1)
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("id", "dl")
+        .agg(F.round(F.sum(F.col("__idf") * F.col("__tfc")), 6).alias("score"))
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(Window.orderBy(F.col("score").desc(), F.col("id").asc()))
+    return (
+        scored.withColumn("rank", rn)
+        .filter(F.col("rank") <= top_n)
+        .select(
+            F.col("id").alias(id_col),
+            F.col("dl").cast("bigint").alias("doc_len"),
+            "score",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

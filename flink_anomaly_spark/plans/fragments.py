@@ -23,3 +23,22 @@ def shingle_sql(k: int) -> str:
                              i -> array_to_string(toks[i:i+{k - 1}], ' '))
          ELSE [array_to_string(toks, ' ')] END
     """
+
+
+def gram_hash_horner(s: str, i: str, k: int, base: int = 257, mod: int = 1_000_000_007) -> str:
+    """Polynomial (Rabin-Karp-family) hash of the ``k``-char gram of
+    string expression ``s`` starting at 1-based index expression ``i``,
+    as a Horner chain: ``h = ((h*B + c) % M)`` per character.
+
+    The emitted SQL uses only ``ascii``/``substr``/``*``/``+``/``%`` —
+    identical syntax AND semantics in Spark SQL and DuckDB (verified
+    bit-for-bit), so the engine and the oracle share this one
+    generator and cannot drift. The seed is CAST to BIGINT so every
+    multiply-add runs in 64-bit in BOTH engines (ascii() alone returns
+    int32, and ``h*B`` exceeds int32 range); ``M*B + 127 << 2^63`` so
+    the BIGINT arithmetic never overflows.
+    """
+    e = f"CAST(ascii(substr({s}, {i}+0, 1)) AS BIGINT)"
+    for j in range(1, k):
+        e = f"(({e})*{base} + ascii(substr({s}, {i}+{j}, 1))) % {mod}"
+    return e

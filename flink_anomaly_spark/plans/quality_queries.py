@@ -1088,3 +1088,174 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_importance_weights(
         docs, "doc_id", "text", is_target=F.col("lang") == "en"
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (rolling-hash k-grams) + BM25 retrieval
+# ---------------------------------------------------------------------------
+
+_WINNOW_K = 8
+_WINNOW_W = 4
+
+
+def _winnow_fp_sql() -> str:
+    """DuckDB CTE chain producing ``(doc_id, n_grams, fp)`` — the exact
+    oracle of :func:`operators.text.winnow_fingerprints` (k=8, w=4).
+    The gram hash is the SAME generated Horner chain the Spark side
+    compiles (plans/fragments.gram_hash_horner) — shared, cannot drift.
+    """
+    from flink_anomaly_spark.plans.fragments import gram_hash_horner
+
+    k, w = _WINNOW_K, _WINNOW_W
+    horner = gram_hash_horner("clean", "i", k)
+    return f"""
+    c AS (
+      SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS clean
+      FROM documents
+    ), g AS (
+      SELECT doc_id, CAST(length(clean) - {k - 1} AS BIGINT) AS n_grams,
+             list_transform(range(1, length(clean) - {k - 2}), i -> {horner}) AS hs
+      FROM c WHERE length(clean) >= {k}
+    ), sel AS (
+      SELECT doc_id, n_grams,
+             CASE WHEN len(hs) >= {w}
+                  THEN list_transform(range(1, len(hs) - {w - 2}),
+                                      s -> list_min(list_slice(hs, s, s + {w - 1})))
+                  ELSE [list_min(hs)] END AS sels
+      FROM g
+    ), fp AS (
+      SELECT doc_id, n_grams, unnest(list_distinct(sels)) AS fp FROM sel
+    )
+    """
+
+
+@register(
+    "winnowing_fingerprint_stats",
+    oracle=f"""
+    WITH {_winnow_fp_sql()}
+    SELECT doc_id, n_grams, CAST(count(*) AS BIGINT) AS n_fp,
+           min(fp) AS fp_min, max(fp) AS fp_max
+    FROM fp GROUP BY doc_id, n_grams
+    """,
+    doc="Winnowing document fingerprints (Schleimer/Wilkerson/Aiken "
+    "SIGMOD'03, the MOSS plagiarism-detection selection rule): "
+    "normalized char 8-grams → polynomial rolling hash (Horner chain "
+    "generated SQL, shared verbatim with the oracle) → min per "
+    "4-window → distinct selected hashes. Per-doc fingerprint stats; "
+    "density ≈ 2/(w+1) of grams. All array math inside whole-stage "
+    "codegen — no UDF, no shuffle before the final 1-key agg.",
+)
+def q_winnowing_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.text import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(docs, k=_WINNOW_K, w=_WINNOW_W)
+    return fps.groupBy("doc_id", "n_grams").agg(
+        F.count("*").cast("bigint").alias("n_fp"),
+        F.min("fp").alias("fp_min"),
+        F.max("fp").alias("fp_max"),
+    )
+
+
+_WINNOW_MAX_POSTINGS = 20
+_WINNOW_MIN_SHARED = 8
+
+
+@register(
+    "winnowing_dup_pairs",
+    oracle=f"""
+    WITH {_winnow_fp_sql()},
+    sizes AS (SELECT doc_id, count(*) AS n_fp FROM fp GROUP BY doc_id),
+    kept AS (
+      SELECT doc_id, fp FROM (
+        SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS post FROM fp
+      ) WHERE post <= {_WINNOW_MAX_POSTINGS}
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING count(*) >= {_WINNOW_MIN_SHARED}
+    )
+    SELECT doc_a, doc_b, n_shared,
+           round(n_shared / CAST(least(sa.n_fp, sb.n_fp) AS DOUBLE), 4) AS overlap
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    """,
+    doc="Near-duplicate candidate pairs via shared winnowing "
+    "fingerprints — a POSTINGS-LIST join bucketed on the fingerprint "
+    "value (docs meet only inside a fingerprint's posting list, never "
+    "all-pairs). Fingerprints in more than 20 docs are dropped first: "
+    "the stop-fingerprint skew guard, same pattern as the MinHash LSH "
+    "max_bucket_size cap. Winnowing guarantees any shared substring of "
+    "length k+w-1 = 11 normalized chars still yields a shared "
+    "fingerprint.",
+)
+def q_winnowing_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.text import winnowing_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnowing_dup_pairs(
+        docs,
+        k=_WINNOW_K,
+        w=_WINNOW_W,
+        max_postings=_WINNOW_MAX_POSTINGS,
+        min_shared=_WINNOW_MIN_SHARED,
+    )
+
+
+_BM25_TERMS = ["hash", "join", "vector"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "bm25_topk",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id AS id, {_TOKS} AS toks FROM documents
+    ), base AS (
+      SELECT id, len(toks) AS dl,
+             list_filter(toks, t -> list_contains(
+               [{",".join(f"'{t}'" for t in _BM25_TERMS)}], t)) AS qtoks
+      FROM d
+    ), corpus AS (
+      SELECT count(*) AS N, avg(dl) AS avgdl FROM base
+    ), tfc AS (
+      SELECT id, dl, term, count(*) AS tf FROM (
+        SELECT id, dl, unnest(qtoks) AS term FROM base
+      ) GROUP BY id, dl, term
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM tfc GROUP BY term
+    ), scored AS (
+      SELECT id, dl,
+             round(sum(
+               ln(1 + (N - df + 0.5) / (df + 0.5))
+               * (tf * ({_BM25_K1} + 1)
+                  / (tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl)))
+             ), 6) AS score
+      FROM tfc JOIN dfreq USING (term), corpus
+      GROUP BY id, dl
+    )
+    SELECT id AS doc_id, CAST(dl AS BIGINT) AS doc_len, score,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY score DESC, id ASC) AS rank
+      FROM scored
+    ) t WHERE rank <= 10
+    """,
+    doc="Okapi BM25 top-10 ranked retrieval for a fixed query bag "
+    "(Robertson/Walker public formula; k1=1.2, b=0.75). The query-term "
+    "filter is applied BEFORE any shuffle so only query-term postings "
+    "leave the scan; df and (N, avgdl) are broadcast back; only docs "
+    "containing ≥1 query term reach the final top-k rank. ln() rounded "
+    "to 6 pre-rank so libm ulp differences can't flip the hash or the "
+    "ordering.",
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.text import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_TERMS, k1=_BM25_K1, b=_BM25_B, top_n=10)

@@ -79,7 +79,8 @@ _LOADED = False
 #: additions (media_resize_stats, pii_redaction_stats,
 #: dsir_importance_weights, kmv_distinct_users, kmv_custkey_overlap,
 #: variant_props_stats, bitmap_distinct_by_type, audio_pcm_stats,
-#: video_frame_sample_stats).
+#: video_frame_sample_stats, winnowing_fingerprint_stats,
+#: winnowing_dup_pairs, bm25_topk).
 DRIVER_WINDOW: tuple[str, ...] = (
     # ---- NEW round-5 queries (prove them on the driver immediately)
     "kmeans_lloyd_outliers",

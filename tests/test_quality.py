@@ -310,3 +310,95 @@ def test_dsir_weights_prefer_target_like_docs(spark):
     # doc 101 uses only source-side vocab -> negative ratio
     assert out[100] > 0 > out[101]
     assert out[100] > out[101]
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Winnowing's core guarantee (Schleimer et al. §3): two documents
+    sharing a substring of length >= k + w - 1 normalized chars share at
+    least one fingerprint. k=8, w=4 -> any 11-char shared run must
+    surface."""
+    from flink_anomaly_spark.operators.text import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, "AAA " + shared + " tail one padding text here"),
+        (2, "completely different prefix words " + shared),
+        (3, "no overlap with anything else at all zzz qqq xxx"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = winnow_fingerprints(df).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "docs sharing a 44-char substring must share a fingerprint"
+    # density: selected fingerprints ~ 2/(w+1) of grams, never more than grams
+    for d, s in by_doc.items():
+        n_grams = next(r.n_grams for r in fps if r.doc_id == d)
+        assert 0 < len(s) <= n_grams
+
+
+def test_winnowing_identical_docs_full_overlap(spark):
+    """Exact duplicates have identical fingerprint sets -> the pairs
+    query reports them with overlap 1.0; an unrelated doc pairs with
+    neither."""
+    from flink_anomaly_spark.operators.text import winnowing_dup_pairs
+
+    text = "spark streams batch join hash filter scan merge sort window " * 3
+    rows = [
+        (1, text),
+        (2, text),
+        (3, "unrelated completely separate vocabulary nothing matches qqq zzz vvv www yyy xxx"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = winnowing_dup_pairs(df, min_shared=3, max_postings=20).collect()
+    pairs = {(r.doc_a, r.doc_b): (r.n_shared, r.overlap) for r in out}
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)][1] == 1.0
+
+
+def test_winnowing_short_doc_single_window(spark):
+    """A doc with fewer than w hashes degenerates to one global-min
+    fingerprint; a doc shorter than k normalized chars is absent."""
+    from flink_anomaly_spark.operators.text import winnow_fingerprints
+
+    rows = [(1, "abcdefghi"), (2, "tiny")]  # 9 clean chars -> 2 grams; 4 < k
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = winnow_fingerprints(df).collect()
+    assert {r.doc_id for r in out} == {1}
+    assert len(out) == 1  # 2 grams < w=4 -> exactly one selected min
+
+
+def test_bm25_formula_known_values(spark):
+    """BM25 against a hand-computed score on a 3-doc corpus."""
+    import math
+
+    from flink_anomaly_spark.operators.text import bm25_topk
+
+    rows = [
+        (1, "cat dog cat"),        # tf(cat)=2, dl=3
+        (2, "cat fish"),           # tf(cat)=1, dl=2
+        (3, "fish fish bird owl"), # no query terms, dl=4
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in bm25_topk(df, ["cat"], k1=1.2, b=0.75, top_n=10).collect()}
+    assert set(out) == {1, 2}  # doc 3 has no query term
+    N, df_cat, avgdl = 3, 2, 3.0
+    idf = math.log(1 + (N - df_cat + 0.5) / (df_cat + 0.5))
+    def tfc(tf, dl):
+        return tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+    assert out[1].score == round(idf * tfc(2, 3), 6)
+    assert out[2].score == round(idf * tfc(1, 2), 6)
+    assert out[1].rank == 1 and out[2].rank == 2
+    assert out[1].doc_len == 3
+
+
+def test_bm25_rank_deterministic_on_ties(spark):
+    """Equal-score docs rank by doc_id ascending (the oracle's
+    tie-break), so the top-k cut is engine-stable."""
+    from flink_anomaly_spark.operators.text import bm25_topk
+
+    rows = [(i, "cat dog") for i in range(5)]  # identical docs
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = bm25_topk(df, ["cat"], top_n=3).collect()
+    assert [r.doc_id for r in out] == [0, 1, 2]
+    assert len({r.score for r in out}) == 1
