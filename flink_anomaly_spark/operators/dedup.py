@@ -1047,3 +1047,84 @@ def prefix_filter_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-span dedup removal (Lee et al. 2022 style)
+# ---------------------------------------------------------------------------
+
+
+def span_dedup_clean(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus-wide duplicated-span REMOVAL — the transform step of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"): any word ``n``-gram occurring at least ``min_count`` times
+    across the whole corpus (within- or cross-document) marks its span;
+    every word covered by a marked span is dropped and the document is
+    re-emitted from the surviving words.
+
+    Variant note: where the paper's suffix-array pipeline keeps ONE
+    copy of each duplicated substring, this operator removes EVERY
+    occurrence — the conservative choice when duplicated spans are
+    boilerplate/contamination, and the one that is order-independent
+    (keeping "the first" copy would make output depend on a global
+    document order, which a distributed corpus does not have).
+
+    Returns ``(id_col, n_words, n_removed, removed_frac,
+    cleaned_text)`` for every input document (docs shorter than ``n``
+    words pass through untouched).
+
+    Scale shape: gram spans leave the scan as ``(id, start, hash64)``
+    triples — never gram text; the duplicate-gram set is a hash-only
+    self-aggregation; marked starts come back as one bounded int array
+    per document; reconstruction is per-row array math. Two shuffles
+    total (gram-count groupBy + the postings join), same floor as
+    cross_doc_repeated_ngrams.
+    """
+    from flink_anomaly_spark.operators.text import tokens
+    from flink_anomaly_spark.partitioning import spread
+
+    d = spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))).select(
+        "id", tokens(F.col("__t")).alias("toks")
+    )
+    # per-doc gram hashes at each 1-based start (empty when < n words)
+    ghs = F.when(
+        F.size("toks") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+            lambda i: md5_long(F.concat_ws(" ", F.slice("toks", i, n))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    g = (
+        d.withColumn("__ghs", ghs)
+        .select("id", F.posexplode("__ghs").alias("__p0", "gh"))
+        .select("id", (F.col("__p0") + 1).alias("start"), "gh")
+    )
+    dup = g.groupBy("gh").count().filter(F.col("count") >= min_count).select("gh")
+    dup_starts = g.join(dup, "gh").groupBy("id").agg(F.collect_list("start").alias("dups"))
+    joined = d.join(dup_starts, "id", "left").withColumn(
+        "dups", F.coalesce(F.col("dups"), F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        F.sequence(F.lit(1), F.size("toks")),
+        lambda j: ~F.exists("dups", lambda s: (j >= s) & (j <= s + (n - 1))),
+    )
+    out = joined.withColumn("__kept", kept).select(
+        F.col("id").alias(id_col),
+        F.size("toks").cast("bigint").alias("n_words"),
+        (F.size("toks") - F.size("__kept")).cast("bigint").alias("n_removed"),
+        F.round(
+            (F.size("toks") - F.size("__kept"))
+            / F.greatest(F.size("toks"), F.lit(1)).cast("double"),
+            4,
+        ).alias("removed_frac"),
+        F.array_join(
+            F.transform("__kept", lambda j: F.element_at("toks", j)), " "
+        ).alias("cleaned_text"),
+    )
+    return out

@@ -1333,3 +1333,55 @@ def q_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return prefix_filter_jaccard_pairs(docs, id_col="doc_id", text_col="text", threshold=0.6)
+
+
+_SPAN_N = 8
+
+
+@register(
+    "span_dedup_clean",
+    oracle=rf"""
+    WITH d AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), gs AS (
+      SELECT doc_id, unnest(range(1, len(toks) - {_SPAN_N} + 2)) AS start, toks
+      FROM d WHERE len(toks) >= {_SPAN_N}
+    ), gh AS (
+      SELECT doc_id, start,
+             {_MD5_60.format(x=f"array_to_string(toks[start:start+{_SPAN_N - 1}], ' ')")} AS h
+      FROM gs
+    ), dup AS (
+      SELECT h FROM gh GROUP BY h HAVING count(*) >= 2
+    ), ds AS (
+      SELECT gh.doc_id, list(gh.start) AS dups
+      FROM gh JOIN dup USING (h) GROUP BY gh.doc_id
+    ), kept AS (
+      SELECT d.doc_id, toks,
+             list_filter(range(1, len(toks) + 1),
+                         j -> len(list_filter(coalesce(ds.dups, []),
+                                              s -> j >= s AND j <= s + {_SPAN_N - 1})) = 0) AS keep
+      FROM d LEFT JOIN ds USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_words,
+           CAST(len(toks) - len(keep) AS BIGINT) AS n_removed,
+           round((len(toks) - len(keep)) / CAST(greatest(len(toks), 1) AS DOUBLE), 4)
+             AS removed_frac,
+           coalesce(array_to_string(list_transform(keep, j -> toks[j]), ' '), '') AS cleaned_text
+    FROM kept
+    """,
+    doc="Duplicated-span REMOVAL (the transform step of Lee et al. 2022 "
+    "suffix-array dedup, word-8-gram approximation): every word covered "
+    "by an 8-gram that occurs >= 2 times corpus-wide is dropped and the "
+    "document re-emitted from the survivors. Removes EVERY occurrence "
+    "(order-independent; the paper's keep-one needs a global doc order "
+    "a distributed corpus lacks). Gram spans travel as (id, start, "
+    "hash64) — never text; two shuffles (hash-count groupBy + postings "
+    "join); reconstruction is per-row array math. Companion to the "
+    "detection-only cross_doc_repeated_ngrams.",
+)
+def q_span_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.dedup import span_dedup_clean
+
+    docs = load_table(spark, sf_dir, "documents")
+    return span_dedup_clean(docs, n=_SPAN_N, min_count=2)

@@ -716,3 +716,44 @@ def test_decode_y4m_parser():
     ):
         with _pytest.raises(ValueError):
             decode_y4m(bad)
+
+
+def test_span_dedup_clean_planted_duplicate(spark):
+    """A planted 10-word span shared by two docs is removed from BOTH
+    (remove-every-occurrence semantics); unique words survive; a doc
+    shorter than n=8 words passes through untouched."""
+    from flink_anomaly_spark.operators.dedup import span_dedup_clean
+
+    span = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, "uniqueone uniquetwo " + span + " tailword1 tailword2"),
+        (2, span + " othertail1 othertail2 othertail3"),
+        (3, "totally different words nothing repeats here at all nine ten"),
+        (4, "short doc only"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in span_dedup_clean(df, n=8, min_count=2).collect()}
+    assert len(out) == 4
+    # every word of the shared 10-word span is covered by a duplicated
+    # 8-gram in both docs; surrounding unique words survive
+    assert out[1].cleaned_text == "uniqueone uniquetwo tailword1 tailword2"
+    assert out[2].cleaned_text == "othertail1 othertail2 othertail3"
+    assert out[1].n_removed == 10 and out[2].n_removed == 10
+    # untouched docs
+    assert out[3].n_removed == 0 and out[3].cleaned_text.startswith("totally")
+    assert out[4].n_removed == 0 and out[4].cleaned_text == "short doc only"
+    assert out[4].n_words == 3
+
+
+def test_span_dedup_clean_within_doc_repeat(spark):
+    """A span repeated WITHIN one document (min_count=2 counts total
+    occurrences, not distinct docs) is removed from that document."""
+    from flink_anomaly_spark.operators.dedup import span_dedup_clean
+
+    span = "one two three four five six seven eight"
+    rows = [(1, span + " middlea middleb " + span), (2, "no duplicated content in this document text here")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in span_dedup_clean(df, n=8, min_count=2).collect()}
+    assert out[1].cleaned_text == "middlea middleb"
+    assert out[1].n_removed == 16
+    assert out[2].n_removed == 0
