@@ -995,3 +995,98 @@ def bm25_topk(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (fixed-iteration, oracle-exact)
+# ---------------------------------------------------------------------------
+
+
+def _bpe_merge_fold_sql(l: str, r: str) -> str:
+    """Spark-SQL fold merging adjacent (l, r) segment pairs of a
+    '|'-delimited symbol string, leftmost-greedy non-overlapping —
+    exactly the BPE apply step. Boundary test is substr equality (not
+    LIKE) so symbols containing LIKE metacharacters can't mis-match.
+    The DuckDB oracle uses the same CASE body inside list_reduce.
+    """
+    le, re_ = l.replace("'", "''"), r.replace("'", "''")
+    ll = len(l)
+    return f"""aggregate(
+      slice(__segs, 2, size(__segs) - 1),
+      element_at(__segs, 1),
+      (acc, y) -> CASE
+        WHEN acc = '{le}' AND y = '{re_}' THEN '{le}{re_}'
+        WHEN length(acc) > {ll} AND substr(acc, length(acc) - {ll}, 1) = '|'
+             AND substr(acc, length(acc) - {ll} + 1, {ll}) = '{le}' AND y = '{re_}'
+          THEN concat(substr(acc, 1, length(acc) - {ll}), '{le}', '{re_}')
+        ELSE concat(acc, '|', y) END)"""
+
+
+def bpe_learn_merges(df: DataFrame, text_col: str = "text", n_merges: int = 3):
+    """Byte-pair-encoding merge training (Sennrich et al. 2016 / the
+    GPT-2 tokenizer recipe), unrolled to a FIXED ``n_merges`` steps so
+    the result is deterministic and oracle-checkable — the same
+    fixed-iteration pattern as kmeans_lloyd_outliers and
+    pagerank_neardup.
+
+    Per step: count adjacent symbol pairs over the corpus vocabulary
+    (weighted by word frequency), pick the most frequent pair
+    (ties → lexicographic (lhs, rhs) — engine-portable), and merge it
+    everywhere, leftmost-greedy within each word.
+
+    Returns ``(step, lhs, rhs, n)``: one row per learned merge with its
+    selection-time pair count, plus a final ``(n_merges+1, '<TOTAL>',
+    '<SYMBOLS>', Σ cnt·|symbols|)`` summary row proving the merged
+    state.
+
+    Scale shape: the corpus collapses to its VOCABULARY (distinct word,
+    count) before any per-character work — pair counting and the merge
+    fold run over vocab rows, not corpus rows. The vocab is PERSISTED
+    for the duration of training (this operator is eager — it collects
+    each step's argmax — so it can unpersist before returning): without
+    it, every step's action would re-scan and re-aggregate the full
+    corpus, n_merges+1 scans of 100 TB instead of one. Each step's
+    argmax is a top-1 TakeOrdered (no full sort) followed by a bounded
+    1-row collect inlined as literals — the accepted index-build
+    pattern. Only 3 steps, so no lineage truncation is needed.
+    """
+    spark = df.sparkSession
+    vocab = (
+        spread(df.select(F.col(text_col).alias("__t")))
+        .select(F.explode(tokens(F.col("__t"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "sym",
+            F.expr("array_join(transform(sequence(1, length(w)), i -> substr(w, i, 1)), '|')"),
+        )
+        .persist()
+    )
+    pairs_expr = F.expr(
+        "CASE WHEN size(__segs) >= 2 THEN transform(sequence(1, size(__segs) - 1), "
+        "i -> struct(element_at(__segs, i) AS lhs, element_at(__segs, i + 1) AS rhs)) "
+        "ELSE array() END"
+    )
+    state = vocab
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        seg = state.withColumn("__segs", F.split("sym", r"\|"))
+        pc = (
+            seg.select("cnt", F.explode(pairs_expr).alias("p"))
+            .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+            .agg(F.sum("cnt").cast("bigint").alias("n"))
+        )
+        best = pc.orderBy(F.col("n").desc(), "lhs", "rhs").limit(1).collect()[0]
+        merges.append((step, best.lhs, best.rhs, int(best.n)))
+        state = seg.withColumn(
+            "sym", F.expr(_bpe_merge_fold_sql(best.lhs, best.rhs))
+        ).select("w", "cnt", "sym")
+    total = state.agg(
+        F.sum(F.col("cnt") * F.size(F.split("sym", r"\|"))).cast("bigint")
+    ).collect()[0][0]
+    vocab.unpersist()
+    rows = merges + [(n_merges + 1, "<TOTAL>", "<SYMBOLS>", int(total))]
+    out = spark.createDataFrame(rows, ["step", "lhs", "rhs", "n"])
+    return out.select(
+        F.col("step").cast("bigint"), "lhs", "rhs", F.col("n").cast("bigint")
+    )

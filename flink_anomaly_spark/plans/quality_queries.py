@@ -1259,3 +1259,81 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bm25_topk(docs, _BM25_TERMS, k1=_BM25_K1, b=_BM25_B, top_n=10)
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (fixed 3 merges, unrolled oracle)
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 3
+
+#: DuckDB leftmost-greedy merge fold — same CASE body as the Spark
+#: side's _bpe_merge_fold_sql, with the step's best pair (ml, mr)
+#: cross-joined in rather than inlined as literals
+_BPE_FOLD = """list_reduce(string_split(sym, '|'), (acc, y) -> CASE
+      WHEN acc = ml AND y = mr THEN ml || mr
+      WHEN length(acc) > length(ml)
+           AND substr(acc, length(acc) - length(ml), 1) = '|'
+           AND substr(acc, length(acc) - length(ml) + 1, length(ml)) = ml
+           AND y = mr
+        THEN substr(acc, 1, length(acc) - length(ml)) || ml || mr
+      ELSE acc || '|' || y END)"""
+
+
+def _bpe_oracle(n_merges: int = _BPE_MERGES) -> str:
+    steps = []
+    for t in range(1, n_merges + 1):
+        steps.append(f"""
+    p{t} AS (
+      SELECT lhs, rhs, CAST(sum(cnt) AS BIGINT) AS n FROM (
+        SELECT cnt, segs[i] AS lhs, segs[i+1] AS rhs FROM (
+          SELECT cnt, segs, unnest(range(1, len(segs))) AS i
+          FROM (SELECT cnt, string_split(sym, '|') AS segs FROM w{t - 1})
+        )
+      ) GROUP BY lhs, rhs
+    ), b{t} AS (
+      SELECT lhs AS ml, rhs AS mr, n FROM p{t} ORDER BY n DESC, lhs, rhs LIMIT 1
+    ), w{t} AS (
+      SELECT w, cnt, {_BPE_FOLD} AS sym FROM w{t - 1} CROSS JOIN b{t}
+    )""")
+    unions = "\n      ".join(
+        f"UNION ALL SELECT {t}, ml, mr, n FROM b{t}" for t in range(2, n_merges + 1)
+    )
+    return f"""
+    WITH v0 AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest({_TOKS}) AS w FROM documents) GROUP BY w
+    ), w0 AS (
+      SELECT w, cnt,
+             array_to_string(list_transform(range(1, length(w)+1),
+                                            i -> substr(w, i, 1)), '|') AS sym
+      FROM v0
+    ),{",".join(steps)},
+    merges AS (
+      SELECT 1 AS step, ml AS lhs, mr AS rhs, n FROM b1
+      {unions}
+      UNION ALL SELECT {n_merges + 1}, '<TOTAL>', '<SYMBOLS>',
+        CAST(sum(cnt * len(string_split(sym, '|'))) AS BIGINT) FROM w{n_merges}
+    )
+    SELECT CAST(step AS BIGINT) AS step, lhs, rhs, n FROM merges
+    """
+
+
+@register(
+    "bpe_learn_merges",
+    oracle=_bpe_oracle(),
+    doc="BPE merge training (Sennrich et al. 2016), unrolled to 3 fixed "
+    "steps — fixed-iteration pattern like kmeans_lloyd/pagerank so the "
+    "learned merges are deterministic and oracle-exact. Corpus "
+    "collapses to its vocabulary (distinct word, count) before any "
+    "per-char work; each step = weighted adjacent-pair count → top-1 "
+    "TakeOrdered (ties lexicographic) → leftmost-greedy merge fold "
+    "over the '|'-delimited symbol string (list_reduce / aggregate "
+    "share the same CASE body). Output: one row per learned merge + a "
+    "<TOTAL> symbols summary row proving the merged state.",
+)
+def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.text import bpe_learn_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_learn_merges(docs, n_merges=_BPE_MERGES)

@@ -402,3 +402,36 @@ def test_bm25_rank_deterministic_on_ties(spark):
     out = bm25_topk(df, ["cat"], top_n=3).collect()
     assert [r.doc_id for r in out] == [0, 1, 2]
     assert len({r.score for r in out}) == 1
+
+
+def test_bpe_learn_merges_hand_computed(spark):
+    """BPE merges on a corpus small enough to verify by hand.
+
+    Corpus: 'abab abab cd' -> vocab {abab: 2, cd: 1}.
+    Step 1 pairs (weighted): (a,b)x2 per word x2 = 4, (b,a)x1x2 = 2,
+    (c,d)=1 -> merge (a,b) -> abab becomes ab|ab.
+    Step 2 pairs: (ab,ab)=2, (c,d)=1 -> merge (ab,ab) -> abab whole.
+    Step 3 pairs: only (c,d)=1 -> merge (c,d).
+    Totals: abab=1 symbol x2 + cd=1 symbol x1 = 3.
+    """
+    from flink_anomaly_spark.operators.text import bpe_learn_merges
+
+    df = spark.createDataFrame([(1, "abab abab cd")], ["doc_id", "text"])
+    out = [tuple(r) for r in bpe_learn_merges(df, n_merges=3).collect()]
+    assert out == [
+        (1, "a", "b", 4),
+        (2, "ab", "ab", 2),
+        (3, "c", "d", 1),
+        (4, "<TOTAL>", "<SYMBOLS>", 3),
+    ]
+
+
+def test_bpe_merge_tie_break_lexicographic(spark):
+    """Equal-count pairs resolve to the lexicographically smallest
+    (lhs, rhs) — the engine-portable determinism contract."""
+    from flink_anomaly_spark.operators.text import bpe_learn_merges
+
+    # 'zy' and 'ba' each occur once: pairs (z,y)=1, (b,a)=1 -> (b,a) wins
+    df = spark.createDataFrame([(1, "zy ba")], ["doc_id", "text"])
+    out = [tuple(r) for r in bpe_learn_merges(df, n_merges=1).collect()]
+    assert out[0] == (1, "b", "a", 1)
