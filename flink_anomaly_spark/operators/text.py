@@ -892,7 +892,15 @@ def winnowing_dup_pairs(
     """
     from pyspark.sql import Window
 
-    fps = winnow_fingerprints(df, id_col=id_col, text_col=text_col, k=k, w=w)
+    from flink_anomaly_spark.operators.dedup import _persist
+
+    # the fingerprint set feeds THREE consumers (per-doc sizes, the
+    # posting-count window, and both sides of the postings self-join);
+    # without a persist each branch would re-scan and re-hash the full
+    # corpus — 4 scans of 100 TB instead of one. The persisted frame
+    # carries only (id, n_grams, int64) rows, released between queries
+    # via dedup.release_cached (the bench/gate already call it).
+    fps = _persist(winnow_fingerprints(df, id_col=id_col, text_col=text_col, k=k, w=w))
     sizes = fps.groupBy(id_col).agg(F.count("*").alias("n_fp"))
     posting = F.count("*").over(Window.partitionBy("fp"))
     kept = fps.withColumn("__post", posting).filter(F.col("__post") <= max_postings)

@@ -61,6 +61,12 @@ PROBE = [
     # quality op (heaviest (doc_id, token) shuffle + two-phase ntile)
     ("corpus_curation_pipeline", "documents"),
     ("unigram_logprob_quality", "documents"),
+    # round-5 extension: the winnowing postings join (fingerprint-
+    # bucketed pair generation — disjoint replica gram spaces keep the
+    # postings lists base-sized) and the span-removal transform (gram
+    # hash-count groupBy + postings join + array reconstruction)
+    ("winnowing_dup_pairs", "documents"),
+    ("span_dedup_clean", "documents"),
 ]
 
 _KEY_SHIFT = {"lineitem": ["l_orderkey"], "orders": ["o_orderkey"], "documents": ["doc_id"]}
