@@ -196,3 +196,95 @@ def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         out.append(proj.alias(f"p{j:02d}"))
     return emb.select(*out)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization ADC top-k
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8
+_PQ_SUB = 8  # 64-dim embeddings / 8 subspaces
+_PQ_CODEBOOK_IDS = list(range(16))
+_PQ_QUERY_ID = 42
+
+
+def _pq_l2_chain(a: str, b: str) -> str:
+    """Unrolled left-associated per-subspace squared-L2 chain over a
+    dynamic subspace index column ``s`` — identical operation order to
+    the Spark side's _sub_l2_chain (everything cast to DOUBLE before
+    arithmetic; DuckDB float−float would stay single precision)."""
+    terms = []
+    for d in range(_PQ_SUB):
+        ia = f"CAST({a}[s*{_PQ_SUB} + {d + 1}] AS DOUBLE)"
+        ib = f"CAST({b}[s*{_PQ_SUB} + {d + 1}] AS DOUBLE)"
+        terms.append(f"({ia} - {ib}) * ({ia} - {ib})")
+    return " + ".join(terms)
+
+
+def _pq_oracle() -> str:
+    cbm_vals = ", ".join(f"({j}, {cid})" for j, cid in enumerate(_PQ_CODEBOOK_IDS))
+    k_sub = len(_PQ_CODEBOOK_IDS)
+    subs_vals = ", ".join(f"({s}, {k_sub**s})" for s in range(_PQ_M))
+    return f"""
+    WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    cbm(j, cid) AS (VALUES {cbm_vals}),
+    cb AS (SELECT cbm.j, e.v AS cv FROM cbm JOIN e ON e.vec_id = cbm.cid),
+    subs(s, factor) AS (VALUES {subs_vals}),
+    enc AS (
+      SELECT e.vec_id, subs.s, subs.factor, cb.j,
+             {_pq_l2_chain("e.v", "cb.cv")} AS dist
+      FROM e CROSS JOIN subs CROSS JOIN cb
+    ),
+    code AS (
+      SELECT vec_id, s, factor, j FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, j) AS rn
+        FROM enc
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_PQ_QUERY_ID}),
+    adc AS (
+      SELECT subs.s, cb.j,
+             CAST(floor(({_pq_l2_chain("q.qv", "cb.cv")}) * 1000000 + 0.5) AS BIGINT) AS a
+      FROM q CROSS JOIN subs CROSS JOIN cb
+    ),
+    scored AS (
+      SELECT code.vec_id,
+             CAST(sum(CAST(code.j AS BIGINT) * CAST(code.factor AS BIGINT)) AS BIGINT) AS pq_code_key,
+             CAST(sum(adc.a) AS BIGINT) AS adc_micro
+      FROM code JOIN adc ON adc.s = code.s AND adc.j = code.j
+      GROUP BY code.vec_id
+    )
+    SELECT vec_id, pq_code_key, adc_micro, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT *, row_number() OVER (ORDER BY adc_micro, vec_id) AS rank FROM scored
+    ) t WHERE rank <= 10
+    """
+
+
+@register(
+    "embedding_ann_pq",
+    oracle=_pq_oracle(),
+    doc="Product-quantization ANN with asymmetric distance (Jégou et "
+    "al. 2011, FAISS PQ): 64 dims -> 8 subspaces, 16 deterministic "
+    "sample codewords each (the trainable path is what "
+    "kmeans_lloyd_outliers demonstrates); encoding is a NARROW "
+    "literal-inlined map (zero shuffles/joins over the corpus); the "
+    "query's ADC table is integer micro-units (floor(d*1e6+0.5), no "
+    "banker's-rounding trap) so the approximate distance is an exact "
+    "integer sum of 8 lookups; top-10 via TakeOrdered. The oracle "
+    "computes the identical chains relationally (everything cast to "
+    "DOUBLE first — DuckDB float-float would stay single precision). "
+    "Completes the ANN family: brute-force / LSH / IVF-flat / SQ8 / PQ.",
+)
+def q_embedding_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.similarity import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_topk(
+        emb,
+        id_col="vec_id",
+        vec_col="embedding",
+        codebook_ids=_PQ_CODEBOOK_IDS,
+        query_id=_PQ_QUERY_ID,
+        m=_PQ_M,
+        top_n=10,
+    )

@@ -141,3 +141,44 @@ def test_kmeans_lloyd_empty_cell_shrinks_k(spark):
         ).collect()
     ]
     assert got == again
+
+
+def test_pq_adc_exact_on_codebook_vectors(spark):
+    """A vector that IS a codeword encodes to itself in every subspace
+    (per-subspace distance 0), and the query vector ranks itself first
+    with the code key pinning the full encoding."""
+    from flink_anomaly_spark.operators.similarity import pq_adc_topk
+
+    # 4-dim vectors, m=2 subspaces, 2 codewords
+    rows = [
+        (0, [0.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 1.0, 1.0, 1.0]),
+        (2, [0.0, 0.0, 1.0, 1.0]),   # sub0 -> code 0, sub1 -> code 1
+        (3, [0.9, 0.9, 0.1, 0.1]),   # sub0 -> code 1, sub1 -> code 0
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r.vec_id: r for r in pq_adc_topk(
+        df, "vec_id", "embedding", codebook_ids=[0, 1], query_id=2, m=2, top_n=10
+    ).collect()}
+    # code keys: sum code_s * 2^s  (k_sub=2)
+    assert out[0].pq_code_key == 0       # (0,0)
+    assert out[1].pq_code_key == 3       # (1,1)
+    assert out[2].pq_code_key == 2       # (0,1)
+    assert out[3].pq_code_key == 1       # (1,0)
+    # ADC of the query against its own encoding: q sub0 == codeword 0
+    # exactly, q sub1 == codeword 1 exactly -> adc_micro == 0, rank 1
+    assert out[2].adc_micro == 0 and out[2].rank == 1
+    # vec 3 shares NEITHER code with the query -> strictly worse than
+    # vec 0/1 which share one each
+    assert out[3].adc_micro >= max(out[0].adc_micro, out[1].adc_micro)
+
+
+def test_pq_requires_divisible_dim(spark):
+    from flink_anomaly_spark.operators.similarity import pq_adc_topk
+
+    df = spark.createDataFrame([(0, [0.0, 1.0, 2.0])], ["vec_id", "embedding"])
+    try:
+        pq_adc_topk(df, "vec_id", "embedding", codebook_ids=[0], query_id=0, m=2)
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "not divisible" in str(e)
