@@ -1058,7 +1058,22 @@ def bpe_learn_merges(df: DataFrame, text_col: str = "text", n_merges: int = 3):
     1-row collect inlined as literals — the accepted index-build
     pattern. Only 3 steps, so no lineage truncation is needed.
     """
-    spark = df.sparkSession
+    vocab, state, merges = _bpe_train(df, text_col, n_merges)
+    total = state.agg(
+        F.sum(F.col("cnt") * F.size(F.split("sym", r"\|"))).cast("bigint")
+    ).collect()[0][0]
+    vocab.unpersist()
+    rows = merges + [(n_merges + 1, "<TOTAL>", "<SYMBOLS>", int(total))]
+    out = df.sparkSession.createDataFrame(rows, ["step", "lhs", "rhs", "n"])
+    return out.select(
+        F.col("step").cast("bigint"), "lhs", "rhs", F.col("n").cast("bigint")
+    )
+
+
+def _bpe_train(df: DataFrame, text_col: str, n_merges: int):
+    """Shared BPE trainer: returns (persisted vocab frame, final
+    (w, cnt, sym) state, [(step, lhs, rhs, n)] merges). Callers MUST
+    unpersist the returned vocab after their terminal action."""
     vocab = (
         spread(df.select(F.col(text_col).alias("__t")))
         .select(F.explode(tokens(F.col("__t"))).alias("w"))
@@ -1089,12 +1104,44 @@ def bpe_learn_merges(df: DataFrame, text_col: str = "text", n_merges: int = 3):
         state = seg.withColumn(
             "sym", F.expr(_bpe_merge_fold_sql(best.lhs, best.rhs))
         ).select("w", "cnt", "sym")
-    total = state.agg(
-        F.sum(F.col("cnt") * F.size(F.split("sym", r"\|"))).cast("bigint")
-    ).collect()[0][0]
-    vocab.unpersist()
-    rows = merges + [(n_merges + 1, "<TOTAL>", "<SYMBOLS>", int(total))]
-    out = spark.createDataFrame(rows, ["step", "lhs", "rhs", "n"])
-    return out.select(
-        F.col("step").cast("bigint"), "lhs", "rhs", F.col("n").cast("bigint")
+    return vocab, state, merges
+
+
+def bpe_fertility_by_lang(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n_merges: int = 3,
+) -> DataFrame:
+    """Train the fixed-step BPE (same trainer as
+    :func:`bpe_learn_merges`) and APPLY it: per language, total word
+    occurrences, total subword pieces under the learned merges, and
+    fertility (subwords per word) — the trained-tokenizer counterpart
+    of the regex-approximation ``tokenizer_fertility_by_lang``.
+
+    Scale shape: the per-word subword count is vocab-sized and
+    BROADCAST into the corpus word stream (corpus rows never shuffle
+    for the join); the final aggregate is a |languages|-group
+    map-side-combined groupBy.
+    """
+    vocab, state, _ = _bpe_train(df, text_col, n_merges)
+    wc = state.select(
+        "w", F.size(F.split("sym", r"\|")).cast("bigint").alias("ns")
     )
+    occ = spread(df.select(F.col(lang_col).alias("lang"), F.col(text_col).alias("__t"))).select(
+        "lang", F.explode(tokens(F.col("__t"))).alias("w")
+    )
+    out = (
+        occ.join(F.broadcast(wc), "w")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("total_words"),
+            F.sum("ns").cast("bigint").alias("total_subwords"),
+            F.round(F.sum("ns") / F.count("*"), 4).alias("fertility"),
+        )
+    )
+    # eager: materialize before unpersisting the trainer's vocab (the
+    # result is |languages| rows)
+    rows = out.collect()
+    vocab.unpersist()
+    return df.sparkSession.createDataFrame(rows, out.schema)

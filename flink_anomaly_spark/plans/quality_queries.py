@@ -1280,7 +1280,10 @@ _BPE_FOLD = """list_reduce(string_split(sym, '|'), (acc, y) -> CASE
       ELSE acc || '|' || y END)"""
 
 
-def _bpe_oracle(n_merges: int = _BPE_MERGES) -> str:
+def _bpe_steps_sql(n_merges: int = _BPE_MERGES) -> str:
+    """Shared WITH-chain: vocabulary → char symbols → n unrolled
+    (pair-count, argmax, merge-fold) steps. Both BPE queries build on
+    w{n_merges} so training and application cannot drift."""
     steps = []
     for t in range(1, n_merges + 1):
         steps.append(f"""
@@ -1296,9 +1299,6 @@ def _bpe_oracle(n_merges: int = _BPE_MERGES) -> str:
     ), w{t} AS (
       SELECT w, cnt, {_BPE_FOLD} AS sym FROM w{t - 1} CROSS JOIN b{t}
     )""")
-    unions = "\n      ".join(
-        f"UNION ALL SELECT {t}, ml, mr, n FROM b{t}" for t in range(2, n_merges + 1)
-    )
     return f"""
     WITH v0 AS (
       SELECT w, CAST(count(*) AS BIGINT) AS cnt
@@ -1308,7 +1308,15 @@ def _bpe_oracle(n_merges: int = _BPE_MERGES) -> str:
              array_to_string(list_transform(range(1, length(w)+1),
                                             i -> substr(w, i, 1)), '|') AS sym
       FROM v0
-    ),{",".join(steps)},
+    ),{",".join(steps)}"""
+
+
+def _bpe_oracle(n_merges: int = _BPE_MERGES) -> str:
+    unions = "\n      ".join(
+        f"UNION ALL SELECT {t}, ml, mr, n FROM b{t}" for t in range(2, n_merges + 1)
+    )
+    return f"""
+    {_bpe_steps_sql(n_merges)},
     merges AS (
       SELECT 1 AS step, ml AS lhs, mr AS rhs, n FROM b1
       {unions}
@@ -1337,3 +1345,34 @@ def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bpe_learn_merges(docs, n_merges=_BPE_MERGES)
+
+
+@register(
+    "bpe_fertility_by_lang",
+    oracle=f"""
+    {_bpe_steps_sql()},
+    occ AS (
+      SELECT lang, unnest({_TOKS}) AS w FROM documents
+    ), j AS (
+      SELECT occ.lang, len(string_split(w{_BPE_MERGES}.sym, '|')) AS ns
+      FROM occ JOIN w{_BPE_MERGES} USING (w)
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS total_words,
+           CAST(sum(ns) AS BIGINT) AS total_subwords,
+           round(CAST(sum(ns) AS DOUBLE) / count(*), 4) AS fertility
+    FROM j GROUP BY lang
+    """,
+    doc="Trained-BPE fertility per language: train the 3 fixed merges "
+    "(same trainer and unrolled-oracle CTE chain as bpe_learn_merges — "
+    "the two cannot drift) and APPLY them to the corpus word stream. "
+    "The per-word subword count is vocab-sized and BROADCAST into the "
+    "exploded corpus (corpus rows never shuffle for the join); final "
+    "agg is a |languages|-group map-side combine. The trained "
+    "counterpart of tokenizer_fertility_by_lang's regex approximation.",
+)
+def q_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.text import bpe_fertility_by_lang
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_fertility_by_lang(docs, n_merges=_BPE_MERGES)

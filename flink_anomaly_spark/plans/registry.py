@@ -81,7 +81,7 @@ _LOADED = False
 #: variant_props_stats, bitmap_distinct_by_type, audio_pcm_stats,
 #: video_frame_sample_stats, winnowing_fingerprint_stats,
 #: winnowing_dup_pairs, bm25_topk, span_dedup_clean,
-#: bpe_learn_merges, embedding_ann_pq).
+#: bpe_learn_merges, bpe_fertility_by_lang, embedding_ann_pq).
 DRIVER_WINDOW: tuple[str, ...] = (
     # ---- NEW round-5 queries (prove them on the driver immediately)
     "kmeans_lloyd_outliers",

@@ -435,3 +435,17 @@ def test_bpe_merge_tie_break_lexicographic(spark):
     df = spark.createDataFrame([(1, "zy ba")], ["doc_id", "text"])
     out = [tuple(r) for r in bpe_learn_merges(df, n_merges=1).collect()]
     assert out[0] == (1, "b", "a", 1)
+
+
+def test_bpe_fertility_hand_computed(spark):
+    """Fertility under the learned merges on the hand-computed corpus:
+    'abab abab cd' with 3 merges -> abab = 1 piece, cd... learned merges
+    (a,b), (ab,ab), (c,d) -> both words fully merged: every occurrence
+    is 1 subword -> fertility 1.0 over 3 word occurrences."""
+    from flink_anomaly_spark.operators.text import bpe_fertility_by_lang
+
+    df = spark.createDataFrame([(1, "abab abab cd", "en")], ["doc_id", "text", "lang"])
+    out = bpe_fertility_by_lang(df, n_merges=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.lang, r.total_words, r.total_subwords, r.fertility) == ("en", 3, 3, 1.0)
