@@ -41,6 +41,15 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Raised when a commit's parent no longer equals the live pointer:
+    another writer committed in between. Re-read ``latest()``, rebuild
+    the commit against it, retry (the Delta/Iceberg optimistic retry
+    loop — left to the caller because conflict RESOLUTION is
+    operation-specific: an append can always rebase, an overwrite must
+    decide)."""
+
+
 class ManifestTable:
     """Handle on a manifest-committed table rooted at ``path``."""
 
@@ -99,6 +108,23 @@ class ManifestTable:
         # the ONLY mutation: atomic pointer replace. A crash before this
         # line leaves an orphan manifest that is never referenced; a
         # crash after is a completed commit.
+        #
+        # Optimistic-concurrency check (best-effort filesystem CAS, the
+        # conditional-PUT a real object store provides): the pointer
+        # must still name the parent this commit was built against. Two
+        # concurrent writers both pass latest() at read time; the
+        # second one to reach this line now FAILS instead of silently
+        # discarding the first writer's files from the live set. The
+        # check-then-replace pair is not atomic on a plain filesystem —
+        # a loss window of one os.replace remains — hence "best-effort";
+        # the loser's manifest stays as an unreferenced orphan either
+        # way (never corrupt state, only a rejected commit).
+        current = self._latest_name() if os.path.exists(self.pointer) else None
+        if current != parent:
+            raise ConcurrentCommitError(
+                f"commit built on parent={parent!r} but table has advanced "
+                f"to {current!r}; re-read latest() and retry"
+            )
         tmp = self.pointer + "." + uuid.uuid4().hex[:6]
         with open(tmp, "w") as fh:
             fh.write(name)
@@ -162,7 +188,8 @@ class ManifestTable:
         if the latest manifest chain already recorded it (a replayed
         foreachBatch after a crash), the append is a no-op — the
         exactly-once upgrade with the ledger INSIDE the commit."""
-        cur = self.latest()
+        parent_name = self._latest_name()
+        cur = self._load(parent_name)
         if batch_id is not None and batch_id in cur["batch_ids"]:
             return cur
         files, ddl = self._write_files(df)
@@ -170,18 +197,19 @@ class ManifestTable:
         stats.update(self._footer_stats(files))
         return self._commit(
             files=cur["files"] + files,
-            parent=self._latest_name(),
+            parent=parent_name,
             schema_ddl=cur["schema_ddl"] or ddl,
             batch_ids=cur["batch_ids"] + ([batch_id] if batch_id is not None else []),
             stats=stats,
         )
 
     def overwrite(self, df: DataFrame) -> dict:
-        cur = self.latest()
+        parent_name = self._latest_name()
+        cur = self._load(parent_name)
         files, ddl = self._write_files(df)
         return self._commit(
             files=files,
-            parent=self._latest_name(),
+            parent=parent_name,
             schema_ddl=ddl,
             batch_ids=cur["batch_ids"],
             stats=self._footer_stats(files),
@@ -193,7 +221,8 @@ class ManifestTable:
         files are untouched (the property that makes compaction
         affordable at 100 TB: cost scales with the small-file tail,
         not the table)."""
-        cur = self.latest()
+        parent_name = self._latest_name()
+        cur = self._load(parent_name)
         small = [
             f
             for f in cur["files"]
@@ -208,7 +237,7 @@ class ManifestTable:
         stats.update(self._footer_stats(files))
         return self._commit(
             files=keep + files,
-            parent=self._latest_name(),
+            parent=parent_name,
             schema_ddl=cur["schema_ddl"],
             batch_ids=cur["batch_ids"],
             stats=stats,
@@ -282,7 +311,9 @@ class ManifestTable:
         """Re-point the table at an earlier commit — a NEW commit whose
         content equals the old one (Delta RESTORE), so the rollback is
         itself in the history and reversible."""
-        man = self.latest()
+        parent_name = self._latest_name()
+        cur = self._load(parent_name)
+        man = cur
         while man["version"] > version:
             if man["parent"] is None:
                 raise IndexError(f"version {version} not found")
@@ -291,9 +322,9 @@ class ManifestTable:
             raise IndexError(f"version {version} not found")
         return self._commit(
             files=man["files"],
-            parent=self._latest_name(),
+            parent=parent_name,
             schema_ddl=man["schema_ddl"],
-            batch_ids=self.latest()["batch_ids"],
+            batch_ids=cur["batch_ids"],
             stats=man.get("stats", {}),
         )
 

@@ -1085,6 +1085,16 @@ def span_dedup_clean(
     per document; reconstruction is per-row array math. Two shuffles
     total (gram-count groupBy + the postings join), same floor as
     cross_doc_repeated_ngrams.
+
+    Reconstruction is O(n_words + n_spans) per row: the marked starts
+    are sorted once, folded into disjoint ``(lo, hi)`` intervals, and
+    the kept indices are emitted as the GAPS between intervals — never
+    a per-word scan over the span list (the naive
+    ``filter(seq, j -> !exists(spans, ...))`` form is
+    O(n_words × n_spans), quadratic on boilerplate-heavy documents).
+    Zero-token documents yield an empty gap sweep (no
+    ``element_at`` is ever evaluated on an empty array), matching the
+    oracle's clean empty row.
     """
     from flink_anomaly_spark.operators.text import tokens
     from flink_anomaly_spark.partitioning import spread
@@ -1110,9 +1120,50 @@ def span_dedup_clean(
     joined = d.join(dup_starts, "id", "left").withColumn(
         "dups", F.coalesce(F.col("dups"), F.array().cast("array<int>"))
     )
-    kept = F.filter(
-        F.sequence(F.lit(1), F.size("toks")),
-        lambda j: ~F.exists("dups", lambda s: (j >= s) & (j <= s + (n - 1))),
+    # Fold the sorted marked starts into disjoint (lo, hi) cover
+    # intervals (each start covers [s, s+n-1]; adjacent/overlapping
+    # intervals merge), then emit kept indices as the gaps between
+    # them: [prev_hi+1, next_lo-1] for consecutive intervals, with
+    # sentinels hi=0 before the first and lo=n_words+1 after the last.
+    empty_iv = F.array().cast("array<struct<lo:int,hi:int>>")
+    merged = F.aggregate(
+        F.array_sort("dups"),
+        empty_iv,
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) & (s <= F.element_at(acc, -1)["hi"] + 1),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["lo"].alias("lo"),
+                        F.greatest(
+                            F.element_at(acc, -1)["hi"], s + (n - 1)
+                        ).alias("hi"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(F.struct(s.alias("lo"), (s + (n - 1)).alias("hi"))),
+            )
+        ),
+    )
+    gap_his = F.concat(
+        F.array(F.lit(0)), F.transform(merged, lambda x: x["hi"])
+    )
+    gap_los = F.concat(
+        F.transform(merged, lambda x: x["lo"]),
+        F.array(F.size("toks") + 1),
+    )
+    kept = F.flatten(
+        F.zip_with(
+            gap_his,
+            gap_los,
+            lambda h, lo: F.when(
+                h + 1 <= lo - 1, F.sequence(h + 1, lo - 1)
+            ).otherwise(F.array().cast("array<int>")),
+        )
     )
     out = joined.withColumn("__kept", kept).select(
         F.col("id").alias(id_col),

@@ -452,16 +452,17 @@ def synth_wav_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 AUDIO_STATS_SCHEMA = (
     "media_id long, sample_rate int, n_samples long, "
-    "mean_amp double, rms double, peak long"
+    "mean_amp double, mean_square double, peak long"
 )
 
 
 def audio_pcm_stats(media: DataFrame) -> DataFrame:
     """Per-clip PCM statistics from REAL decoded samples: mean
-    amplitude (exact int64 sum / one double division), RMS
-    (sqrt(sum(s²)/n) — integer squares sum exactly, the sqrt of an
-    identical double is identical), and peak |s|. Emits unrounded
-    doubles; callers round with F.round after the UDF."""
+    amplitude (exact int64 sum / one double division), mean square
+    (sum(s²)/n — integer squares sum exactly; RMS is
+    ``sqrt(mean_square)``, applied JVM-side by callers so the sqrt of
+    an identical double stays oracle-identical), and peak |s|. Emits
+    unrounded doubles; callers round with F.round after the UDF."""
     import numpy as np
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -490,7 +491,7 @@ def audio_pcm_stats(media: DataFrame) -> DataFrame:
                     "sample_rate",
                     "n_samples",
                     "mean_amp",
-                    "rms",  # mean-square here; sqrt applied JVM-side
+                    "mean_square",
                     "peak",
                 ],
             )

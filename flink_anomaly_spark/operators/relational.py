@@ -319,10 +319,19 @@ def kmv_distinct_estimate(df: DataFrame, col: str, k: int = 256) -> DataFrame:
     rel_err_pct). ``exact_distinct`` rides along because the sketch's
     whole point is the accuracy trade — the query self-reports its
     error. k_used < k when the column has fewer distinct values (the
-    sketch is then exact by construction: est falls back to count)."""
+    sketch is then exact by construction: est falls back to count).
+
+    NULL keys are excluded before hashing (md5(NULL) = NULL would sort
+    nulls-FIRST in Spark's ascending orderBy but LAST in DuckDB,
+    corrupting a bottom-k slot) — matching COUNT(DISTINCT)'s own
+    null-ignoring semantics on the exact side."""
     from flink_anomaly_spark.operators.dedup import md5_int32
 
-    hashes = df.select(md5_int32(F.col(col).cast("string")).alias("h")).distinct()
+    hashes = (
+        df.filter(F.col(col).isNotNull())
+        .select(md5_int32(F.col(col).cast("string")).alias("h"))
+        .distinct()
+    )
     bottom = hashes.orderBy("h").limit(k)
     agg = bottom.agg(
         F.count("*").alias("k_used"),
@@ -379,11 +388,19 @@ def kmv_set_overlap(
     catalogs.
 
     Returns one row: (k_used, est_union, est_intersection, est_jaccard,
-    exact_union, exact_intersection)."""
+    exact_union, exact_intersection).
+
+    NULL keys are excluded on both sides before hashing AND in the
+    exact counts (a NULL hash would corrupt one bottom-k slot with
+    engine-dependent null ordering, and the exact-union full join
+    would count a NULL present on both sides twice, since joins never
+    match on NULL)."""
     from flink_anomaly_spark.operators.dedup import md5_int32
 
-    ha = dfa.select(md5_int32(F.col(col_a).cast("string")).alias("h")).distinct()
-    hb = dfb.select(md5_int32(F.col(col_b).cast("string")).alias("h")).distinct()
+    dfa_nn = dfa.filter(F.col(col_a).isNotNull())
+    dfb_nn = dfb.filter(F.col(col_b).isNotNull())
+    ha = dfa_nn.select(md5_int32(F.col(col_a).cast("string")).alias("h")).distinct()
+    hb = dfb_nn.select(md5_int32(F.col(col_b).cast("string")).alias("h")).distinct()
     bka = ha.orderBy("h").limit(k).select(F.col("h").alias("h"), F.lit(1).alias("in_a"))
     bkb = hb.orderBy("h").limit(k).select(F.col("h").alias("h"), F.lit(1).alias("in_b"))
     merged = (
@@ -403,8 +420,8 @@ def kmv_set_overlap(
     )
     # exact counts ride along so the sketch self-reports its error
     # (they are the expensive full computation the sketch replaces)
-    ea = dfa.select(F.col(col_a).alias("v")).distinct()
-    eb = dfb.select(F.col(col_b).alias("v")).distinct()
+    ea = dfa_nn.select(F.col(col_a).alias("v")).distinct()
+    eb = dfb_nn.select(F.col(col_b).alias("v")).distinct()
     exact = ea.join(eb, "v", "full").agg(F.count("*").alias("exact_union"))
     exact_i = ea.join(eb, "v", "inner").agg(F.count("*").alias("exact_intersection"))
     est_u = (

@@ -200,16 +200,24 @@ def tf_idf_top_terms(
     → idf = ln(N/df) joined back (df table is |vocab|-sized, broadcast)
     → per-doc top-N by (tfidf desc, term asc). Log is rounded so libm
     ulp differences between engines can't break the oracle hash.
+
+    N (corpus size) rides as a 1-row broadcast aggregate inside the
+    same plan — the bm25_topk corpus-stats pattern — not a separate
+    eager ``df.count()`` job (VERDICT r5 #6).
     """
     from pyspark.sql import Window
 
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term")
     )
-    n_docs = df.count()
+    corpus = df.agg(F.count("*").alias("__n_docs"))
     term_counts = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
     doc_freq = term_counts.groupBy("term").agg(F.count("*").alias("df"))
-    idf = doc_freq.withColumn("idf", F.log(F.lit(float(n_docs)) / F.col("df")))
+    idf = (
+        doc_freq.crossJoin(F.broadcast(corpus))
+        .withColumn("idf", F.log(F.col("__n_docs").cast("double") / F.col("df")))
+        .drop("__n_docs")
+    )
     scored = term_counts.join(F.broadcast(idf), "term").withColumn(
         "tfidf", F.round(F.col("tf") * F.col("idf"), round_to)
     )
@@ -992,10 +1000,17 @@ def bm25_topk(
     )
     from pyspark.sql import Window
 
+    # TakeOrdered first (per-partition top-n + driver merge of
+    # n_partitions·top_n rows), THEN row_number over the surviving
+    # top_n rows — the pq_adc_topk pattern. A bare global
+    # row_number window over every matching document would funnel the
+    # full match set through one task (Spark 3.5+'s WindowGroupLimit
+    # rewrite happens to cap it, but the plan shouldn't depend on an
+    # optimizer rewrite for its scalability).
+    top = scored.orderBy(F.col("score").desc(), F.col("id").asc()).limit(top_n)
     rn = F.row_number().over(Window.orderBy(F.col("score").desc(), F.col("id").asc()))
     return (
-        scored.withColumn("rank", rn)
-        .filter(F.col("rank") <= top_n)
+        top.withColumn("rank", rn)
         .select(
             F.col("id").alias(id_col),
             F.col("dl").cast("bigint").alias("doc_len"),
@@ -1070,10 +1085,37 @@ def bpe_learn_merges(df: DataFrame, text_col: str = "text", n_merges: int = 3):
     )
 
 
+#: Hard cap on sequential merge steps. COST MODEL (docs/DEPLOY.md
+#: "BPE trainer"): this trainer is ONE Spark action (a top-1
+#: TakeOrdered + 1-row collect) PER MERGE STEP over the persisted
+#: vocabulary — n_merges+1 actions total, each a vocab-sized
+#: (NOT corpus-sized) aggregate. Linear in n_merges with a
+#: per-action floor of scheduler latency + a vocab pass; fine for
+#: the unrolled oracle-checkable queries (3 steps), unacceptable for
+#: a production 32k-merge vocabulary, which needs a batched trainer
+#: (merge the top-K non-overlapping pairs per pass — pairs (a,b) and
+#: (c,d) can merge in the same sweep when {a,b} ∩ {c,d} = ∅ — cutting
+#: driver round-trips by ~K) or the linear-time single-machine
+#: algorithms once the vocab fits one node, which at web scale it
+#: does: vocab ≪ corpus.
+BPE_MAX_MERGES = 64
+
+
 def _bpe_train(df: DataFrame, text_col: str, n_merges: int):
     """Shared BPE trainer: returns (persisted vocab frame, final
     (w, cnt, sym) state, [(step, lhs, rhs, n)] merges). Callers MUST
-    unpersist the returned vocab after their terminal action."""
+    unpersist the returned vocab after their terminal action.
+
+    Cost: exactly ONE action per merge step (see BPE_MAX_MERGES);
+    ``test_bpe_trainer_job_count`` pins that contract."""
+    if n_merges > BPE_MAX_MERGES:
+        raise ValueError(
+            f"n_merges={n_merges} > {BPE_MAX_MERGES}: this fixed-iteration "
+            "trainer runs one driver action per merge step (see "
+            "docs/DEPLOY.md 'BPE trainer' for the cost model); a "
+            "production-size vocabulary needs a batched multi-merge-per-"
+            "pass trainer, not more sequential steps"
+        )
     vocab = (
         spread(df.select(F.col(text_col).alias("__t")))
         .select(F.explode(tokens(F.col("__t"))).alias("w"))

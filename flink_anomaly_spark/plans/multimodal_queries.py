@@ -260,7 +260,7 @@ def q_audio_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sample_rate",
         "n_samples",
         (F.round("mean_amp", 4) + F.lit(0.0)).alias("mean_amp"),
-        F.round(F.sqrt("rms"), 4).alias("rms"),
+        F.round(F.sqrt("mean_square"), 4).alias("rms"),
         "peak",
     )
 

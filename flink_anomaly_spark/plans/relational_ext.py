@@ -1227,7 +1227,7 @@ def _kmv_oracle(col: str = "user_id", table: str = "events", k: int = 256) -> st
         f"ELSE {float(k - 1)} * 4294967296.0 / kth_hash END"
     )
     return f"""
-    WITH h AS (SELECT DISTINCT {h} AS h FROM {table}),
+    WITH h AS (SELECT DISTINCT {h} AS h FROM {table} WHERE {col} IS NOT NULL),
     b AS (SELECT h FROM h ORDER BY h LIMIT {k}),
     a AS (SELECT CAST(count(*) AS BIGINT) AS k_used, max(h) AS kth_hash FROM b),
     e AS (SELECT CAST(count(DISTINCT {col}) AS BIGINT) AS exact_distinct
@@ -1266,8 +1266,10 @@ def _kmv_overlap_oracle(k: int = 256) -> str:
         f"ELSE {float(k - 1)} * 4294967296.0 / kth END"
     )
     return f"""
-    WITH ha AS (SELECT DISTINCT {h("c_custkey")} AS h FROM customer),
-    hb AS (SELECT DISTINCT {h("o_custkey")} AS h FROM orders),
+    WITH ha AS (SELECT DISTINCT {h("c_custkey")} AS h FROM customer
+                WHERE c_custkey IS NOT NULL),
+    hb AS (SELECT DISTINCT {h("o_custkey")} AS h FROM orders
+           WHERE o_custkey IS NOT NULL),
     bka AS (SELECT h, 1 AS in_a FROM ha ORDER BY h LIMIT {k}),
     bkb AS (SELECT h, 1 AS in_b FROM hb ORDER BY h LIMIT {k}),
     m AS (
@@ -1277,8 +1279,10 @@ def _kmv_overlap_oracle(k: int = 256) -> str:
     ),
     st AS (SELECT CAST(count(*) AS BIGINT) AS k_used, max(h) AS kth,
                   CAST(sum(in_a * in_b) AS BIGINT) AS n_both FROM m),
-    ea AS (SELECT DISTINCT c_custkey AS v FROM customer),
-    eb AS (SELECT DISTINCT o_custkey AS v FROM orders),
+    ea AS (SELECT DISTINCT c_custkey AS v FROM customer
+           WHERE c_custkey IS NOT NULL),
+    eb AS (SELECT DISTINCT o_custkey AS v FROM orders
+           WHERE o_custkey IS NOT NULL),
     eu AS (SELECT CAST(count(*) AS BIGINT) AS exact_union
            FROM (SELECT v FROM ea FULL JOIN eb USING (v)) t),
     ei AS (SELECT CAST(count(*) AS BIGINT) AS exact_intersection

@@ -620,6 +620,64 @@ def test_kmv_overlap_accuracy(spark):
     assert abs(r.est_intersection - 2000) / 2000 < 0.5, r
 
 
+def test_kmv_null_keys_excluded(spark):
+    """NULL keys never enter the sketch (ADVICE r5): a NULL md5 hash
+    would occupy a bottom-k slot with engine-dependent null ordering,
+    and the exact-union full join would double-count a NULL on both
+    sides. Estimates and exact counts must be identical with and
+    without planted NULLs."""
+    from flink_anomaly_spark.operators.relational import (
+        kmv_distinct_estimate,
+        kmv_set_overlap,
+    )
+
+    vals = [(float(i),) for i in range(300)]
+    clean = spark.createDataFrame(vals, "v double")
+    dirty = spark.createDataFrame(vals + [(None,)] * 5, "v double")
+    rc = kmv_distinct_estimate(clean, "v", k=64).collect()[0]
+    rd = kmv_distinct_estimate(dirty, "v", k=64).collect()[0]
+    assert rc == rd and rd.exact_distinct == 300
+    b = spark.createDataFrame(
+        [(float(i),) for i in range(200, 500)] + [(None,)] * 3, "w double"
+    )
+    ro = kmv_set_overlap(dirty, "v", b, "w", k=64).collect()[0]
+    assert ro.exact_union == 500 and ro.exact_intersection == 100
+
+
+def test_manifest_concurrent_commit_rejected(spark, tmp_path):
+    """Optimistic concurrency (ADVICE r5): a second writer whose commit
+    was built against a stale parent must FAIL with
+    ConcurrentCommitError instead of silently discarding the first
+    writer's files; after the conflict the table still serves the
+    winner's rows and a rebased retry succeeds."""
+    import pytest
+
+    from flink_anomaly_spark.manifest_table import (
+        ConcurrentCommitError,
+        ManifestTable,
+    )
+
+    t = ManifestTable.create(str(tmp_path / "tbl"))
+    t.append(spark.range(0, 10).selectExpr("id AS v"))
+    # writer B snapshots the current parent, then writer A commits
+    stale_parent = t._latest_name()
+    cur = t._load(stale_parent)
+    t.append(spark.range(10, 20).selectExpr("id AS v"))
+    files, ddl = t._write_files(spark.range(20, 30).selectExpr("id AS v"))
+    with pytest.raises(ConcurrentCommitError):
+        t._commit(
+            files=cur["files"] + files,
+            parent=stale_parent,
+            schema_ddl=cur["schema_ddl"] or ddl,
+            batch_ids=cur["batch_ids"],
+            stats={},
+        )
+    # winner's rows intact; a rebased retry (fresh latest()) succeeds
+    assert t.read(spark).count() == 20
+    t.append(spark.range(30, 40).selectExpr("id AS v"))
+    assert t.read(spark).count() == 30
+
+
 def test_bitmap_aggs_merge_across_stored_partials(spark, tmp_path):
     """The bitmap family's mergeability is the point: per-day bitmaps
     stored to parquet, then OR-merged WITHOUT rescanning the raw rows,
@@ -743,6 +801,54 @@ def test_span_dedup_clean_planted_duplicate(spark):
     assert out[3].n_removed == 0 and out[3].cleaned_text.startswith("totally")
     assert out[4].n_removed == 0 and out[4].cleaned_text == "short doc only"
     assert out[4].n_words == 3
+
+
+def test_span_dedup_clean_empty_and_fully_covered(spark):
+    """Zero-token and whitespace-only documents produce a clean empty
+    row (no INVALID_ARRAY_INDEX_IN_ELEMENT_AT — ADVICE r5), and a doc
+    whose EVERY word is covered by marked spans empties out entirely
+    (the interval merge folds all spans into one)."""
+    from flink_anomaly_spark.operators.dedup import span_dedup_clean
+
+    span = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    rows = [
+        (1, ""),
+        (2, "   \t  "),
+        (3, span),
+        (4, span),
+        (5, "plain unduplicated filler words beyond the gram width okay"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in span_dedup_clean(df, n=8, min_count=2).collect()}
+    assert len(out) == 5
+    for empty_id in (1, 2):
+        r = out[empty_id]
+        assert r.n_words == 0 and r.n_removed == 0
+        assert r.removed_frac == 0.0 and r.cleaned_text == ""
+    for full_id in (3, 4):
+        r = out[full_id]
+        assert r.n_words == 12 and r.n_removed == 12
+        assert r.removed_frac == 1.0 and r.cleaned_text == ""
+    assert out[5].n_removed == 0
+
+
+def test_span_dedup_clean_interval_merge_gaps(spark):
+    """Two disjoint duplicated spans inside one doc leave exactly the
+    inter-span gap words: the merged-interval gap sweep keeps interior
+    gaps, the head, and the tail."""
+    from flink_anomaly_spark.operators.dedup import span_dedup_clean
+
+    s1 = "a1 a2 a3 a4 a5 a6 a7 a8"
+    s2 = "b1 b2 b3 b4 b5 b6 b7 b8"
+    rows = [
+        (1, "head1 head2 " + s1 + " gapx gapy " + s2 + " tail1"),
+        (2, s1),
+        (3, s2),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in span_dedup_clean(df, n=8, min_count=2).collect()}
+    assert out[1].cleaned_text == "head1 head2 gapx gapy tail1"
+    assert out[1].n_removed == 16
 
 
 def test_span_dedup_clean_within_doc_repeat(spark):
