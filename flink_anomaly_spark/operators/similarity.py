@@ -665,3 +665,198 @@ def pq_adc_topk(
     return top.withColumn("rank", rn.cast("bigint")).select(
         F.col("id").alias(id_col), "pq_code_key", "adc_micro", "rank"
     )
+
+
+def train_pq_codebook(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    init_ids: list[int],
+    m: int = 8,
+    n_iter: int = 1,
+) -> dict[int, dict[int, list[float]]]:
+    """Lloyd-train the per-subspace PQ codebooks (the step a production
+    PQ index runs; ``pq_adc_topk``'s deterministic-sample codebook is
+    the untrained baseline). Same oracle-exact fixed-iteration recipe
+    as ``anomaly.kmeans_lloyd_outliers`` (VERDICT r5 #4), applied per
+    subspace with squared-L2 assignment (PQ is an L2 quantizer):
+
+    - INIT: sub-codebook ``s`` = the ``s``-th subvectors of the
+      ``init_ids`` sample (bounded index-build collect).
+    - ASSIGN: per subspace, nearest codeword by the left-folded
+      squared-L2 chain (`_sub_l2`, bit-identical to the oracle's
+      chain); ties -> lowest codeword index. Codewords are inlined
+      literals, so one iteration's assignment is a NARROW map — all
+      ``m`` subspaces in a single projection, zero shuffles.
+    - UPDATE: new codeword = element-wise mean of the cell's
+      subvectors in FIXED-POINT micro-units (bigint(round(val*1e6))
+      summed — exact, order-independent — one double division,
+      round(6)). One map-side-combined groupBy over exploded
+      (subspace, codeword, dim) triples: m*k_sub*sub partials per
+      mapper, then an m*k_sub*sub-row model collect (1 KB-scale),
+      re-inlined for the next pass — the broadcast-model-per-iteration
+      shape every distributed trainer uses.
+    - An empty cell disappears for later iterations (that subspace's k
+      shrinks); the return is therefore a per-subspace dict keyed by
+      SURVIVING original codeword index, which the encoder and oracle
+      both honor.
+
+    Returns ``{s: {j: subvector (len dim/m, doubles)}}``.
+    """
+    dim = _dim_of(df, vec_col)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    init = collect_centroids(df, id_col, vec_col, init_ids)
+    cb: dict[int, dict[int, list[float]]] = {
+        s: {
+            j: [float(x) for x in init[j][s * sub : (s + 1) * sub]]
+            for j in range(len(init_ids))
+        }
+        for s in range(m)
+    }
+    # cast to double ONCE at the scan (float->double per element, per
+    # candidate, per subspace otherwise — 128 redundant casts/row);
+    # _sub_l2's inner cast then folds away as double->double
+    base = spread(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+    )
+    for _ in range(n_iter):
+        entries = []
+        for s in range(m):
+            subv = F.slice("v", s * sub + 1, sub)
+            # codebook as ONE nested-array literal + a parallel index
+            # array, candidates generated by a runtime transform — one
+            # shared fold expression per subspace, not k_sub unrolled
+            # copies (the unrolled form was ~16× the expression tree
+            # and cost ~5× wall-clock in Catalyst + interpreted eval)
+            items = sorted(cb[s].items())
+            cb_lit = F.array(
+                *[F.array(*[F.lit(float(c)) for c in cw]) for _, cw in items]
+            )
+            j_lit = F.array(*[F.lit(j) for j, _ in items])
+            def _cand_fn(_cb, _j, _sv):
+                return lambda t: F.struct(
+                    _sub_l2(_sv, F.element_at(_cb, t)).alias("d"),
+                    F.element_at(_j, t).alias("j"),
+                )
+
+            cands = F.transform(
+                F.sequence(F.lit(1), F.lit(len(items))),
+                _cand_fn(cb_lit, j_lit, subv),
+            )
+            entries.append(
+                F.struct(
+                    F.lit(s).alias("s"),
+                    F.array_min(cands)["j"].alias("j"),
+                    subv.alias("sv"),
+                )
+            )
+        comp = (
+            base.select(F.explode(F.array(*entries)).alias("e"))
+            .select(
+                F.col("e.s").alias("s"),
+                F.col("e.j").alias("j"),
+                F.posexplode("e.sv").alias("d", "val"),
+            )
+            .withColumn(
+                "ival",
+                F.round(F.col("val").cast("double") * F.lit(1000000.0)).cast("bigint"),
+            )
+            .groupBy("s", "j", "d")
+            .agg(F.sum("ival").alias("sm"), F.count("*").alias("n"))
+            .select(
+                "s",
+                "j",
+                "d",
+                F.round(F.col("sm") / (F.col("n") * F.lit(1000000.0)), 6).alias("c"),
+            )
+        )
+        nxt: dict[int, dict[int, list[float]]] = {s: {} for s in range(m)}
+        for r in comp.collect():  # m*k_sub*sub rows — bounded model collect
+            nxt[r.s].setdefault(r.j, [0.0] * sub)[r.d] = r.c
+        cb = nxt
+    return cb
+
+
+def pq_adc_topk_trained(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebook: dict[int, dict[int, list[float]]],
+    query_vec: list[float],
+    k_sub: int,
+    top_n: int = 10,
+) -> DataFrame:
+    """ADC top-k against an explicit (possibly ragged — empty cells
+    dropped by training) per-subspace codebook from
+    ``train_pq_codebook``. Same scale shape as ``pq_adc_topk``: the
+    driver computes the query's per-(subspace, codeword) distance
+    table in integer micro-units; encode+lookup is one narrow
+    literal-inlined projection per vector (each candidate struct
+    carries its ADC value, so nearest-codeword choice and table lookup
+    are a single ``array_min``); top-``top_n`` via TakeOrdered."""
+    import math
+
+    m = len(codebook)
+    sub = len(next(iter(codebook[0].values())))
+    key = None
+    dist = None
+    selects = []
+    for s in range(m):
+        subv = F.slice("v", s * sub + 1, sub)
+        items = sorted(codebook[s].items())
+        adc = []
+        for _, cw in items:
+            a = 0.0
+            for dd in range(sub):
+                x = float(query_vec[s * sub + dd]) - float(cw[dd])
+                a = a + x * x
+            adc.append(int(math.floor(a * 1000000.0 + 0.5)))
+        # one shared fold per subspace over a nested-array codebook
+        # literal; parallel index/ADC arrays ride in the candidate
+        # struct so nearest-codeword choice and table lookup are a
+        # single array_min (d, then j, tiebreaks; a never compared)
+        cb_lit = F.array(
+            *[F.array(*[F.lit(float(c)) for c in cw]) for _, cw in items]
+        )
+        j_lit = F.array(*[F.lit(j) for j, _ in items])
+        a_lit = F.array(*[F.lit(a) for a in adc])
+        def _cand_fn(_cb, _j, _a, _sv):
+            return lambda t: F.struct(
+                _sub_l2(_sv, F.element_at(_cb, t)).alias("d"),
+                F.element_at(_j, t).alias("j"),
+                F.element_at(_a, t).alias("a"),
+            )
+
+        cands = F.transform(
+            F.sequence(F.lit(1), F.lit(len(items))),
+            _cand_fn(cb_lit, j_lit, a_lit, subv),
+        )
+        best = F.array_min(cands)
+        selects.append(best["j"].alias(f"j{s}"))
+        selects.append(best["a"].alias(f"a{s}"))
+    base = spread(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+    ).select("id", *selects)
+    for s in range(m):
+        kterm = F.col(f"j{s}").cast("bigint") * F.lit(k_sub**s)
+        aterm = F.col(f"a{s}").cast("bigint")
+        key = kterm if key is None else key + kterm
+        dist = aterm if dist is None else dist + aterm
+    scored = base.select(
+        "id", key.alias("pq_code_key"), dist.alias("adc_micro")
+    )
+    top = scored.orderBy(F.col("adc_micro").asc(), F.col("id").asc()).limit(top_n)
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(Window.orderBy(F.col("adc_micro").asc(), F.col("id").asc()))
+    return top.withColumn("rank", rn.cast("bigint")).select(
+        F.col("id").alias(id_col), "pq_code_key", "adc_micro", "rank"
+    )

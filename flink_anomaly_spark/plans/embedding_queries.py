@@ -288,3 +288,139 @@ def q_embedding_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         m=_PQ_M,
         top_n=10,
     )
+
+
+_PQ_LLOYD_ITER = 1
+
+
+def _pq_sub_chain(v: str, cv: str) -> str:
+    """Left-associated squared-L2 chain between a FULL vector's
+    subspace slice (``{v}[s*SUB + d]``, s from the joined cb row) and a
+    trained SUB-vector codeword (``{cv}[d]``, already DOUBLE) —
+    operation order identical to the Spark side's _sub_l2 fold."""
+    terms = []
+    for d in range(1, _PQ_SUB + 1):
+        ia = f"CAST({v}[cb.s*{_PQ_SUB} + {d}] AS DOUBLE)"
+        terms.append(f"({ia} - {cv}[{d}]) * ({ia} - {cv}[{d}])")
+    return " + ".join(terms)
+
+
+def _pq_lloyd_oracle(n_iter: int = _PQ_LLOYD_ITER) -> str:
+    cbm_vals = ", ".join(f"({j}, {cid})" for j, cid in enumerate(_PQ_CODEBOOK_IDS))
+    k_sub = len(_PQ_CODEBOOK_IDS)
+    subs_vals = ", ".join(f"({s}, {k_sub**s})" for s in range(_PQ_M))
+    ctes = [
+        f"e AS (SELECT vec_id, embedding AS v FROM embeddings)",
+        f"cbm(j, cid) AS (VALUES {cbm_vals})",
+        f"subs(s, factor) AS (VALUES {subs_vals})",
+        f"""cb0 AS (
+      SELECT subs.s, cbm.j,
+             list_transform(range(1, {_PQ_SUB} + 1),
+                            d -> CAST(e.v[subs.s*{_PQ_SUB} + d] AS DOUBLE)) AS cv
+      FROM cbm JOIN e ON e.vec_id = cbm.cid CROSS JOIN subs
+    )""",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"""code{i} AS (
+      SELECT vec_id, s, j FROM (
+        SELECT e.vec_id, cb.s, cb.j,
+               row_number() OVER (PARTITION BY e.vec_id, cb.s
+                                  ORDER BY {_pq_sub_chain("e.v", "cb.cv")}, cb.j) AS rn
+        FROM e CROSS JOIN cb{i - 1} cb) t
+      WHERE rn = 1
+    )"""
+        )
+        ctes.append(
+            f"""cb{i} AS (
+      SELECT s, j, list(c ORDER BY d) AS cv FROM (
+        SELECT s, j, d, round(sum(ival) / (count(*) * 1000000.0), 6) AS c
+        FROM (
+          SELECT c.s, c.j, i.d,
+                 CAST(round(CAST(e.v[c.s*{_PQ_SUB} + i.d] AS DOUBLE)
+                            * 1000000.0) AS BIGINT) AS ival
+          FROM code{i} c JOIN e USING (vec_id) CROSS JOIN
+               (SELECT unnest(range(1, {_PQ_SUB} + 1)) AS d) i) p
+        GROUP BY s, j, d) g
+      GROUP BY s, j
+    )"""
+        )
+    ctes.append(
+        f"""enc AS (
+      SELECT vec_id, s, j FROM (
+        SELECT e.vec_id, cb.s, cb.j,
+               row_number() OVER (PARTITION BY e.vec_id, cb.s
+                                  ORDER BY {_pq_sub_chain("e.v", "cb.cv")}, cb.j) AS rn
+        FROM e CROSS JOIN cb{n_iter} cb) t
+      WHERE rn = 1
+    )"""
+    )
+    ctes.append(f"q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_PQ_QUERY_ID})")
+    ctes.append(
+        f"""adc AS (
+      SELECT cb.s, cb.j,
+             CAST(floor(({_pq_sub_chain("q.qv", "cb.cv")}) * 1000000 + 0.5) AS BIGINT) AS a
+      FROM q CROSS JOIN cb{n_iter} cb
+    )"""
+    )
+    ctes.append(
+        """scored AS (
+      SELECT enc.vec_id,
+             CAST(sum(CAST(enc.j AS BIGINT) * CAST(subs.factor AS BIGINT)) AS BIGINT) AS pq_code_key,
+             CAST(sum(adc.a) AS BIGINT) AS adc_micro
+      FROM enc JOIN subs USING (s) JOIN adc ON adc.s = enc.s AND adc.j = enc.j
+      GROUP BY enc.vec_id
+    )"""
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes) + """
+    SELECT vec_id, pq_code_key, adc_micro, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT *, row_number() OVER (ORDER BY adc_micro, vec_id) AS rank FROM scored
+    ) t WHERE rank <= 10
+    """
+    )
+
+
+@register(
+    "embedding_ann_pq_lloyd",
+    oracle=_pq_lloyd_oracle(),
+    doc="PQ-ADC ANN with a LLOYD-TRAINED codebook (VERDICT r5 #4): the "
+    "production index-build step embedding_ann_pq's deterministic "
+    "sample stands in for. Each of the 8 sub-codebooks takes one "
+    "unrolled Lloyd step from the sample init — squared-L2 assignment "
+    "as a narrow literal-inlined map (all subspaces in one "
+    "projection, zero shuffles per pass), fixed-point micro-unit "
+    "means (order-independent integer sums -> oracle-exact), a "
+    "1 KB-scale model collect re-inlined between passes. Encode + "
+    "query ADC table then run exactly as embedding_ann_pq (each "
+    "candidate struct carries its ADC value, so nearest-codeword and "
+    "table lookup are one array_min); top-10 via TakeOrdered. The "
+    "recall test (test_pq_lloyd_recall) pins trained recall >= sample-"
+    "codebook recall against exact L2.",
+)
+def q_embedding_ann_pq_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.similarity import (
+        collect_centroids,
+        pq_adc_topk_trained,
+        train_pq_codebook,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = train_pq_codebook(
+        emb,
+        id_col="vec_id",
+        vec_col="embedding",
+        init_ids=_PQ_CODEBOOK_IDS,
+        m=_PQ_M,
+        n_iter=_PQ_LLOYD_ITER,
+    )
+    qvec = collect_centroids(emb, "vec_id", "embedding", [_PQ_QUERY_ID])[0]
+    return pq_adc_topk_trained(
+        emb,
+        id_col="vec_id",
+        vec_col="embedding",
+        codebook=cb,
+        query_vec=qvec,
+        k_sub=len(_PQ_CODEBOOK_IDS),
+        top_n=10,
+    )

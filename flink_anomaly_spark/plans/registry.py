@@ -69,83 +69,91 @@ _LOADED = False
 #: 58 registered queries had NEVER been driver-checked entering round
 #: 5; this window burns down 47 of them plus the three new round-5
 #: queries (kmeans_lloyd_outliers, media_pixel_stats,
-#: streaming_window_count_update). ROUND-6 ROTATE-INS (never
-#: driver-checked; all local-gate green at 3 SFs): the 11 deferred
-#: close siblings (embedding_dim_stats, embedding_covariance,
-#: minhash_estimate_accuracy, char_entropy, token_count_histogram,
-#: langid_accuracy_by_lang, winsorized_event_stats,
-#: equi_depth_histogram, cumulative_distinct_users,
-#: time_range_moving_avg, synthetic_source_agg) plus the round-5 late
-#: additions (media_resize_stats, pii_redaction_stats,
-#: dsir_importance_weights, kmv_distinct_users, kmv_custkey_overlap,
-#: variant_props_stats, bitmap_distinct_by_type, audio_pcm_stats,
-#: video_frame_sample_stats, winnowing_fingerprint_stats,
-#: winnowing_dup_pairs, bm25_topk, span_dedup_clean,
-#: bpe_learn_merges, bpe_fertility_by_lang, embedding_ann_pq).
+#: streaming_window_count_update).
+#:
+#: ROUND-6 WINDOW (VERDICT r5 #1): the 27 remaining never-driver-
+#: checked queries + the 2 new round-6 queries take the first 29
+#: slots — this closes the entire correctness gap (cumulative driver
+#: coverage reaches every oracle-backed registered query). The
+#: remaining 21 slots re-confirm the OLDEST single-green rows (last
+#: green in round 1 or 2, per the VERDICT's fill rule): their code
+#: paths have drifted the longest since their one driver check, and
+#: two of them (tfidf_top_terms via the folded corpus-stats count,
+#: the r2 parity set via shared helpers) sit downstream of round-6
+#: edits.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # ---- NEW round-5 queries (prove them on the driver immediately)
-    "kmeans_lloyd_outliers",
-    "media_pixel_stats",
-    "streaming_window_count_update",
-    # ---- round-4 late additions, never driver-checked (VERDICT r4 #1
-    # priority list)
-    "semantic_decontamination",
-    "unigram_logprob_quality",
-    "minhash_near_dup_pairs_capped",
-    # ---- streaming: the r4 flush twins + the three never-checked
-    # live queries
-    "streaming_window_argmax_final",
-    "streaming_session_count_final",
-    "streaming_running_zscore",
-    "streaming_ohlc",
-    "streaming_two_level_agg",
-    # ---- the 12 never-checked TPC-H shapes
-    "tpch_q4_late_orders",
-    "tpch_q10_returns",
-    "tpch_q11_important_parts",
-    "tpch_q12_priority_class",
-    "tpch_q13_cust_distribution",
-    "tpch_q14_promo",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_cnt",
-    "tpch_q17_small_qty",
-    "tpch_q19_disjunct",
-    "tpch_q20_part_promotion",
-    "tpch_q22_dormant_customers",
-    # ---- scalar / date / string / array / JSON / map / analytic
-    # function families (the driver's duplicate signal has never seen
-    # any of the function-surface queries)
-    "scalar_functions",
-    "date_functions",
-    "string_date_functions",
-    "array_functions",
-    "json_extract_props",
-    "map_functions",
-    "lead_lag_window",
-    "analytic_functions_extended",
-    "customer_rank_window",
-    # ---- grouping-set / rollup / cube family
-    "lineitem_rollup",
-    "lineitem_cube",
-    "lineitem_grouping_sets",
-    "unpivot_lineitem_measures",
-    "orders_distinct_agg",
-    "topk_events_per_type",
-    # ---- LLM-pipeline + governance never-checked remainder
-    "media_exact_dedup",
-    "compaction_file_plan",
-    "stratified_sample_by_lang",
-    "language_sampling_weights",
-    "quality_quantile_normalize",
-    "train_val_test_split",
-    "udtf_bigram_counts",
-    # ---- relational/analytics never-checked remainder
-    "ohlc_resample",
-    "salted_hot_key_join",
-    "cohort_retention",
-    "table_column_profile",
-    "rfm_customer_segments",
+    # ---- NEW round-6 queries (prove them on the driver immediately)
+    "embedding_ann_pq_lloyd",
+    "streaming_sliding_count_final",
+    # ---- the 16 round-5 late additions, never driver-checked
+    "span_dedup_clean",
+    "winnowing_fingerprint_stats",
+    "winnowing_dup_pairs",
+    "bm25_topk",
+    "bpe_learn_merges",
+    "bpe_fertility_by_lang",
+    "embedding_ann_pq",
+    "pii_redaction_stats",
+    "dsir_importance_weights",
+    "kmv_distinct_users",
+    "kmv_custkey_overlap",
+    "variant_props_stats",
+    "bitmap_distinct_by_type",
+    "audio_pcm_stats",
+    "video_frame_sample_stats",
+    "media_resize_stats",
+    # ---- the 11 deferred close siblings, never driver-checked
+    "embedding_dim_stats",
+    "embedding_covariance",
+    "minhash_estimate_accuracy",
+    "char_entropy",
+    "token_count_histogram",
+    "langid_accuracy_by_lang",
+    "winsorized_event_stats",
+    "equi_depth_histogram",
+    "cumulative_distinct_users",
+    "time_range_moving_avg",
+    "synthetic_source_agg",
+    # ---- oldest-green refill: the 6 rows last green in ROUND 1
+    "docs_by_lang_source",
+    "custkeys_intersect",
+    "custkeys_except",
+    "left_outer_join_nulls",
+    "full_outer_join",
+    "cross_join_grid",
+    # ---- oldest-green refill: 15 rows last green in ROUND 2
+    "clean_text_corpus",
+    "tfidf_top_terms",
+    "embedding_topk",
+    "zscore_outliers",
+    "map_upper",
+    "filter_project",
+    "union_bag",
+    "global_concat_single_key",
+    "sliding_window_agg",
+    "session_window_agg",
+    "pivot_order_status",
+    "interval_event_pairs",
+    "tpch_q6_forecast",
+    "tpch_q18_big_orders",
+    "tpch_q3_sql",
 )
+# Rotated OUT in round 6 (all green in CORRECTNESS_r05, 50/50):
+# kmeans_lloyd_outliers, media_pixel_stats,
+# streaming_window_count_update, semantic_decontamination,
+# unigram_logprob_quality, minhash_near_dup_pairs_capped,
+# streaming_window_argmax_final, streaming_session_count_final,
+# streaming_running_zscore, streaming_ohlc, streaming_two_level_agg,
+# tpch_q4/q10/q11/q12/q13/q14/q15/q16/q17/q19/q20/q22,
+# scalar/date/string_date/array/json/map/lead_lag/analytic/
+# customer_rank function-surface queries, lineitem_rollup/cube/
+# grouping_sets, unpivot_lineitem_measures, orders_distinct_agg,
+# topk_events_per_type, media_exact_dedup, compaction_file_plan,
+# stratified_sample_by_lang, language_sampling_weights,
+# quality_quantile_normalize, train_val_test_split,
+# udtf_bigram_counts, ohlc_resample, salted_hot_key_join,
+# cohort_retention, table_column_profile, rfm_customer_segments.
+#
 # Rotated OUT in round 5 under the new one-green-round tenancy — every
 # round-3/4 window row was green in CORRECTNESS_r04 (50/50) and all
 # remain locally hash-gated at 3 scale factors and fixture-tested:

@@ -255,6 +255,39 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_sliding_count_final",
+    oracle="""
+    WITH e AS (SELECT time_bucket(INTERVAL '30 minutes', ts) AS s1, value FROM events)
+    SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM (SELECT s1 AS window_start, value FROM e
+          UNION ALL
+          SELECT s1 - INTERVAL 30 MINUTE AS window_start, value FROM e) t
+    GROUP BY window_start
+    """,
+    doc="Streaming sliding windows WITH end-of-stream flush (VERDICT "
+    "r5 #8): proves the EOS sentinel pattern (pipelines.py "
+    "stream_events_with_final_flush, mirroring TestFlinkStreams.java:"
+    "78-82's bounded-source watermark-to-+inf) generalizes to "
+    "OVERLAPPING windows — every real event sits in 2 of the 1 h/30 min "
+    "windows, and the sentinel finalizes all of them, including the "
+    "two trailing windows append mode drops. The sentinel's own two "
+    "far-future windows can never finalize and never reach the sink, "
+    "so the oracle is the full batch sliding expansion with NO "
+    "watermark HAVING (vs streaming_sliding_count's finalized-only "
+    "twin).",
+)
+def q_streaming_sliding_count_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from flink_anomaly_spark.streaming.pipelines import sliding_count_stream
+
+    work = tempfile.mkdtemp(prefix="eos_flush_")
+    events = stream_events_with_final_flush(spark, sf_dir, work)
+    return run_to_memory(sliding_count_stream(events))
+
+
+@register(
     "streaming_sliding_count",
     oracle="""
     WITH e AS (SELECT time_bucket(INTERVAL '30 minutes', ts) AS s1, value FROM events)

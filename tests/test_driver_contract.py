@@ -39,33 +39,40 @@ def test_driver_window_is_first_50():
     qs = list(entrymod.queries())
     assert len(DRIVER_WINDOW) == 50
     assert qs[:50] == list(DRIVER_WINDOW)
-    # Round-5 window (VERDICT r4 #1): tenancy relaxed to ONE green
-    # driver round (r4 proved the local gate driver-equivalent, 27/27
-    # first-try rotate-in passes), freeing every r4-green slot for the
-    # never-driver-checked backlog — 47 of the 58 never-checked rows
-    # plus the three new round-5 queries fill all 50 slots. Every
-    # window row must be a query the driver has NEVER checked before
-    # round 5.
+    # Round-6 window (VERDICT r5 #1): EVERY query the driver has never
+    # checked (27 after five rounds) plus the new round-6 queries must
+    # occupy slots — this closes the correctness gap completely. The
+    # remaining slots re-confirm the OLDEST single-green rows (last
+    # green in rounds 1-2), so no slot is spent on a row already
+    # re-confirmed in a recent round.
     import json as _json
 
-    checked_before = set()
-    for rnd in (1, 2, 3, 4):
+    last_green: dict[str, int] = {}
+    for rnd in (1, 2, 3, 4, 5):
         path = os.path.join(
             os.path.dirname(os.path.abspath(entrymod.__file__)),
             f"CORRECTNESS_r0{rnd}.json",
         )
-        checked_before |= set(_json.load(open(path)))
-    overlap = set(qs[:50]) & checked_before
-    assert not overlap, f"window wastes slots on already-checked rows: {sorted(overlap)}"
-    for must in ["kmeans_lloyd_outliers",  # new r5: oracle-able KMeans
-                 "media_pixel_stats",      # new r5: real PPM decode
-                 "streaming_window_count_update",  # new r5: unbounded
-                 "semantic_decontamination", "unigram_logprob_quality",
-                 "minhash_near_dup_pairs_capped",
-                 "streaming_window_argmax_final",
-                 "streaming_session_count_final",
-                 "tpch_q10_returns", "tpch_q22_dormant_customers",
-                 "scalar_functions", "array_functions"]:
+        for name in _json.load(open(path)):
+            last_green[name] = rnd
+    oracles = set(entrymod.oracle_sql())
+    never_checked = [
+        n for n in qs if n in oracles and n not in last_green
+    ]
+    missing = set(never_checked) - set(qs[:50])
+    assert not missing, f"never-driver-checked queries outside window: {sorted(missing)}"
+    # fillers must be the stalest rows: nothing last-green after round 2
+    fillers = [n for n in qs[:50] if n in last_green]
+    stale_violations = {n: last_green[n] for n in fillers if last_green[n] > 2}
+    assert not stale_violations, (
+        f"window slots wasted on recently-green rows: {stale_violations}"
+    )
+    for must in ["embedding_ann_pq_lloyd",        # new r6: trained PQ
+                 "streaming_sliding_count_final",  # new r6: EOS flush twin
+                 "span_dedup_clean", "winnowing_dup_pairs", "bm25_topk",
+                 "bpe_learn_merges", "embedding_ann_pq",
+                 "kmv_distinct_users", "audio_pcm_stats",
+                 "tfidf_top_terms"]:  # r6 plan change (folded count)
         assert must in qs[:50], must
     for never in ["approx_stats", "kmeans_embedding_outliers"]:
         assert never not in qs[:50], f"{never} is rows-only, wastes a slot"

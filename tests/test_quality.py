@@ -449,3 +449,112 @@ def test_bpe_fertility_hand_computed(spark):
     assert len(out) == 1
     r = out[0]
     assert (r.lang, r.total_words, r.total_subwords, r.fertility) == ("en", 3, 3, 1.0)
+
+
+def test_pq_lloyd_codebook_beats_sample(spark):
+    """VERDICT r5 #4: one Lloyd step per sub-codebook must (a) reduce
+    total quantization MSE vs the deterministic-sample codebook — the
+    actual Lloyd guarantee on the training set — and (b) not lose
+    average recall@10 against exact L2 over a 20-query panel (single-
+    query recall is too noisy to order the two codebooks). Deterministic
+    data + deterministic trainer, so the assertions are stable."""
+    import numpy as np
+
+    from flink_anomaly_spark.operators.similarity import train_pq_codebook
+    from flink_anomaly_spark.tables import load_table
+
+    m, sub, k_sub = 8, 8, 16
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    rows = emb.collect()
+    ids = sorted(r.vec_id for r in rows)
+    by_id = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    X = np.stack([by_id[i] for i in ids])
+    init = np.stack([by_id[j] for j in range(k_sub)])
+    cb_sample = {
+        s: {j: init[j, s * sub : (s + 1) * sub] for j in range(k_sub)}
+        for s in range(m)
+    }
+    cb_raw = train_pq_codebook(
+        emb, "vec_id", "embedding", list(range(k_sub)), m=m, n_iter=1
+    )
+    cb_trained = {
+        s: {j: np.asarray(cw) for j, cw in cb_raw[s].items()} for s in cb_raw
+    }
+
+    def mse(cb):
+        tot = 0.0
+        for s in range(m):
+            sl = X[:, s * sub : (s + 1) * sub]
+            cws = np.stack([cw for _, cw in sorted(cb[s].items())])
+            tot += ((sl[:, None, :] - cws[None, :, :]) ** 2).sum(-1).min(1).sum()
+        return tot / len(X)
+
+    def avg_recall(cb):
+        assign = {}
+        for s in range(m):
+            cws = np.stack([cw for _, cw in sorted(cb[s].items())])
+            sl = X[:, s * sub : (s + 1) * sub]
+            assign[s] = (
+                ((sl[:, None, :] - cws[None, :, :]) ** 2).sum(-1).argmin(1),
+                cws,
+            )
+        recs = []
+        for qpos in range(0, len(ids), 25):
+            q = X[qpos]
+            adc = np.zeros(len(X))
+            for s in range(m):
+                asgn, cws = assign[s]
+                tab = ((q[s * sub : (s + 1) * sub][None, :] - cws) ** 2).sum(-1)
+                adc += tab[asgn]
+            approx = {ids[t] for t in np.lexsort((ids, adc))[:10]}
+            exact = set(
+                sorted(ids, key=lambda i: (float(((by_id[i] - q) ** 2).sum()), i))[:10]
+            )
+            recs.append(len(approx & exact) / 10)
+        return float(np.mean(recs))
+
+    assert mse(cb_trained) < mse(cb_sample), "Lloyd step must reduce MSE"
+    assert avg_recall(cb_trained) >= avg_recall(cb_sample)
+
+
+def test_bpe_trainer_job_count_and_cap(spark):
+    """Pins the BPE trainer's cost contract (VERDICT r5 #5, documented
+    in docs/DEPLOY.md 'BPE trainer cost model'): exactly ONE Spark
+    action per merge step over the persisted vocab (plus the caller's
+    terminal action) — a regression to corpus re-scans or per-step
+    extra actions shows up as extra jobs. Also: n_merges beyond
+    BPE_MAX_MERGES must be refused with the pointer to the batched
+    trainer."""
+    import pytest as _pytest
+
+    from flink_anomaly_spark.operators.text import (
+        BPE_MAX_MERGES,
+        _bpe_train,
+        bpe_learn_merges,
+    )
+
+    rows = [("low lower lowest newest newer new",), ("wide wider widest low",)]
+    df = spark.createDataFrame(rows, "text string")
+    n_merges = 3
+    # count driver ACTIONS (collect calls), not Spark jobs — AQE splits
+    # one action into several jobs (one per materialized shuffle stage),
+    # so job counts are a config-dependent proxy; the cost contract is
+    # "one top-1 collect per merge step, vocab build riding inside the
+    # first one". Patch the CONCRETE DataFrame class (Spark 4's
+    # classic.DataFrame overrides the abstract base's collect).
+    cls = type(df)
+    calls = []
+    orig_collect = cls.collect
+    cls.collect = lambda self: (calls.append(1), orig_collect(self))[1]
+    try:
+        vocab, state, merges = _bpe_train(df, "text", n_merges)
+    finally:
+        cls.collect = orig_collect
+    vocab.unpersist()
+    assert len(merges) == n_merges
+    assert len(calls) == n_merges, (
+        f"expected {n_merges} driver actions (one per merge step), "
+        f"got {len(calls)}"
+    )
+    with _pytest.raises(ValueError, match="batched"):
+        bpe_learn_merges(df, "text", n_merges=BPE_MAX_MERGES + 1)
