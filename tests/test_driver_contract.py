@@ -201,3 +201,41 @@ def test_bench_gate_flags_only_material_regressions(tmp_path):
     assert out.returncode == 2
     assert "not a bench detail document" in out.stdout
     assert "Traceback" not in out.stderr
+
+
+def test_bench_gate_load_normalization(tmp_path):
+    """VERDICT r5 #3: a machine-wide slowdown (host load) must not trip
+    the gate — r5 measured untouched queries uniformly 1.5-2.3x slower
+    and two false flags. The gate divides by the median fresh/base
+    ratio, so (a) a uniform 1.9x run is clean, (b) a genuinely
+    regressed query (far above the machine factor) still fails, and
+    (c) with <5 common queries the factor stays 1.0 (old behavior)."""
+    import subprocess
+    import sys as _sys
+
+    def run(fresh, base):
+        fp, bp = tmp_path / "fresh.json", tmp_path / "base.json"
+        fp.write_text(json.dumps({"sf": 0.1, "queries": fresh}))
+        bp.write_text(json.dumps({"sf": 0.1, "queries": base}))
+        repo = os.path.dirname(os.path.abspath(entrymod.__file__))
+        return subprocess.run(
+            [_sys.executable, os.path.join(repo, "tools", "bench_gate.py"), str(fp), str(bp)],
+            capture_output=True,
+            text=True,
+        )
+
+    base = {f"q{i}": 1.0 + i * 0.2 for i in range(12)}
+    # uniform 1.9x machine-wide slowdown: clean
+    out = run({n: t * 1.9 for n, t in base.items()}, base)
+    assert out.returncode == 0, out.stdout
+    assert "load factor" in out.stdout and "1.90x" in out.stdout
+    # same slow machine, but q3 regressed 5x: only q3 flagged
+    fresh = {n: t * 1.9 for n, t in base.items()}
+    fresh["q3"] = base["q3"] * 5.0
+    out = run(fresh, base)
+    assert out.returncode == 1
+    assert "REGRESSION q3" in out.stdout
+    assert out.stdout.count("REGRESSION q") == 1
+    # the factor is clamped: a uniform 4x slowdown still fails
+    out = run({n: t * 4.0 for n, t in base.items()}, base)
+    assert out.returncode == 1

@@ -20,24 +20,45 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 
 RATIO = 1.5
 ABS_SLACK = 0.3  # seconds
+# Load normalization (round-6, VERDICT r5 #3): the r5 run measured a
+# MACHINE-WIDE 1.5-2.3x factor on untouched queries (host load), which
+# tripped the gate on two queries whose plans had not changed. The
+# median fresh/base ratio over all common queries is a robust
+# machine-speed estimator — with 150+ queries a handful of genuine
+# regressions cannot move the median — so each query is judged on its
+# ratio RELATIVE to that median. Clamped so a pathological baseline
+# can't normalize away a real 3x global regression.
+LOAD_FACTOR_CLAMP = (0.5, 2.5)
+
+
+def load_factor(fresh: dict[str, float], base: dict[str, float]) -> float:
+    ratios = [t / base[n] for n, t in fresh.items() if base.get(n)]
+    if len(ratios) < 5:
+        return 1.0  # too few common queries to estimate the machine factor
+    f = statistics.median(ratios)
+    return max(LOAD_FACTOR_CLAMP[0], min(LOAD_FACTOR_CLAMP[1], f))
 
 
 def compare(fresh: dict[str, float], base: dict[str, float]) -> dict:
+    factor = load_factor(fresh, base)
     regressions = []
     improved = []
     for name, t in sorted(fresh.items()):
         b = base.get(name)
         if b is None:
             continue
-        if t > b * RATIO and t > b + ABS_SLACK:
-            regressions.append((name, b, t))
-        elif b > t * RATIO and b > t + ABS_SLACK:
-            improved.append((name, b, t))
+        ta = t / factor  # load-normalized
+        if ta > b * RATIO and ta > b + ABS_SLACK:
+            regressions.append((name, b, t, ta))
+        elif b > ta * RATIO and b > ta + ABS_SLACK:
+            improved.append((name, b, t, ta))
     return {
+        "load_factor": factor,
         "regressions": regressions,
         "improved": improved,
         "new": sorted(set(fresh) - set(base)),
@@ -77,16 +98,23 @@ def main() -> int:
         )
         return 2
     r = compare(fresh["queries"], base["queries"])
-    for name, b, t in r["regressions"]:
-        print(f"REGRESSION {name}: {b:.3f}s -> {t:.3f}s ({t / b:.2f}x)")
-    for name, b, t in r["improved"]:
-        print(f"improved   {name}: {b:.3f}s -> {t:.3f}s")
+    print(f"machine load factor (median fresh/base): {r['load_factor']:.2f}x")
+    for name, b, t, ta in r["regressions"]:
+        print(
+            f"REGRESSION {name}: {b:.3f}s -> {t:.3f}s raw "
+            f"({ta:.3f}s load-normalized, {ta / b:.2f}x)"
+        )
+    for name, b, t, ta in r["improved"]:
+        print(f"improved   {name}: {b:.3f}s -> {t:.3f}s raw ({ta:.3f}s normalized)")
     if r["new"]:
         print(f"new (no baseline): {', '.join(r['new'])}")
     if r["removed"]:
         print(f"removed: {', '.join(r['removed'])}")
     n = len(r["regressions"])
-    print(f"\n{'OK' if n == 0 else f'{n} REGRESSIONS'} (tolerance >{RATIO}x and >+{ABS_SLACK}s vs {base_path})")
+    print(
+        f"\n{'OK' if n == 0 else f'{n} REGRESSIONS'} "
+        f"(tolerance >{RATIO}x and >+{ABS_SLACK}s, load-normalized, vs {base_path})"
+    )
     return 1 if n else 0
 
 

@@ -67,9 +67,24 @@ PROBE = [
     # hash-count groupBy + postings join + array reconstruction)
     ("winnowing_dup_pairs", "documents"),
     ("span_dedup_clean", "documents"),
+    # round-6 extension (VERDICT r5 #7): the BPE trainer (vocab-sized
+    # pair-count groupBy per merge step — replica-suffixed tokens grow
+    # the vocab x n, the worst case for it) and the Lloyd-trained PQ
+    # index (assignment is a narrow literal-inlined map; the ONLY
+    # shuffle is the k*dim fixed-point model partials, which must stay
+    # ~constant-size — i.e. B/row should DROP ~n-fold at x n)
+    ("bpe_learn_merges", "documents"),
+    ("embedding_ann_pq_lloyd", "embeddings"),
 ]
 
-_KEY_SHIFT = {"lineitem": ["l_orderkey"], "orders": ["o_orderkey"], "documents": ["doc_id"]}
+_KEY_SHIFT = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey"],
+    "documents": ["doc_id"],
+    # replica 0 is the identity shift, so the PQ init/query ids
+    # (vec_id 0..15, 42) keep existing in the replicated corpus
+    "embeddings": ["vec_id"],
+}
 
 
 def replicate(spark, n: int, out_dir: str) -> None:
@@ -142,7 +157,7 @@ def main() -> None:
         replicate(spark, n, big_dir)
         big = measure(spark, app_id, big_dir)
         lines = [
-            f"## x100 scale probe (round 4) — shuffle bytes/row at x{n} facts",
+            f"## x100 scale probe (rounds 4-6) — shuffle bytes/row at x{n} facts",
             "",
             f"Generated by `python tools/scale_probe_100x.py {n}`. Documents are",
             "replicated with DISJOINT per-replica token spaces (every token gets",
