@@ -304,6 +304,66 @@ def gopher_quality_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     )
 
 
+#: Fixed public weights for the logistic quality scorer — the shape of
+#: a FineWeb-Edu / DCLM-style model-based quality filter with the
+#: learned classifier replaced by a transparent fixed linear model
+#: (the Spark-side PLUMBING — feature extraction, scoring, thresholding
+#: — is identical either way; a learned model would only change these
+#: constants). Feature transforms are chosen for exact cross-engine
+#: reproducibility: sqrt is IEEE-correctly-rounded everywhere (unlike
+#: ln), and the squashing is the algebraic fast sigmoid
+#: z/(1+|z|) — zero libm in the whole scoring path.
+QUALITY_LOGIT = {
+    "bias": -3.5,
+    "w_sqrt_n_tok": 0.25,
+    "w_mean_wl": 0.35,
+    "w_stop_frac": 4.0,
+}
+
+
+def quality_logistic_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Model-based quality score: a fixed-weight linear model over
+    per-document features (sqrt token count, mean word length,
+    stopword-token fraction) squashed to (0, 1) by the fast sigmoid
+    ``0.5 + 0.5·z/(1+|z|)`` — monotone in z like the logistic, but
+    pure IEEE arithmetic, so the score is bit-identical across engines
+    with NO rounding-boundary risk (ln/exp are not correctly-rounded
+    in general; sqrt is). ``keep`` = score ≥ 0.5 ⇔ z ≥ 0.
+
+    Entirely built-in Catalyst expressions — narrow plan, zero
+    shuffle, scales linearly like gopher_quality_flags; at 100 TB this
+    is a map over the scan with the model constants folded into
+    codegen.
+    """
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_words = F.size(toks)
+    n1 = F.greatest(n_words, F.lit(1))
+    mean_wl = F.coalesce(
+        F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)), F.lit(0)
+    ).cast("double") / n1
+    stoplist = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    stop_frac = F.size(
+        F.filter(toks, lambda t: F.array_contains(stoplist, F.lower(t)))
+    ).cast("double") / n1
+    w = QUALITY_LOGIT
+    z = (
+        F.lit(w["bias"])
+        + F.lit(w["w_sqrt_n_tok"]) * F.sqrt(n_words.cast("double"))
+        + F.lit(w["w_mean_wl"]) * mean_wl
+        + F.lit(w["w_stop_frac"]) * stop_frac
+    )
+    score = F.lit(0.5) + F.lit(0.5) * z / (F.lit(1.0) + F.abs(z))
+    return spread(df.select(id_col, text_col)).select(
+        F.col(id_col),
+        n_words.cast("bigint").alias("n_tok"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(stop_frac, 4).alias("stop_frac"),
+        F.round(score, 4).alias("score"),
+        (z >= 0).cast("int").alias("keep"),
+    )
+
+
 def doc_repetition_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Intra-document repetition profile (the Gopher repetition filters):
     fraction of tokens taken by the most frequent token, duplicate-token

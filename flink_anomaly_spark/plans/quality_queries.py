@@ -79,6 +79,58 @@ def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality_flags(docs, id_col="doc_id", text_col="text")
 
 
+def _logistic_score_oracle() -> str:
+    from flink_anomaly_spark.operators.text import QUALITY_LOGIT
+
+    w = QUALITY_LOGIT
+    z = (
+        f"{w['bias']} + {w['w_sqrt_n_tok']}*sqrt(CAST(n_tok AS DOUBLE)) "
+        f"+ {w['w_mean_wl']}*mean_wl + {w['w_stop_frac']}*stop_frac"
+    )
+    return rf"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), f AS (
+      SELECT doc_id,
+             len(toks) AS n_tok,
+             CAST(coalesce(list_sum(list_transform(toks, tk -> length(tk))), 0) AS DOUBLE)
+               / greatest(len(toks), 1) AS mean_wl,
+             CAST(len(list_filter(toks, tk -> list_contains({_STOPLIST_SQL}, lower(tk)))) AS DOUBLE)
+               / greatest(len(toks), 1) AS stop_frac
+      FROM t
+    ), z AS (
+      SELECT doc_id, n_tok, mean_wl, stop_frac, {z} AS zv FROM f
+    )
+    SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+           round(mean_wl, 4) AS mean_word_len,
+           round(stop_frac, 4) AS stop_frac,
+           round(0.5 + 0.5 * zv / (1.0 + abs(zv)), 4) AS score,
+           CASE WHEN zv >= 0 THEN 1 ELSE 0 END AS keep
+    FROM z
+    """
+
+
+@register(
+    "quality_logistic_score",
+    oracle=_logistic_score_oracle(),
+    doc="Model-based quality filter stage (the FineWeb-Edu / DCLM "
+    "classifier-filter shape with a transparent fixed linear model — "
+    "the Spark plumbing is identical with learned weights): per-doc "
+    "features -> linear score -> fast-sigmoid squash -> keep "
+    "threshold. Feature transforms avoid libm entirely (sqrt is "
+    "IEEE-exact, the squash is z/(1+|z|)), so score and keep are "
+    "bit-identical cross-engine with no rounding-boundary risk. "
+    "Narrow Catalyst-only plan, zero shuffle; complements the "
+    "rule-based gopher_quality_flags and the distributional "
+    "unigram_logprob_quality.",
+)
+def q_quality_logistic_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.text import quality_logistic_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_logistic_score(docs, id_col="doc_id", text_col="text")
+
+
 @register(
     "doc_repetition_profile",
     oracle=rf"""

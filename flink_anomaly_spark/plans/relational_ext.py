@@ -454,6 +454,70 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_lsh(emb, id_col="vec_id", vec_col="embedding", threshold=0.3)
 
 
+def _semdedup_oracle() -> str:
+    cos = (
+        f"{_pair_dot('a.embedding', 'b.embedding')} / "
+        f"(sqrt({_pair_dot('a.embedding', 'a.embedding')}) * "
+        f"sqrt({_pair_dot('b.embedding', 'b.embedding')}))"
+    )
+    return f"""
+    WITH RECURSIVE
+    v AS (SELECT vec_id, embedding, {_bucket_sql()} AS bucket FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id1, b.vec_id AS id2
+      FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE round({cos}, 6) >= 0.3
+    ),
+    edges AS (
+      SELECT id1 AS src, id2 AS dst FROM pairs
+      UNION
+      SELECT id2 AS src, id1 AS dst FROM pairs
+    ),
+    reach(node, lab) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT e.src, r.lab FROM reach r JOIN edges e ON r.node = e.dst
+    ),
+    cl AS (SELECT node AS vec_id, min(lab) AS cluster_id FROM reach GROUP BY node)
+    SELECT vec_id, cluster_id,
+           CAST(vec_id = cluster_id AS INT) AS is_survivor
+    FROM cl
+    """
+
+
+@register(
+    "semdedup_survivors",
+    oracle=_semdedup_oracle(),
+    doc="SemDeDup (Abbas et al. 2023, 'SemDeDup: Data-efficient "
+    "learning at web-scale through semantic deduplication') as a "
+    "TRANSFORM: embedding near-duplicate groups collapse to one kept "
+    "representative per group. Pairs come from the LSH-bucketed cosine "
+    "join (embedding_near_dup_lsh — bucket count bounds pair cost at "
+    "100 TB), transitive groups from the large/small-star connected "
+    "components, and the survivor is the MIN vec_id of each component "
+    "(deterministic canonical — SemDeDup keeps one random member; min "
+    "id is the order-free equivalent). Emits every vector with its "
+    "cluster and a 0/1 is_survivor flag, so the keep-list AND the "
+    "drop-list are both one filter away. Oracle: same LSH pairs + "
+    "recursive-CTE min-reachable-id components.",
+)
+def q_semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.dedup import connected_components
+    from flink_anomaly_spark.operators.similarity import embedding_near_dup_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_lsh(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.3
+    )
+    nodes = emb.select(F.col("vec_id").alias("id"))
+    cc = connected_components(pairs.select("id1", "id2"), nodes)
+    return cc.select(
+        F.col("id").alias("vec_id"),
+        "cluster_id",
+        (F.col("id") == F.col("cluster_id")).cast("int").alias("is_survivor"),
+    )
+
+
 def _semantic_decontam_oracle() -> str:
     cos = (
         f"{_pair_dot('c.embedding', 'e.embedding')} / "

@@ -832,6 +832,49 @@ def test_span_dedup_clean_empty_and_fully_covered(spark):
     assert out[5].n_removed == 0
 
 
+def test_gram_hashes_pandas_bitidentical_to_catalyst(spark):
+    """The vectorized C-md5 gram hasher must equal the Catalyst HOF
+    twin (transform + md5_long(concat_ws(slice))) hash-for-hash,
+    position-for-position — including empty/whitespace/short docs and
+    non-ASCII text — on fixtures AND the sf0.001 corpus (the
+    simhash-style twin assertion)."""
+    from flink_anomaly_spark.operators.dedup import gram_hashes_pandas, md5_long
+    from flink_anomaly_spark.operators.text import tokens
+    from flink_anomaly_spark.tables import load_table
+
+    n = 8
+
+    def catalyst(c):
+        toks = tokens(c)
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: md5_long(F.concat_ws(" ", F.slice(toks, i, n))),
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+
+    rows = [
+        (1, ""),
+        (2, "   \t "),
+        (3, "short doc"),
+        (4, "exactly eight words here to make one gram"),
+        (5, "héllo wörld " + " ".join(f"w{i}" for i in range(20)) + " ünïcode tail"),
+        (6, "  leading and trailing whitespace  " + " ".join(f"t{i}" for i in range(10)) + "   "),
+    ]
+    for df in (
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        load_table(spark, "/root/testdata/sf0.001", "documents"),
+    ):
+        got = df.select(
+            "doc_id",
+            gram_hashes_pandas(n)(F.col("text")).alias("fast"),
+            catalyst(F.col("text")).alias("ref"),
+        ).collect()
+        for r in got:
+            assert list(r.fast) == list(r.ref), r.doc_id
+
+
 def test_span_dedup_clean_interval_merge_gaps(spark):
     """Two disjoint duplicated spans inside one doc leave exactly the
     inter-span gap words: the merged-interval gap sweep keeps interior
