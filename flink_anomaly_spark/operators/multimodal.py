@@ -642,3 +642,121 @@ def video_frame_stats(media: DataFrame, every_n: int = 2) -> DataFrame:
             )
 
     return media.mapInPandas(op, FRAME_STATS_SCHEMA)
+
+
+DHASH_SCHEMA = "media_id long, width int, height int, n_bits int, dhash long"
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """Perceptual difference-hash (dHash) over REAL decoded pixels —
+    the fingerprint behind LAION-style image dedup (classic dHash
+    downsamples to 9x8 first; these synthetic images are already
+    thumbnail-sized, so the gradient grid IS the native raster).
+
+    Per image: decode the P6 payload, reduce each pixel to an integer
+    luma proxy ``gray = r + g + b`` (a SUM, not a mean — no division,
+    so a SQL oracle reproduces it exactly), then set bit
+    ``y*(w-1) + x`` iff ``gray[y, x+1] > gray[y, x]`` and pack
+    row-major into one BIGINT. Gradient *signs* survive brightness /
+    contrast shifts, which is what makes dHash perceptual rather than
+    cryptographic (contrast media_exact_dedup's sha256). Max
+    ``(w-1)*h`` = 42 bits here, always < 63.
+
+    Scale shape: decode + hash is a narrow mapInPandas stage — payload
+    bytes are born and consumed inside one Arrow batch, and only the
+    (id, dims, 8-byte fingerprint) row ever reaches an exchange.
+    """
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, raster = decode_ppm(bytes(payload))
+                px = np.frombuffer(raster, dtype=np.uint8).astype(np.int64)
+                gray = (px[0::3] + px[1::3] + px[2::3]).reshape(h, w)
+                bits = gray[:, 1:] > gray[:, :-1]  # (h, w-1) row-major
+                weights = np.int64(1) << np.arange(h * (w - 1), dtype=np.int64)
+                fp = int((weights * bits.ravel()).sum())
+                rows.append((int(mid), w, h, h * (w - 1), fp))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "n_bits", "dhash"]
+            )
+
+    return media.mapInPandas(op, DHASH_SCHEMA)
+
+
+def media_dhash_near_dup(
+    media: DataFrame,
+    bands: int = 4,
+    band_width: int = 11,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Perceptual image near-duplicate pairs: dHash fingerprints +
+    the Manku banding plan from simhash_near_dup_pairs (dedup.py), so
+    recall is EXACT — two same-dimension images within ``max_hamming``
+    bit flips must agree on >= 1 of the ``bands`` disjoint bit chunks
+    (pigeonhole, ``max_hamming < bands``), making the brute-force
+    same-(w,h) quadratic scan a valid oracle.
+
+    Candidates join on (width, height, band, chunk): only images with
+    identical dimensions compare (cross-dimension Hamming over
+    positionally-packed bits is meaningless), and the shuffle carries
+    (id, dims, 8-byte fp, band, 11-bit chunk) — never pixels. At 100 TB
+    the bucket count (dims x bands x 2^band_width) bounds the join
+    fan-in the same way the simhash plan's does; a pathological corpus
+    of near-identical images inflates buckets, which is the same
+    inherent output-quadratic regime minhash_near_dup_pairs_capped
+    guards with max_bucket_size.
+    """
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be < bands ({bands}): the "
+            "pigeonhole guarantee fails otherwise"
+        )
+    if bands * band_width < 42:
+        raise ValueError("bands * band_width must cover the 42-bit fingerprint")
+    mask = (1 << band_width) - 1
+    fps = image_dhash(media)
+    banded = fps.select(
+        "media_id",
+        "width",
+        "height",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("dhash"), b * band_width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "media_id",
+        "width",
+        "height",
+        "dhash",
+        F.col("bk.band").alias("band"),
+        F.col("bk.chunk").alias("chunk"),
+    )
+    hamming = F.bit_count(F.col("fp1").bitwiseXOR(F.col("fp2")))
+    return (
+        banded.alias("l")
+        .join(banded.alias("r"), ["width", "height", "band", "chunk"])
+        .filter(F.col("l.media_id") < F.col("r.media_id"))
+        .select(
+            F.col("l.media_id").alias("id1"),
+            F.col("r.media_id").alias("id2"),
+            F.col("l.dhash").alias("fp1"),
+            F.col("r.dhash").alias("fp2"),
+        )
+        # a pair can share several bands — dedupe before emitting
+        .distinct()
+        .filter(hamming <= max_hamming)
+        .select("id1", "id2", hamming.cast("int").alias("hamming"))
+    )

@@ -318,3 +318,58 @@ def q_video_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "luma_min",
         "luma_max",
     )
+
+
+@register(
+    "media_dhash_near_dup",
+    # The oracle rebuilds every dHash from the closed-form pixel rule
+    # (raster byte at flat idx = (doc_id*31 + idx) % 256, so pixel p's
+    # luma proxy is the sum of bytes 3p, 3p+1, 3p+2) and brute-forces
+    # ALL same-dimension pairs — valid because the banded plan's
+    # pigeonhole recall is exact (max_hamming 3 < 4 bands).
+    oracle="""
+    WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+               FROM documents),
+    g AS (
+      SELECT d.doc_id, d.w, d.h, i.idx AS p,
+             ((d.doc_id*31 + 3*i.idx) % 256
+              + (d.doc_id*31 + 3*i.idx + 1) % 256
+              + (d.doc_id*31 + 3*i.idx + 2) % 256) AS gray
+      FROM d CROSS JOIN (SELECT unnest(range(0, 48)) AS idx) i
+      WHERE i.idx < d.w * d.h
+    ),
+    bits AS (
+      SELECT a.doc_id,
+             CAST((a.p // a.w) * (a.w - 1) + (a.p % a.w) AS BIGINT) AS bit
+      FROM g a JOIN g b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+      WHERE a.p % a.w < a.w - 1 AND b.gray > a.gray
+    ),
+    fp AS (
+      SELECT d.doc_id, d.w, d.h,
+             CAST(coalesce(sum(1::BIGINT << b.bit), 0) AS BIGINT) AS fp
+      FROM d LEFT JOIN bits b ON b.doc_id = d.doc_id
+      GROUP BY d.doc_id, d.w, d.h
+    )
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+           CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.w = b.w AND a.h = b.h AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fp, b.fp)) <= 3
+    """,
+    doc="Perceptual image near-dup (LAION-style media dedup): REAL P6 "
+    "decode -> dHash (horizontal luma-gradient signs packed into one "
+    "BIGINT, image_dhash) -> Manku band join on (width, height, band, "
+    "11-bit chunk) -> exact Hamming verify via bit_count(xor). The "
+    "perceptual complement of media_exact_dedup's sha256: gradient "
+    "signs survive brightness shifts a cryptographic hash cannot. "
+    "Shuffle carries (id, dims, 8-byte fp, chunk) -- pixels never "
+    "leave the decode stage; recall is exact by pigeonhole so the "
+    "oracle's same-dimension quadratic scan matches bit-for-bit.",
+)
+def q_media_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.multimodal import (
+        media_dhash_near_dup,
+        synth_ppm_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return media_dhash_near_dup(synth_ppm_media(docs))

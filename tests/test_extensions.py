@@ -906,3 +906,59 @@ def test_span_dedup_clean_within_doc_repeat(spark):
     assert out[1].cleaned_text == "middlea middleb"
     assert out[1].n_removed == 16
     assert out[2].n_removed == 0
+
+
+def test_image_dhash_bit_layout(spark):
+    """dHash bit packing pinned against a hand-computed fixture: a 3x2
+    P6 image with known luma gradients must set exactly the bits
+    y*(w-1)+x where gray[y, x+1] > gray[y, x]."""
+    from flink_anomaly_spark.operators.multimodal import encode_ppm, image_dhash
+
+    # pixels (r,g,b) chosen so luma sums are row0: 10, 30, 20 / row1: 5, 5, 9
+    lumas = [[10, 30, 20], [5, 5, 9]]
+    raster = bytes(
+        b for row in lumas for s in row for b in (s - 2 * (s // 3), s // 3, s // 3)
+    )
+    payload = encode_ppm(3, 2, raster)
+    df = spark.createDataFrame([(7, payload)], "media_id long, payload binary")
+    row = image_dhash(df).collect()[0]
+    # row0: 10<30 -> bit 0 set, 30>20 -> bit 1 clear
+    # row1: 5==5 -> bit 2 clear (strict >), 5<9 -> bit 3 set
+    assert (row.width, row.height, row.n_bits) == (3, 2, 4)
+    assert row.dhash == 0b1001
+
+
+def test_media_dhash_near_dup_matches_bruteforce(spark):
+    """Banded Hamming join must equal the brute-force same-dimension
+    quadratic scan exactly (pigeonhole recall) on the sf0.001 corpus."""
+    from itertools import combinations
+
+    from flink_anomaly_spark.operators.multimodal import (
+        image_dhash,
+        media_dhash_near_dup,
+        synth_ppm_media,
+    )
+    from flink_anomaly_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select("doc_id")
+    media = synth_ppm_media(docs)
+    got = {
+        (r.id1, r.id2): r.hamming for r in media_dhash_near_dup(media).collect()
+    }
+    fps = image_dhash(media).collect()
+    want = {}
+    for a, b in combinations(sorted(fps, key=lambda r: r.media_id), 2):
+        if (a.width, a.height) == (b.width, b.height):
+            ham = bin(a.dhash ^ b.dhash).count("1")
+            if ham <= 3:
+                want[(a.media_id, b.media_id)] = ham
+    assert got == want and want, "banded join must match brute force (non-empty)"
+
+
+def test_media_dhash_near_dup_pigeonhole_guard():
+    from flink_anomaly_spark.operators.multimodal import media_dhash_near_dup
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        media_dhash_near_dup(None, bands=4, max_hamming=4)
+    with pytest.raises(ValueError, match="cover"):
+        media_dhash_near_dup(None, bands=4, band_width=10, max_hamming=3)
