@@ -860,3 +860,159 @@ def pq_adc_topk_trained(
     return top.withColumn("rank", rn.cast("bigint")).select(
         F.col("id").alias(id_col), "pq_code_key", "adc_micro", "rank"
     )
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id: int,
+    centroid_ids: list[int],
+    codebook_ids: list[int],
+    m: int = 8,
+    n_probe: int = 2,
+    top_n: int = 10,
+) -> DataFrame:
+    """IVF-PQ ANN (Jégou et al. 2011 §V; the FAISS ``IVFPQ`` index —
+    the architecture actually deployed at billion-vector scale):
+    a coarse inverted file prunes the scan to ``n_probe`` cells, and
+    product quantization runs on the RESIDUAL v − centroid(cell), which
+    is far more compressible than the raw vector.
+
+    Composition of the two certified parts:
+
+    - COARSE (ivf_flat_topk's shape, L2 metric to match PQ): cell
+      centroids are the embeddings of the deterministic
+      ``centroid_ids`` sample, collected once and inlined as one
+      nested-array literal; cell assignment is a NARROW map
+      (shared-fold candidates + array_min, ties → lowest cell).
+    - RESIDUAL ENCODE (pq_adc_topk_trained's shape): the per-subspace
+      codewords are the residual subvectors of the ``codebook_ids``
+      sample, computed DRIVER-side with the identical left-associated
+      IEEE chains (each sample's own cell → its residual) and inlined;
+      encoding each corpus vector is the same narrow projection —
+      residual via one zip_with, then m shared-fold array_mins.
+    - ADC PER PROBED CELL: the query has a DIFFERENT residual in each
+      probed cell, so each cell gets its own integer micro-unit
+      distance table (``floor(d·1e6 + 0.5)``, driver-side); the scan
+      keeps only vectors whose cell is probed and resolves the lookup
+      with a per-subspace CASE on the cell id. Exact integer sums —
+      no cross-engine float-sum drift.
+    - Top-``top_n`` by (adc_micro, id) via TakeOrdered.
+
+    At 100 TB: index build collects |centroids| + |codebook| rows;
+    assignment + encode are zero-shuffle maps over the scan; the probe
+    filter prunes the scored fraction to ~n_probe/n_cells; the only
+    wide op is the final TakeOrdered partials. Output
+    (id, cell, pq_code_key, adc_micro, rank).
+    """
+    import math
+
+    dim = _dim_of(df, vec_col)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    if not 1 <= n_probe <= len(centroid_ids):
+        raise ValueError(f"n_probe must be in [1, {len(centroid_ids)}]")
+    sub = dim // m
+    k_sub = len(codebook_ids)
+    cents = collect_centroids(df, id_col, vec_col, centroid_ids)
+    samples = collect_centroids(df, id_col, vec_col, codebook_ids)
+    qvec = collect_centroids(df, id_col, vec_col, [query_id])[0]
+
+    def _l2(a: list[float], b: list[float]) -> float:
+        # left-associated — the exact op order of _sub_l2's fold and the
+        # oracle's unrolled "+"-joined chain
+        d = 0.0
+        for x, y in zip(a, b):
+            t = float(x) - float(y)
+            d = d + t * t
+        return d
+
+    def _cell_of(v: list[float]) -> int:
+        dists = [_l2(v, c) for c in cents]
+        best = min(range(len(cents)), key=lambda c: (dists[c], c))
+        return best
+
+    def _residual(v: list[float], cell: int) -> list[float]:
+        return [float(x) - float(c) for x, c in zip(v, cents[cell])]
+
+    # per-subspace codewords = residual subvectors of the sample
+    cw = [
+        [_residual(sv, _cell_of(sv))[s * sub : (s + 1) * sub] for sv in samples]
+        for s in range(m)
+    ]
+    # query: probed cells (by L2, ties -> lowest cell) + per-cell ADC
+    qdists = [_l2(qvec, c) for c in cents]
+    probed = sorted(range(len(cents)), key=lambda c: (qdists[c], c))[:n_probe]
+    adc: dict[int, list[list[int]]] = {}
+    for cell in probed:
+        qr = _residual(qvec, cell)
+        adc[cell] = [
+            [
+                int(math.floor(_l2(qr[s * sub : (s + 1) * sub], cw[s][j]) * 1000000.0 + 0.5))
+                for j in range(k_sub)
+            ]
+            for s in range(m)
+        ]
+
+    cent_lit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
+    v = F.col("v")
+    cell_cands = F.transform(
+        F.sequence(F.lit(1), F.lit(len(cents))),
+        lambda t: F.struct(
+            _sub_l2(v, F.element_at(cent_lit, t)).alias("d"), (t - 1).alias("c")
+        ),
+    )
+    base = spread(
+        df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+        )
+    ).withColumn("cell", F.array_min(cell_cands)["c"])
+    base = base.filter(F.col("cell").isin(probed)).withColumn(
+        "r", F.zip_with(v, F.element_at(cent_lit, F.col("cell") + 1), lambda a, b: a - b)
+    )
+    selects = []
+    for s in range(m):
+        subv = F.slice("r", s * sub + 1, sub)
+        cb_lit = F.array(*[F.array(*[F.lit(float(c)) for c in w]) for w in cw[s]])
+
+        def _cand_fn(_cb, _sv):
+            return lambda t: F.struct(
+                _sub_l2(_sv, F.element_at(_cb, t)).alias("d"), (t - 1).alias("j")
+            )
+
+        best_j = F.array_min(
+            F.transform(F.sequence(F.lit(1), F.lit(k_sub)), _cand_fn(cb_lit, subv))
+        )["j"]
+        selects.append(best_j.alias(f"j{s}"))
+    enc = base.select("id", "cell", *selects)
+    key = None
+    dist = None
+    for s in range(m):
+        j = F.col(f"j{s}")
+        kterm = j.cast("bigint") * F.lit(k_sub**s)
+        aterm = None
+        for cell in probed:
+            look = F.element_at(
+                F.array(*[F.lit(a) for a in adc[cell][s]]), j + 1
+            )
+            aterm = (
+                F.when(F.col("cell") == cell, look)
+                if aterm is None
+                else aterm.when(F.col("cell") == cell, look)
+            )
+        key = kterm if key is None else key + kterm
+        dist = aterm.cast("bigint") if dist is None else dist + aterm.cast("bigint")
+    scored = enc.select(
+        "id",
+        F.col("cell").cast("int").alias("cell"),
+        key.alias("pq_code_key"),
+        dist.alias("adc_micro"),
+    )
+    top = scored.orderBy(F.col("adc_micro").asc(), F.col("id").asc()).limit(top_n)
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(Window.orderBy(F.col("adc_micro").asc(), F.col("id").asc()))
+    return top.withColumn("rank", rn.cast("bigint")).select(
+        F.col("id").alias(id_col), "cell", "pq_code_key", "adc_micro", "rank"
+    )

@@ -424,3 +424,142 @@ def q_embedding_ann_pq_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         k_sub=len(_PQ_CODEBOOK_IDS),
         top_n=10,
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse inverted file + product quantization on residuals
+# ---------------------------------------------------------------------------
+
+_IVFPQ_CENTROID_IDS = [7 * c for c in range(8)]
+_IVFPQ_N_PROBE = 2
+_IVFPQ_DIM = 64
+
+
+def _ivfpq_full_chain(v: str, cv: str) -> str:
+    """Unrolled left-associated full-vector squared-L2 chain (64 terms)
+    between a raw FLOAT vector column and an already-DOUBLE centroid
+    list — the cell-assignment metric, op order identical to the Spark
+    side's _sub_l2 fold over the double-cast vector."""
+    terms = []
+    for d in range(1, _IVFPQ_DIM + 1):
+        ia = f"CAST({v}[{d}] AS DOUBLE)"
+        terms.append(f"({ia} - {cv}[{d}]) * ({ia} - {cv}[{d}])")
+    return " + ".join(terms)
+
+
+def _ivfpq_res_chain(r: str, cw: str) -> str:
+    """Left-associated per-subspace squared-L2 chain between an
+    already-DOUBLE residual list (indexed by the joined cb row's
+    subspace s) and a DOUBLE sub-codeword list."""
+    terms = []
+    for d in range(1, _PQ_SUB + 1):
+        terms.append(f"({r}[cb.s*{_PQ_SUB} + {d}] - {cw}[{d}]) * ({r}[cb.s*{_PQ_SUB} + {d}] - {cw}[{d}])")
+    return " + ".join(terms)
+
+
+def _ivfpq_oracle() -> str:
+    cent_vals = ", ".join(f"({c}, {cid})" for c, cid in enumerate(_IVFPQ_CENTROID_IDS))
+    cbm_vals = ", ".join(f"({j}, {cid})" for j, cid in enumerate(_PQ_CODEBOOK_IDS))
+    k_sub = len(_PQ_CODEBOOK_IDS)
+    subs_vals = ", ".join(f"({s}, {k_sub**s})" for s in range(_PQ_M))
+    return f"""
+    WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    cent(c, cid) AS (VALUES {cent_vals}),
+    cc AS (
+      SELECT cent.c,
+             list_transform(range(1, {_IVFPQ_DIM} + 1),
+                            d -> CAST(e.v[d] AS DOUBLE)) AS cv
+      FROM cent JOIN e ON e.vec_id = cent.cid
+    ),
+    subs(s, factor) AS (VALUES {subs_vals}),
+    cellof AS (
+      SELECT vec_id, c FROM (
+        SELECT e.vec_id, cc.c,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_ivfpq_full_chain("e.v", "cc.cv")}, cc.c) AS rn
+        FROM e CROSS JOIN cc) t
+      WHERE rn = 1
+    ),
+    res AS (
+      SELECT e.vec_id, cellof.c,
+             list_transform(range(1, {_IVFPQ_DIM} + 1),
+                            d -> CAST(e.v[d] AS DOUBLE) - cc.cv[d]) AS r
+      FROM e JOIN cellof USING (vec_id) JOIN cc ON cc.c = cellof.c
+    ),
+    cbm(j, cid) AS (VALUES {cbm_vals}),
+    cb AS (
+      SELECT subs.s, cbm.j,
+             list_transform(range(1, {_PQ_SUB} + 1),
+                            d -> res.r[subs.s*{_PQ_SUB} + d]) AS cw
+      FROM cbm JOIN res ON res.vec_id = cbm.cid CROSS JOIN subs
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_PQ_QUERY_ID}),
+    probe AS (
+      SELECT c FROM (
+        SELECT cc.c, row_number() OVER (
+                 ORDER BY {_ivfpq_full_chain("q.qv", "cc.cv")}, cc.c) AS rn
+        FROM q CROSS JOIN cc) t
+      WHERE rn <= {_IVFPQ_N_PROBE}
+    ),
+    qres AS (
+      SELECT cc.c,
+             list_transform(range(1, {_IVFPQ_DIM} + 1),
+                            d -> CAST(q.qv[d] AS DOUBLE) - cc.cv[d]) AS qr
+      FROM q JOIN cc ON cc.c IN (SELECT c FROM probe)
+    ),
+    adc AS (
+      SELECT qres.c, cb.s, cb.j,
+             CAST(floor(({_ivfpq_res_chain("qres.qr", "cb.cw")}) * 1000000 + 0.5) AS BIGINT) AS a
+      FROM qres CROSS JOIN cb
+    ),
+    enc AS (
+      SELECT vec_id, c, s, j FROM (
+        SELECT res.vec_id, res.c, cb.s, cb.j,
+               row_number() OVER (PARTITION BY res.vec_id, cb.s
+                                  ORDER BY {_ivfpq_res_chain("res.r", "cb.cw")}, cb.j) AS rn
+        FROM res CROSS JOIN cb
+        WHERE res.c IN (SELECT c FROM probe)) t
+      WHERE rn = 1
+    ),
+    scored AS (
+      SELECT enc.vec_id, CAST(enc.c AS INT) AS cell,
+             CAST(sum(CAST(enc.j AS BIGINT) * CAST(subs.factor AS BIGINT)) AS BIGINT) AS pq_code_key,
+             CAST(sum(adc.a) AS BIGINT) AS adc_micro
+      FROM enc JOIN subs USING (s) JOIN adc ON adc.c = enc.c AND adc.s = enc.s AND adc.j = enc.j
+      GROUP BY enc.vec_id, enc.c
+    )
+    SELECT vec_id, cell, pq_code_key, adc_micro, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT *, row_number() OVER (ORDER BY adc_micro, vec_id) AS rank FROM scored
+    ) t WHERE rank <= 10
+    """
+
+
+@register(
+    "embedding_ann_ivfpq",
+    oracle=_ivfpq_oracle(),
+    doc="IVF-PQ ANN (Jégou et al. 2011 §V; the FAISS IVFPQ index "
+    "deployed at billion-vector scale): a coarse 8-cell inverted file "
+    "prunes the scan to n_probe=2 cells, and PQ runs on the RESIDUAL "
+    "v - centroid(cell) — the composition of the certified IVF-flat "
+    "and PQ-ADC parts. Cell assignment and residual encode are narrow "
+    "literal-inlined maps (zero shuffle); the query gets a separate "
+    "integer micro-unit ADC table per probed cell (its residual "
+    "differs per cell); top-10 via TakeOrdered over the probed "
+    "fraction only. The oracle replays every chain relationally with "
+    "identical left-associated IEEE op order.",
+)
+def q_embedding_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.similarity import ivf_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(
+        emb,
+        id_col="vec_id",
+        vec_col="embedding",
+        query_id=_PQ_QUERY_ID,
+        centroid_ids=_IVFPQ_CENTROID_IDS,
+        codebook_ids=_PQ_CODEBOOK_IDS,
+        m=_PQ_M,
+        n_probe=_IVFPQ_N_PROBE,
+        top_n=10,
+    )

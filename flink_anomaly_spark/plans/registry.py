@@ -72,10 +72,10 @@ _LOADED = False
 #: streaming_window_count_update).
 #:
 #: ROUND-6 WINDOW (VERDICT r5 #1): the 27 remaining never-driver-
-#: checked queries + the 5 new round-6 queries take the first 32
+#: checked queries + the 6 new round-6 queries take the first 33
 #: slots — this closes the entire correctness gap (cumulative driver
 #: coverage reaches every oracle-backed registered query). The
-#: remaining 18 slots re-confirm the OLDEST single-green rows (last
+#: remaining 17 slots re-confirm the OLDEST single-green rows (last
 #: green in round 1 or 2, per the VERDICT's fill rule): their code
 #: paths have drifted the longest since their one driver check, and
 #: two of them (tfidf_top_terms via the folded corpus-stats count,
@@ -88,6 +88,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "semdedup_survivors",
     "quality_logistic_score",
     "media_dhash_near_dup",
+    "embedding_ann_ivfpq",
     # ---- the 16 round-5 late additions, never driver-checked
     "span_dedup_clean",
     "winnowing_fingerprint_stats",
@@ -136,7 +137,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sliding_window_agg",
     "session_window_agg",
     "pivot_order_status",
-    "interval_event_pairs",
 )
 # Rotated OUT in round 6 (all green in CORRECTNESS_r05, 50/50):
 # kmeans_lloyd_outliers, media_pixel_stats,

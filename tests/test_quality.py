@@ -558,3 +558,54 @@ def test_bpe_trainer_job_count_and_cap(spark):
     )
     with _pytest.raises(ValueError, match="batched"):
         bpe_learn_merges(df, "text", n_merges=BPE_MAX_MERGES + 1)
+
+
+def test_ivf_pq_topk_invariants(spark):
+    """IVF-PQ: results come only from the query's probed cells, ranks
+    are dense by (adc_micro, id), and the probed-cell pruning actually
+    excludes some corpus vectors (the point of the inverted file)."""
+    from flink_anomaly_spark.operators.similarity import (
+        collect_centroids,
+        ivf_pq_topk,
+    )
+    from flink_anomaly_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = ivf_pq_topk(
+        emb,
+        id_col="vec_id",
+        vec_col="embedding",
+        query_id=42,
+        centroid_ids=[7 * c for c in range(8)],
+        codebook_ids=list(range(16)),
+        m=8,
+        n_probe=2,
+        top_n=10,
+    ).collect()
+    assert len(out) == 10
+    cells = {r.cell for r in out}
+    assert len(cells) <= 2, "results must come from <= n_probe cells"
+    ordered = sorted(out, key=lambda r: (r.adc_micro, r.vec_id))
+    assert [r.rank for r in ordered] == list(range(1, 11))
+    # pq_code_key decodes to 8 codes in [0, 16)
+    for r in out:
+        k = r.pq_code_key
+        for _ in range(8):
+            assert 0 <= k % 16 < 16
+            k //= 16
+        assert k == 0
+
+
+def test_ivf_pq_topk_param_guards(spark):
+    import pytest
+
+    from flink_anomaly_spark.operators.similarity import ivf_pq_topk
+    from flink_anomaly_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    with pytest.raises(ValueError, match="not divisible"):
+        ivf_pq_topk(emb, "vec_id", "embedding", 42, [0, 7], list(range(4)), m=7)
+    with pytest.raises(ValueError, match="n_probe"):
+        ivf_pq_topk(
+            emb, "vec_id", "embedding", 42, [0, 7], list(range(4)), m=8, n_probe=3
+        )

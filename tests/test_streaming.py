@@ -578,7 +578,9 @@ def test_synthetic_stream_source_drains_in_micro_batches(spark, tmp_path):
         .start()
     )
     try:
-        deadline = time.time() + 60
+        # generous deadline: under a fully loaded host (whole-suite run
+        # on all cores) micro-batch scheduling can starve for minutes
+        deadline = time.time() + 240
         while time.time() < deadline:
             rows = {r.event_type: r.n for r in spark.table(name).collect()}
             if sum(rows.values()) >= 500:
