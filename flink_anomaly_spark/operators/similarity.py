@@ -1016,3 +1016,143 @@ def ivf_pq_topk(
     return top.withColumn("rank", rn.cast("bigint")).select(
         F.col("id").alias(id_col), "cell", "pq_code_key", "adc_micro", "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of lexical BM25 + dense cosine
+# ---------------------------------------------------------------------------
+
+
+def hybrid_rrf_retrieval(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_terms: list[str],
+    query_vec_id: int,
+    k_each: int = 20,
+    k_rrf: int = 60,
+    top_n: int = 10,
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two retrievers:
+    Okapi BM25 over the text corpus and exact cosine over the aligned
+    embedding corpus — the standard hybrid (sparse + dense) retrieval
+    layer of a RAG / retrieval pipeline.
+
+        rrf(d) = Σ_lists 1 / (k_rrf + rank_list(d))   (absent ⇒ 0)
+
+    Scale shape: each retriever is already distribution-right (BM25's
+    query-term prefilter + broadcast corpus stats; cosine's broadcast
+    1-row query side), and both end in TakeOrdered top-``k_each`` —
+    the fusion therefore FULL-OUTER-joins two ≤k_each-row frames on
+    the driver-adjacent tail of the plan, costing nothing at any
+    corpus size. Ranks fuse, not scores, so no cross-retriever score
+    calibration is needed (the whole point of RRF). rrf_score is
+    rounded to 6 BEFORE the fused ranking so cross-engine double ulp
+    can't reorder ties; fused rank ties break by doc_id.
+    """
+    from pyspark.sql import Window
+
+    from flink_anomaly_spark.operators.text import bm25_topk
+
+    lex = bm25_topk(docs, query_terms, id_col=doc_id_col, top_n=k_each).select(
+        F.col(doc_id_col).alias("doc_id"), F.col("rank").alias("lex_rank")
+    )
+    dense = brute_force_topk(
+        emb, id_col=vec_id_col, vec_col="embedding", query_ids=[query_vec_id], k=k_each
+    ).select(F.col("nid").alias("doc_id"), F.col("rank").cast("bigint").alias("dense_rank"))
+    contrib = lambda r: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(k_rrf) + F.col(r)), F.lit(0.0)
+    )
+    fused = (
+        lex.join(dense, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "lex_rank",
+            "dense_rank",
+            F.round(contrib("lex_rank") + contrib("dense_rank"), 6).alias("rrf_score"),
+        )
+    )
+    top = fused.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc()).limit(top_n)
+    rn = F.row_number().over(
+        Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+    )
+    return top.withColumn("fused_rank", rn.cast("bigint"))
+
+
+def ivf_pq_rerank_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id: int,
+    centroid_ids: list[int],
+    codebook_ids: list[int],
+    m: int = 8,
+    n_probe: int = 2,
+    k_shortlist: int = 50,
+    top_n: int = 10,
+) -> DataFrame:
+    """Two-stage ANN: IVF-PQ ADC shortlist + EXACT re-rank — the
+    refinement architecture FAISS ships as ``IVFPQR`` / "IVFADC+R"
+    (Jégou et al. 2011 §VI): the compressed index proposes
+    ``k_shortlist`` candidates cheaply, then the ORIGINAL vectors of
+    only those candidates are fetched and exactly re-scored. This is
+    how production vector search recovers the recall that PQ's lossy
+    encoding gives up, while still never brute-forcing the corpus.
+
+    Plan: stage 1 is :func:`ivf_pq_topk` (narrow literal-inlined
+    scan over the probed fraction, TakeOrdered shortlist). Stage 2
+    BROADCASTS the ≤k_shortlist-row shortlist back against the corpus
+    scan to fetch candidate vectors (at 100 TB: a broadcast-hash
+    semi-join on the id — no shuffle of the corpus), computes the
+    exact query L2 with the same left-associated fold the coarse
+    quantizer uses, in the same deterministic integer micro-units as
+    adc_micro, and TakeOrders the final top-``top_n``. Output keeps
+    both distances and both ranks so the re-ordering the refinement
+    performs is itself visible and oracle-checked.
+    """
+    from pyspark.sql import Window
+
+    shortlist = ivf_pq_topk(
+        df,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id=query_id,
+        centroid_ids=centroid_ids,
+        codebook_ids=codebook_ids,
+        m=m,
+        n_probe=n_probe,
+        top_n=k_shortlist,
+    ).select(
+        F.col(id_col).alias("id"),
+        "cell",
+        "adc_micro",
+        F.col("rank").alias("adc_rank"),
+    )
+    qvec = collect_centroids(df, id_col, vec_col, [query_id])[0]
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    cand = (
+        spread(
+            df.select(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).cast("array<double>").alias("v"),
+            )
+        )
+        .join(F.broadcast(shortlist), "id")
+        .withColumn(
+            "exact_micro",
+            F.floor(_sub_l2(F.col("v"), qlit) * 1000000.0 + F.lit(0.5)).cast("bigint"),
+        )
+    )
+    top = cand.orderBy(F.col("exact_micro").asc(), F.col("id").asc()).limit(top_n)
+    rn = F.row_number().over(
+        Window.orderBy(F.col("exact_micro").asc(), F.col("id").asc())
+    )
+    return top.withColumn("rank", rn.cast("bigint")).select(
+        F.col("id").alias(id_col),
+        "cell",
+        "adc_micro",
+        "adc_rank",
+        "exact_micro",
+        "rank",
+    )

@@ -1,0 +1,299 @@
+"""Deterministic, oracle-exact streaming sketches: HyperLogLog and
+count-min.
+
+Production engines ship these as opaque native accumulators (Spark's
+``approx_count_distinct`` HLL++, DataSketches' CPC/theta) whose
+register layouts are engine-private — which is why ``approx_stats``
+stays a rows-only check. These implementations instead build the
+sketch RELATIONALLY from a deterministic md5-derived hash, so the
+identical construction runs in DuckDB SQL and the sketch's estimate
+AND its self-reported error are value-hash-checked cross-engine
+(the ``kmv_distinct_estimate`` precedent, extended to register-based
+sketches).
+
+Scale shape: both sketches are FIXED-SIZE aggregates — the shuffle
+carries only per-partition partial registers/cells (m rows for HLL,
+d·w for CMS), never raw values, so at 100 TB the exchange stays KBs
+per map task. That is exactly the mergeability property that makes
+these sketches the standard cardinality/frequency layer of a
+large-scale data pipeline.
+
+Reference parity note: the reference (GlebSolovev/flink-anomaly,
+Main.java:52-58) aggregates with keyed ValueState; a Flink user
+estimating stream cardinality would hang an HLL accumulator off that
+same keyed state. This module is that capability, Spark-first.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flink_anomaly_spark.operators.dedup import md5_int32
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007), deterministic md5 register build
+# ---------------------------------------------------------------------------
+
+#: Scaled-integer exponent for the 2^-M register sum: S = Σ 2^(HLL_SHIFT-M)
+#: as BIGINT is EXACT and order-independent (every term is a power of
+#: two ≥ 2^(SHIFT-25)), unlike a double Σ 2^-M whose partial sums can
+#: round — the whole reason the estimate is reproducible cross-engine.
+HLL_SHIFT = 30
+
+
+def _hll_alpha(m: int) -> float:
+    """Bias-correction constant α_m (Flajolet et al. 2007, Fig. 3)."""
+    if m >= 128:
+        return 0.7213 / (1 + 1.079 / m)
+    return {16: 0.673, 32: 0.697, 64: 0.709}[m]
+
+
+def hll_distinct_estimate(df: DataFrame, col: str, p: int = 8) -> DataFrame:
+    """HyperLogLog distinct-count estimate with 2^p registers, built
+    relationally from the 32-bit md5 hash (top p bits pick the
+    register, ρ = leading-zero run of the remaining 32-p bits + 1).
+
+    Register max is a plain groupBy-max on the bucket key (map-side
+    partial max ⇒ the shuffle is ≤ m rows per map task); the harmonic
+    mean Σ2^-M is computed as an EXACT scaled-integer sum (see
+    HLL_SHIFT) so the estimate is bit-reproducible in any engine and
+    any partitioning. Small-range LinearCounting correction
+    (E ≤ 2.5m, empty registers present) per the original paper; ln()
+    output is rounded to 4 decimals so a libm ulp cannot flip the
+    oracle hash.
+
+    Returns one row: (m, v_present, est_distinct, exact_distinct,
+    rel_err_pct) — like the KMV sketch, the query self-reports its
+    accuracy trade so the oracle checks estimate AND error.
+
+    NULLs are excluded before hashing, matching COUNT(DISTINCT).
+    """
+    m = 1 << p
+    rest_bits = 32 - p
+    rest_mod = 1 << rest_bits
+    alpha = _hll_alpha(m)
+
+    h = md5_int32(F.col(col).cast("string")).alias("h")
+    hashed = df.filter(F.col(col).isNotNull()).select(h)
+    rho = F.when(
+        F.col("h") % rest_mod == 0, F.lit(rest_bits + 1)
+    ).otherwise(F.lit(rest_bits + 1) - F.length(F.bin(F.col("h") % rest_mod)))
+    regs = (
+        hashed.select(
+            F.floor(F.col("h") / rest_mod).alias("bucket"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    # exact Σ 2^(SHIFT - M) over PRESENT buckets; absent buckets have
+    # register 0 and contribute 2^SHIFT each
+    agg = regs.agg(
+        F.count("*").alias("v_present"),
+        # F.shiftleft only takes a literal shift in PySpark; the SQL
+        # form accepts a column expression
+        F.sum(
+            F.expr(f"shiftleft(cast(1 as bigint), {HLL_SHIFT} - reg)")
+        ).alias("s_present"),
+    )
+    exact = df.agg(F.countDistinct(col).alias("exact_distinct"))
+    s_total = F.col("s_present") + (F.lit(m) - F.col("v_present")) * F.lit(
+        1 << HLL_SHIFT
+    ).cast("bigint")
+    e_raw = F.lit(alpha * m * m * float(1 << HLL_SHIFT)) / s_total.cast("double")
+    zeros = F.lit(m) - F.col("v_present")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(e_raw)
+    return (
+        agg.crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(m).cast("bigint").alias("m"),
+            F.col("v_present").cast("bigint").alias("v_present"),
+            est.alias("__est"),
+            F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+        )
+        .select(
+            "m",
+            "v_present",
+            F.round("__est", 4).alias("est_distinct"),
+            "exact_distinct",
+            # + 0.0 clears IEEE -0.0 (oracle-hash gotcha, KMV precedent)
+            (
+                F.round(
+                    (F.col("__est") - F.col("exact_distinct"))
+                    / F.col("exact_distinct")
+                    * 100,
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("rel_err_pct"),
+        )
+    )
+
+
+def hll_oracle_sql(col: str, table: str, p: int = 8) -> str:
+    """DuckDB mirror of :func:`hll_distinct_estimate` — one generator
+    per sketch so engine and oracle cannot drift."""
+    m = 1 << p
+    rest_bits = 32 - p
+    rest_mod = 1 << rest_bits
+    alpha = _hll_alpha(m)
+    coeff = repr(alpha * m * m * float(1 << HLL_SHIFT))
+    h = f"CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)),1,8)) AS BIGINT)"
+    return f"""
+    WITH h AS (SELECT {h} AS h FROM {table} WHERE {col} IS NOT NULL),
+    r AS (SELECT h // {rest_mod} AS bucket,
+                 CASE WHEN h % {rest_mod} = 0 THEN {rest_bits + 1}
+                      ELSE {rest_bits + 1} - length(bin(h % {rest_mod})) END AS rho
+          FROM h),
+    regs AS (SELECT bucket, max(rho) AS reg FROM r GROUP BY bucket),
+    a AS (SELECT CAST(count(*) AS BIGINT) AS v_present,
+                 sum(CAST(1 AS BIGINT) << ({HLL_SHIFT} - reg)) AS s_present
+          FROM regs),
+    e AS (SELECT CAST(count(DISTINCT {col}) AS BIGINT) AS exact_distinct
+          FROM {table}),
+    est AS (
+      SELECT v_present, exact_distinct,
+             CASE WHEN {coeff} / CAST(s_present + ({m} - v_present)
+                         * CAST({1 << HLL_SHIFT} AS BIGINT) AS DOUBLE)
+                       <= {2.5 * m}
+                   AND {m} - v_present > 0
+                  THEN {float(m)!r} * ln({float(m)!r}
+                         / CAST({m} - v_present AS DOUBLE))
+                  ELSE {coeff} / CAST(s_present + ({m} - v_present)
+                         * CAST({1 << HLL_SHIFT} AS BIGINT) AS DOUBLE)
+             END AS est
+      FROM a CROSS JOIN e)
+    SELECT CAST({m} AS BIGINT) AS m, v_present,
+           round(est, 4) AS est_distinct, exact_distinct,
+           round((est - exact_distinct) / exact_distinct * 100, 4) + 0.0
+             AS rel_err_pct
+    FROM est
+    """
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+
+
+def _cms_bucket(term: Column, row: int, w: int) -> Column:
+    """Bucket of ``term`` under the row-``row`` hash: md5 of the
+    salted term, mod w. Row salts make the d hash functions
+    independent in the pairwise sense the CMS analysis needs."""
+    return md5_int32(F.concat(term, F.lit(f"#{row}"))) % w
+
+
+def countmin_term_estimates(
+    docs: DataFrame,
+    text_col: str = "text",
+    d: int = 4,
+    w: int = 512,
+    top_n: int = 15,
+) -> DataFrame:
+    """Count-min sketch over the whitespace-token stream of ``docs``,
+    reporting estimate-vs-exact for the global top-``top_n`` terms.
+
+    Plan (the scale-right order): the token stream is first collapsed
+    to VOCABULARY counts (one groupBy with map-side partials — the
+    only shuffle proportional to data size, and it carries (term,
+    partial_count), not tokens). The d·w sketch cells are then built
+    from the vocab (vocab × d rows → groupBy (row, bucket) weighted
+    sum — the same cells a streaming CMS would hold, proven by the
+    identity Σ_term∈bucket count(term) = Σ_token 1). Estimation joins
+    the top-n terms against the broadcast-sized cell table
+    (d·w = 2048 rows) and takes min over the d rows — the classic
+    point query. ``overcount = cms_est − exact_cnt ≥ 0`` is reported
+    so the sketch's collision error is itself oracle-checked.
+    """
+    from flink_anomaly_spark.operators.text import tokens
+
+    vocab = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    vocab = vocab.persist()
+    cells = (
+        vocab.select(
+            "cnt",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"),
+                            _cms_bucket(F.col("term"), r, w).alias("b"),
+                        )
+                        for r in range(d)
+                    ]
+                )
+            ).alias("rb"),
+        )
+        .groupBy("rb.r", "rb.b")
+        .agg(F.sum("cnt").alias("cell"))
+    )
+    top = vocab.orderBy(F.col("cnt").desc(), F.col("term").asc()).limit(top_n)
+    top_exp = top.select(
+        "term",
+        "cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        _cms_bucket(F.col("term"), r, w).alias("b"),
+                    )
+                    for r in range(d)
+                ]
+            )
+        ).alias("rb"),
+    ).select("term", "cnt", F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+    est = (
+        top_exp.join(F.broadcast(cells), on=["r", "b"])
+        .groupBy("term", "cnt")
+        .agg(F.min("cell").alias("cms_est"))
+    )
+    return est.select(
+        "term",
+        F.col("cnt").alias("exact_cnt"),
+        "cms_est",
+        (F.col("cms_est") - F.col("cnt")).alias("overcount"),
+    ).orderBy(F.col("exact_cnt").desc(), F.col("term").asc())
+
+
+def countmin_oracle_sql(
+    toks_sql: str, d: int = 4, w: int = 512, top_n: int = 15
+) -> str:
+    """DuckDB mirror of :func:`countmin_term_estimates`."""
+    b = (
+        "CAST(('0x' || substr(md5(term || '#' || CAST(r AS VARCHAR)),1,8)) "
+        f"AS BIGINT) % {w}"
+    )
+    return f"""
+    WITH tok AS (SELECT unnest({toks_sql}) AS term FROM documents),
+    vocab AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY term),
+    salted AS (SELECT term, cnt, CAST(r AS INT) AS r, {b} AS b
+               FROM vocab, range(0, {d}) t(r)),
+    cells AS (SELECT r, b, CAST(sum(cnt) AS BIGINT) AS cell
+              FROM salted GROUP BY r, b),
+    top AS (SELECT term, cnt FROM vocab ORDER BY cnt DESC, term ASC LIMIT {top_n}),
+    top_exp AS (SELECT term, cnt, CAST(r AS INT) AS r, {b} AS b
+                FROM top, range(0, {d}) t(r)),
+    est AS (SELECT term, cnt, CAST(min(cell) AS BIGINT) AS cms_est
+            FROM top_exp JOIN cells USING (r, b) GROUP BY term, cnt)
+    SELECT term, cnt AS exact_cnt, cms_est, cms_est - cnt AS overcount
+    FROM est ORDER BY exact_cnt DESC, term ASC
+    """
+
+
+__all__ = [
+    "hll_distinct_estimate",
+    "hll_oracle_sql",
+    "countmin_term_estimates",
+    "countmin_oracle_sql",
+]

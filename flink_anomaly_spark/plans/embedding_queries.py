@@ -457,7 +457,18 @@ def _ivfpq_res_chain(r: str, cw: str) -> str:
     return " + ".join(terms)
 
 
-def _ivfpq_oracle() -> str:
+def _ivfpq_exact_chain(v: str, q: str) -> str:
+    """Unrolled left-associated squared-L2 chain between two raw FLOAT
+    vector columns (both CAST per element) — the exact-rerank metric."""
+    terms = []
+    for d in range(1, _IVFPQ_DIM + 1):
+        ia = f"CAST({v}[{d}] AS DOUBLE)"
+        ib = f"CAST({q}[{d}] AS DOUBLE)"
+        terms.append(f"({ia} - {ib}) * ({ia} - {ib})")
+    return " + ".join(terms)
+
+
+def _ivfpq_scored_cte() -> str:
     cent_vals = ", ".join(f"({c}, {cid})" for c, cid in enumerate(_IVFPQ_CENTROID_IDS))
     cbm_vals = ", ".join(f"({j}, {cid})" for j, cid in enumerate(_PQ_CODEBOOK_IDS))
     k_sub = len(_PQ_CODEBOOK_IDS)
@@ -527,9 +538,41 @@ def _ivfpq_oracle() -> str:
              CAST(sum(adc.a) AS BIGINT) AS adc_micro
       FROM enc JOIN subs USING (s) JOIN adc ON adc.c = enc.c AND adc.s = enc.s AND adc.j = enc.j
       GROUP BY enc.vec_id, enc.c
-    )
+    )"""
+
+
+def _ivfpq_oracle() -> str:
+    return f"""
+    {_ivfpq_scored_cte()}
     SELECT vec_id, cell, pq_code_key, adc_micro, CAST(rank AS BIGINT) AS rank FROM (
       SELECT *, row_number() OVER (ORDER BY adc_micro, vec_id) AS rank FROM scored
+    ) t WHERE rank <= 10
+    """
+
+
+_IVFPQ_K_SHORTLIST = 50
+
+
+def _ivfpq_rerank_oracle() -> str:
+    return f"""
+    {_ivfpq_scored_cte()},
+    shortlist AS (
+      SELECT vec_id, cell, adc_micro, CAST(rank AS BIGINT) AS adc_rank FROM (
+        SELECT *, row_number() OVER (ORDER BY adc_micro, vec_id) AS rank
+        FROM scored
+      ) t WHERE rank <= {_IVFPQ_K_SHORTLIST}
+    ),
+    rer AS (
+      SELECT s.vec_id, s.cell, s.adc_micro, s.adc_rank,
+             CAST(floor(({_ivfpq_exact_chain("e.v", "q.qv")}) * 1000000 + 0.5)
+                  AS BIGINT) AS exact_micro
+      FROM shortlist s JOIN e ON e.vec_id = s.vec_id CROSS JOIN q
+    )
+    SELECT vec_id, cell, adc_micro, adc_rank, exact_micro,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY exact_micro, vec_id) AS rank
+      FROM rer
     ) t WHERE rank <= 10
     """
 
@@ -561,5 +604,36 @@ def q_embedding_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         codebook_ids=_PQ_CODEBOOK_IDS,
         m=_PQ_M,
         n_probe=_IVFPQ_N_PROBE,
+        top_n=10,
+    )
+
+
+@register(
+    "embedding_ann_ivfpq_rerank",
+    oracle=_ivfpq_rerank_oracle(),
+    doc="Two-stage ANN: IVF-PQ ADC shortlist (50) + EXACT re-rank of "
+    "only the shortlisted original vectors — FAISS's IVFPQR / "
+    "'IVFADC+R' refinement (Jégou et al. 2011 §VI), the architecture "
+    "that recovers PQ's lost recall without brute-forcing the corpus. "
+    "The <=50-row shortlist is BROADCAST back against the corpus scan "
+    "(no shuffle of the corpus at any scale); exact distances use the "
+    "same left-associated fold and integer micro-units as the ADC "
+    "stage, so the refinement's re-ordering is itself oracle-checked "
+    "(adc_rank vs rank).",
+)
+def q_embedding_ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.similarity import ivf_pq_rerank_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_pq_rerank_topk(
+        emb,
+        id_col="vec_id",
+        vec_col="embedding",
+        query_id=_PQ_QUERY_ID,
+        centroid_ids=_IVFPQ_CENTROID_IDS,
+        codebook_ids=_PQ_CODEBOOK_IDS,
+        m=_PQ_M,
+        n_probe=_IVFPQ_N_PROBE,
+        k_shortlist=_IVFPQ_K_SHORTLIST,
         top_n=10,
     )

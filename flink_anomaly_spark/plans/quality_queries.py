@@ -1263,15 +1263,17 @@ _BM25_K1 = 1.2
 _BM25_B = 0.75
 
 
-@register(
-    "bm25_topk",
-    oracle=f"""
+def _bm25_scored_cte(terms: list[str], k1: float, b: float) -> str:
+    """CTE chain ending in ``scored(id, dl, score)`` — shared by the
+    bm25_topk oracle and the RRF fusion oracle so the two can't
+    drift apart."""
+    return f"""
     WITH d AS (
       SELECT doc_id AS id, {_TOKS} AS toks FROM documents
     ), base AS (
       SELECT id, len(toks) AS dl,
              list_filter(toks, t -> list_contains(
-               [{",".join(f"'{t}'" for t in _BM25_TERMS)}], t)) AS qtoks
+               [{",".join(f"'{t}'" for t in terms)}], t)) AS qtoks
       FROM d
     ), corpus AS (
       SELECT count(*) AS N, avg(dl) AS avgdl FROM base
@@ -1285,12 +1287,18 @@ _BM25_B = 0.75
       SELECT id, dl,
              round(sum(
                ln(1 + (N - df + 0.5) / (df + 0.5))
-               * (tf * ({_BM25_K1} + 1)
-                  / (tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl)))
+               * (tf * ({k1} + 1)
+                  / (tf + {k1} * (1 - {b} + {b} * dl / avgdl)))
              ), 6) AS score
       FROM tfc JOIN dfreq USING (term), corpus
       GROUP BY id, dl
-    )
+    )"""
+
+
+@register(
+    "bm25_topk",
+    oracle=f"""
+    {_bm25_scored_cte(_BM25_TERMS, _BM25_K1, _BM25_B)}
     SELECT id AS doc_id, CAST(dl AS BIGINT) AS doc_len, score,
            CAST(rank AS BIGINT) AS rank
     FROM (
@@ -1428,3 +1436,92 @@ def q_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bpe_fertility_by_lang(docs, n_merges=_BPE_MERGES)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion (BM25 + dense cosine)
+# ---------------------------------------------------------------------------
+
+_RRF_QID = 7
+_RRF_K_EACH = 20
+_RRF_K = 60
+
+
+def _rrf_oracle() -> str:
+    dot = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        " list_transform(range(1, len(qvec)+1),"
+        " i -> CAST(qvec[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),"
+        " (a,b) -> a+b)"
+    )
+    nq = (
+        "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        " list_transform(range(1, len(qvec)+1),"
+        " i -> CAST(qvec[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE))),"
+        " (a,b) -> a+b))"
+    )
+    nn = (
+        "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        " list_transform(range(1, len(embedding)+1),"
+        " i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),"
+        " (a,b) -> a+b))"
+    )
+    return f"""
+    {_bm25_scored_cte(_BM25_TERMS, _BM25_K1, _BM25_B)},
+    lexall AS (
+      SELECT id AS doc_id,
+             row_number() OVER (ORDER BY score DESC, id ASC) AS r
+      FROM scored),
+    lex AS (SELECT doc_id, CAST(r AS BIGINT) AS lex_rank
+            FROM lexall WHERE r <= {_RRF_K_EACH}),
+    q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {_RRF_QID}),
+    dsc AS (
+      SELECT vec_id AS doc_id, round({dot} / ({nq} * {nn}), 6) AS cos_sim
+      FROM embeddings, q WHERE vec_id != {_RRF_QID}),
+    dall AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY cos_sim DESC, doc_id ASC) AS r
+      FROM dsc),
+    dense AS (SELECT doc_id, CAST(r AS BIGINT) AS dense_rank
+              FROM dall WHERE r <= {_RRF_K_EACH}),
+    fused AS (
+      SELECT coalesce(l.doc_id, dn.doc_id) AS doc_id,
+             l.lex_rank, dn.dense_rank,
+             round(coalesce(1.0 / ({_RRF_K} + l.lex_rank), 0.0)
+                 + coalesce(1.0 / ({_RRF_K} + dn.dense_rank), 0.0), 6)
+               AS rrf_score
+      FROM lex l FULL JOIN dense dn ON l.doc_id = dn.doc_id)
+    SELECT doc_id, lex_rank, dense_rank, rrf_score,
+           CAST(fr AS BIGINT) AS fused_rank
+    FROM (SELECT *, row_number()
+            OVER (ORDER BY rrf_score DESC, doc_id ASC) AS fr
+          FROM fused) t
+    WHERE fr <= 10
+    """
+
+
+@register(
+    "rrf_hybrid_retrieval",
+    oracle=_rrf_oracle(),
+    doc="Reciprocal-rank fusion (Cormack et al. 2009) of BM25 lexical "
+    "top-20 and exact-cosine dense top-20 over the aligned "
+    "documents/embeddings corpora — the sparse+dense hybrid retrieval "
+    "layer of a RAG pipeline. Each retriever is independently "
+    "distribution-right (query-term prefilter + broadcast stats; "
+    "broadcast query vector) and ends in TakeOrdered, so the fusion "
+    "full-outer-joins two <=20-row frames — free at any corpus size. "
+    "Rank fusion needs no score calibration; rrf_score rounds to 6 "
+    "BEFORE the fused rank so double ulp can't reorder ties.",
+)
+def q_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.similarity import hybrid_rrf_retrieval
+
+    return hybrid_rrf_retrieval(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+        _BM25_TERMS,
+        query_vec_id=_RRF_QID,
+        k_each=_RRF_K_EACH,
+        k_rrf=_RRF_K,
+        top_n=10,
+    )

@@ -130,13 +130,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "tfidf_top_terms",
     "embedding_topk",
     "zscore_outliers",
-    "map_upper",
     "filter_project",
     "union_bag",
     "global_concat_single_key",
-    "sliding_window_agg",
-    "session_window_agg",
-    "pivot_order_status",
+    # ---- late round-6 additions (never checked > re-confirm: these
+    # displaced the sliding_window_agg / session_window_agg /
+    # pivot_order_status refills, all double-green and locally
+    # hash-gated at 3 SFs)
+    "hll_distinct_users",
+    "countmin_top_terms",
+    "rrf_hybrid_retrieval",
+    "embedding_ann_ivfpq_rerank",
 )
 # Rotated OUT in round 6 (all green in CORRECTNESS_r05, 50/50):
 # kmeans_lloyd_outliers, media_pixel_stats,

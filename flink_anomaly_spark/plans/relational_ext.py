@@ -1381,3 +1381,50 @@ def q_kmv_custkey_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         k=256,
     )
+
+
+# ---------------------------------------------------------------------------
+# Register-based sketches: HyperLogLog + count-min (operators/sketches.py)
+# ---------------------------------------------------------------------------
+
+from flink_anomaly_spark.operators.sketches import (  # noqa: E402
+    countmin_oracle_sql,
+    countmin_term_estimates,
+    hll_distinct_estimate,
+    hll_oracle_sql,
+)
+from flink_anomaly_spark.plans.fragments import TOKS as _TOKS_FRAG  # noqa: E402
+
+
+@register(
+    "hll_distinct_users",
+    oracle=hll_oracle_sql("user_id", "events", p=8),
+    doc="HyperLogLog (Flajolet et al. 2007) distinct-user estimate "
+    "with 256 registers, built RELATIONALLY from the md5 hash so the "
+    "normally engine-private register layout is oracle-exact: bucket "
+    "groupBy-max (map-side partials, <=m rows shuffled per task), "
+    "EXACT scaled-integer harmonic sum (order-independent, unlike a "
+    "double sum of 2^-M), LinearCounting small-range branch per the "
+    "paper. Completes the KMV/theta sketch family with the register "
+    "sketch that real pipelines merge across 100 TB partitions.",
+)
+def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hll_distinct_estimate(load_table(spark, sf_dir, "events"), "user_id", p=8)
+
+
+@register(
+    "countmin_top_terms",
+    oracle=countmin_oracle_sql(_TOKS_FRAG, d=3, w=16, top_n=15),
+    doc="Count-min sketch (Cormode & Muthukrishnan 2005) frequency "
+    "estimates vs exact for the top-15 corpus terms: token stream "
+    "collapses map-side to vocabulary counts (the only data-sized "
+    "shuffle), the 4x512 cell table is built from the vocab by a "
+    "weighted (row,bucket) aggregate, point queries take min over the "
+    "3 salted-md5 rows against the BROADCAST cell table. The sketch is "
+    "deliberately undersized (3x16 cells vs 31 terms) so overcount "
+    ">= 0 actually exercises and self-reports the collision error.",
+)
+def q_countmin_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return countmin_term_estimates(
+        load_table(spark, sf_dir, "documents"), d=3, w=16, top_n=15
+    )
