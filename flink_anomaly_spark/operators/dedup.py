@@ -266,7 +266,42 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     )
 
 
+def normalize_text(col: Column) -> Column:
+    """C4/Gopher-style canonical text form: lowercase, every non-
+    alphanumeric run collapsed to one space, trimmed. Pure Catalyst
+    (lower + one regexp_replace + trim — zero UDF, zero shuffle);
+    '[^a-z0-9]+' has identical semantics in Java regex and DuckDB's
+    RE2, so the oracle mirrors it verbatim."""
+    return F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " "))
+
+
+def normalized_exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Fuzzy-exact dedup: documents identical AFTER text normalization
+    (case / punctuation / whitespace insensitive) — the cheap
+    normalize-then-hash pass C4 and Gopher run before any MinHash,
+    catching reformatted copies that byte-exact dedup misses.
+
+    Per-document output (id, norm_hash, group_size, is_canonical):
+    the canonical survivor is the min id of each normalized group.
+    Plan: normalization is zero-shuffle codegen; the group stats are
+    window aggregates over the 32-hex-char hash key — ONE shuffle
+    carrying (id, hash) + payload-free rows, and duplicate groups are
+    tiny so the key space is skew-free at any corpus size."""
+    from pyspark.sql import Window
+
+    key = F.md5(normalize_text(F.col(content_col)))
+    w = Window.partitionBy("norm_hash")
+    return (
+        df.select(F.col(id_col), key.alias("norm_hash"))
+        .withColumn("group_size", F.count("*").over(w))
+        .withColumn(
+            "is_canonical", F.col(id_col) == F.min(id_col).over(w)
+        )
+    )
+
+
 def minhash_near_dup_pairs(
+
     df: DataFrame,
     id_col: str,
     text_col: str,

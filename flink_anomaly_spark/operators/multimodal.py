@@ -760,3 +760,34 @@ def media_dhash_near_dup(
         .filter(hamming <= max_hamming)
         .select("id1", "id2", hamming.cast("int").alias("hamming"))
     )
+
+
+SCENE_SAD_SCHEMA = "media_id long, pair_idx int, width int, height int, sad long"
+
+
+def video_frame_pair_sad(media: DataFrame) -> DataFrame:
+    """Per-successive-frame-pair Sum of Absolute Differences over the
+    REAL decoded luma planes — the primitive under shot/scene-cut
+    detection (a cut is a pair whose mean abs diff exceeds a
+    threshold; ffmpeg's ``select=gt(scene,..)`` computes exactly this
+    family). One row per frame pair, SAD as an EXACT int64 (the
+    division to mean-abs-diff and the threshold happen JVM-side —
+    floats never leave the UDF, per the banker's-rounding gotcha).
+    Decode fan-out stays inside the Arrow batch; only fixed-width
+    (id, pair, w, h, sad) rows cross exchanges."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, _, frames = decode_y4m(bytes(payload))
+                for f in range(len(frames) - 1):
+                    a = np.frombuffer(frames[f], dtype=np.uint8).astype(np.int64)
+                    b = np.frombuffer(frames[f + 1], dtype=np.uint8).astype(np.int64)
+                    rows.append((int(mid), f, w, h, int(np.abs(b - a).sum())))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "pair_idx", "width", "height", "sad"]
+            )
+
+    return media.mapInPandas(op, SCENE_SAD_SCHEMA)

@@ -373,3 +373,59 @@ def q_media_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return media_dhash_near_dup(synth_ppm_media(docs))
+
+
+@register(
+    "video_scene_cut_stats",
+    # frame f byte j = (doc_id*13 + f*7 + j) % 256, so the pair
+    # (f, f+1) differs by |(x+7)%256 - x| = 7, except 249 where the
+    # byte wraps: x in [249,255]. With wh <= 24 < 256 the wrap count
+    # is the overlap of [c, c+wh) with [249,256), c = start byte of
+    # frame f — the oracle computes SAD from that closed form, so a
+    # decoder or differencing bug cannot match.
+    oracle="""
+    WITH d AS (SELECT doc_id, 4 + doc_id % 3 AS w, 3 + doc_id % 2 AS h,
+                      2 + doc_id % 4 AS nf
+               FROM documents),
+    p AS (SELECT d.doc_id, d.w * d.h AS wh, f.f,
+                 (d.doc_id * 13 + f.f * 7) % 256 AS c
+          FROM d CROSS JOIN (SELECT unnest(range(0, 4)) AS f) f
+          WHERE f.f < d.nf - 1),
+    m AS (SELECT doc_id, wh, f,
+                 (greatest(0, least(c + wh, 256) - greatest(c, 249))) * 249
+                 + (wh - greatest(0, least(c + wh, 256) - greatest(c, 249))) * 7
+                   AS sad
+          FROM p)
+    SELECT doc_id AS media_id,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN CAST(sad AS DOUBLE) / wh > 20 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_cuts,
+           CAST(sum(sad) AS BIGINT) AS total_sad,
+           round(max(CAST(sad AS DOUBLE) / wh), 4) AS max_pair_mad
+    FROM m GROUP BY doc_id
+    """,
+    doc="Scene/shot-cut detection over REAL decoded video: successive-"
+    "frame SAD from the y4m luma planes (exact int64 inside the Arrow "
+    "batch), mean-abs-diff threshold (> 20) applied JVM-side — the "
+    "ffmpeg select=gt(scene,..) family as a distributed operator. "
+    "Only fixed-width (id, pair, sad) rows leave the decode stage; "
+    "the per-clip rollup is one hash agg on media_id.",
+)
+def q_video_scene_cut_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.multimodal import (
+        synth_y4m_media,
+        video_frame_pair_sad,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    sad = video_frame_pair_sad(synth_y4m_media(docs))
+    mad = F.col("sad").cast("double") / (F.col("width") * F.col("height"))
+    return (
+        sad.groupBy("media_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.when(mad > 20, 1).otherwise(0)).cast("bigint").alias("n_cuts"),
+            F.sum("sad").alias("total_sad"),
+            F.round(F.max(mad), 4).alias("max_pair_mad"),
+        )
+    )

@@ -1525,3 +1525,31 @@ def q_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         k_rrf=_RRF_K,
         top_n=10,
     )
+
+
+@register(
+    "normalized_exact_dedup",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+               AS norm_hash
+      FROM documents)
+    SELECT doc_id, norm_hash,
+           CAST(count(*) OVER (PARTITION BY norm_hash) AS BIGINT) AS group_size,
+           doc_id = min(doc_id) OVER (PARTITION BY norm_hash) AS is_canonical
+    FROM n
+    """,
+    doc="Fuzzy-exact dedup (C4/Gopher normalize-then-hash): lowercase "
+    "+ collapse non-alphanumerics + trim, md5 the canonical form, "
+    "window stats per hash with min-id survivor. Normalization is "
+    "zero-UDF codegen; the one shuffle carries (id, 32-char hash) "
+    "only; duplicate groups are tiny, so no skew at 100 TB. Catches "
+    "reformatted copies byte-exact dedup misses, upstream of MinHash.",
+)
+def q_normalized_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.dedup import normalized_exact_dedup
+
+    return normalized_exact_dedup(
+        load_table(spark, sf_dir, "documents"), content_col="text", id_col="doc_id"
+    )

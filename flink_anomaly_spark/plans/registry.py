@@ -120,11 +120,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "synthetic_source_agg",
     # ---- oldest-green refill: the 6 rows last green in ROUND 1
     "docs_by_lang_source",
-    "custkeys_intersect",
-    "custkeys_except",
     "left_outer_join_nulls",
     "full_outer_join",
-    "cross_join_grid",
     # ---- oldest-green refill: 15 rows last green in ROUND 2
     "clean_text_corpus",
     "tfidf_top_terms",
@@ -141,6 +138,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "countmin_top_terms",
     "rrf_hybrid_retrieval",
     "embedding_ann_ivfpq_rerank",
+    "normalized_exact_dedup",
+    "video_scene_cut_stats",
+    "streaming_topk_per_window_final",
 )
 # Rotated OUT in round 6 (all green in CORRECTNESS_r05, 50/50):
 # kmeans_lloyd_outliers, media_pixel_stats,

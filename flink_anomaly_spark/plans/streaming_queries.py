@@ -525,3 +525,55 @@ def q_streaming_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_anomaly_spark.streaming.pipelines import two_level_window_stream
 
     return run_to_memory(two_level_window_stream(stream_events(spark, sf_dir)))
+
+
+@register(
+    "streaming_topk_per_window_final",
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('hour', ts) AS window_start, event_type,
+             count(*) AS n_events, round(sum(value), 2) AS sum_value
+      FROM events GROUP BY 1, 2)
+    SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
+           event_type, n_events, sum_value, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY window_start
+                    ORDER BY n_events DESC, event_type ASC) AS rank
+          FROM m) t
+    WHERE rank <= 3
+    """,
+    doc="Streaming top-k per window — the lambda-free serve pattern: "
+    "the STREAMING half is the hourly (window, event_type) count with "
+    "20 s watermark and the EOS sentinel flush (so every real window "
+    "finalizes); the rank-3-per-window cut runs BATCH-side on the "
+    "finalized sink contents, because append-mode streaming cannot "
+    "re-rank within a window until it is final — exactly where "
+    "production systems put the topN (materialized-view serve layer). "
+    "Per-window ties break by event_type; the window rank partitions "
+    "on window_start, |windows| x |types| rows only.",
+)
+def q_streaming_topk_per_window_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from flink_anomaly_spark.streaming.pipelines import windowed_count_stream
+
+    work = tempfile.mkdtemp(prefix="eos_flush_")
+    events = stream_events_with_final_flush(spark, sf_dir, work)
+    snap = run_to_memory(windowed_count_stream(events, duration="1 hour"))
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc()
+    )
+    return (
+        snap.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "window_start",
+            "window_end",
+            "event_type",
+            "n_events",
+            "sum_value",
+            "rank",
+        )
+    )

@@ -76,3 +76,62 @@ def test_countmin_wide_sketch_is_exact(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     out = countmin_term_estimates(docs, d=4, w=4096, top_n=15).collect()
     assert all(r["overcount"] == 0 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# round-6 batch 2: scene cuts, normalized dedup, streaming top-k
+# ---------------------------------------------------------------------------
+
+
+def test_video_frame_pair_sad_hand_computed(spark):
+    from flink_anomaly_spark.operators.multimodal import (
+        encode_y4m,
+        video_frame_pair_sad,
+    )
+
+    # 2x2 clip, 3 frames: SADs are |5-1|*4 = hand-computable
+    frames = [bytes([1, 1, 1, 1]), bytes([5, 3, 1, 255]), bytes([5, 3, 2, 0])]
+    payload = encode_y4m(2, 2, frames)
+    media = spark.createDataFrame(
+        [(1, payload)], "media_id long, payload binary"
+    )
+    rows = {r.pair_idx: r for r in video_frame_pair_sad(media).collect()}
+    assert rows[0].sad == 4 + 2 + 0 + 254
+    assert rows[1].sad == 0 + 0 + 1 + 255
+    assert rows[0].width == 2 and rows[0].height == 2
+
+
+def test_normalized_exact_dedup_catches_reformatted_copy(spark):
+    from flink_anomaly_spark.operators.dedup import normalized_exact_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello, World!"),
+            (2, "hello   world"),
+            (3, "HELLO-WORLD"),
+            (4, "goodbye world"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in normalized_exact_dedup(df, "text", "doc_id").collect()}
+    assert out[1].group_size == 3 and out[1].is_canonical
+    assert out[2].group_size == 3 and not out[2].is_canonical
+    assert out[3].norm_hash == out[1].norm_hash
+    assert out[4].group_size == 1 and out[4].is_canonical
+
+
+def test_streaming_topk_rank_invariants(spark):
+    from flink_anomaly_spark.plans.registry import all_queries
+
+    out = all_queries()["streaming_topk_per_window_final"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_win = {}
+    for r in out:
+        by_win.setdefault(r.window_start, []).append(r)
+    assert out, "no windows emitted"
+    for rows in by_win.values():
+        ranks = sorted(r.rank for r in rows)
+        assert ranks == list(range(1, len(ranks) + 1)) and len(ranks) <= 3
+        ordered = sorted(rows, key=lambda r: (-r.n_events, r.event_type))
+        assert [r.rank for r in ordered] == ranks
