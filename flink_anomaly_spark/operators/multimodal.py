@@ -791,3 +791,42 @@ def video_frame_pair_sad(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(op, SCENE_SAD_SCHEMA)
+
+
+AUDIO_ZCR_SCHEMA = (
+    "media_id long, n_samples long, zero_crossings long, n_quiet long"
+)
+
+
+def audio_zero_crossings(media: DataFrame, quiet_below: int = 100) -> DataFrame:
+    """Per-clip zero-crossing and silence counts from REAL decoded PCM
+    — the classic speech/music/silence discrimination features (ZCR +
+    low-energy frame ratio). A crossing is a strict sign change
+    (s_i · s_{i+1} < 0); quiet samples are |s| < ``quiet_below``.
+    All-integer outputs (the rate divisions happen JVM-side), so the
+    UDF emits nothing a float ulp could skew."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, ch, bits, data = decode_wav(bytes(payload))
+                s = np.frombuffer(data, dtype="<i2" if bits == 16 else "u1").astype(
+                    np.int64
+                )
+                zc = int(((s[:-1] * s[1:]) < 0).sum()) if len(s) > 1 else 0
+                rows.append(
+                    (
+                        int(mid),
+                        len(s),
+                        zc,
+                        int((np.abs(s) < quiet_below).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_samples", "zero_crossings", "n_quiet"],
+            )
+
+    return media.mapInPandas(op, AUDIO_ZCR_SCHEMA)

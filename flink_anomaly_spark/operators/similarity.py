@@ -340,16 +340,24 @@ def brute_force_topk(
     vec_col: str,
     query_ids: list[int],
     k: int = 5,
+    dims: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each query id (excluding self).
 
     The query side is a broadcast of |query_ids| rows; the corpus side
     streams once, no shuffle until the per-query top-k (window on the
     tiny query key space).
+
+    ``dims`` truncates every vector to its first ``dims`` components
+    before scoring — the Matryoshka-embedding evaluation axis (how
+    much recall survives using only a prefix of the embedding).
     """
-    base = spread(df.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")))
+    vec = (
+        F.slice(F.col(vec_col), 1, dims) if dims is not None else F.col(vec_col)
+    )
+    base = spread(df.select(F.col(id_col).alias("nid"), vec.alias("nvec")))
     queries = df.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("qid"), vec.alias("qvec")
     )
     scored = base.join(F.broadcast(queries), F.col("nid") != F.col("qid")).select(
         "qid", "nid", F.round(cosine(F.col("qvec"), F.col("nvec")), 6).alias("cos_sim")

@@ -637,3 +637,113 @@ def q_embedding_ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         k_shortlist=_IVFPQ_K_SHORTLIST,
         top_n=10,
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncated-dimension recall
+# ---------------------------------------------------------------------------
+
+_MRL_DIMS = [8, 16, 32]
+_MRL_QUERIES = list(range(10))
+_MRL_K = 10
+
+
+def _mrl_topk_cte(name: str, d: int) -> str:
+    """Top-k-per-query CTE over the first ``d`` embedding components
+    (the arrays are indexed, not sliced — same arithmetic as Spark's
+    F.slice + fold, left-associated, rounded to 6 pre-rank)."""
+    dot = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        f" list_transform(range(1, {d} + 1),"
+        " i -> CAST(qvec[i] AS DOUBLE) * CAST(nvec[i] AS DOUBLE))),"
+        " (a,b) -> a+b)"
+    )
+    nq = (
+        "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        f" list_transform(range(1, {d} + 1),"
+        " i -> CAST(qvec[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE))),"
+        " (a,b) -> a+b))"
+    )
+    nn = (
+        "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        f" list_transform(range(1, {d} + 1),"
+        " i -> CAST(nvec[i] AS DOUBLE) * CAST(nvec[i] AS DOUBLE))),"
+        " (a,b) -> a+b))"
+    )
+    return f"""
+    {name} AS (
+      SELECT qid, nid FROM (
+        SELECT q.qid, c.nid,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY round({dot} / ({nq} * {nn}), 6) DESC, c.nid ASC) AS rn
+        FROM (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+              WHERE vec_id < {len(_MRL_QUERIES)}) q
+        JOIN (SELECT vec_id AS nid, embedding AS nvec FROM embeddings) c
+          ON c.nid != q.qid) t
+      WHERE rn <= {_MRL_K})"""
+
+
+def _mrl_oracle() -> str:
+    ctes = [_mrl_topk_cte("full64", 64)] + [
+        _mrl_topk_cte(f"top{d}", d) for d in _MRL_DIMS
+    ]
+    selects = [
+        f"""
+    SELECT CAST({d} AS BIGINT) AS dims,
+           round(sum(CASE WHEN t.nid IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS recall_at_10
+    FROM full64 f LEFT JOIN top{d} t ON f.qid = t.qid AND f.nid = t.nid"""
+        for d in _MRL_DIMS
+    ]
+    return "WITH " + ",".join(ctes) + (" UNION ALL ".join(selects))
+
+
+@register(
+    "ann_matryoshka_recall",
+    oracle=_mrl_oracle(),
+    doc="Matryoshka-embedding evaluation (Kusupati et al. 2022): "
+    "recall@10 of exact cosine search using only the first 8/16/32 "
+    "embedding components vs the full 64 — the measurement that "
+    "decides how much of a 100 TB vector corpus can be served from a "
+    "prefix index (2-8x memory/IO cut). Each truncated search is the "
+    "same broadcast-query brute-force plan over F.slice'd vectors; "
+    "the three one-row recall aggregates union at the tail.",
+)
+def q_ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from flink_anomaly_spark.operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    full = brute_force_topk(
+        emb, id_col="vec_id", vec_col="embedding", query_ids=_MRL_QUERIES, k=_MRL_K
+    ).select("qid", "nid")
+    parts = []
+    for d in _MRL_DIMS:
+        part = (
+            brute_force_topk(
+                emb,
+                id_col="vec_id",
+                vec_col="embedding",
+                query_ids=_MRL_QUERIES,
+                k=_MRL_K,
+                dims=d,
+            )
+            .select("qid", "nid")
+            .withColumn("__hit", F.lit(1))
+        )
+        r = (
+            full.join(part, ["qid", "nid"], "left")
+            .agg(
+                F.round(
+                    F.sum(F.coalesce(F.col("__hit"), F.lit(0))) * 1.0 / F.count("*"),
+                    4,
+                ).alias("recall_at_10")
+            )
+            .select(F.lit(d).cast("bigint").alias("dims"), "recall_at_10")
+        )
+        parts.append(r)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

@@ -751,3 +751,96 @@ def q_compaction_file_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+@register(
+    "incremental_mv_refresh",
+    # The oracle recomputes the MV FROM SCRATCH on the new snapshot —
+    # it shares none of the delta mechanism, so the hash match proves
+    # the incremental algebra (insert:+new, delete:-old, update:
+    # -old+new with GROUP-MOVING keys) converges to the full recompute.
+    oracle="""
+    WITH v_new AS (
+      SELECT CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END
+               AS o_orderstatus,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 13 != 0)
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(cents) / 100.0, 2) AS revenue
+    FROM v_new GROUP BY o_orderstatus
+    """,
+    doc="Incremental materialized-view maintenance from a change feed "
+    "(the Delta/Iceberg CDF-driven MV refresh): the revenue-per-status "
+    "MV over snapshot v1 is merged with DELTA aggregates computed only "
+    "from the changed rows (insert:+new, delete:-old, update:-old+new "
+    "— including updates that MOVE the group key, status->'X', the "
+    "hard case), then groups netting to zero rows are dropped. Money "
+    "rides as exact integer cents so delta-order and recompute-order "
+    "sums are bit-identical. At 100 TB the refresh cost scales with "
+    "|changes|, not |table| — the whole point; the oracle recomputes "
+    "from scratch, proving incremental == full.",
+)
+def q_incremental_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base = orders.select(
+        "o_orderkey", "o_orderstatus", cents.alias("cents")
+    )
+    v_old = base.filter(F.col("o_orderkey") % 10 != 0)
+    v_new = base.filter(F.col("o_orderkey") % 13 != 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    mv_old = v_old.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("c")
+    )
+    old_k = v_old.select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("old_st"),
+        F.col("cents").alias("old_c"),
+    )
+    new_k = v_new.select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("new_st"),
+        F.col("cents").alias("new_c"),
+    )
+    ch = old_k.join(new_k, "o_orderkey", "full_outer").filter(
+        F.col("old_st").isNull()
+        | F.col("new_st").isNull()
+        | (F.col("old_st") != F.col("new_st"))
+        | (F.col("old_c") != F.col("new_c"))
+    )
+    neg = ch.filter(F.col("old_st").isNotNull()).select(
+        F.col("old_st").alias("o_orderstatus"),
+        F.lit(-1).cast("bigint").alias("dn"),
+        (-F.col("old_c")).alias("dc"),
+    )
+    pos = ch.filter(F.col("new_st").isNotNull()).select(
+        F.col("new_st").alias("o_orderstatus"),
+        F.lit(1).cast("bigint").alias("dn"),
+        F.col("new_c").alias("dc"),
+    )
+    delta = neg.union(pos).groupBy("o_orderstatus").agg(
+        F.sum("dn").alias("dn"), F.sum("dc").alias("dc")
+    )
+    refreshed = (
+        mv_old.join(delta, "o_orderstatus", "full_outer")
+        .select(
+            "o_orderstatus",
+            (F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0))).alias(
+                "n_orders"
+            ),
+            (F.coalesce(F.col("c"), F.lit(0)) + F.coalesce(F.col("dc"), F.lit(0))).alias(
+                "cents"
+            ),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+    return refreshed.select(
+        "o_orderstatus",
+        "n_orders",
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+    )

@@ -429,3 +429,58 @@ def q_video_scene_cut_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(mad), 4).alias("max_pair_mad"),
         )
     )
+
+
+@register(
+    "audio_zcr_stats",
+    # sample[i] = (doc_id*37 + i*11) % 2001 - 1000 over n = 50+id%50
+    # samples — the oracle regenerates the waveform from the closed
+    # form and recounts, so a RIFF-walk or sign bug cannot match.
+    oracle="""
+    WITH d AS (SELECT doc_id, 50 + doc_id % 50 AS n FROM documents),
+    s AS (SELECT d.doc_id, d.n, i.i,
+                 ((d.doc_id * 37 + i.i * 11) % 2001) - 1000 AS v
+          FROM d CROSS JOIN (SELECT unnest(range(0, 99)) AS i) i
+          WHERE i.i < d.n),
+    p AS (SELECT doc_id, n, v,
+                 lead(v) OVER (PARTITION BY doc_id ORDER BY i) AS nv
+          FROM s)
+    SELECT doc_id AS media_id,
+           CAST(max(n) AS BIGINT) AS n_samples,
+           CAST(sum(CASE WHEN nv IS NOT NULL AND v * nv < 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+           CAST(sum(CASE WHEN abs(v) < 100 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_quiet,
+           round(CAST(sum(CASE WHEN nv IS NOT NULL AND v * nv < 0
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / (max(n) - 1), 6) AS zcr,
+           round(CAST(sum(CASE WHEN abs(v) < 100 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / max(n), 6) AS quiet_ratio
+    FROM p GROUP BY doc_id
+    """,
+    doc="Audio zero-crossing rate + silence ratio from REAL decoded "
+    "RIFF PCM — the classic speech/music/silence features next to "
+    "audio_pcm_stats' energy stats. The UDF emits only exact integers "
+    "(crossing and quiet counts); the rate divisions and rounding run "
+    "JVM-side. Closed-form waveform oracle.",
+)
+def q_audio_zcr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.multimodal import (
+        audio_zero_crossings,
+        synth_wav_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    z = audio_zero_crossings(synth_wav_media(docs), quiet_below=100)
+    return z.select(
+        "media_id",
+        "n_samples",
+        "zero_crossings",
+        "n_quiet",
+        F.round(
+            F.col("zero_crossings").cast("double") / (F.col("n_samples") - 1), 6
+        ).alias("zcr"),
+        F.round(F.col("n_quiet").cast("double") / F.col("n_samples"), 6).alias(
+            "quiet_ratio"
+        ),
+    )

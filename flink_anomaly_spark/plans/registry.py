@@ -120,15 +120,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "synthetic_source_agg",
     # ---- oldest-green refill: the 6 rows last green in ROUND 1
     "docs_by_lang_source",
-    "left_outer_join_nulls",
-    "full_outer_join",
     # ---- oldest-green refill: 15 rows last green in ROUND 2
     "clean_text_corpus",
     "tfidf_top_terms",
     "embedding_topk",
-    "zscore_outliers",
     "filter_project",
-    "union_bag",
     "global_concat_single_key",
     # ---- late round-6 additions (never checked > re-confirm: these
     # displaced the sliding_window_agg / session_window_agg /
@@ -141,6 +137,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "normalized_exact_dedup",
     "video_scene_cut_stats",
     "streaming_topk_per_window_final",
+    "audio_zcr_stats",
+    "streaming_two_level_agg_final",
+    "ann_matryoshka_recall",
+    "incremental_mv_refresh",
 )
 # Rotated OUT in round 6 (all green in CORRECTNESS_r05, 50/50):
 # kmeans_lloyd_outliers, media_pixel_stats,

@@ -577,3 +577,37 @@ def q_streaming_topk_per_window_final(spark: SparkSession, sf_dir: str) -> DataF
             "rank",
         )
     )
+
+
+@register(
+    "streaming_two_level_agg_final",
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('minute', ts) AS w1, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT date_trunc('hour', w1) AS window_start,
+           date_trunc('hour', w1) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           max(n) AS max_minute_n,
+           CAST(sum(n) AS BIGINT) AS total
+    FROM m GROUP BY 1, 2, 3
+    """,
+    doc="Chained stateful aggregations WITH end-of-stream flush: the "
+    "EOS sentinel must propagate the +inf watermark through BOTH "
+    "stateful stages (minute counts -> hourly rollup) so the trailing "
+    "hour finalizes too — proving the sentinel pattern composes "
+    "through window_time re-windowing, not just single-stage aggs. "
+    "The sentinel's own minute/hour windows never finalize and never "
+    "reach the sink, so the oracle is the full two-level rollup with "
+    "NO watermark HAVING (vs streaming_two_level_agg's finalized-only "
+    "twin).",
+)
+def q_streaming_two_level_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from flink_anomaly_spark.streaming.pipelines import two_level_window_stream
+
+    work = tempfile.mkdtemp(prefix="eos_flush_")
+    events = stream_events_with_final_flush(spark, sf_dir, work)
+    return run_to_memory(two_level_window_stream(events))

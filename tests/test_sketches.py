@@ -135,3 +135,88 @@ def test_streaming_topk_rank_invariants(spark):
         assert ranks == list(range(1, len(ranks) + 1)) and len(ranks) <= 3
         ordered = sorted(rows, key=lambda r: (-r.n_events, r.event_type))
         assert [r.rank for r in ordered] == ranks
+
+
+# ---------------------------------------------------------------------------
+# round-6 batch 3: audio ZCR, matryoshka recall, MV refresh, 2-level flush
+# ---------------------------------------------------------------------------
+
+
+def test_audio_zero_crossings_hand_computed(spark):
+    from flink_anomaly_spark.operators.multimodal import (
+        audio_zero_crossings,
+        encode_wav,
+    )
+    import numpy as np
+
+    s = np.array([5, -3, -2, 4, 0, -1, 50], dtype="<i2")
+    media = spark.createDataFrame(
+        [(1, encode_wav(8000, s.tobytes()))], "media_id long, payload binary"
+    )
+    row = audio_zero_crossings(media, quiet_below=10).collect()[0]
+    # sign products: (5,-3)<0, (-3,-2)>0, (-2,4)<0, (4,0)=0, (0,-1)=0, (-1,50)<0
+    assert row.zero_crossings == 3
+    assert row.n_quiet == 6  # |5|,|-3|,|-2|,|4|,|0|,|-1| < 10; only 50 is loud
+    assert row.n_samples == 7
+
+
+def test_matryoshka_recall_bounds_and_full_dim_sanity(spark):
+    from flink_anomaly_spark.plans.registry import all_queries
+
+    rows = {
+        r.dims: r.recall_at_10
+        for r in all_queries()["ann_matryoshka_recall"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert set(rows) == {8, 16, 32}
+    assert all(0.0 <= v <= 1.0 for v in rows.values())
+    # a 32-dim prefix of a 64-dim space must retain SOME neighbors
+    assert rows[32] > 0.0
+
+
+def test_incremental_mv_refresh_group_move(spark):
+    """Hand-built change set with a group-moving update: MV algebra
+    must match a from-scratch recompute (tiny mirror of the registered
+    query's oracle construction)."""
+    from pyspark.sql import functions as F
+
+    old = spark.createDataFrame(
+        [(1, "A", 100), (2, "A", 200), (3, "B", 300)], "k long, st string, c long"
+    )
+    new = spark.createDataFrame(
+        [(1, "B", 100), (2, "A", 200), (4, "C", 50)], "k long, st string, c long"
+    )
+    mv_old = old.groupBy("st").agg(F.count("*").alias("n"), F.sum("c").alias("c"))
+    ch = (
+        old.select("k", F.col("st").alias("os"), F.col("c").alias("oc"))
+        .join(new.select("k", F.col("st").alias("ns"), F.col("c").alias("nc")), "k", "full_outer")
+        .filter(
+            F.col("os").isNull() | F.col("ns").isNull()
+            | (F.col("os") != F.col("ns")) | (F.col("oc") != F.col("nc"))
+        )
+    )
+    neg = ch.filter(F.col("os").isNotNull()).select(
+        F.col("os").alias("st"), F.lit(-1).alias("dn"), (-F.col("oc")).alias("dc"))
+    pos = ch.filter(F.col("ns").isNotNull()).select(
+        F.col("ns").alias("st"), F.lit(1).alias("dn"), F.col("nc").alias("dc"))
+    delta = neg.union(pos).groupBy("st").agg(F.sum("dn").alias("dn"), F.sum("dc").alias("dc"))
+    got = sorted(
+        mv_old.join(delta, "st", "full_outer")
+        .select("st",
+                (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n"),
+                (F.coalesce("c", F.lit(0)) + F.coalesce("dc", F.lit(0))).alias("c"))
+        .filter(F.col("n") > 0).collect()
+    )
+    want = sorted(new.groupBy("st").agg(F.count("*").alias("n"), F.sum("c").alias("c")).collect())
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_two_level_flush_emits_trailing_hour(spark):
+    from flink_anomaly_spark.plans.registry import all_queries
+
+    q = all_queries()
+    fin = q["streaming_two_level_agg_final"](spark, "/root/testdata/sf0.001").collect()
+    non = q["streaming_two_level_agg"](spark, "/root/testdata/sf0.001").collect()
+    assert len(fin) > len(non), "EOS flush must finalize the trailing hour(s)"
+    assert max(r.window_end for r in fin) > max(r.window_end for r in non)
