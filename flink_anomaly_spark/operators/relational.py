@@ -445,3 +445,46 @@ def kmv_set_overlap(
         )
     )
     return out
+
+
+def hot_key_skew_report(
+    df: DataFrame, key_col: str, n_partitions: int = 32, top_n: int = 10
+) -> DataFrame:
+    """Shuffle-skew diagnostic: the top keys by row count with their
+    share of the table and the salt factor a keyed shuffle would need
+    to spread them across ``n_partitions`` reducers — the measurement
+    behind this repo's salting/AQE-skew decisions (salted_hot_key_join,
+    salted_event_type_stats), exposed as an operator so a pipeline can
+    CHECK for skew before it bites.
+
+    skew_ratio = key_rows / (total_rows / n_partitions): >1 means the
+    key alone overflows an average reducer; suggested_salt =
+    ceil(skew_ratio) sub-splits it back to average size. Plan: one
+    map-side-partial count per key, TakeOrdered top-n, 1-row total
+    broadcast — nothing here is data-sized after the first aggregate.
+    """
+    total = df.agg(F.count("*").alias("total_rows"))
+    per_key = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").alias("key_rows")
+    )
+    top = per_key.orderBy(F.col("key_rows").desc(), F.col("key").asc()).limit(top_n)
+    ratio = (
+        F.col("key_rows").cast("double")
+        * n_partitions
+        / F.col("total_rows")
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "key_rows",
+            "total_rows",
+            F.round(F.col("key_rows") * 100.0 / F.col("total_rows"), 4).alias(
+                "share_pct"
+            ),
+            F.round(ratio, 4).alias("skew_ratio"),
+            F.when(ratio > 1, F.ceil(ratio)).otherwise(F.lit(1)).cast("bigint").alias(
+                "suggested_salt"
+            ),
+        )
+    )

@@ -71,6 +71,10 @@ def hll_distinct_estimate(df: DataFrame, col: str, p: int = 8) -> DataFrame:
 
     NULLs are excluded before hashing, matching COUNT(DISTINCT).
     """
+    if not 4 <= p <= 16:
+        # p < 4 has no α_m constant in the paper; p > 16 would spend
+        # more registers than the 32-bit hash has suffix bits to fill
+        raise ValueError(f"p must be in [4, 16], got {p}")
     m = 1 << p
     rest_bits = 32 - p
     rest_mod = 1 << rest_bits
@@ -211,14 +215,18 @@ def countmin_term_estimates(
     point query. ``overcount = cms_est − exact_cnt ≥ 0`` is reported
     so the sketch's collision error is itself oracle-checked.
     """
+    if d < 1 or w < 2 or top_n < 1:
+        raise ValueError(f"need d >= 1, w >= 2, top_n >= 1; got {d=} {w=} {top_n=}")
+
     from flink_anomaly_spark.operators.text import tokens
 
-    vocab = (
+    from flink_anomaly_spark.operators.dedup import _persist
+
+    vocab = _persist(
         docs.select(F.explode(tokens(F.col(text_col))).alias("term"))
         .groupBy("term")
         .agg(F.count("*").alias("cnt"))
     )
-    vocab = vocab.persist()
     cells = (
         vocab.select(
             "cnt",

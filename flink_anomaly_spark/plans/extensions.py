@@ -1385,3 +1385,39 @@ def q_span_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return span_dedup_clean(docs, n=_SPAN_N, min_count=2)
+
+
+@register(
+    "edit_distance_near_dup",
+    oracle="""
+    WITH d AS (SELECT doc_id AS id, text AS t, lang, source,
+                      length(text) AS n, length(text) // 100 AS band
+               FROM documents)
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(levenshtein(a.t, b.t) AS BIGINT) AS lev
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.source = b.source
+     AND a.id < b.id
+     AND abs(a.band - b.band) <= 1
+     AND abs(a.n - b.n) <= 60
+    WHERE levenshtein(a.t, b.t) <= 60
+    """,
+    doc="Exact edit-distance near-dup pairs within (lang, source) "
+    "blocks — record-linkage precision where MinHash is probabilistic. "
+    "COMPLETE within blocks for lev <= 60: the length prune is a true "
+    "Levenshtein lower bound and the 100-char bands keep only "
+    "adjacent-band candidates by pigeonhole (band > threshold). One "
+    "equi-shuffle on the block key; the O(n*m) levenshtein runs only "
+    "on candidates surviving the cheap residuals.",
+)
+def q_edit_distance_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.dedup import edit_distance_near_dup
+
+    return edit_distance_near_dup(
+        load_table(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        text_col="text",
+        block_cols=["lang", "source"],
+        band_chars=100,
+        threshold=60,
+    )

@@ -119,9 +119,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "time_range_moving_avg",
     "synthetic_source_agg",
     # ---- oldest-green refill: the 6 rows last green in ROUND 1
-    "docs_by_lang_source",
     # ---- oldest-green refill: 15 rows last green in ROUND 2
-    "clean_text_corpus",
     "tfidf_top_terms",
     "embedding_topk",
     "filter_project",
@@ -141,6 +139,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "streaming_two_level_agg_final",
     "ann_matryoshka_recall",
     "incremental_mv_refresh",
+    "edit_distance_near_dup",
+    "hot_key_skew_report",
 )
 # Rotated OUT in round 6 (all green in CORRECTNESS_r05, 50/50):
 # kmeans_lloyd_outliers, media_pixel_stats,

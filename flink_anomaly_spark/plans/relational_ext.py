@@ -1428,3 +1428,34 @@ def q_countmin_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return countmin_term_estimates(
         load_table(spark, sf_dir, "documents"), d=3, w=16, top_n=15
     )
+
+
+@register(
+    "hot_key_skew_report",
+    oracle="""
+    WITH t AS (SELECT CAST(count(*) AS BIGINT) AS total_rows FROM events),
+    k AS (SELECT event_type AS key, CAST(count(*) AS BIGINT) AS key_rows
+          FROM events GROUP BY event_type),
+    top AS (SELECT key, key_rows FROM k
+            ORDER BY key_rows DESC, key ASC LIMIT 10)
+    SELECT key, key_rows, total_rows,
+           round(key_rows * 100.0 / total_rows, 4) AS share_pct,
+           round(CAST(key_rows AS DOUBLE) * 32 / total_rows, 4) AS skew_ratio,
+           CAST(CASE WHEN CAST(key_rows AS DOUBLE) * 32 / total_rows > 1
+                     THEN ceil(CAST(key_rows AS DOUBLE) * 32 / total_rows)
+                     ELSE 1 END AS BIGINT) AS suggested_salt
+    FROM top CROSS JOIN t
+    """,
+    doc="Shuffle-skew diagnostic over events.event_type: top keys with "
+    "table share, skew ratio vs an average of 32 reducers, and the "
+    "ceil(ratio) salt factor that spreads the key back to average — "
+    "the pre-flight check behind the salted-join/AQE-skew plans. "
+    "Map-side-partial key counts, TakeOrdered, 1-row broadcast total.",
+)
+def q_hot_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.relational import hot_key_skew_report
+
+    return hot_key_skew_report(
+        load_table(spark, sf_dir, "events"), key_col="event_type",
+        n_partitions=32, top_n=10,
+    )

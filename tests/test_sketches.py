@@ -220,3 +220,89 @@ def test_two_level_flush_emits_trailing_hour(spark):
     non = q["streaming_two_level_agg"](spark, "/root/testdata/sf0.001").collect()
     assert len(fin) > len(non), "EOS flush must finalize the trailing hour(s)"
     assert max(r.window_end for r in fin) > max(r.window_end for r in non)
+
+
+def test_sketch_param_guards(spark):
+    import pytest
+
+    from flink_anomaly_spark.operators.sketches import (
+        countmin_term_estimates,
+        hll_distinct_estimate,
+    )
+
+    df = spark.range(5).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match=r"p must be"):
+        hll_distinct_estimate(df, "k", p=2)
+    with pytest.raises(ValueError, match=r"need d"):
+        countmin_term_estimates(df.selectExpr("'a b' AS text"), d=0)
+
+
+# ---------------------------------------------------------------------------
+# round-6 batch 4: edit-distance near-dup, hot-key skew report
+# ---------------------------------------------------------------------------
+
+
+def test_edit_distance_near_dup_planted_and_parity(spark, duck):
+    from flink_anomaly_spark.operators.dedup import edit_distance_near_dup
+
+    df = spark.createDataFrame(
+        [
+            (1, "kitten sat on the mat", "en", "s"),
+            (2, "sitting sat on the mat", "en", "s"),   # lev 3 from doc 1
+            (3, "completely different words here", "en", "s"),
+            (4, "kitten sat on the mat", "de", "s"),    # other block
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = edit_distance_near_dup(
+        df, "doc_id", "text", ["lang", "source"], band_chars=100, threshold=10
+    ).collect()
+    pairs = {(r.id_a, r.id_b): r.lev for r in out}
+    assert pairs == {(1, 2): 3}
+    # engine parity of the distance function itself
+    assert duck.execute("SELECT levenshtein('kitten','sitting')").fetchone()[0] == 3
+    got = spark.sql("SELECT levenshtein('kitten','sitting')").collect()[0][0]
+    assert got == 3
+
+
+def test_edit_distance_band_guard(spark):
+    import pytest
+
+    from flink_anomaly_spark.operators.dedup import edit_distance_near_dup
+
+    df = spark.createDataFrame([(1, "x", "en", "s")],
+                               "doc_id long, text string, lang string, source string")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        edit_distance_near_dup(df, "doc_id", "text", ["lang"], band_chars=50,
+                               threshold=60)
+
+
+def test_edit_distance_cross_band_pair_found(spark):
+    """A qualifying pair straddling a band boundary must be returned
+    (the adjacent-band pigeonhole, not same-band-only blocking)."""
+    from flink_anomaly_spark.operators.dedup import edit_distance_near_dup
+
+    a = "x" * 98          # band 0
+    b = "x" * 102         # band 1, lev = 4
+    df = spark.createDataFrame(
+        [(1, a, "en", "s"), (2, b, "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = edit_distance_near_dup(
+        df, "doc_id", "text", ["lang", "source"], band_chars=100, threshold=10
+    ).collect()
+    assert [(r.id_a, r.id_b, r.lev) for r in out] == [(1, 2, 4)]
+
+
+def test_hot_key_skew_report_hand_computed(spark):
+    from flink_anomaly_spark.operators.relational import hot_key_skew_report
+
+    df = spark.createDataFrame(
+        [("a",)] * 60 + [("b",)] * 30 + [("c",)] * 10, "k string"
+    )
+    rows = {r.key: r for r in hot_key_skew_report(df, "k", n_partitions=10,
+                                                  top_n=3).collect()}
+    assert rows["a"].key_rows == 60 and rows["a"].total_rows == 100
+    assert rows["a"].share_pct == 60.0
+    assert rows["a"].skew_ratio == 6.0 and rows["a"].suggested_salt == 6
+    assert rows["c"].skew_ratio == 1.0 and rows["c"].suggested_salt == 1
