@@ -122,7 +122,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # ---- oldest-green refill: 15 rows last green in ROUND 2
     "tfidf_top_terms",
     "embedding_topk",
-    "filter_project",
     "global_concat_single_key",
     # ---- late round-6 additions (never checked > re-confirm: these
     # displaced the sliding_window_agg / session_window_agg /
@@ -141,6 +140,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "incremental_mv_refresh",
     "edit_distance_near_dup",
     "hot_key_skew_report",
+    "streaming_interval_join_left_final",
 )
 # Rotated OUT in round 6 (all green in CORRECTNESS_r05, 50/50):
 # kmeans_lloyd_outliers, media_pixel_stats,

@@ -611,3 +611,37 @@ def q_streaming_two_level_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="eos_flush_")
     events = stream_events_with_final_flush(spark, sf_dir, work)
     return run_to_memory(two_level_window_stream(events))
+
+
+@register(
+    "streaming_interval_join_left_final",
+    oracle="""
+    SELECT a.user_id AS user_id, a.event_id AS id1, b.event_id AS id2,
+           epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+    FROM events a LEFT JOIN events b
+      ON a.user_id = b.user_id
+     AND epoch_us(b.ts) - epoch_us(a.ts) > 0
+     AND epoch_us(b.ts) - epoch_us(a.ts) <= 600000000
+    """,
+    doc="LEFT-OUTER stream-stream interval join, made oracle-exact by "
+    "the EOS sentinel (docs/LIMITATIONS.md recorded this as "
+    "non-derivable in round 3: mid-stream, the unmatched-left eviction "
+    "point depends on ms-floored state-store watermark arithmetic at "
+    "the cutoff boundary). The sentinel pushes the watermark 3 days "
+    "past max(ts) — far beyond every real row's t1 + gap + delay — so "
+    "ALL real unmatched lefts evict and emit, no boundary rows exist, "
+    "and the output equals the batch left join exactly. The sentinel's "
+    "own left row can never finalize and never reaches the sink. This "
+    "is the Flink bounded-source Long.MAX_VALUE watermark behavior "
+    "(Main.java's DataStream semantics) for outer join state.",
+)
+def q_streaming_interval_join_left_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from flink_anomaly_spark.streaming.pipelines import stream_stream_interval_join
+
+    work = tempfile.mkdtemp(prefix="eos_flush_")
+    events = stream_events_with_final_flush(spark, sf_dir, work)
+    return run_to_memory(
+        stream_stream_interval_join(events, max_gap_seconds=600, how="left_outer")
+    )

@@ -139,7 +139,7 @@ def session_count_stream(events: DataFrame, gap: str = "30 minutes") -> DataFram
 
 
 def stream_stream_interval_join(
-    events: DataFrame, max_gap_seconds: int = 600
+    events: DataFrame, max_gap_seconds: int = 600, how: str = "inner"
 ) -> DataFrame:
     """Stream-stream inner join with event-time bounds: pairs of events
     by the same user ≤ max_gap apart (the live twin of
@@ -159,7 +159,7 @@ def stream_stream_interval_join(
         & (F.col("t2") > F.col("t1"))
         & (F.col("t2") <= F.col("t1") + F.expr(f"INTERVAL {max_gap_seconds} SECONDS"))
     )
-    return left.join(right, cond).select(
+    return left.join(right, cond, how).select(
         F.col("l_user").alias("user_id"),
         "id1",
         "id2",
