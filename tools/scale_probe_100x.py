@@ -75,6 +75,16 @@ PROBE = [
     # ~constant-size — i.e. B/row should DROP ~n-fold at x n)
     ("bpe_learn_merges", "documents"),
     ("embedding_ann_pq_lloyd", "embeddings"),
+    # round-6 session-2 extension: the fixed-register sketches (B/row
+    # must DROP ~n-fold — the shuffle is m registers / d*w cells, not
+    # data), the normalize-then-hash dedup (one (id, hash) exchange —
+    # flat B/row), and the blocked edit-distance pairs (replica-
+    # suffixed SOURCES keep blocks base-sized, so candidates — and the
+    # banded-levenshtein CPU — grow linearly, not quadratically)
+    ("hll_distinct_users", "events"),
+    ("countmin_top_terms", "documents"),
+    ("normalized_exact_dedup", "documents"),
+    ("edit_distance_near_dup", "documents"),
 ]
 
 _KEY_SHIFT = {
@@ -84,6 +94,7 @@ _KEY_SHIFT = {
     # replica 0 is the identity shift, so the PQ init/query ids
     # (vec_id 0..15, 42) keep existing in the replicated corpus
     "embeddings": ["vec_id"],
+    "events": ["event_id"],
 }
 
 
@@ -110,6 +121,14 @@ def replicate(spark, n: int, out_dir: str) -> None:
                     "concat_ws(' ', transform(split(text, '\\\\s+'), "
                     "t -> concat(t, 'r', CAST(__rep AS STRING))))"
                 ),
+            )
+            # disjoint BLOCK space per replica: a 100x corpus has ~100x
+            # the sources, not 100x-bigger blocks — without this the
+            # block-quadratic shapes (edit_distance_near_dup) would be
+            # probed on a pathological corpus where every block is
+            # n-way inflated (round-6 session-2)
+            df = df.withColumn(
+                "source", F.concat("source", F.lit("r"), F.col("__rep").cast("string"))
             )
         df.drop("__rep").write.mode("overwrite").parquet(dst)
 
