@@ -645,3 +645,32 @@ def q_streaming_interval_join_left_final(spark: SparkSession, sf_dir: str) -> Da
     return run_to_memory(
         stream_stream_interval_join(events, max_gap_seconds=600, how="left_outer")
     )
+
+
+@register(
+    "streaming_window_count_complete",
+    oracle="""
+    SELECT date_trunc('day', ts) AS window_start,
+           date_trunc('day', ts) + INTERVAL 1 DAY AS window_end,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    doc="W1 in COMPLETE output mode — the third leg of the output-mode "
+    "triple (append = streaming_window_count, update = "
+    "streaming_window_count_update): every trigger re-emits the ENTIRE "
+    "result table, watermark-irrelevant, so the final sink snapshot is "
+    "exactly the batch aggregation with no finalization cut and no "
+    "sentinel needed. Complete mode is the dashboard-refresh serve "
+    "shape; its cost model (full re-emit per trigger, state never "
+    "evicted) is why the other sixteen streaming queries use "
+    "append/update.",
+)
+def q_streaming_window_count_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.streaming.pipelines import windowed_count_stream
+
+    return run_to_memory(
+        windowed_count_stream(stream_events(spark, sf_dir)), output_mode="complete"
+    )
