@@ -84,6 +84,17 @@ PROBE = [
     # round-4 operators
     ("semantic_decontamination", "corpus x eval equi-join on the LSH bucket; eval side broadcast (benchmarks are small)"),
     ("unigram_logprob_quality", "(doc_id, token) pair exchange + vocab join + two-phase rank; no single-partition window over the corpus"),
+    # round-6 session-2 operators
+    ("hll_distinct_users", "bucket groupBy-max partials (<=256 rows/task); sketch state constant in data"),
+    ("countmin_top_terms", "token stream collapses map-side to vocab; 3x16 cell table + TakeOrdered top terms"),
+    ("rrf_hybrid_retrieval", "both retrievers TakeOrdered to <=20 rows before the fusion full-outer join"),
+    ("normalized_exact_dedup", "one (id, 32-hex-hash) exchange; normalization is zero-UDF codegen"),
+    ("edit_distance_near_dup", "round-robin candidate spread (tiny-row/heavy-CPU stage); banded lev post-barrier"),
+    ("hot_key_skew_report", "map-side-partial key counts, TakeOrdered, 1-row broadcast total"),
+    ("incremental_mv_refresh", "delta aggregates sized by |changes|; MV merge is a tiny full-outer join"),
+    ("ann_matryoshka_recall", "broadcast query side per truncation; three 1-row recall aggs union at the tail"),
+    ("video_scene_cut_stats", "decode fan-out inside the Arrow batch; only (id, pair, sad) rows cross exchanges"),
+    ("audio_zcr_stats", "all-integer per-clip rows out of the decode stage; one media_id hash agg"),
 ]
 
 
