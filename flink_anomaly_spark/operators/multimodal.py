@@ -470,9 +470,12 @@ def audio_pcm_stats(media: DataFrame) -> DataFrame:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 rate, ch, bits, data = decode_wav(bytes(payload))
-                s = np.frombuffer(data, dtype="<i2" if bits == 16 else "u1").astype(
-                    np.int64
-                )
+                if bits == 16:
+                    s = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                else:
+                    # 8-bit WAV PCM is unsigned, midpoint 128 — recenter
+                    # so amplitude stats mean what they say
+                    s = np.frombuffer(data, dtype="u1").astype(np.int64) - 128
                 n = len(s) // ch
                 rows.append(
                     (
@@ -804,7 +807,14 @@ def audio_zero_crossings(media: DataFrame, quiet_below: int = 100) -> DataFrame:
     low-energy frame ratio). A crossing is a strict sign change
     (s_i · s_{i+1} < 0); quiet samples are |s| < ``quiet_below``.
     All-integer outputs (the rate divisions happen JVM-side), so the
-    UDF emits nothing a float ulp could skew."""
+    UDF emits nothing a float ulp could skew.
+
+    Sample handling matches what the features MEAN, not just the
+    synth fixture: 8-bit WAV PCM is UNSIGNED with midpoint 128, so it
+    is recentered (raw u1 values are never negative — uncentered,
+    zero_crossings would always be 0 and loud negative peaks would
+    count as "quiet"); multi-channel clips are measured on CHANNEL 0
+    (sign products across interleaved L/R samples are meaningless)."""
     import numpy as np
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -812,9 +822,12 @@ def audio_zero_crossings(media: DataFrame, quiet_below: int = 100) -> DataFrame:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 rate, ch, bits, data = decode_wav(bytes(payload))
-                s = np.frombuffer(data, dtype="<i2" if bits == 16 else "u1").astype(
-                    np.int64
-                )
+                if bits == 16:
+                    s = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                else:
+                    s = np.frombuffer(data, dtype="u1").astype(np.int64) - 128
+                if ch > 1:
+                    s = s[::ch]
                 zc = int(((s[:-1] * s[1:]) < 0).sum()) if len(s) > 1 else 0
                 rows.append(
                     (

@@ -461,12 +461,17 @@ def hot_key_skew_report(
     key alone overflows an average reducer; suggested_salt =
     ceil(skew_ratio) sub-splits it back to average size. Plan: one
     map-side-partial count per key, TakeOrdered top-n, 1-row total
-    broadcast — nothing here is data-sized after the first aggregate.
+    broadcast — and the total is Σ key_rows over the (small) per-key
+    aggregate, NOT a second full scan of the fact table (code-review
+    round-6 finding). The per-key frame is persisted because the total
+    and the top-n both consume it.
     """
-    total = df.agg(F.count("*").alias("total_rows"))
-    per_key = df.groupBy(F.col(key_col).alias("key")).agg(
-        F.count("*").alias("key_rows")
+    from flink_anomaly_spark.operators.dedup import _persist
+
+    per_key = _persist(
+        df.groupBy(F.col(key_col).alias("key")).agg(F.count("*").alias("key_rows"))
     )
+    total = per_key.agg(F.sum("key_rows").cast("bigint").alias("total_rows"))
     top = per_key.orderBy(F.col("key_rows").desc(), F.col("key").asc()).limit(top_n)
     ratio = (
         F.col("key_rows").cast("double")

@@ -1389,13 +1389,17 @@ def q_span_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "edit_distance_near_dup",
-    oracle="""
-    WITH d AS (SELECT doc_id AS id, text AS t, lang, source,
-                      length(text) AS n, length(text) // 100 AS band
-               FROM documents)
+    oracle=r"""
+    WITH d AS (SELECT doc_id AS id,
+                      regexp_replace(text, '[^\x00-\x7F]', '', 'g') AS t,
+                      lang, source
+               FROM documents),
+    p AS (SELECT id, t, lang, source,
+                 length(t) AS n, length(t) // 100 AS band
+          FROM d)
     SELECT a.id AS id_a, b.id AS id_b,
            CAST(levenshtein(a.t, b.t) AS BIGINT) AS lev
-    FROM d a JOIN d b
+    FROM p a JOIN p b
       ON a.lang = b.lang AND a.source = b.source
      AND a.id < b.id
      AND abs(a.band - b.band) <= 1
@@ -1404,11 +1408,15 @@ def q_span_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Exact edit-distance near-dup pairs within (lang, source) "
     "blocks — record-linkage precision where MinHash is probabilistic. "
-    "COMPLETE within blocks for lev <= 60: the length prune is a true "
+    "COMPLETE within blocks for lev <= 60 on the ASCII projection "
+    "(non-ASCII chars stripped on BOTH engines: Spark's levenshtein "
+    "counts chars, DuckDB's counts bytes — the projection makes the "
+    "cross-engine contract exact): the length prune is a true "
     "Levenshtein lower bound and the 100-char bands keep only "
     "adjacent-band candidates by pigeonhole (band > threshold). One "
-    "equi-shuffle on the block key; the O(n*m) levenshtein runs only "
-    "on candidates surviving the cheap residuals.",
+    "equi-shuffle on the block key — nothing corpus-sized broadcast; "
+    "the banded 3-arg levenshtein evaluates join-side where its "
+    "length-gap early exit makes it O(1) for most block pairs.",
 )
 def q_edit_distance_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_anomaly_spark.operators.dedup import edit_distance_near_dup

@@ -1418,7 +1418,7 @@ def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Count-min sketch (Cormode & Muthukrishnan 2005) frequency "
     "estimates vs exact for the top-15 corpus terms: token stream "
     "collapses map-side to vocabulary counts (the only data-sized "
-    "shuffle), the 4x512 cell table is built from the vocab by a "
+    "shuffle), the 3x16 cell table is built from the vocab by a "
     "weighted (row,bucket) aggregate, point queries take min over the "
     "3 salted-md5 rows against the BROADCAST cell table. The sketch is "
     "deliberately undersized (3x16 cells vs 31 terms) so overcount "

@@ -306,3 +306,45 @@ def test_hot_key_skew_report_hand_computed(spark):
     assert rows["a"].share_pct == 60.0
     assert rows["a"].skew_ratio == 6.0 and rows["a"].suggested_salt == 6
     assert rows["c"].skew_ratio == 1.0 and rows["c"].suggested_salt == 1
+
+
+def test_audio_zcr_8bit_recentered_and_stereo_channel0(spark):
+    """8-bit PCM is unsigned (midpoint 128) and stereo samples are
+    interleaved — the ZCR features must recenter and take channel 0
+    (code-review round-6 finding)."""
+    import numpy as np
+
+    from flink_anomaly_spark.operators.multimodal import audio_zero_crossings
+
+    # 8-bit mono: 28,228,28,228 = ±100 around 128 → 3 crossings, 0 quiet
+    def wav8(samples):
+        import struct
+        data = bytes(samples)
+        hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt " + \
+              struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8) + \
+              b"data" + struct.pack("<I", len(data))
+        return hdr + data
+
+    def wav16_stereo(left, right):
+        import struct
+        inter = []
+        for a, b in zip(left, right):
+            inter += [a, b]
+        data = np.array(inter, dtype="<i2").tobytes()
+        hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt " + \
+              struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16) + \
+              b"data" + struct.pack("<I", len(data))
+        return hdr + data
+
+    media = spark.createDataFrame(
+        [
+            (1, wav8([28, 228, 28, 228])),
+            # L alternates sign (3 crossings); R constant — interleaved
+            # sign products would be garbage
+            (2, wav16_stereo([500, -500, 500, -500], [7, 7, 7, 7])),
+        ],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: r for r in audio_zero_crossings(media, quiet_below=100).collect()}
+    assert rows[1].zero_crossings == 3 and rows[1].n_quiet == 0
+    assert rows[2].zero_crossings == 3 and rows[2].n_samples == 4
