@@ -493,3 +493,68 @@ def hot_key_skew_report(
             ),
         )
     )
+
+
+def gap_fill_forward_daily(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Time-series gap filling with forward fill (the warehouse
+    ``GENERATE_SERIES`` + ``LAST_VALUE IGNORE NULLS`` idiom, i.e.
+    TimescaleDB's ``time_bucket_gapfill``/``locf``): bucket each key's
+    events to hours (last event per hour wins, (ts, tiebreak) order),
+    expand the key's OWN [first, last] hour range into a dense grid,
+    carry the last observation forward across empty hours, then roll
+    the filled series up to per-(key, day) coverage stats.
+
+    Plan: the hourly argmax and the range agg share one key exchange;
+    the grid is a narrow ``sequence`` explode of ≤ span-hours rows per
+    key (never a global calendar cross join); the fill is one window
+    over (key, hour) — at 100 TB the state is per-key and the grid is
+    bounded by span, not data volume. Output: (key, day, n_hours,
+    n_filled, avg_value) — n_filled / n_hours is the observability
+    coverage metric this op exists to compute.
+    """
+    from pyspark.sql import Window
+
+    hour = F.date_trunc("hour", F.col(ts_col))
+    hourly = (
+        df.groupBy(F.col(key_col).alias("key"), hour.alias("hour"))
+        .agg(
+            F.max_by(
+                F.col(val_col), F.struct(F.col(ts_col), F.col(tiebreak_col))
+            ).alias("v")
+        )
+    )
+    rng = hourly.groupBy("key").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = rng.select(
+        "key",
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    j = grid.join(hourly, ["key", "hour"], "left")
+    w = Window.partitionBy("key").orderBy("hour").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    filled = j.select(
+        "key",
+        "hour",
+        F.last("v", ignorenulls=True).over(w).alias("fv"),
+        F.col("v").isNull().alias("fl"),
+    )
+    return (
+        filled.groupBy(
+            F.col("key").alias(key_col), F.date_trunc("day", F.col("hour")).alias("day")
+        )
+        .agg(
+            F.count("*").alias("n_hours"),
+            F.sum(F.col("fl").cast("int")).cast("bigint").alias("n_filled"),
+            F.round(F.avg("fv"), 6).alias("avg_value"),
+        )
+    )

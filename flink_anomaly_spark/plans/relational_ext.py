@@ -1459,3 +1459,53 @@ def q_hot_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events"), key_col="event_type",
         n_partitions=32, top_n=10,
     )
+
+
+@register(
+    "gap_fill_forward_daily",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id AS key, hour, value AS v FROM (
+        SELECT user_id, date_trunc('hour', ts) AS hour, value,
+               row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) t
+      WHERE rn = 1),
+    rng AS (SELECT key, min(hour) AS h0, max(hour) AS h1
+            FROM hourly GROUP BY key),
+    grid AS (SELECT key, unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+                      AS hour
+             FROM rng),
+    j AS (SELECT g.key, g.hour, h.v
+          FROM grid g LEFT JOIN hourly h ON g.key = h.key AND g.hour = h.hour),
+    f AS (SELECT key, hour,
+                 last_value(v IGNORE NULLS)
+                   OVER (PARTITION BY key ORDER BY hour
+                         ROWS UNBOUNDED PRECEDING) AS fv,
+                 v IS NULL AS fl
+          FROM j)
+    SELECT key AS user_id, date_trunc('day', hour) AS day,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(sum(CASE WHEN fl THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+           round(avg(fv), 6) AS avg_value
+    FROM f GROUP BY 1, 2
+    """,
+    doc="Gap filling with forward fill (TimescaleDB "
+    "time_bucket_gapfill/locf; the GENERATE_SERIES + LAST_VALUE IGNORE "
+    "NULLS warehouse idiom): hourly last-event buckets per user, dense "
+    "per-user hour grid over the user's OWN range (sequence explode — "
+    "never a global calendar cross join), last-observation-carried-"
+    "forward window, per-day coverage rollup (n_filled/n_hours). "
+    "Hourly argmax + range share one key exchange; grid is bounded by "
+    "time span, not data volume.",
+)
+def q_gap_fill_forward_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.relational import gap_fill_forward_daily
+
+    return gap_fill_forward_daily(
+        load_table(spark, sf_dir, "events"),
+        key_col="user_id",
+        ts_col="ts",
+        val_col="value",
+        tiebreak_col="event_id",
+    )

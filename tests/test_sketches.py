@@ -348,3 +348,26 @@ def test_audio_zcr_8bit_recentered_and_stereo_channel0(spark):
     rows = {r.media_id: r for r in audio_zero_crossings(media, quiet_below=100).collect()}
     assert rows[1].zero_crossings == 3 and rows[1].n_quiet == 0
     assert rows[2].zero_crossings == 3 and rows[2].n_samples == 4
+
+
+def test_gap_fill_forward_daily_planted_gaps(spark):
+    """Planted hourly series with a 3-hour hole: the hole must be
+    forward-filled with the prior value and counted in n_filled."""
+    from flink_anomaly_spark.operators.relational import gap_fill_forward_daily
+
+    rows = [
+        (1, "2024-01-01 00:15:00", 10.0, 1),
+        (1, "2024-01-01 00:45:00", 20.0, 2),   # same hour: later wins
+        (1, "2024-01-01 04:30:00", 40.0, 3),   # hours 1-3 are the hole
+        (2, "2024-01-01 10:00:00", 5.0, 4),    # single-hour user
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string, value double, event_id long") \
+              .selectExpr("user_id", "CAST(ts AS TIMESTAMP) ts", "value", "event_id")
+    out = {(r.user_id,): r for r in gap_fill_forward_daily(
+        df, "user_id", "ts", "value", "event_id").collect()}
+    u1 = out[(1,)]
+    # grid hours 00..04 = 5 hours; hours 1,2,3 filled with 20.0
+    assert u1.n_hours == 5 and u1.n_filled == 3
+    assert u1.avg_value == round((20.0 + 20.0*3 + 40.0) / 5, 6)
+    u2 = out[(2,)]
+    assert u2.n_hours == 1 and u2.n_filled == 0 and u2.avg_value == 5.0
