@@ -722,3 +722,56 @@ def test_kmeans_lloyd_matches_python_reference(spark, vecs):
     for vid in expect:
         assert got[vid][0] == expect[vid][0], (vid, got[vid], expect[vid])
         assert abs(got[vid][1] - expect[vid][1]) < 2e-6, (vid, got[vid], expect[vid])
+
+
+# ---------------------------------------------------------------------------
+# Round-6 session-2: edit-distance near-dup completeness property
+# ---------------------------------------------------------------------------
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "x"]
+
+docs_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["en", "de"]),  # block
+        st.lists(st.sampled_from(_WORDS), min_size=0, max_size=6),  # tokens
+    ),
+    min_size=2,
+    max_size=10,
+)
+
+
+@settings(**_SETTINGS)
+@given(docs_strategy)
+def test_edit_distance_near_dup_complete_within_blocks(spark, docs):
+    """Completeness contract vs a brute-force reference: EVERY
+    same-block pair with levenshtein <= threshold must be returned
+    (the length prune and adjacent-band pigeonhole may not lose any),
+    with the exact distance."""
+    from flink_anomaly_spark.operators.dedup import edit_distance_near_dup
+
+    thr = 4
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rows = [(i, " ".join(toks), lang) for i, (lang, toks) in enumerate(docs)]
+    want = {
+        (a_id, b_id): lev(a_t, b_t)
+        for a_id, a_t, a_l in rows
+        for b_id, b_t, b_l in rows
+        if a_id < b_id and a_l == b_l and lev(a_t, b_t) <= thr
+    }
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        (r.id_a, r.id_b): r.lev
+        for r in edit_distance_near_dup(
+            df, "doc_id", "text", ["lang"], band_chars=5, threshold=thr
+        ).collect()
+    }
+    assert got == want
