@@ -558,3 +558,73 @@ def gap_fill_forward_daily(
             F.round(F.avg("fv"), 6).alias("avg_value"),
         )
     )
+
+
+def kmv_set_difference(
+    dfa: DataFrame, col_a: str, dfb: DataFrame, col_b: str, k: int = 256
+) -> DataFrame:
+    """KMV/theta-sketch set DIFFERENCE estimate |A \\ B| — the third
+    theta-sketch set operation next to kmv_set_overlap's union /
+    intersection / Jaccard (Dasu et al.; the `AnotB` operator of the
+    DataSketches library): est|A\\B| = est|A| − est|A∩B|, with the
+    intersection from the union sketch's overlap fraction. Same
+    deterministic md5 arithmetic, so the normally engine-private
+    estimate is oracle-exact, and the exact counts ride along so the
+    sketch self-reports its error.
+
+    Scale shape: identical to the overlap — each side reduces to k
+    hashes via TakeOrdered; all set algebra runs on ≤2k rows.
+    """
+    from flink_anomaly_spark.operators.dedup import md5_int32
+
+    dfa_nn = dfa.filter(F.col(col_a).isNotNull())
+    dfb_nn = dfb.filter(F.col(col_b).isNotNull())
+    ha = dfa_nn.select(md5_int32(F.col(col_a).cast("string")).alias("h")).distinct()
+    hb = dfb_nn.select(md5_int32(F.col(col_b).cast("string")).alias("h")).distinct()
+    bka = ha.orderBy("h").limit(k).select("h", F.lit(1).alias("in_a"))
+    bkb = hb.orderBy("h").limit(k).select("h", F.lit(1).alias("in_b"))
+    merged = (
+        bka.join(bkb, "h", "full")
+        .select(
+            "h",
+            F.coalesce("in_a", F.lit(0)).alias("in_a"),
+            F.coalesce("in_b", F.lit(0)).alias("in_b"),
+        )
+        .orderBy("h")
+        .limit(k)
+    )
+    st = merged.agg(
+        F.count("*").alias("k_used"),
+        F.max("h").alias("kth"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("n_both"),
+    )
+    sta = bka.agg(F.count("*").alias("ka_used"), F.max("h").alias("kth_a"))
+    ea = dfa_nn.select(F.col(col_a).alias("v")).distinct()
+    eb = dfb_nn.select(F.col(col_b).alias("v")).distinct()
+    exact = ea.agg(F.count("*").alias("exact_a"))
+    exact_d = ea.join(eb, "v", "left_anti").agg(
+        F.count("*").alias("exact_difference")
+    )
+    exact_u = ea.join(eb, "v", "full").agg(F.count("*").alias("exact_union"))
+    scale = F.lit(float(k - 1)) * F.lit(4294967296.0)
+    est_u = F.when(
+        F.col("k_used") < k, F.col("exact_union").cast("double")
+    ).otherwise(scale / F.col("kth"))
+    est_a = F.when(
+        F.col("ka_used") < k, F.col("exact_a").cast("double")
+    ).otherwise(scale / F.col("kth_a"))
+    est_i = F.col("n_both") / F.col("k_used") * est_u
+    return (
+        st.crossJoin(F.broadcast(sta))
+        .crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(exact_d))
+        .crossJoin(F.broadcast(exact_u))
+        .select(
+            "k_used",
+            F.round(est_a, 4).alias("est_a"),
+            F.round(est_i, 4).alias("est_intersection"),
+            F.round(est_a - est_i, 4).alias("est_difference"),
+            "exact_a",
+            "exact_difference",
+        )
+    )

@@ -120,7 +120,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "synthetic_source_agg",
     # ---- oldest-green refill: the 6 rows last green in ROUND 1
     # ---- oldest-green refill: 15 rows last green in ROUND 2
-    "tfidf_top_terms",
     # ---- late round-6 additions (never checked > re-confirm: these
     # displaced the sliding_window_agg / session_window_agg /
     # pivot_order_status refills, all double-green and locally
@@ -141,6 +140,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "streaming_interval_join_left_final",
     "streaming_window_count_complete",
     "gap_fill_forward_daily",
+    "kmv_custkey_difference",
 )
 # Rotated OUT in round 6 (all green in CORRECTNESS_r05, 50/50):
 # kmeans_lloyd_outliers, media_pixel_stats,

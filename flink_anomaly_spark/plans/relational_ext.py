@@ -1509,3 +1509,73 @@ def q_gap_fill_forward_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         val_col="value",
         tiebreak_col="event_id",
     )
+
+
+def _kmv_difference_oracle(k: int = 256) -> str:
+    def h(x: str) -> str:
+        return f"CAST(('0x' || substr(md5(CAST({x} AS VARCHAR)),1,8)) AS BIGINT)"
+
+    est_u = (
+        f"CASE WHEN k_used < {k} THEN CAST(exact_union AS DOUBLE) "
+        f"ELSE {float(k - 1)} * 4294967296.0 / kth END"
+    )
+    est_a = (
+        f"CASE WHEN ka_used < {k} THEN CAST(exact_a AS DOUBLE) "
+        f"ELSE {float(k - 1)} * 4294967296.0 / kth_a END"
+    )
+    return f"""
+    WITH ha AS (SELECT DISTINCT {h("c_custkey")} AS h FROM customer
+                WHERE c_custkey IS NOT NULL),
+    hb AS (SELECT DISTINCT {h("o_custkey")} AS h FROM orders
+           WHERE o_custkey IS NOT NULL),
+    bka AS (SELECT h, 1 AS in_a FROM ha ORDER BY h LIMIT {k}),
+    bkb AS (SELECT h, 1 AS in_b FROM hb ORDER BY h LIMIT {k}),
+    m AS (
+      SELECT h, coalesce(in_a, 0) AS in_a, coalesce(in_b, 0) AS in_b
+      FROM bka FULL JOIN bkb USING (h)
+      ORDER BY h LIMIT {k}
+    ),
+    st AS (SELECT CAST(count(*) AS BIGINT) AS k_used, max(h) AS kth,
+                  CAST(sum(in_a * in_b) AS BIGINT) AS n_both FROM m),
+    sta AS (SELECT CAST(count(*) AS BIGINT) AS ka_used, max(h) AS kth_a
+            FROM bka),
+    ea AS (SELECT DISTINCT c_custkey AS v FROM customer
+           WHERE c_custkey IS NOT NULL),
+    eb AS (SELECT DISTINCT o_custkey AS v FROM orders
+           WHERE o_custkey IS NOT NULL),
+    e1 AS (SELECT CAST(count(*) AS BIGINT) AS exact_a FROM ea),
+    ed AS (SELECT CAST(count(*) AS BIGINT) AS exact_difference
+           FROM ea WHERE v NOT IN (SELECT v FROM eb)),
+    eu AS (SELECT CAST(count(*) AS BIGINT) AS exact_union
+           FROM (SELECT v FROM ea FULL JOIN eb USING (v)) t)
+    SELECT k_used,
+           round({est_a}, 4) AS est_a,
+           round(n_both / k_used * ({est_u}), 4) AS est_intersection,
+           round(({est_a}) - n_both / k_used * ({est_u}), 4)
+             AS est_difference,
+           exact_a, exact_difference
+    FROM st CROSS JOIN sta CROSS JOIN e1 CROSS JOIN ed CROSS JOIN eu
+    """
+
+
+@register(
+    "kmv_custkey_difference",
+    oracle=_kmv_difference_oracle(),
+    doc="KMV/theta-sketch set DIFFERENCE |customers \\ ordering "
+    "customers| (the DataSketches AnotB operation, completing the "
+    "union/intersection/Jaccard family of kmv_custkey_overlap): "
+    "est|A\\B| = est|A| - overlap-fraction x est-union, all from the "
+    "same deterministic md5 bottom-k sketches so the estimate AND its "
+    "self-reported error are oracle-exact. Each 100 TB side reduces "
+    "to k hashes via TakeOrdered before any set algebra.",
+)
+def q_kmv_custkey_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.relational import kmv_set_difference
+
+    return kmv_set_difference(
+        load_table(spark, sf_dir, "customer"),
+        "c_custkey",
+        load_table(spark, sf_dir, "orders"),
+        "o_custkey",
+        k=256,
+    )
