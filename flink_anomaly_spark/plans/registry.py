@@ -71,16 +71,17 @@ _LOADED = False
 #: queries (kmeans_lloyd_outliers, media_pixel_stats,
 #: streaming_window_count_update).
 #:
-#: ROUND-6 WINDOW (VERDICT r5 #1): the 27 remaining never-driver-
-#: checked queries + the 6 new round-6 queries take the first 33
-#: slots — this closes the entire correctness gap (cumulative driver
-#: coverage reaches every oracle-backed registered query). The
-#: remaining 17 slots re-confirm the OLDEST single-green rows (last
-#: green in round 1 or 2, per the VERDICT's fill rule): their code
-#: paths have drifted the longest since their one driver check, and
-#: two of them (tfidf_top_terms via the folded corpus-stats count,
-#: the r2 parity set via shared helpers) sit downstream of round-6
-#: edits.
+#: ROUND-6 WINDOW (VERDICT r5 #1), FINAL session-2 composition: all
+#: 50 slots are never-driver-checked queries — the 27 carried in from
+#: round 5, the 6 session-1 round-6 queries, and the 17 session-2
+#: additions. Zero re-confirm refills: the session kept adding new
+#: operators until never-checked count hit exactly 50, at which point
+#: every re-confirm (incl. the plan-changed tfidf_top_terms and the
+#: dims-extended embedding_topk) yields to a first check and stays
+#: covered by the local 3-SF hash gate (tools/check_oracle.py, ALL
+#: PASS at wrap; plain-session window gate 50/50). Round-7 refill
+#: queue, stalest first: tfidf_top_terms, embedding_topk, then the
+#: displaced r1/r2 double-greens listed in docs/ROUND6.md.
 DRIVER_WINDOW: tuple[str, ...] = (
     # ---- NEW round-6 queries (prove them on the driver immediately)
     "embedding_ann_pq_lloyd",
