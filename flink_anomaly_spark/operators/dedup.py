@@ -1327,7 +1327,18 @@ def edit_distance_near_dup(
         F.floor(F.length(t) / band_chars).alias("band"),
         *[F.col(c) for c in block_cols],
     )
-    a = proj.alias("a")
+    # The probe side MUST be repartitioned before the join: the corpus
+    # projection is often a handful of input splits (at sf0.1 it is ONE
+    # 600 KB parquet file), and under a broadcast-hash join the join's
+    # parallelism equals the streamed side's split count — round 6's
+    # driver bench measured 12.0 s because the whole ~500k-pair
+    # levenshtein ran in a single task. Round-robin over 2×cores costs
+    # one exchange of the narrow projection (~1.5 MB at sf0.1) and buys
+    # full-core parallelism; at 100 TB the corpus has thousands of
+    # splits and the exchange merely evens them out. Pinned by
+    # tests/test_plan_contracts.py::test_edit_distance_probe_side_parallel.
+    ncpu = df.sparkSession.sparkContext.defaultParallelism
+    a = proj.repartition(2 * ncpu).alias("a")
     b = proj.alias("b")
     cond = (F.col(f"a.{block_cols[0]}") == F.col(f"b.{block_cols[0]}"))
     for c in block_cols[1:]:
@@ -1344,7 +1355,6 @@ def edit_distance_near_dup(
         F.col("a.t").alias("ta"),
         F.col("b.t").alias("tb"),
     )
-    ncpu = df.sparkSession.sparkContext.defaultParallelism
     return (
         cands.withColumn(
             "lev", F.levenshtein(F.col("ta"), F.col("tb"), threshold)

@@ -562,3 +562,25 @@ def test_dsir_no_cartesian_and_broadcast_totals(spark):
     plan = physical_plan(_Q["dsir_importance_weights"](spark, SF_SMOKE))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastExchange" in plan, plan
+
+
+def test_edit_distance_probe_side_parallel(spark):
+    """edit_distance_near_dup's levenshtein work runs join-side, so the
+    join's parallelism IS the streamed side's partition count. The
+    corpus projection is one input split at test SFs — without an
+    explicit pre-join repartition the whole O(pairs·len·threshold) DP
+    runs in a single task (the round-6 driver bench measured 12.0 s vs
+    the 0.9 s parallel baseline). Pin: a round-robin Exchange BELOW the
+    join on the streamed side, and the join itself stays a hash join on
+    the block key (broadcast at test scale; never nested-loop)."""
+    df = _Q["edit_distance_near_dup"](spark, SF_SMOKE)
+    plan = physical_plan(df, mode="simple")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    join_at = plan.find("HashJoin")
+    assert join_at != -1, f"expected a hash join on the block key:\n{plan}"
+    below = plan[join_at:]
+    assert "Exchange RoundRobinPartitioning" in below, (
+        "streamed side of the levenshtein join must be repartitioned "
+        f"(single-split input => single-task join otherwise):\n{plan}"
+    )
