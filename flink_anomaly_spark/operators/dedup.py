@@ -281,18 +281,30 @@ def normalized_exact_dedup(df: DataFrame, content_col: str, id_col: str) -> Data
     normalize-then-hash pass C4 and Gopher run before any MinHash,
     catching reformatted copies that byte-exact dedup misses.
 
-    Per-document output (id, norm_hash, group_size, is_canonical):
-    the canonical survivor is the min id of each normalized group.
+    Per-document output (id, norm_hash, is_empty, group_size,
+    is_canonical): the canonical survivor is the min id of each
+    normalized group. Documents whose NORMALIZED form is empty
+    (punctuation/whitespace-only, empty, or NULL text) are NOT
+    duplicates of each other — they get ``norm_hash`` NULL,
+    ``is_empty`` true, and a singleton group (ADVICE r6: the old
+    md5('') group reported unrelated docs as copies). The window key
+    falls back to the document id for those rows, so the
+    would-be-giant all-empty partition never exists — each empty row
+    is its own partition (group_size 1, canonical by construction).
     Plan: normalization is zero-shuffle codegen; the group stats are
     window aggregates over the 32-hex-char hash key — ONE shuffle
     carrying (id, hash) + payload-free rows, and duplicate groups are
     tiny so the key space is skew-free at any corpus size."""
     from pyspark.sql import Window
 
-    key = F.md5(normalize_text(F.col(content_col)))
-    w = Window.partitionBy("norm_hash")
+    norm = normalize_text(F.col(content_col))
+    key = F.when(F.length(norm) > 0, F.md5(norm))
+    w = Window.partitionBy(
+        F.coalesce(F.col("norm_hash"), F.col(id_col).cast("string"))
+    )
     return (
         df.select(F.col(id_col), key.alias("norm_hash"))
+        .withColumn("is_empty", F.col("norm_hash").isNull())
         .withColumn("group_size", F.count("*").over(w))
         .withColumn(
             "is_canonical", F.col(id_col) == F.min(id_col).over(w)

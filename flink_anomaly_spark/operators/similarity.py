@@ -1041,6 +1041,7 @@ def hybrid_rrf_retrieval(
     top_n: int = 10,
     doc_id_col: str = "doc_id",
     vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
 ) -> DataFrame:
     """Reciprocal-rank fusion (Cormack et al. 2009) of two retrievers:
     Okapi BM25 over the text corpus and exact cosine over the aligned
@@ -1067,7 +1068,7 @@ def hybrid_rrf_retrieval(
         F.col(doc_id_col).alias("doc_id"), F.col("rank").alias("lex_rank")
     )
     dense = brute_force_topk(
-        emb, id_col=vec_id_col, vec_col="embedding", query_ids=[query_vec_id], k=k_each
+        emb, id_col=vec_id_col, vec_col=vec_col, query_ids=[query_vec_id], k=k_each
     ).select(F.col("nid").alias("doc_id"), F.col("rank").cast("bigint").alias("dense_rank"))
     contrib = lambda r: F.coalesce(  # noqa: E731
         F.lit(1.0) / (F.lit(k_rrf) + F.col(r)), F.lit(0.0)

@@ -98,9 +98,13 @@ def hll_distinct_estimate(df: DataFrame, col: str, p: int = 8) -> DataFrame:
     agg = regs.agg(
         F.count("*").alias("v_present"),
         # F.shiftleft only takes a literal shift in PySpark; the SQL
-        # form accepts a column expression
-        F.sum(
-            F.expr(f"shiftleft(cast(1 as bigint), {HLL_SHIFT} - reg)")
+        # form accepts a column expression. Coalesce: sum over ZERO
+        # register rows (empty/all-NULL input) is NULL, which would
+        # propagate NULL through s_total into the estimate — an empty
+        # input must estimate a defined 0 (ADVICE r6).
+        F.coalesce(
+            F.sum(F.expr(f"shiftleft(cast(1 as bigint), {HLL_SHIFT} - reg)")),
+            F.lit(0).cast("bigint"),
         ).alias("s_present"),
     )
     exact = df.agg(F.countDistinct(col).alias("exact_distinct"))
@@ -126,8 +130,11 @@ def hll_distinct_estimate(df: DataFrame, col: str, p: int = 8) -> DataFrame:
             "v_present",
             F.round("__est", 4).alias("est_distinct"),
             "exact_distinct",
-            # + 0.0 clears IEEE -0.0 (oracle-hash gotcha, KMV precedent)
-            (
+            # + 0.0 clears IEEE -0.0 (oracle-hash gotcha, KMV precedent);
+            # exact_distinct = 0 (empty input) defines rel_err as 0.0
+            # instead of a NULL from the 0-division (ADVICE r6)
+            F.when(F.col("exact_distinct") == 0, F.lit(0.0))
+            .otherwise(
                 F.round(
                     (F.col("__est") - F.col("exact_distinct"))
                     / F.col("exact_distinct")
@@ -135,7 +142,8 @@ def hll_distinct_estimate(df: DataFrame, col: str, p: int = 8) -> DataFrame:
                     4,
                 )
                 + F.lit(0.0)
-            ).alias("rel_err_pct"),
+            )
+            .alias("rel_err_pct"),
         )
     )
 
@@ -157,7 +165,8 @@ def hll_oracle_sql(col: str, table: str, p: int = 8) -> str:
           FROM h),
     regs AS (SELECT bucket, max(rho) AS reg FROM r GROUP BY bucket),
     a AS (SELECT CAST(count(*) AS BIGINT) AS v_present,
-                 sum(CAST(1 AS BIGINT) << ({HLL_SHIFT} - reg)) AS s_present
+                 coalesce(sum(CAST(1 AS BIGINT) << ({HLL_SHIFT} - reg)),
+                          CAST(0 AS BIGINT)) AS s_present
           FROM regs),
     e AS (SELECT CAST(count(DISTINCT {col}) AS BIGINT) AS exact_distinct
           FROM {table}),
@@ -175,8 +184,10 @@ def hll_oracle_sql(col: str, table: str, p: int = 8) -> str:
       FROM a CROSS JOIN e)
     SELECT CAST({m} AS BIGINT) AS m, v_present,
            round(est, 4) AS est_distinct, exact_distinct,
-           round((est - exact_distinct) / exact_distinct * 100, 4) + 0.0
-             AS rel_err_pct
+           CASE WHEN exact_distinct = 0 THEN 0.0
+                ELSE round((est - exact_distinct) / exact_distinct * 100, 4)
+                     + 0.0
+           END AS rel_err_pct
     FROM est
     """
 

@@ -1532,12 +1532,14 @@ def q_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH n AS (
       SELECT doc_id,
-             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
-               AS norm_hash
+             CASE WHEN length(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) > 0
+                  THEN md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+             END AS norm_hash
       FROM documents)
     SELECT doc_id, norm_hash,
-           CAST(count(*) OVER (PARTITION BY norm_hash) AS BIGINT) AS group_size,
-           doc_id = min(doc_id) OVER (PARTITION BY norm_hash) AS is_canonical
+           norm_hash IS NULL AS is_empty,
+           CAST(count(*) OVER (PARTITION BY coalesce(norm_hash, CAST(doc_id AS VARCHAR))) AS BIGINT) AS group_size,
+           doc_id = min(doc_id) OVER (PARTITION BY coalesce(norm_hash, CAST(doc_id AS VARCHAR))) AS is_canonical
     FROM n
     """,
     doc="Fuzzy-exact dedup (C4/Gopher normalize-then-hash): lowercase "
@@ -1545,7 +1547,10 @@ def q_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window stats per hash with min-id survivor. Normalization is "
     "zero-UDF codegen; the one shuffle carries (id, 32-char hash) "
     "only; duplicate groups are tiny, so no skew at 100 TB. Catches "
-    "reformatted copies byte-exact dedup misses, upstream of MinHash.",
+    "reformatted copies byte-exact dedup misses, upstream of MinHash. "
+    "Empty-after-normalization docs are flagged is_empty with NULL "
+    "hash and singleton groups (per-id window key — no giant NULL "
+    "partition), not reported as duplicates of each other.",
 )
 def q_normalized_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_anomaly_spark.operators.dedup import normalized_exact_dedup

@@ -182,3 +182,31 @@ def test_pq_requires_divisible_dim(spark):
         raise AssertionError("expected ValueError")
     except ValueError as e:
         assert "not divisible" in str(e)
+
+
+def test_hybrid_rrf_honors_custom_vector_column_name(spark):
+    # ADVICE r6: vec_id_col was parameterized but vec_col was hardcoded
+    # "embedding" — the API silently broke for renamed vector columns.
+    # Same corpus under two column names must fuse identically.
+    from flink_anomaly_spark.operators.similarity import hybrid_rrf_retrieval
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana"), (2, "banana cherry"), (3, "cherry date")],
+        "doc_id long, text string",
+    )
+    rows = [(1, [1.0, 0.0]), (2, [0.8, 0.6]), (3, [0.0, 1.0])]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    renamed = spark.createDataFrame(rows, ["vec_id", "vec"])
+    base = sorted(
+        hybrid_rrf_retrieval(docs, emb, ["banana"], 1, top_n=3).collect(),
+        key=lambda r: r.fused_rank,
+    )
+    custom = sorted(
+        hybrid_rrf_retrieval(
+            docs, renamed, ["banana"], 1, top_n=3, vec_col="vec"
+        ).collect(),
+        key=lambda r: r.fused_rank,
+    )
+    assert [(r.doc_id, r.rrf_score) for r in base] == [
+        (r.doc_id, r.rrf_score) for r in custom
+    ]

@@ -118,6 +118,35 @@ def test_normalized_exact_dedup_catches_reformatted_copy(spark):
     assert out[2].group_size == 3 and not out[2].is_canonical
     assert out[3].norm_hash == out[1].norm_hash
     assert out[4].group_size == 1 and out[4].is_canonical
+    assert not out[1].is_empty and not out[4].is_empty
+
+
+def test_normalized_exact_dedup_empty_docs_are_not_duplicates(spark):
+    # ADVICE r6: punctuation/whitespace-only and NULL texts must NOT
+    # collapse into one md5('') duplicate group — each is a singleton
+    # with NULL hash and is_empty set (and no giant NULL-key window
+    # partition exists: the window key falls back to the doc id).
+    from flink_anomaly_spark.operators.dedup import normalized_exact_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "!!! ... ---"),
+            (2, "   "),
+            (3, ""),
+            (4, None),
+            (5, "real text"),
+            (6, "REAL text!"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in normalized_exact_dedup(df, "text", "doc_id").collect()}
+    for i in (1, 2, 3, 4):
+        assert out[i].is_empty
+        assert out[i].norm_hash is None
+        assert out[i].group_size == 1
+        assert out[i].is_canonical
+    assert out[5].group_size == 2 and not out[5].is_empty
+    assert out[6].norm_hash == out[5].norm_hash
 
 
 def test_streaming_topk_rank_invariants(spark):
@@ -371,3 +400,21 @@ def test_gap_fill_forward_daily_planted_gaps(spark):
     assert u1.avg_value == round((20.0 + 20.0*3 + 40.0) / 5, 6)
     u2 = out[(2,)]
     assert u2.n_hours == 1 and u2.n_filled == 0 and u2.avg_value == 5.0
+
+
+def test_hll_empty_and_all_null_input_estimates_zero(spark):
+    # ADVICE r6: sum over zero register rows is NULL — the sketch must
+    # coalesce it so an empty (or all-NULL) input yields a DEFINED 0
+    # estimate (LinearCounting with zero buckets hit: m*ln(m/m) = 0)
+    # and rel_err_pct 0.0 instead of a NULL from the 0-division.
+    empty = spark.createDataFrame([], "k string")
+    row = hll_distinct_estimate(empty, "k", p=8).collect()[0]
+    assert row["v_present"] == 0
+    assert row["est_distinct"] == 0.0
+    assert row["exact_distinct"] == 0
+    assert row["rel_err_pct"] == 0.0
+
+    nulls = spark.createDataFrame([(None,), (None,)], "k string")
+    row = hll_distinct_estimate(nulls, "k", p=8).collect()[0]
+    assert row["est_distinct"] == 0.0
+    assert row["rel_err_pct"] == 0.0

@@ -34,18 +34,53 @@ ABS_SLACK = 0.3  # seconds
 # ratio RELATIVE to that median. Clamped so a pathological baseline
 # can't normalize away a real 3x global regression.
 LOAD_FACTOR_CLAMP = (0.5, 2.5)
+# Round-7 (ADVICE r6): a median over ALL common queries can't tell a
+# genuinely code-induced uniform slowdown from host load — a change
+# that makes most plans ~2x slower would be normalized away silently.
+# The factor is therefore estimated ONLY from this calibration set:
+# queries whose plans have been frozen since round 1/2 (trivial scans,
+# single-shuffle aggregates, TPC-H shapes nobody edits). If a commit
+# DOES touch one of these, remove it from the set in the same commit.
+CALIBRATION = (
+    "map_upper",
+    "filter_project",
+    "union_bag",
+    "zscore_outliers",
+    "revenue_by_nation",
+    "topk_orders",
+    "exact_percentiles",
+    "tpch_q1_pricing",
+    "tpch_q6_forecast",
+    "tpch_q3_sql",
+)
+# Above this, the run is suspect even after normalization — print a
+# loud warning so a uniform regression is at least visible to a human.
+LOAD_FACTOR_WARN = 1.3
 
 
 def load_factor(fresh: dict[str, float], base: dict[str, float]) -> float:
-    ratios = [t / base[n] for n, t in fresh.items() if base.get(n)]
-    if len(ratios) < 5:
-        return 1.0  # too few common queries to estimate the machine factor
+    cal = [t / base[n] for n, t in fresh.items() if base.get(n) and n in CALIBRATION]
+    if len(cal) >= 5:
+        ratios = cal
+    else:
+        # streaming detail files share this gate but not the batch
+        # calibration names — fall back to the all-queries median there
+        ratios = [t / base[n] for n, t in fresh.items() if base.get(n)]
+        if len(ratios) < 5:
+            return 1.0  # too few common queries to estimate the machine factor
     f = statistics.median(ratios)
     return max(LOAD_FACTOR_CLAMP[0], min(LOAD_FACTOR_CLAMP[1], f))
 
 
 def compare(fresh: dict[str, float], base: dict[str, float]) -> dict:
     factor = load_factor(fresh, base)
+    if factor > LOAD_FACTOR_WARN:
+        print(
+            f"WARNING: load factor {factor:.2f} exceeds {LOAD_FACTOR_WARN} — "
+            "either the host is loaded or a UNIFORM code regression is being "
+            "normalized away; re-run idle and compare calibration-query "
+            "absolute times before trusting this gate."
+        )
     regressions = []
     improved = []
     for name, t in sorted(fresh.items()):
