@@ -244,3 +244,26 @@ def test_bench_gate_load_normalization(tmp_path):
     # the factor is clamped: a uniform 4x slowdown still fails
     out = run({n: t * 4.0 for n, t in base.items()}, base)
     assert out.returncode == 1
+
+
+def test_changed_plans_hold_window_slots():
+    """Rotation discipline (VERDICT r6 #3), mechanical: any registered
+    query whose plan fingerprint — transitive builder source + oracle
+    SQL (tools/plan_fingerprints.py) — differs from PLAN_MANIFEST.json
+    (the fingerprint as of its last driver check) MUST hold a
+    DRIVER_WINDOW slot, so a changed plan is driver-re-checked in the
+    same round it changes. New registrations (no manifest entry) count
+    as changed. At round wrap, after the window is final, run
+    ``python tools/plan_fingerprints.py --refresh-window``."""
+    from flink_anomaly_spark.plans.registry import DRIVER_WINDOW
+    from tools.plan_fingerprints import compute_all, load_manifest
+
+    manifest = load_manifest()
+    assert manifest, "PLAN_MANIFEST.json missing — run plan_fingerprints.py --refresh-all"
+    current = compute_all()
+    changed = sorted(n for n, fp in current.items() if manifest.get(n) != fp)
+    escaped = [n for n in changed if n not in DRIVER_WINDOW]
+    assert not escaped, (
+        "plans changed since their last driver check but hold no window "
+        f"slot (add to DRIVER_WINDOW or refresh the manifest): {escaped}"
+    )
