@@ -1407,6 +1407,84 @@ def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_learn_merges(docs, n_merges=_BPE_MERGES)
 
 
+_BPE_BATCH_PASSES = 2  # 2 passes x batch_k=2 = 4 merges
+
+
+def _bpe_batched_oracle(n_passes: int = _BPE_BATCH_PASSES) -> str:
+    """DuckDB mirror of the batched trainer (batch_k = 2): per pass,
+    rank all pairs once; ``a{t}`` is rank 1, ``b{t}`` is the best pair
+    symbol-disjoint from a's (lhs, rhs, lhs||rhs); both fold
+    sequentially into w{t}. Selection sees the FULL ranking (the Spark
+    side's oversample=64 horizon is far past any real 2nd-disjoint
+    rank)."""
+    steps = []
+    for t in range(1, n_passes + 1):
+        steps.append(f"""
+    p{t} AS (
+      SELECT lhs, rhs, CAST(sum(cnt) AS BIGINT) AS n FROM (
+        SELECT cnt, segs[i] AS lhs, segs[i+1] AS rhs FROM (
+          SELECT cnt, segs, unnest(range(1, len(segs))) AS i
+          FROM (SELECT cnt, string_split(sym, '|') AS segs FROM w{t - 1})
+        )
+      ) GROUP BY lhs, rhs
+    ), r{t} AS (
+      SELECT lhs, rhs, n,
+             row_number() OVER (ORDER BY n DESC, lhs, rhs) AS rk
+      FROM p{t}
+    ), a{t} AS (
+      SELECT lhs AS ml, rhs AS mr, n FROM r{t} WHERE rk = 1
+    ), b{t} AS (
+      SELECT r.lhs AS ml, r.rhs AS mr, r.n
+      FROM r{t} r, a{t} a
+      WHERE r.lhs NOT IN (a.ml, a.mr, a.ml || a.mr)
+        AND r.rhs NOT IN (a.ml, a.mr, a.ml || a.mr)
+      ORDER BY r.rk LIMIT 1
+    ), wa{t} AS (
+      SELECT w, cnt, {_BPE_FOLD} AS sym FROM w{t - 1} CROSS JOIN a{t}
+    ), w{t} AS (
+      SELECT w, cnt, {_BPE_FOLD} AS sym FROM wa{t} CROSS JOIN b{t}
+    )""")
+    scaffold = _bpe_steps_sql(0).rstrip().rstrip(",")
+    unions = "\n      ".join(
+        f"UNION ALL SELECT {2 * t - 1}, {t}, ml, mr, n FROM a{t} "
+        f"UNION ALL SELECT {2 * t}, {t}, ml, mr, n FROM b{t}"
+        for t in range(1, n_passes + 1)
+    )
+    return f"""
+    {scaffold},{",".join(steps)},
+    merges AS (
+      SELECT 0 AS step, 0 AS pass, '' AS lhs, '' AS rhs,
+             CAST(0 AS BIGINT) AS n WHERE false
+      {unions}
+      UNION ALL SELECT {2 * n_passes + 1}, {n_passes}, '<TOTAL>', '<SYMBOLS>',
+        CAST(sum(cnt * len(string_split(sym, '|'))) AS BIGINT) FROM w{n_passes}
+    )
+    SELECT CAST(step AS BIGINT) AS step, CAST(pass AS BIGINT) AS pass,
+           lhs, rhs, n
+    FROM merges
+    """
+
+
+@register(
+    "bpe_learn_merges_batched",
+    oracle=_bpe_batched_oracle(),
+    doc="Batched BPE training — the production path for real (32k) "
+    "vocabularies: per pass, ONE pair count feeds up to batch_k=2 "
+    "mutually symbol-disjoint merges (disjointness makes same-pass "
+    "counts exactly invariant under each other's rewrites), so driver "
+    "round-trips are ~n_merges/batch_k instead of n_merges. 2 passes "
+    "x 2 merges here; folds apply sequentially within the pass and "
+    "the oracle unrolls the identical greedy selection relationally.",
+)
+def q_bpe_learn_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.text import bpe_learn_merges_batched
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_learn_merges_batched(
+        docs, n_merges=2 * _BPE_BATCH_PASSES, batch_k=2
+    )
+
+
 @register(
     "bpe_fertility_by_lang",
     oracle=f"""
