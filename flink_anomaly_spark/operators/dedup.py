@@ -1142,6 +1142,107 @@ def prefix_filter_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _starts_to_intervals(starts_col: str, n: int):
+    """Fold a column of (unsorted) 1-based n-gram start positions into
+    disjoint, sorted (lo, hi) cover intervals: each start covers
+    ``[s, s+n-1]``; overlapping or ADJACENT (gap ≤ 1) intervals merge.
+    O(n_starts) per row after one array_sort. Shared by the removal
+    (:func:`span_dedup_clean`) and detection
+    (:func:`exact_substring_spans`) halves of the Lee et al. span
+    machinery."""
+    empty_iv = F.array().cast("array<struct<lo:int,hi:int>>")
+    return F.aggregate(
+        F.array_sort(starts_col),
+        empty_iv,
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) & (s <= F.element_at(acc, -1)["hi"] + 1),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["lo"].alias("lo"),
+                        F.greatest(
+                            F.element_at(acc, -1)["hi"], s + (n - 1)
+                        ).alias("hi"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(F.struct(s.alias("lo"), (s + (n - 1)).alias("hi"))),
+            )
+        ),
+    )
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Suffix-array-style exact-substring duplicate DETECTION — the
+    find-maximal-repeats half of Lee et al. 2022 §4 (``ExactSubstr``):
+    one row per MAXIMAL duplicated word-span per document, where a
+    span is duplicated when every length-``n`` window inside it occurs
+    at least ``min_count`` times corpus-wide (within- or
+    cross-document).
+
+    Equivalence to the paper's suffix-array formulation, up to two
+    documented approximations: (1) granularity is the word ``n``-gram,
+    not the byte — a duplicated substring shorter than ``n`` words is
+    invisible (the paper's threshold plays the same role); (2) two
+    distinct maximal repeats separated by a gap of < 1 word report as
+    one span (the interval merge is coverage-level, not
+    occurrence-aligned). Within those, coverage is exact: a duplicated
+    substring of w ≥ n words contributes exactly its w − n + 1 windows,
+    all duplicated, and their merged cover is the substring itself.
+
+    Output: ``(id_col, span_start, span_end, span_words, span_text)``
+    (1-based inclusive word positions). Documents with no duplicated
+    span emit nothing — this is the detection/report view; use
+    :func:`span_dedup_clean` for the removal transform.
+
+    Scale shape: identical floor to span_dedup_clean — gram spans
+    travel as (id, start, hash64) triples, the duplicate-gram set is a
+    hash-only self-aggregation, and the interval merge is per-row
+    array math over one bounded starts array (O(n_words) per doc).
+    Two shuffles: the gram-count groupBy and the postings join.
+    """
+    from flink_anomaly_spark.operators.text import tokens
+    from flink_anomaly_spark.partitioning import spread
+
+    base = spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")))
+    d = base.select("id", tokens(F.col("__t")).alias("toks"))
+    g = (
+        base.select(
+            "id", F.posexplode(gram_hashes_pandas(n)(F.col("__t"))).alias("__p0", "gh")
+        )
+        .select("id", (F.col("__p0") + 1).alias("start"), "gh")
+    )
+    dup = g.groupBy("gh").count().filter(F.col("count") >= min_count).select("gh")
+    dup_starts = (
+        g.join(dup, "gh").groupBy("id").agg(F.collect_list("start").alias("dups"))
+    )
+    spans = (
+        d.join(dup_starts, "id")
+        .withColumn("iv", F.explode(_starts_to_intervals("dups", n)))
+        .select(
+            F.col("id").alias(id_col),
+            F.col("iv.lo").cast("bigint").alias("span_start"),
+            F.col("iv.hi").cast("bigint").alias("span_end"),
+            (F.col("iv.hi") - F.col("iv.lo") + 1).cast("bigint").alias("span_words"),
+            F.array_join(
+                F.slice("toks", F.col("iv.lo"), F.col("iv.hi") - F.col("iv.lo") + 1),
+                " ",
+            ).alias("span_text"),
+        )
+    )
+    return spans
+
+
 def span_dedup_clean(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1204,34 +1305,10 @@ def span_dedup_clean(
         "dups", F.coalesce(F.col("dups"), F.array().cast("array<int>"))
     )
     # Fold the sorted marked starts into disjoint (lo, hi) cover
-    # intervals (each start covers [s, s+n-1]; adjacent/overlapping
-    # intervals merge), then emit kept indices as the gaps between
+    # intervals, then emit kept indices as the gaps between
     # them: [prev_hi+1, next_lo-1] for consecutive intervals, with
     # sentinels hi=0 before the first and lo=n_words+1 after the last.
-    empty_iv = F.array().cast("array<struct<lo:int,hi:int>>")
-    merged = F.aggregate(
-        F.array_sort("dups"),
-        empty_iv,
-        lambda acc, s: F.when(
-            (F.size(acc) > 0) & (s <= F.element_at(acc, -1)["hi"] + 1),
-            F.concat(
-                F.slice(acc, 1, F.size(acc) - 1),
-                F.array(
-                    F.struct(
-                        F.element_at(acc, -1)["lo"].alias("lo"),
-                        F.greatest(
-                            F.element_at(acc, -1)["hi"], s + (n - 1)
-                        ).alias("hi"),
-                    )
-                ),
-            ),
-        ).otherwise(
-            F.concat(
-                acc,
-                F.array(F.struct(s.alias("lo"), (s + (n - 1)).alias("hi"))),
-            )
-        ),
-    )
+    merged = _starts_to_intervals("dups", n)
     gap_his = F.concat(
         F.array(F.lit(0)), F.transform(merged, lambda x: x["hi"])
     )

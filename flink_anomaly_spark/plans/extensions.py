@@ -1388,6 +1388,61 @@ def q_span_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "exact_substring_spans",
+    oracle=rf"""
+    WITH d AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), gs AS (
+      SELECT doc_id, unnest(range(1, len(toks) - {_SPAN_N} + 2)) AS start, toks
+      FROM d WHERE len(toks) >= {_SPAN_N}
+    ), gh AS (
+      SELECT doc_id, start,
+             {_MD5_60.format(x=f"array_to_string(toks[start:start+{_SPAN_N - 1}], ' ')")} AS h
+      FROM gs
+    ), dup AS (
+      SELECT h FROM gh GROUP BY h HAVING count(*) >= 2
+    ), iv AS (
+      SELECT gh.doc_id, gh.start AS lo, gh.start + {_SPAN_N - 1} AS hi
+      FROM gh JOIN dup USING (h)
+    ), brk AS (
+      SELECT doc_id, lo, hi,
+             CASE WHEN lo <= coalesce(max(hi) OVER (
+                    PARTITION BY doc_id ORDER BY lo
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -2147483648) + 1
+                  THEN 0 ELSE 1 END AS is_new
+      FROM iv
+    ), grp AS (
+      SELECT doc_id, lo, hi,
+             sum(is_new) OVER (PARTITION BY doc_id ORDER BY lo) AS g
+      FROM brk
+    ), spans AS (
+      SELECT doc_id, min(lo) AS lo, max(hi) AS hi FROM grp GROUP BY doc_id, g
+    )
+    SELECT s.doc_id,
+           CAST(s.lo AS BIGINT) AS span_start,
+           CAST(s.hi AS BIGINT) AS span_end,
+           CAST(s.hi - s.lo + 1 AS BIGINT) AS span_words,
+           array_to_string(d.toks[s.lo:s.hi], ' ') AS span_text
+    FROM spans s JOIN d USING (doc_id)
+    """,
+    doc="Suffix-array-style exact-substring duplicate DETECTION (Lee "
+    "et al. 2022 §4 ExactSubstr): one row per MAXIMAL duplicated "
+    "word-span per document — a span is duplicated when every 8-gram "
+    "window inside it occurs >= 2 times corpus-wide. The detection "
+    "half of the span machinery (span_dedup_clean is the removal "
+    "half; both share the interval-merge fold). Gram spans travel as "
+    "(id, start, hash64); the merge is per-row array math; two "
+    "shuffles (hash-count groupBy + postings join).",
+)
+def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.dedup import exact_substring_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_substring_spans(docs, n=_SPAN_N, min_count=2)
+
+
+@register(
     "edit_distance_near_dup",
     oracle=r"""
     WITH d AS (SELECT doc_id AS id,

@@ -962,3 +962,55 @@ def test_media_dhash_near_dup_pigeonhole_guard():
         media_dhash_near_dup(None, bands=4, max_hamming=4)
     with pytest.raises(ValueError, match="cover"):
         media_dhash_near_dup(None, bands=4, band_width=10, max_hamming=3)
+
+
+def test_exact_substring_spans_maximal_and_positioned(spark):
+    """A 10-word substring shared by two docs must report as ONE
+    maximal span (not three overlapping 8-gram windows) at the right
+    1-based word positions in each doc; unique text reports nothing."""
+    from flink_anomaly_spark.operators.dedup import exact_substring_spans
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    df = spark.createDataFrame(
+        [
+            (1, "unique lead words " + shared),
+            (2, shared + " trailing tail"),
+            (3, "totally different text with no duplication at all here ok"),
+        ],
+        "doc_id long, text string",
+    )
+    out = exact_substring_spans(df, n=8, min_count=2).collect()
+    by_doc = {r.doc_id: r for r in out}
+    assert set(by_doc) == {1, 2}
+    # doc 1: shared starts at word 4 (3 lead words), 10 words long
+    assert (by_doc[1].span_start, by_doc[1].span_end) == (4, 13)
+    assert by_doc[1].span_words == 10 and by_doc[1].span_text == shared
+    # doc 2: shared starts at word 1
+    assert (by_doc[2].span_start, by_doc[2].span_end) == (1, 10)
+    assert by_doc[2].span_text == shared
+
+
+def test_exact_substring_spans_two_disjoint_regions(spark):
+    """Two duplicated regions separated by >1 unique word stay TWO
+    spans; within-document repetition (same 8-gram twice in one doc)
+    counts as duplication."""
+    from flink_anomaly_spark.operators.dedup import exact_substring_spans
+
+    a = "one two three four five six seven eight"          # 8 words
+    b = "red orange yellow green blue indigo violet pink"  # 8 words
+    df = spark.createDataFrame(
+        [
+            (1, a + " gapX gapY " + b),
+            (2, a + " filler words here again " + b),
+        ],
+        "doc_id long, text string",
+    )
+    out = exact_substring_spans(df, n=8, min_count=2).collect()
+    spans1 = sorted(
+        [(r.span_start, r.span_end) for r in out if r.doc_id == 1]
+    )
+    assert spans1 == [(1, 8), (11, 18)]
+    # within-doc: the same 8-gram twice in ONE doc is a duplicate too
+    df2 = spark.createDataFrame([(9, a + " middle " + a)], "doc_id long, text string")
+    out2 = exact_substring_spans(df2, n=8, min_count=2).collect()
+    assert sorted((r.span_start, r.span_end) for r in out2) == [(1, 8), (10, 17)]
