@@ -51,6 +51,114 @@ def _hll_alpha(m: int) -> float:
     return {16: 0.673, 32: 0.697, 64: 0.709}[m]
 
 
+def hll_bucket_rho(col: Column, p: int) -> tuple[Column, Column]:
+    """The HLL register projection, shared by the batch estimator and
+    the streaming per-window register aggregation: md5-derived 32-bit
+    hash → (bucket = top ``p`` bits, ρ = leading-zero run of the
+    remaining ``32-p`` bits + 1). Stateless, codegen-only — safe on
+    both batch and streaming DataFrames."""
+    rest_bits = 32 - p
+    rest_mod = 1 << rest_bits
+    h = md5_int32(col.cast("string"))
+    bucket = F.floor(h / rest_mod)
+    rho = (
+        F.when(h % rest_mod == 0, F.lit(rest_bits + 1))
+        .otherwise(F.lit(rest_bits + 1) - F.length(F.bin(h % rest_mod)))
+        .cast("int")
+    )
+    return bucket, rho
+
+
+def _hll_estimate_cols(p: int):
+    """Estimate expressions over an aggregated (v_present, s_present)
+    pair — the finalize step shared by the global and per-window
+    estimators. Returns (est_column, m)."""
+    m = 1 << p
+    alpha = _hll_alpha(m)
+    s_total = F.col("s_present") + (F.lit(m) - F.col("v_present")) * F.lit(
+        1 << HLL_SHIFT
+    ).cast("bigint")
+    e_raw = F.lit(alpha * m * m * float(1 << HLL_SHIFT)) / s_total.cast("double")
+    zeros = F.lit(m) - F.col("v_present")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(e_raw)
+    return est, m
+
+
+def hll_windowed_estimate(regs: DataFrame, p: int = 8) -> DataFrame:
+    """Finalize per-window HLL registers — the batch half of the
+    streaming serve-layer split: ``regs`` is the finalized streaming
+    sink ``(window_start, window_end, bucket, reg)``; output is one row
+    per window ``(window_start, window_end, m, v_present,
+    est_distinct)`` with the exact same scaled-integer harmonic sum,
+    LinearCounting branch, and 4-decimal rounding as
+    :func:`hll_distinct_estimate`, so the estimate is bit-reproducible
+    in DuckDB. Grouping key is the window — the shuffle carries ≤ m
+    register rows per window."""
+    agg = regs.groupBy("window_start", "window_end").agg(
+        F.count("*").alias("v_present"),
+        F.coalesce(
+            F.sum(F.expr(f"shiftleft(cast(1 as bigint), {HLL_SHIFT} - reg)")),
+            F.lit(0).cast("bigint"),
+        ).alias("s_present"),
+    )
+    est, m = _hll_estimate_cols(p)
+    return agg.select(
+        "window_start",
+        "window_end",
+        F.lit(m).cast("bigint").alias("m"),
+        F.col("v_present").cast("bigint").alias("v_present"),
+        F.round(est, 4).alias("est_distinct"),
+    )
+
+
+def hll_windowed_oracle_sql(
+    col: str, table: str, p: int = 8, trunc: str = "hour"
+) -> str:
+    """DuckDB mirror of stream-registers → :func:`hll_windowed_estimate`
+    — one generator per sketch family so engine and oracle cannot
+    drift. The full per-window HLL with no watermark HAVING: the
+    registered query uses the EOS sentinel flush, so every real window
+    finalizes."""
+    m = 1 << p
+    rest_bits = 32 - p
+    rest_mod = 1 << rest_bits
+    alpha = _hll_alpha(m)
+    coeff = repr(alpha * m * m * float(1 << HLL_SHIFT))
+    h = f"CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)),1,8)) AS BIGINT)"
+    return f"""
+    WITH h AS (SELECT date_trunc('{trunc}', ts) AS ws, {h} AS h
+               FROM {table} WHERE {col} IS NOT NULL),
+    r AS (SELECT ws, h // {rest_mod} AS bucket,
+                 CASE WHEN h % {rest_mod} = 0 THEN {rest_bits + 1}
+                      ELSE {rest_bits + 1} - length(bin(h % {rest_mod})) END AS rho
+          FROM h),
+    regs AS (SELECT ws, bucket, max(rho) AS reg FROM r GROUP BY ws, bucket),
+    a AS (SELECT ws, CAST(count(*) AS BIGINT) AS v_present,
+                 coalesce(sum(CAST(1 AS BIGINT) << ({HLL_SHIFT} - reg)),
+                          CAST(0 AS BIGINT)) AS s_present
+          FROM regs GROUP BY ws),
+    est AS (
+      SELECT ws, v_present,
+             CASE WHEN {coeff} / CAST(s_present + ({m} - v_present)
+                         * CAST({1 << HLL_SHIFT} AS BIGINT) AS DOUBLE)
+                       <= {2.5 * m}
+                   AND {m} - v_present > 0
+                  THEN {float(m)!r} * ln({float(m)!r}
+                         / CAST({m} - v_present AS DOUBLE))
+                  ELSE {coeff} / CAST(s_present + ({m} - v_present)
+                         * CAST({1 << HLL_SHIFT} AS BIGINT) AS DOUBLE)
+             END AS est
+      FROM a)
+    SELECT ws AS window_start, ws + INTERVAL 1 {trunc} AS window_end,
+           CAST({m} AS BIGINT) AS m, v_present,
+           round(est, 4) AS est_distinct
+    FROM est
+    """
+
+
 def hll_distinct_estimate(df: DataFrame, col: str, p: int = 8) -> DataFrame:
     """HyperLogLog distinct-count estimate with 2^p registers, built
     relationally from the 32-bit md5 hash (top p bits pick the
@@ -75,21 +183,10 @@ def hll_distinct_estimate(df: DataFrame, col: str, p: int = 8) -> DataFrame:
         # p < 4 has no α_m constant in the paper; p > 16 would spend
         # more registers than the 32-bit hash has suffix bits to fill
         raise ValueError(f"p must be in [4, 16], got {p}")
-    m = 1 << p
-    rest_bits = 32 - p
-    rest_mod = 1 << rest_bits
-    alpha = _hll_alpha(m)
-
-    h = md5_int32(F.col(col).cast("string")).alias("h")
-    hashed = df.filter(F.col(col).isNotNull()).select(h)
-    rho = F.when(
-        F.col("h") % rest_mod == 0, F.lit(rest_bits + 1)
-    ).otherwise(F.lit(rest_bits + 1) - F.length(F.bin(F.col("h") % rest_mod)))
+    bucket, rho = hll_bucket_rho(F.col(col), p)
     regs = (
-        hashed.select(
-            F.floor(F.col("h") / rest_mod).alias("bucket"),
-            rho.cast("int").alias("rho"),
-        )
+        df.filter(F.col(col).isNotNull())
+        .select(bucket.alias("bucket"), rho.alias("rho"))
         .groupBy("bucket")
         .agg(F.max("rho").alias("reg"))
     )
@@ -108,15 +205,7 @@ def hll_distinct_estimate(df: DataFrame, col: str, p: int = 8) -> DataFrame:
         ).alias("s_present"),
     )
     exact = df.agg(F.countDistinct(col).alias("exact_distinct"))
-    s_total = F.col("s_present") + (F.lit(m) - F.col("v_present")) * F.lit(
-        1 << HLL_SHIFT
-    ).cast("bigint")
-    e_raw = F.lit(alpha * m * m * float(1 << HLL_SHIFT)) / s_total.cast("double")
-    zeros = F.lit(m) - F.col("v_present")
-    est = F.when(
-        (e_raw <= F.lit(2.5 * m)) & (zeros > 0),
-        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
-    ).otherwise(e_raw)
+    est, m = _hll_estimate_cols(p)
     return (
         agg.crossJoin(F.broadcast(exact))
         .select(

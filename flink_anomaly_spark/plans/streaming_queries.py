@@ -674,3 +674,35 @@ def q_streaming_window_count_complete(spark: SparkSession, sf_dir: str) -> DataF
     return run_to_memory(
         windowed_count_stream(stream_events(spark, sf_dir)), output_mode="complete"
     )
+
+
+def _hll_stream_oracle() -> str:
+    from flink_anomaly_spark.operators.sketches import hll_windowed_oracle_sql
+
+    return hll_windowed_oracle_sql("user_id", "events", p=8, trunc="hour")
+
+
+@register(
+    "streaming_hll_distinct_final",
+    oracle=_hll_stream_oracle(),
+    doc="Streaming HyperLogLog per hourly window — the sketch family "
+    "on the streaming surface: stateless md5->(bucket, rho) per event "
+    "(the projection shared with the batch sketch), ONE stateful "
+    "stage of max(rho) per (window, bucket) whose state is <= 2^p "
+    "register rows per open window (constant in event count — the "
+    "reason to hold a sketch, not a distinct-set, in the state "
+    "store), EOS-sentinel flush so every real window finalizes, and "
+    "batch-side harmonic-sum finalize on the sink (the serve-layer "
+    "split). The oracle replays the identical per-window register "
+    "build + scaled-integer estimate with no watermark HAVING.",
+)
+def q_streaming_hll_distinct_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from flink_anomaly_spark.operators.sketches import hll_windowed_estimate
+    from flink_anomaly_spark.streaming.pipelines import hll_register_stream
+
+    work = tempfile.mkdtemp(prefix="eos_flush_")
+    events = stream_events_with_final_flush(spark, sf_dir, work)
+    regs = run_to_memory(hll_register_stream(events, key_col="user_id", p=8))
+    return hll_windowed_estimate(regs, p=8)

@@ -104,6 +104,41 @@ def windowed_argmax_stream(events: DataFrame, duration: str = "1 hour") -> DataF
     )
 
 
+def hll_register_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    p: int = 8,
+    duration: str = "1 hour",
+) -> DataFrame:
+    """Streaming per-window HyperLogLog register build — the sketch
+    family married to the streaming surface (VERDICT r6 #8): the
+    stateless md5 → (bucket, ρ) projection runs per event (shared with
+    the batch sketch via ``hll_bucket_rho`` so engine and oracle cannot
+    drift), and the stateful stage is a plain windowed ``max`` per
+    (window, bucket) — state is ≤ 2^p register rows per open window,
+    CONSTANT in the number of events, which is the whole point of
+    carrying a sketch instead of a distinct-set in the state store.
+    Finalized registers feed :func:`~flink_anomaly_spark.operators.\
+sketches.hll_windowed_estimate` batch-side (the serve-layer split the
+    topk-per-window query uses)."""
+    from flink_anomaly_spark.operators.sketches import hll_bucket_rho
+
+    bucket, rho = hll_bucket_rho(F.col(key_col), p)
+    return (
+        events.filter(F.col(key_col).isNotNull())
+        .select("ts", bucket.alias("bucket"), rho.alias("rho"))
+        .withWatermark("ts", "20 seconds")
+        .groupBy(F.window("ts", duration).alias("win"), "bucket")
+        .agg(F.max("rho").alias("reg"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "bucket",
+            "reg",
+        )
+    )
+
+
 def sliding_count_stream(
     events: DataFrame, duration: str = "1 hour", slide: str = "30 minutes"
 ) -> DataFrame:

@@ -907,3 +907,48 @@ def test_custom_session_operator_with_event_time_timeout(spark, tmp_path):
     }
     assert got == expect
     assert all(uid != -1 for uid, *_ in got)  # sentinel session never emits
+
+
+def test_streaming_hll_registers_match_batch_build(spark):
+    """The streaming per-window HLL register state must equal the batch
+    register build over the same events — same md5 projection, same
+    per-(window, bucket) max — and stay bounded by 2^p rows per window
+    (the constant-state property that justifies a sketch in the state
+    store)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_anomaly_spark.operators.sketches import hll_bucket_rho
+    from flink_anomaly_spark.streaming.pipelines import (
+        hll_register_stream,
+        run_to_memory,
+        stream_events_with_final_flush,
+    )
+    from flink_anomaly_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    work = tempfile.mkdtemp(prefix="eos_flush_")
+    events = stream_events_with_final_flush(spark, sf, work)
+    regs = run_to_memory(hll_register_stream(events, key_col="user_id", p=8))
+    got = {
+        (r.window_start, r.bucket): r.reg for r in regs.collect()
+    }
+    bucket, rho = hll_bucket_rho(F.col("user_id"), 8)
+    batch = (
+        load_table(spark, sf, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            F.window("ts", "1 hour").alias("win"),
+            bucket.alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy(F.col("win.start").alias("ws"), "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    want = {(r.ws, r.bucket): r.reg for r in batch.collect()}
+    assert got == want
+    from collections import Counter
+
+    per_window = Counter(ws for ws, _ in got)
+    assert per_window and max(per_window.values()) <= 256
