@@ -82,67 +82,101 @@ _LOADED = False
 #: PASS at wrap; plain-session window gate 50/50). Round-7 refill
 #: queue, stalest first: tfidf_top_terms, embedding_topk, then the
 #: displaced r1/r2 double-greens listed in docs/ROUND6.md.
+#: ROUND-7 WINDOW (VERDICT r6 #2 + #3): with cumulative driver
+#: coverage COMPLETE after round 6 (every oracle-backed query has at
+#: least one green driver check), slots go to (a) queries NEW this
+#: round, (b) queries whose PLAN CHANGED this round (the fingerprint
+#: ledger tools/plan_fingerprints.py + test_changed_plans_hold_window_
+#: slots makes this mechanical — the discipline round 6 lacked when
+#: tfidf_top_terms' changed plan shipped unchecked), then (c) the
+#: stalest re-confirms: the 6 rows last green in round 1, the 22 last
+#: green in round 2 (incl. the plan-changed-in-r6 tfidf_top_terms and
+#: dims-extended embedding_topk — the round-6 re-queue), and 10 of the
+#: 25 rows last green in round 3.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # ---- NEW round-6 queries (prove them on the driver immediately)
-    "embedding_ann_pq_lloyd",
-    "streaming_sliding_count_final",
-    "semdedup_survivors",
-    "quality_logistic_score",
-    "media_dhash_near_dup",
+    # ---- (a) NEW round-7 queries (prove them on the driver immediately)
+    "exact_substring_spans",
+    "bpe_learn_merges_batched",
+    "streaming_hll_distinct_final",
+    # ---- (b) plans CHANGED in round 7 (probe-side repartition; empty-
+    # group semantics; empty-input estimate; vec_col parameter; shared
+    # IVF-PQ index frame + single index-build scan; _bpe_vocab factor;
+    # hll_bucket_rho/_hll_estimate_cols factor; _starts_to_intervals
+    # factor)
+    "edit_distance_near_dup",
+    "normalized_exact_dedup",
+    "hll_distinct_users",
+    "rrf_hybrid_retrieval",
     "embedding_ann_ivfpq",
-    # ---- the 16 round-5 late additions, never driver-checked
+    "embedding_ann_ivfpq_rerank",
     "span_dedup_clean",
-    "winnowing_fingerprint_stats",
-    "winnowing_dup_pairs",
-    "bm25_topk",
     "bpe_learn_merges",
     "bpe_fertility_by_lang",
-    "embedding_ann_pq",
-    "pii_redaction_stats",
-    "dsir_importance_weights",
-    "kmv_distinct_users",
-    "kmv_custkey_overlap",
-    "variant_props_stats",
-    "bitmap_distinct_by_type",
-    "audio_pcm_stats",
-    "video_frame_sample_stats",
-    "media_resize_stats",
-    # ---- the 11 deferred close siblings, never driver-checked
-    "embedding_dim_stats",
-    "embedding_covariance",
-    "minhash_estimate_accuracy",
-    "char_entropy",
-    "token_count_histogram",
-    "langid_accuracy_by_lang",
-    "winsorized_event_stats",
-    "equi_depth_histogram",
-    "cumulative_distinct_users",
-    "time_range_moving_avg",
-    "synthetic_source_agg",
-    # ---- oldest-green refill: the 6 rows last green in ROUND 1
-    # ---- oldest-green refill: 15 rows last green in ROUND 2
-    # ---- late round-6 additions (never checked > re-confirm: these
-    # displaced the sliding_window_agg / session_window_agg /
-    # pivot_order_status refills, all double-green and locally
-    # hash-gated at 3 SFs)
-    "hll_distinct_users",
-    "countmin_top_terms",
-    "rrf_hybrid_retrieval",
-    "embedding_ann_ivfpq_rerank",
-    "normalized_exact_dedup",
-    "video_scene_cut_stats",
-    "streaming_topk_per_window_final",
-    "audio_zcr_stats",
-    "streaming_two_level_agg_final",
-    "ann_matryoshka_recall",
-    "incremental_mv_refresh",
-    "edit_distance_near_dup",
-    "hot_key_skew_report",
-    "streaming_interval_join_left_final",
-    "streaming_window_count_complete",
-    "gap_fill_forward_daily",
-    "kmv_custkey_difference",
+    # ---- (c) stalest re-confirms: last green in ROUND 1
+    "cross_join_grid",
+    "custkeys_except",
+    "custkeys_intersect",
+    "docs_by_lang_source",
+    "full_outer_join",
+    "left_outer_join_nulls",
+    # ---- last green in ROUND 2 (tfidf_top_terms first: its plan
+    # changed in r6 and this is its promised re-queue slot)
+    "tfidf_top_terms",
+    "embedding_topk",
+    "clean_text_corpus",
+    "customers_with_orders_semi",
+    "customers_without_orders_anti",
+    "exact_percentiles",
+    "filter_project",
+    "global_concat_single_key",
+    "hash_sample_10pct",
+    "interval_event_pairs",
+    "map_upper",
+    "merge_upsert_customers",
+    "pivot_order_status",
+    "revenue_by_nation",
+    "session_window_agg",
+    "sliding_window_agg",
+    "topk_orders",
+    "tpch_q18_big_orders",
+    "tpch_q3_sql",
+    "tpch_q6_forecast",
+    "union_bag",
+    "zscore_outliers",
+    # ---- last green in ROUND 3 (10 of 25; the rest queue for r8)
+    "asof_last_signup",
+    "dedup_clusters",
+    "exact_dedup",
+    "embedding_ann_ivf",
+    "flagship_running_concat",
+    "langid_char_ngram",
+    "minhash_near_dup_pairs",
+    "simhash_fingerprints",
+    "tpch_q1_pricing",
+    "window_count_agg",
 )
+# Rotated OUT in round 7 (all green in CORRECTNESS_r06, 50/50):
+# embedding_ann_pq_lloyd, streaming_sliding_count_final,
+# semdedup_survivors, quality_logistic_score, media_dhash_near_dup,
+# winnowing_fingerprint_stats, winnowing_dup_pairs, bm25_topk,
+# embedding_ann_pq, pii_redaction_stats, dsir_importance_weights,
+# kmv_distinct_users, kmv_custkey_overlap, variant_props_stats,
+# bitmap_distinct_by_type, audio_pcm_stats, video_frame_sample_stats,
+# media_resize_stats, embedding_dim_stats, embedding_covariance,
+# minhash_estimate_accuracy, char_entropy, token_count_histogram,
+# langid_accuracy_by_lang, winsorized_event_stats,
+# equi_depth_histogram, cumulative_distinct_users,
+# time_range_moving_avg, synthetic_source_agg, countmin_top_terms,
+# video_scene_cut_stats, streaming_topk_per_window_final,
+# audio_zcr_stats, streaming_two_level_agg_final,
+# ann_matryoshka_recall, incremental_mv_refresh, hot_key_skew_report,
+# streaming_interval_join_left_final, streaming_window_count_complete,
+# gap_fill_forward_daily, kmv_custkey_difference.
+# (embedding_ann_ivfpq/_rerank, edit_distance_near_dup,
+# normalized_exact_dedup, hll_distinct_users, rrf_hybrid_retrieval,
+# span_dedup_clean, bpe_learn_merges, bpe_fertility_by_lang stayed IN:
+# their plans changed this round.)
+#
 # Rotated OUT in round 6 (all green in CORRECTNESS_r05, 50/50):
 # kmeans_lloyd_outliers, media_pixel_stats,
 # streaming_window_count_update, semantic_decontamination,

@@ -39,45 +39,46 @@ def test_driver_window_is_first_50():
     qs = list(entrymod.queries())
     assert len(DRIVER_WINDOW) == 50
     assert qs[:50] == list(DRIVER_WINDOW)
-    # Round-6 window (VERDICT r5 #1): EVERY query the driver has never
-    # checked (27 after five rounds) plus the new round-6 queries must
-    # occupy slots — this closes the correctness gap completely. The
-    # remaining slots re-confirm the OLDEST single-green rows (last
-    # green in rounds 1-2), so no slot is spent on a row already
-    # re-confirmed in a recent round.
+    # Round-7 window (VERDICT r6 #2/#3): cumulative coverage is
+    # complete after round 6, so slots go to (a) new queries, (b)
+    # plans changed this round (the fingerprint contract test
+    # enforces this half mechanically), then (c) the stalest
+    # re-confirms. glob every CORRECTNESS file so the staleness
+    # baseline moves forward with future rounds automatically.
+    import glob as _glob
     import json as _json
 
+    repo = os.path.dirname(os.path.abspath(entrymod.__file__))
     last_green: dict[str, int] = {}
-    for rnd in (1, 2, 3, 4, 5):
-        path = os.path.join(
-            os.path.dirname(os.path.abspath(entrymod.__file__)),
-            f"CORRECTNESS_r0{rnd}.json",
-        )
-        for name in _json.load(open(path)):
-            last_green[name] = rnd
+    for path in sorted(_glob.glob(os.path.join(repo, "CORRECTNESS_r0*.json"))):
+        rnd = int(path.rsplit("_r0", 1)[1][0])
+        for name, row in _json.load(open(path)).items():
+            if row.get("rows_match") and row.get("schema_match") and row.get("hash_match"):
+                last_green[name] = max(last_green.get(name, 0), rnd)
     oracles = set(entrymod.oracle_sql())
-    never_checked = [
-        n for n in qs if n in oracles and n not in last_green
-    ]
+    never_checked = [n for n in qs if n in oracles and n not in last_green]
     missing = set(never_checked) - set(qs[:50])
     assert not missing, f"never-driver-checked queries outside window: {sorted(missing)}"
-    # fillers must be the stalest rows: nothing last-green after round 2
-    fillers = [n for n in qs[:50] if n in last_green]
-    stale_violations = {n: last_green[n] for n in fillers if last_green[n] > 2}
+    # plans changed in round 7 occupy slots even though they were green
+    # in r6 — the same-round re-check the fingerprint ledger demands
+    r7_changed = {
+        "edit_distance_near_dup", "normalized_exact_dedup",
+        "hll_distinct_users", "rrf_hybrid_retrieval",
+        "embedding_ann_ivfpq", "embedding_ann_ivfpq_rerank",
+        "span_dedup_clean", "bpe_learn_merges", "bpe_fertility_by_lang",
+    }
+    assert r7_changed <= set(qs[:50]), sorted(r7_changed - set(qs[:50]))
+    # every remaining filler must be among the stalest rows (nothing
+    # last green after round 3 while round-1/2/3 rows still queue)
+    fillers = [n for n in qs[:50] if n in last_green and n not in r7_changed]
+    stale_violations = {n: last_green[n] for n in fillers if last_green[n] > 3}
     assert not stale_violations, (
         f"window slots wasted on recently-green rows: {stale_violations}"
     )
-    # tfidf_top_terms (r6 plan change) was a must-include re-confirm
-    # until the session-2 additions oversubscribed the window: with
-    # exactly 50 never-driver-checked queries, every slot goes to a
-    # first check (the stronger signal) and plan-changed re-confirms
-    # fall back to the local 3-SF hash gate, which re-verified tfidf
-    # after the fold. Re-queue it for a round-7 slot.
-    for must in ["embedding_ann_pq_lloyd",        # new r6: trained PQ
-                 "streaming_sliding_count_final",  # new r6: EOS flush twin
-                 "span_dedup_clean", "winnowing_dup_pairs", "bm25_topk",
-                 "bpe_learn_merges", "embedding_ann_pq",
-                 "kmv_distinct_users", "audio_pcm_stats"]:
+    # the round-6 re-queue promises: tfidf_top_terms (r6 plan change,
+    # displaced by session-2 first-checks) and embedding_topk (dims
+    # parameter added in r6)
+    for must in ["tfidf_top_terms", "embedding_topk"]:
         assert must in qs[:50], must
     for never in ["approx_stats", "kmeans_embedding_outliers"]:
         assert never not in qs[:50], f"{never} is rows-only, wastes a slot"
