@@ -473,9 +473,48 @@ def _parse_interval(spec: str):
     return datetime.timedelta(**{unit: int(n)})
 
 
+#: State-store metrics of the most recent :func:`run_to_memory`
+#: execution: one entry per stateful operator in the plan, with the
+#: MAX-over-micro-batches of rows held and bytes used — the numbers
+#: that size executor memory / RocksDB disk at production watermark
+#: lags (VERDICT r6 #6). Read by tools/bench_streaming.py right after
+#: each timed run; None when the last stream had no stateful operator.
+LAST_STATE_METRICS: list[dict] | None = None
+
+
+def _capture_state_metrics(q) -> None:
+    global LAST_STATE_METRICS
+    ops: dict[int, dict] = {}
+    try:
+        progresses = q.recentProgress
+    except Exception:
+        LAST_STATE_METRICS = None
+        return
+    for prog in progresses:
+        for i, so in enumerate(prog.get("stateOperators", []) or []):
+            cur = ops.setdefault(
+                i,
+                {
+                    "operator": so.get("operatorName", f"op{i}"),
+                    "max_rows_total": 0,
+                    "max_memory_bytes": 0,
+                    "rows_updated": 0,
+                    "rows_removed": 0,
+                },
+            )
+            cur["max_rows_total"] = max(cur["max_rows_total"], so.get("numRowsTotal", 0))
+            cur["max_memory_bytes"] = max(
+                cur["max_memory_bytes"], so.get("memoryUsedBytes", 0)
+            )
+            cur["rows_updated"] += so.get("numRowsUpdated", 0)
+            cur["rows_removed"] += so.get("numRowsRemoved", 0)
+    LAST_STATE_METRICS = [ops[i] for i in sorted(ops)] or None
+
+
 def run_to_memory(result: DataFrame, output_mode: str = "append") -> DataFrame:
     """Execute a streaming DataFrame to completion (availableNow) into a
-    memory sink; return the sink contents as a batch DataFrame."""
+    memory sink; return the sink contents as a batch DataFrame. State
+    metrics of the run land in :data:`LAST_STATE_METRICS`."""
     name = f"mem_{uuid.uuid4().hex[:12]}"
     q = (
         result.writeStream.format("memory")
@@ -485,6 +524,7 @@ def run_to_memory(result: DataFrame, output_mode: str = "append") -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    _capture_state_metrics(q)
     return result.sparkSession.table(name)
 
 

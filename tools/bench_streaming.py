@@ -50,6 +50,7 @@ def main() -> None:
         n: fn for n, fn in all_queries().items() if n.startswith("streaming_")
     }
     timings: dict[str, float] = {}
+    state: dict[str, list] = {}
     for name, fn in queries.items():
         best = float("inf")
         for _ in range(2):
@@ -57,6 +58,14 @@ def main() -> None:
             fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        # state-store footprint of the run (VERDICT r6 #6): max rows /
+        # bytes held per stateful operator — the numbers that size
+        # executor memory (HDFS provider) or disk (RocksDB) at
+        # production watermark lag
+        from flink_anomaly_spark.streaming import pipelines as _p
+
+        if _p.LAST_STATE_METRICS:
+            state[name] = _p.LAST_STATE_METRICS
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -64,6 +73,7 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "state": state,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     detail_path = os.environ.get(

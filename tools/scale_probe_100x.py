@@ -85,6 +85,19 @@ PROBE = [
     ("countmin_top_terms", "documents"),
     ("normalized_exact_dedup", "documents"),
     ("edit_distance_near_dup", "documents"),
+    # round-7 extension (VERDICT r6 #5): the remaining session-2
+    # shapes. gap_fill grows events-per-user under key-shifted events
+    # (the per-key hour grid is calendar-bounded, so B/row must DROP);
+    # the KMV AnotB reduces each side to k=256 hashes before set
+    # algebra (B/row must DROP ~n-fold); IVFPQ-rerank's only wide ops
+    # are the two TakeOrdereds over the persisted encode (B/row ~0).
+    # rrf caveat: the disjoint-token corpus empties the lexical
+    # postings (query terms are base-vocabulary), so its x100 row
+    # measures the dense side + scan floor — documented in SCALE_NOTES.
+    ("gap_fill_forward_daily", "events"),
+    ("kmv_custkey_difference", "orders"),
+    ("embedding_ann_ivfpq_rerank", "embeddings"),
+    ("rrf_hybrid_retrieval", "documents"),
 ]
 
 _KEY_SHIFT = {
