@@ -628,3 +628,73 @@ def kmv_set_difference(
             "exact_difference",
         )
     )
+
+
+def priority_sample_per_stratum(
+    df: DataFrame,
+    stratum_cols: list[str],
+    weight_col: str,
+    id_col: str,
+    k: int,
+    salt: str = "psamp:",
+) -> DataFrame:
+    """Fixed-size weight-proportional sampling per stratum — PRIORITY
+    SAMPLING (Duffield, Lund & Thorup, JACM 2007): each item gets
+    priority ``q = w / u`` with ``u`` uniform on (0, 1]; the ``k``
+    highest-priority items per stratum are kept, and each kept item
+    carries the unbiased weight estimate ``ŵ = max(w, τ)`` where ``τ``
+    is the stratum's (k+1)-th priority. Priority sampling is the
+    near-optimal fixed-size PPS scheme (variance within a factor of
+    the best possible off-line scheme) — the primitive behind "give me
+    exactly k docs per language, long docs proportionally more likely,
+    with weights that keep corpus token totals unbiased".
+
+    Determinism contract: ``u = (md5_int32(salt + id) + 1) / 2^32`` —
+    the established hash-as-uniform trick (weighted_doc_sample) — so
+    ``q = w / u`` is computed as ``w · 2^32 / (h + 1)``: the product
+    ``w · 2^32`` is an exactly-representable double for any weight
+    below 2^20, and IEEE multiplication/division are exactly rounded.
+    Unlike ``ln``/``exp`` (whose libm results are
+    implementation-defined, why Efraimidis-Sirivianos exponential
+    keys are NOT used here), this makes Spark and DuckDB produce
+    bit-identical priorities, so the selection — not just the
+    estimates — is oracle-exact. Ties break by id. The normalization
+    matters for the ESTIMATOR, not the ordering: τ must be a priority
+    in weight units for ``max(w, τ)`` to be unbiased
+    (``test_priority_sample_fixed_size_and_unbiased`` pins it).
+
+    Output: stratum cols + (id, weight, rn, w_est). Scale shape: one
+    hash shuffle on the stratum key; the rank filter is Spark 4's
+    WindowGroupLimit rewrite (per-partition top-(k+1) BEFORE the
+    exchange), so the shuffle carries ≤ (k+1) rows per stratum per map
+    partition, never the corpus.
+    """
+    from flink_anomaly_spark.operators.dedup import md5_int32
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    h = md5_int32(F.concat(F.lit(salt), F.col(id_col).cast("string"))) + F.lit(1)
+    q = (F.col(weight_col).cast("double") * F.lit(4294967296.0)) / h.cast("double")
+    ranked = top_k_per_group(
+        df.select(*stratum_cols, id_col, weight_col).withColumn("__q", q),
+        group_cols=stratum_cols,
+        order_by=[F.col("__q").desc(), F.col(id_col).asc()],
+        k=k + 1,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*stratum_cols)
+    tau = F.max(F.when(F.col("rn") == k + 1, F.col("__q"))).over(w)
+    return (
+        ranked.withColumn("__tau", F.coalesce(tau, F.lit(0.0)))
+        .filter(F.col("rn") <= k)
+        .select(
+            *stratum_cols,
+            F.col(id_col),
+            F.col(weight_col),
+            F.col("rn").cast("bigint").alias("rn"),
+            F.greatest(F.col(weight_col).cast("double"), F.col("__tau")).alias(
+                "w_est"
+            ),
+        )
+    )

@@ -822,6 +822,48 @@ def q_weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "priority_sample_per_lang",
+    oracle=f"""
+    WITH p AS (
+      SELECT lang, doc_id, n_chars,
+             (CAST(n_chars AS DOUBLE) * 4294967296.0)
+               / CAST({_MD5_32.format(x="'psamp:' || CAST(doc_id AS VARCHAR)")} + 1 AS DOUBLE) AS q
+      FROM documents
+    ), r AS (
+      SELECT lang, doc_id, n_chars, q,
+             row_number() OVER (PARTITION BY lang ORDER BY q DESC, doc_id ASC) AS rn
+      FROM p
+    ), t AS (
+      SELECT lang, coalesce(max(CASE WHEN rn = 21 THEN q END), 0.0) AS tau
+      FROM r GROUP BY lang
+    )
+    SELECT r.lang, r.doc_id, r.n_chars, CAST(r.rn AS BIGINT) AS rn,
+           greatest(CAST(r.n_chars AS DOUBLE), t.tau) AS w_est
+    FROM r JOIN t USING (lang) WHERE rn <= 20
+    """,
+    doc="Fixed-size weight-proportional sampling per language via "
+    "PRIORITY SAMPLING (Duffield-Lund-Thorup 2007): exactly 20 docs "
+    "per lang, long docs proportionally more likely, each kept doc "
+    "carrying the unbiased weight estimate max(w, tau) with tau = the "
+    "21st priority — the 'k docs per stratum under a token budget' "
+    "primitive weighted_doc_sample's Bernoulli pass cannot give. "
+    "Priorities are w / hash-uniform computed as ONE IEEE double "
+    "division of integer operands (exactly rounded => bit-identical "
+    "cross-engine; ln/exp keys would be libm-defined), so the "
+    "SELECTION itself is oracle-exact. One stratum-key shuffle; the "
+    "rank filter rides Spark 4's WindowGroupLimit per-partition "
+    "top-(k+1) pushdown.",
+)
+def q_priority_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.relational import priority_sample_per_stratum
+
+    docs = load_table(spark, sf_dir, "documents")
+    return priority_sample_per_stratum(
+        docs, stratum_cols=["lang"], weight_col="n_chars", id_col="doc_id", k=20
+    )
+
+
 # ---------------------------------------------------------------------------
 # Quantile (rank) normalization of a per-document score within language
 # ---------------------------------------------------------------------------

@@ -98,6 +98,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "exact_substring_spans",
     "bpe_learn_merges_batched",
     "streaming_hll_distinct_final",
+    "priority_sample_per_lang",
     # ---- (b) plans CHANGED in round 7 (probe-side repartition; empty-
     # group semantics; empty-input estimate; vec_col parameter; shared
     # IVF-PQ index frame + single index-build scan; _bpe_vocab factor;
@@ -153,7 +154,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "minhash_near_dup_pairs",
     "simhash_fingerprints",
     "tpch_q1_pricing",
-    "window_count_agg",
 )
 # Rotated OUT in round 7 (all green in CORRECTNESS_r06, 50/50):
 # embedding_ann_pq_lloyd, streaming_sliding_count_final,

@@ -1014,3 +1014,35 @@ def test_exact_substring_spans_two_disjoint_regions(spark):
     df2 = spark.createDataFrame([(9, a + " middle " + a)], "doc_id long, text string")
     out2 = exact_substring_spans(df2, n=8, min_count=2).collect()
     assert sorted((r.span_start, r.span_end) for r in out2) == [(1, 8), (10, 17)]
+
+
+def test_priority_sample_fixed_size_and_unbiased(spark):
+    """Priority sampling invariants: exactly k rows per stratum, ranks
+    dense, w_est = max(w, tau) >= w, and the Duffield-Lund-Thorup
+    unbiasedness E[sum of w_est over the sample] = total stratum weight
+    — checked as the mean over 12 independent hash salts landing
+    within 10% of the true total."""
+    from pyspark.sql import functions as F
+
+    from flink_anomaly_spark.operators.relational import priority_sample_per_stratum
+
+    rows = [(i, "en", 10 + (i * 37) % 500) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    total = sum(r[2] for r in rows)
+    out = priority_sample_per_stratum(
+        df, ["lang"], "n_chars", "doc_id", k=20
+    ).collect()
+    assert len(out) == 20
+    assert sorted(r.rn for r in out) == list(range(1, 21))
+    assert all(r.w_est >= r.n_chars for r in out)
+    # tau is shared within the stratum: w_est is either w (> tau) or tau
+    taus = {r.w_est for r in out if r.w_est != r.n_chars}
+    assert len(taus) <= 1
+    est = []
+    for s in range(12):
+        sample = priority_sample_per_stratum(
+            df, ["lang"], "n_chars", "doc_id", k=20, salt=f"s{s}:"
+        ).collect()
+        est.append(sum(r.w_est for r in sample))
+    mean = sum(est) / len(est)
+    assert abs(mean - total) / total < 0.10, (mean, total)

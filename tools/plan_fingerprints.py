@@ -166,6 +166,21 @@ def main() -> int:
         json.dump(current, open(MANIFEST_PATH, "w"), indent=1, sort_keys=True)
         print(f"wrote {len(current)} fingerprints to {MANIFEST_PATH}")
         return 0
+    if "--refresh" in args:
+        # selective refresh for INSTRUMENTATION-ONLY transitive changes
+        # (e.g. run_to_memory gaining state-metric capture): use ONLY
+        # after re-verifying each named query against its oracle
+        # locally, and record the rationale in the round notes.
+        names = args[args.index("--refresh") + 1 :]
+        unknown = [n for n in names if n not in current]
+        if unknown:
+            print(f"unknown queries: {unknown}")
+            return 2
+        for n in names:
+            manifest[n] = current[n]
+        json.dump(manifest, open(MANIFEST_PATH, "w"), indent=1, sort_keys=True)
+        print(f"refreshed {len(names)} entries in {MANIFEST_PATH}")
+        return 0
     if "--refresh-window" in args:
         from flink_anomaly_spark.plans.registry import DRIVER_WINDOW
 
