@@ -374,6 +374,227 @@ def countmin_term_estimates(
     ).orderBy(F.col("exact_cnt").desc(), F.col("term").asc())
 
 
+def cms_windowed_point_estimates(
+    cells: DataFrame,
+    keys: list[int],
+    d: int = 3,
+    w: int = 16,
+) -> DataFrame:
+    """Finalize per-window count-min cells into point estimates for a
+    fixed MONITORED key list — the batch half of the streaming
+    serve-layer split (``cells`` is the finalized sink of
+    ``cms_cell_stream``: (window_start, window_end, r, b, cell)).
+
+    Classic CMS point query per window: est(key) = min over the d rows
+    of cell[r, bucket(key, r)], with ABSENT cells counting as 0 (a
+    monitored key that hashed into untouched buckets in some window
+    has estimate 0, not "min over the rows that happen to exist") —
+    hence the windows × keys × d grid LEFT-joins the cells. The grid
+    is |windows|·|keys|·d rows — broadcast-sized for any monitoring
+    list worth the name — so the only data-sized work already happened
+    in the stream."""
+    spark = cells.sparkSession
+    wins = cells.select("window_start", "window_end").distinct()
+    cand = spark.createDataFrame([(int(k),) for k in keys], "key bigint")
+    grid = wins.crossJoin(F.broadcast(cand)).select(
+        "window_start",
+        "window_end",
+        "key",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        _cms_bucket(F.col("key").cast("string"), r, w).alias("b"),
+                    )
+                    for r in range(d)
+                ]
+            )
+        ).alias("rb"),
+    ).select(
+        "window_start", "window_end", "key", F.col("rb.r").alias("r"), F.col("rb.b").alias("b")
+    )
+    # the grid derives from cells (its windows), so the left join back
+    # is a self-join; RENAMING the grid side mints fresh attribute ids,
+    # which is the reliable disambiguation (string-alias qualifiers are
+    # not, when both sides share expr ids)
+    g = grid.select(
+        F.col("window_start").alias("gws"),
+        F.col("window_end").alias("gwe"),
+        F.col("key"),
+        F.col("r").alias("gr"),
+        F.col("b").alias("gb"),
+    )
+    cond = (
+        (F.col("gws") == cells["window_start"])
+        & (F.col("gwe") == cells["window_end"])
+        & (F.col("gr") == cells["r"])
+        & (F.col("gb") == cells["b"])
+    )
+    return (
+        g.join(cells, cond, "left")
+        .groupBy("gws", "gwe", "key")
+        .agg(
+            F.min(F.coalesce(F.col("cell"), F.lit(0)))
+            .cast("bigint")
+            .alias("cms_est")
+        )
+        .select(
+            F.col("gws").alias("window_start"),
+            F.col("gwe").alias("window_end"),
+            F.col("key").alias("user_id"),
+            "cms_est",
+        )
+    )
+
+
+def cms_windowed_oracle_sql(
+    key_col: str,
+    table: str,
+    keys: list[int],
+    d: int = 3,
+    w: int = 16,
+    trunc: str = "hour",
+) -> str:
+    """DuckDB mirror of stream-cells → :func:`cms_windowed_point_estimates`."""
+    b_of = (
+        "CAST(('0x' || substr(md5(k || '#' || CAST(r AS VARCHAR)),1,8)) "
+        f"AS BIGINT) % {w}"
+    )
+    key_list = ", ".join(str(int(k)) for k in keys)
+    return f"""
+    WITH e AS (SELECT date_trunc('{trunc}', ts) AS ws,
+                      CAST({key_col} AS VARCHAR) AS k
+               FROM {table} WHERE {key_col} IS NOT NULL),
+    salted AS (SELECT ws, CAST(r AS INT) AS r, {b_of} AS b
+               FROM e, range(0, {d}) t(r)),
+    cells AS (SELECT ws, r, b, CAST(count(*) AS BIGINT) AS cell
+              FROM salted GROUP BY ws, r, b),
+    wins AS (SELECT DISTINCT ws FROM e),
+    cand AS (SELECT CAST(unnest([{key_list}]) AS BIGINT) AS key),
+    grid AS (SELECT ws, key, CAST(r AS INT) AS r,
+                    {b_of.replace("md5(k", "md5(CAST(key AS VARCHAR)")} AS b
+             FROM wins, cand, range(0, {d}) t(r)),
+    est AS (SELECT ws, key, CAST(min(coalesce(cell, 0)) AS BIGINT) AS cms_est
+            FROM grid LEFT JOIN cells USING (ws, r, b) GROUP BY ws, key)
+    SELECT ws AS window_start, ws + INTERVAL 1 {trunc} AS window_end,
+           key AS user_id, cms_est
+    FROM est
+    """
+
+
+def histogram_quantile_sketch(
+    df: DataFrame,
+    col: str,
+    lo: float = 0.0,
+    hi: float = 512.0,
+    n_bins: int = 64,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Mergeable equi-width HISTOGRAM quantile sketch — the third
+    register-based sketch family (cardinality: HLL, frequency: CMS,
+    rank/quantile: this). The data-sized work is ONE groupBy onto at
+    most ``n_bins`` keys (map-side partial counts ⇒ the shuffle is
+    ≤ n_bins rows per map task, constant in data volume, and two
+    histograms merge by adding counts — the property that lets a 100 TB
+    scan carry its quantile state in a few hundred bytes where an
+    exact percentile needs a global sort).
+
+    Estimate: for each q, take the first bin whose cumulative count
+    reaches ``q·N`` and interpolate linearly inside it:
+    ``est = lo + bin·width + width·(q·N − cum_before)/bin_count``.
+    Out-of-range values clamp into the edge bins (the sketch's stated
+    accuracy contract is ±width inside [lo, hi) and edge-biased
+    outside it). Every arithmetic step is IEEE add/mul/div on exactly
+    representable operands — deterministic cross-engine, no libm — so
+    estimates are value-hash-checked unrounded, like the KMV family.
+
+    Output: one row per quantile (q, n, est).
+    """
+    if n_bins < 2 or hi <= lo:
+        raise ValueError(f"need n_bins >= 2 and hi > lo; got {n_bins=} {lo=} {hi=}")
+    width = (hi - lo) / n_bins
+    bin_col = (
+        F.least(
+            F.lit(n_bins - 1),
+            F.greatest(F.lit(0), F.floor((F.col(col) - F.lit(lo)) / F.lit(width))),
+        )
+        .cast("int")
+        .alias("bin")
+    )
+    hist = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(bin_col)
+        .agg(F.count("*").alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    # the remaining frames are <= n_bins rows — the single-partition
+    # window is over the SKETCH, never the data
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "cum_before", F.col("cum") - F.col("cnt")
+    )
+    total = hist.agg(F.sum("cnt").cast("bigint").alias("n"))
+    qdf = df.sparkSession.createDataFrame([(float(q),) for q in quantiles], "q double")
+    cand = (
+        cum.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(qdf))
+        .filter(F.col("cum") >= F.col("q") * F.col("n"))
+    )
+    best = cand.groupBy("q", "n").agg(
+        F.min_by(
+            F.struct("bin", "cnt", "cum_before"), F.col("bin")
+        ).alias("s")
+    )
+    est = (
+        F.lit(lo)
+        + F.col("s.bin") * F.lit(width)
+        + F.lit(width)
+        * (F.col("q") * F.col("n") - F.col("s.cum_before"))
+        / F.col("s.cnt")
+    )
+    return best.select("q", "n", est.alias("est"))
+
+
+def histogram_quantile_oracle_sql(
+    col: str,
+    table: str,
+    lo: float = 0.0,
+    hi: float = 512.0,
+    n_bins: int = 64,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> str:
+    """DuckDB mirror of :func:`histogram_quantile_sketch`."""
+    width = (hi - lo) / n_bins
+    qs = ", ".join(repr(float(q)) for q in quantiles)
+    return f"""
+    WITH h AS (
+      SELECT CAST(least({n_bins - 1}, greatest(0,
+               floor(({col} - {lo!r}) / {width!r}))) AS INT) AS bin,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM {table} WHERE {col} IS NOT NULL GROUP BY 1
+    ), c AS (
+      SELECT bin, cnt,
+             sum(cnt) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM h
+    ), c2 AS (SELECT bin, cnt, cum, cum - cnt AS cum_before FROM c),
+    t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM h),
+    q AS (SELECT unnest([{qs}]) AS q),
+    cand AS (
+      SELECT q.q, t.n, c2.bin, c2.cnt, c2.cum_before
+      FROM c2, t, q WHERE c2.cum >= q.q * t.n
+    ), best AS (
+      SELECT q, n, min(bin) AS bin FROM cand GROUP BY q, n
+    )
+    SELECT best.q, best.n,
+           {lo!r} + best.bin * {width!r}
+             + {width!r} * (best.q * best.n - c2.cum_before) / c2.cnt AS est
+    FROM best JOIN c2 USING (bin)
+    """
+
+
 def countmin_oracle_sql(
     toks_sql: str, d: int = 4, w: int = 512, top_n: int = 15
 ) -> str:

@@ -99,6 +99,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "bpe_learn_merges_batched",
     "streaming_hll_distinct_final",
     "priority_sample_per_lang",
+    "streaming_cms_topk_final",
+    "value_histogram_quantiles",
     # ---- (b) plans CHANGED in round 7 (probe-side repartition; empty-
     # group semantics; empty-input estimate; vec_col parameter; shared
     # IVF-PQ index frame + single index-build scan; _bpe_vocab factor;
@@ -144,7 +146,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "tpch_q6_forecast",
     "union_bag",
     "zscore_outliers",
-    # ---- last green in ROUND 3 (10 of 25; the rest queue for r8)
+    # ---- last green in ROUND 3 (7 of 25; the rest queue for r8 —
+    # simhash_fingerprints / tpch_q1_pricing / window_count_agg ceded
+    # their slots to the session's 3 later new queries)
     "asof_last_signup",
     "dedup_clusters",
     "exact_dedup",
@@ -152,8 +156,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "flagship_running_concat",
     "langid_char_ngram",
     "minhash_near_dup_pairs",
-    "simhash_fingerprints",
-    "tpch_q1_pricing",
 )
 # Rotated OUT in round 7 (all green in CORRECTNESS_r06, 50/50):
 # embedding_ann_pq_lloyd, streaming_sliding_count_final,

@@ -1579,3 +1579,31 @@ def q_kmv_custkey_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         k=256,
     )
+
+
+from flink_anomaly_spark.operators.sketches import (  # noqa: E402
+    histogram_quantile_oracle_sql,
+    histogram_quantile_sketch,
+)
+
+
+@register(
+    "value_histogram_quantiles",
+    oracle=histogram_quantile_oracle_sql(
+        "value", "events", lo=0.0, hi=512.0, n_bins=64
+    ),
+    doc="Mergeable equi-width histogram quantile sketch over "
+    "events.value — the rank/quantile member of the register-sketch "
+    "family (HLL: cardinality, CMS: frequency): ONE groupBy onto 64 "
+    "bins (map-side partials, <= 64 rows per map task, histograms "
+    "merge by adding counts), then p50/p90/p99 by linear "
+    "interpolation inside the first bin reaching q*N. Every step is "
+    "IEEE add/mul/div on exactly representable operands (width 8.0), "
+    "so estimates hash-match UNROUNDED cross-engine. Accuracy "
+    "contract: +-width inside [lo, hi), edge-biased outside — the "
+    "constant-state trade vs exact_percentiles' global sort.",
+)
+def q_value_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return histogram_quantile_sketch(
+        load_table(spark, sf_dir, "events"), "value", lo=0.0, hi=512.0, n_bins=64
+    )

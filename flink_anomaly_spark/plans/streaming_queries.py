@@ -706,3 +706,41 @@ def q_streaming_hll_distinct_final(spark: SparkSession, sf_dir: str) -> DataFram
     events = stream_events_with_final_flush(spark, sf_dir, work)
     regs = run_to_memory(hll_register_stream(events, key_col="user_id", p=8))
     return hll_windowed_estimate(regs, p=8)
+
+
+_CMS_KEYS = [1, 2, 3, 4, 5, 6, 7, 8]
+
+
+def _cms_stream_oracle() -> str:
+    from flink_anomaly_spark.operators.sketches import cms_windowed_oracle_sql
+
+    return cms_windowed_oracle_sql(
+        "user_id", "events", keys=_CMS_KEYS, d=3, w=16, trunc="hour"
+    )
+
+
+@register(
+    "streaming_cms_topk_final",
+    oracle=_cms_stream_oracle(),
+    doc="Streaming COUNT-MIN per hourly window — the frequency twin of "
+    "streaming_hll_distinct_final: each event statelessly explodes to "
+    "its d=3 salted-md5 (row, bucket) cells, the stateful stage is a "
+    "windowed count per (window, row, bucket) whose state is <= d*w "
+    "= 48 cell rows per open window (constant in event volume), EOS "
+    "flush finalizes every real window, and the batch side answers "
+    "point queries for a fixed monitored-key list with absent cells "
+    "counting 0 (windows x keys x d grid LEFT-joined to the sink — "
+    "broadcast-sized). w=16 is deliberately undersized so collisions "
+    "(overcount) are exercised, as in countmin_top_terms. The oracle "
+    "replays the identical per-window cell build + min point query.",
+)
+def q_streaming_cms_topk_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from flink_anomaly_spark.operators.sketches import cms_windowed_point_estimates
+    from flink_anomaly_spark.streaming.pipelines import cms_cell_stream
+
+    work = tempfile.mkdtemp(prefix="eos_flush_")
+    events = stream_events_with_final_flush(spark, sf_dir, work)
+    cells = run_to_memory(cms_cell_stream(events, key_col="user_id", d=3, w=16))
+    return cms_windowed_point_estimates(cells, keys=_CMS_KEYS, d=3, w=16)

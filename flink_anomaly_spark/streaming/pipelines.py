@@ -139,6 +139,49 @@ sketches.hll_windowed_estimate` batch-side (the serve-layer split the
     )
 
 
+def cms_cell_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    d: int = 3,
+    w: int = 16,
+    duration: str = "1 hour",
+) -> DataFrame:
+    """Streaming per-window COUNT-MIN cell build — the frequency twin
+    of :func:`hll_register_stream`: each event statelessly explodes to
+    its ``d`` (row, bucket) cells (the salted-md5 bucketing shared with
+    the batch sketch via ``_cms_bucket``), and the stateful stage is a
+    plain windowed count per (window, row, bucket) — state is ≤ d·w
+    cell rows per open window, CONSTANT in event volume. Finalized
+    cells feed :func:`~flink_anomaly_spark.operators.sketches.\
+cms_windowed_point_estimates` batch-side (serve-layer split)."""
+    from flink_anomaly_spark.operators.sketches import _cms_bucket
+
+    key = F.col(key_col).cast("string")
+    rb = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(r).alias("r"), _cms_bucket(key, r, w).alias("b"))
+                for r in range(d)
+            ]
+        )
+    ).alias("rb")
+    return (
+        events.filter(F.col(key_col).isNotNull())
+        .select("ts", rb)
+        .select("ts", F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+        .withWatermark("ts", "20 seconds")
+        .groupBy(F.window("ts", duration).alias("win"), "r", "b")
+        .agg(F.count("*").alias("cell"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "r",
+            "b",
+            "cell",
+        )
+    )
+
+
 def sliding_count_stream(
     events: DataFrame, duration: str = "1 hour", slide: str = "30 minutes"
 ) -> DataFrame:

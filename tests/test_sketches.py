@@ -418,3 +418,121 @@ def test_hll_empty_and_all_null_input_estimates_zero(spark):
     row = hll_distinct_estimate(nulls, "k", p=8).collect()[0]
     assert row["est_distinct"] == 0.0
     assert row["rel_err_pct"] == 0.0
+
+
+def test_cms_stream_cells_match_batch_build(spark):
+    """Streaming per-window CMS cells must equal the batch cell build
+    over the same events (same salted-md5 bucketing) and stay bounded
+    by d*w rows per window — the constant-state frequency twin of the
+    HLL register test."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_anomaly_spark.operators.sketches import _cms_bucket
+    from flink_anomaly_spark.streaming.pipelines import (
+        cms_cell_stream,
+        run_to_memory,
+        stream_events_with_final_flush,
+    )
+    from flink_anomaly_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    d, w = 3, 16
+    work = tempfile.mkdtemp(prefix="eos_flush_")
+    events = stream_events_with_final_flush(spark, sf, work)
+    cells = run_to_memory(cms_cell_stream(events, key_col="user_id", d=d, w=w))
+    got = {(r.window_start, r.r, r.b): r.cell for r in cells.collect()}
+    key = F.col("user_id").cast("string")
+    batch = (
+        load_table(spark, sf, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            F.window("ts", "1 hour").alias("win"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(r).alias("r"), _cms_bucket(key, r, w).alias("b"))
+                        for r in range(d)
+                    ]
+                )
+            ).alias("rb"),
+        )
+        .groupBy(F.col("win.start").alias("ws"), "rb.r", "rb.b")
+        .agg(F.count("*").alias("cell"))
+    )
+    want = {(r.ws, r.r, r.b): r.cell for r in batch.collect()}
+    assert got == want
+    from collections import Counter
+
+    per_window = Counter(ws for ws, _, _ in got)
+    assert per_window and max(per_window.values()) <= d * w
+
+
+def test_cms_windowed_estimates_upper_bound_and_absent_zero(spark):
+    """CMS point estimates are one-sided (est >= true count per window)
+    and a monitored key absent from a window estimates >= 0 with
+    absent CELLS counted as 0, never dropped from the min."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_anomaly_spark.operators.sketches import cms_windowed_point_estimates
+    from flink_anomaly_spark.streaming.pipelines import (
+        cms_cell_stream,
+        run_to_memory,
+        stream_events_with_final_flush,
+    )
+    from flink_anomaly_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    keys = [1, 2, 3, 4, 999999999]  # last key appears in no window
+    work = tempfile.mkdtemp(prefix="eos_flush_")
+    events = stream_events_with_final_flush(spark, sf, work)
+    cells = run_to_memory(cms_cell_stream(events, key_col="user_id", d=3, w=16))
+    est = {
+        (r.window_start, r.user_id): r.cms_est
+        for r in cms_windowed_point_estimates(cells, keys=keys, d=3, w=16).collect()
+    }
+    true = {
+        (r.ws, r.user_id): r.n
+        for r in load_table(spark, sf, "events")
+        .filter(F.col("user_id").isin(keys))
+        .groupBy(F.window("ts", "1 hour")["start"].alias("ws"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert est, "no estimates emitted"
+    for (ws, k), e in est.items():
+        assert e >= true.get((ws, k), 0)
+    # every (window, key) pair exists in the output, even absent keys
+    n_windows = len({ws for ws, _ in est})
+    assert len(est) == n_windows * len(keys)
+
+
+def test_histogram_quantile_within_bin_width_and_mergeable(spark):
+    """The histogram sketch's estimate must sit within one bin width of
+    the exact quantile, and two half-corpus histograms must merge (by
+    adding counts) to the full-corpus sketch — the property that makes
+    it a sketch."""
+    from pyspark.sql import functions as F
+
+    from flink_anomaly_spark.operators.sketches import histogram_quantile_sketch
+    from flink_anomaly_spark.tables import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    lo, hi, n_bins = 0.0, 512.0, 64
+    width = (hi - lo) / n_bins
+    out = {r.q: r for r in histogram_quantile_sketch(events, "value", lo, hi, n_bins).collect()}
+    exact = events.agg(
+        F.expr("percentile(value, array(0.5, 0.9, 0.99))").alias("p")
+    ).collect()[0].p
+    for q, ex in zip((0.5, 0.9, 0.99), exact):
+        assert abs(out[q].est - ex) <= width, (q, out[q].est, ex)
+    # mergeability: sketch(A ∪ B) == sketch built from summed halves —
+    # estimates over the union must equal the one-pass sketch
+    half_a = events.filter(F.col("event_id") % 2 == 0)
+    half_b = events.filter(F.col("event_id") % 2 == 1)
+    merged = histogram_quantile_sketch(half_a.union(half_b), "value", lo, hi, n_bins)
+    got = {r.q: r.est for r in merged.collect()}
+    assert got == {q: out[q].est for q in got}
