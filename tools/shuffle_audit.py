@@ -95,6 +95,11 @@ PROBE = [
     ("ann_matryoshka_recall", "broadcast query side per truncation; three 1-row recall aggs union at the tail"),
     ("video_scene_cut_stats", "decode fan-out inside the Arrow batch; only (id, pair, sad) rows cross exchanges"),
     ("audio_zcr_stats", "all-integer per-clip rows out of the decode stage; one media_id hash agg"),
+    # round-7 operators
+    ("exact_substring_spans", "(id, start, hash64) gram postings; interval merge is per-row array math"),
+    ("bpe_learn_merges_batched", "vocab-sized pair-count exchanges, one per PASS (not per merge)"),
+    ("priority_sample_per_lang", "one lang exchange; WindowGroupLimit trims to top-(k+1) per map partition first"),
+    ("value_histogram_quantiles", "<=64 bin partials per map task; all downstream frames are sketch-sized"),
 ]
 
 
