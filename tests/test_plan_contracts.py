@@ -584,3 +584,39 @@ def test_edit_distance_probe_side_parallel(spark):
         "streamed side of the levenshtein join must be repartitioned "
         f"(single-split input => single-task join otherwise):\n{plan}"
     )
+
+
+def test_priority_sample_window_group_limit(spark):
+    """priority_sample_per_lang's rank filter must ride Spark 4's
+    WindowGroupLimit rewrite — per-partition top-(k+1) BEFORE the
+    stratum exchange — so the shuffle carries <= k+1 rows per stratum
+    per map partition, never the corpus."""
+    plan = physical_plan(_Q["priority_sample_per_lang"](spark, SF_SMOKE), mode="simple")
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_histogram_quantile_single_data_exchange(spark):
+    """value_histogram_quantiles' only data-sized work is the 64-bin
+    partial aggregation: the scan side must show a partial->final hash
+    aggregate, and no join in the plan may be a cartesian product or
+    nested loop over data-sized inputs (the sketch-side cross joins are
+    1-row/64-row broadcasts)."""
+    df = _Q["value_histogram_quantiles"](spark, SF_SMOKE)
+    plan = physical_plan(df, mode="simple")
+    assert "HashAggregate" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the value column is the only data column read
+    assert_column_pruned(df, "props")
+    assert_column_pruned(df, "event_type")
+
+
+def test_exact_substring_spans_no_cartesian_and_pruned(spark):
+    """exact_substring_spans: postings join on the gram hash (never a
+    cartesian/nested-loop pair generation), and the documents scan
+    reads only (doc_id, text)."""
+    df = _Q["exact_substring_spans"](spark, SF_SMOKE)
+    plan = physical_plan(df, mode="simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert_column_pruned(df, "lang")
+    assert_column_pruned(df, "source")
