@@ -775,3 +775,66 @@ def test_edit_distance_near_dup_complete_within_blocks(spark, docs):
         ).collect()
     }
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.integers(min_value=1, max_value=60), min_size=0, max_size=25),
+    st.integers(min_value=2, max_value=8),
+)
+def test_starts_to_intervals_covers_exactly_the_union(spark, starts, n):
+    """The shared interval-merge fold (span_dedup_clean /
+    exact_substring_spans): merged intervals must be sorted, disjoint
+    with gaps >= 2 (adjacent intervals merge), and cover EXACTLY the
+    union of [s, s+n-1] over the input starts — against a pure-Python
+    set reference on arbitrary inputs."""
+    from flink_anomaly_spark.operators.dedup import _starts_to_intervals
+
+    df = spark.createDataFrame([(starts,)], "dups array<int>")
+    out = df.select(_starts_to_intervals("dups", n).alias("iv")).collect()[0].iv
+    covered = set()
+    for s in starts:
+        covered.update(range(s, s + n))
+    got = set()
+    prev_hi = None
+    for iv in out:
+        assert iv.lo <= iv.hi
+        if prev_hi is not None:
+            assert iv.lo > prev_hi + 1, "adjacent intervals must have merged"
+        prev_hi = iv.hi
+        got.update(range(iv.lo, iv.hi + 1))
+    assert got == covered
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.floats(min_value=-50.0, max_value=600.0, allow_nan=False),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_histogram_quantile_matches_python_reference(spark, values):
+    """The histogram sketch against a pure-Python replay of the same
+    bin/interpolation rule on arbitrary floats (incl. values outside
+    [lo, hi), which clamp into edge bins)."""
+    import math
+
+    from flink_anomaly_spark.operators.sketches import histogram_quantile_sketch
+
+    lo, hi, n_bins = 0.0, 512.0, 64
+    width = (hi - lo) / n_bins
+    df = spark.createDataFrame([(float(v),) for v in values], "value double")
+    got = {r.q: r.est for r in histogram_quantile_sketch(df, "value", lo, hi, n_bins).collect()}
+    bins = [0] * n_bins
+    for v in values:
+        bins[min(n_bins - 1, max(0, int(math.floor((v - lo) / width))))] += 1
+    n = len(values)
+    for q in (0.5, 0.9, 0.99):
+        cum = 0
+        for b in range(n_bins):
+            if bins[b] and cum + bins[b] >= q * n:
+                want = lo + b * width + width * (q * n - cum) / bins[b]
+                break
+            cum += bins[b]
+        assert got[q] == want, (q, got[q], want)
