@@ -1046,3 +1046,23 @@ def test_priority_sample_fixed_size_and_unbiased(spark):
         est.append(sum(r.w_est for r in sample))
     mean = sum(est) / len(est)
     assert abs(mean - total) / total < 0.10, (mean, total)
+
+
+def test_priority_sample_small_strata_edges(spark):
+    """Strata smaller than k keep ALL rows with tau = 0 (no (k+1)-th
+    priority exists) so w_est == w exactly; a stratum with exactly
+    k+1 rows drops precisely one row and shares one tau."""
+    from flink_anomaly_spark.operators.relational import priority_sample_per_stratum
+
+    rows = [(i, "small", 100 + i) for i in range(3)] + [
+        (100 + i, "edge", 200 + i) for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    out = priority_sample_per_stratum(df, ["lang"], "n_chars", "doc_id", k=5).collect()
+    small = [r for r in out if r.lang == "small"]
+    assert len(small) == 3
+    assert all(r.w_est == float(r.n_chars) for r in small)  # tau = 0
+    edge = [r for r in out if r.lang == "edge"]
+    assert len(edge) == 5  # exactly one of the 6 dropped
+    taus = {r.w_est for r in edge if r.w_est != r.n_chars}
+    assert len(taus) <= 1

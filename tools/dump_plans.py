@@ -56,6 +56,11 @@ HEADLINE = {
     "dsir_importance_weights": "Same pair-shuffle floor as the unigram LM op; totals broadcast; per-token score join.",
     "pii_redaction_stats": "Zero-exchange whole-stage-codegen regexp map over the scan.",
     "bitmap_distinct_by_type": "Two-level bitmap agg: per-(type, bucket) bitmap construct, then popcount sum — mergeable distinct.",
+    # round-7 operators
+    "edit_distance_near_dup": "Probe side round-robin repartitioned BELOW the block-key hash join (single-split input would serialize the banded levenshtein into one task — the round-6 driver's 12s); survivors repartition for downstream parallelism.",
+    "exact_substring_spans": "(id, start, hash64) postings; hash-count groupBy + postings join; interval merge + span slice are per-row array math after one id agg.",
+    "priority_sample_per_lang": "WindowGroupLimit: per-partition top-(k+1) precedes the single lang exchange; tau + estimate ride the same window layout.",
+    "value_histogram_quantiles": "Partial->final 64-bin hash agg is the only data-sized exchange; every later frame is sketch-sized (bins x quantiles).",
 }
 
 
