@@ -1458,7 +1458,12 @@ def _bpe_batched_oracle(n_passes: int = _BPE_BATCH_PASSES) -> str:
     symbol-disjoint from a's (lhs, rhs, lhs||rhs); both fold
     sequentially into w{t}. Selection sees the FULL ranking (the Spark
     side's oversample=64 horizon is far past any real 2nd-disjoint
-    rank)."""
+    rank). Both folds join LEFT ... ON true (round-7 ADVICE): an empty
+    a{t}/b{t} (no pairs left / no symbol-disjoint 2nd pair) yields NULL
+    ml/mr, every merge arm of the fold CASE is NULL-false, and the ELSE
+    identity arm reconstructs sym unchanged — 'apply what was chosen',
+    exactly the Spark trainer's semantics, instead of emptying the
+    vocabulary through a CROSS JOIN with an empty relation."""
     steps = []
     for t in range(1, n_passes + 1):
         steps.append(f"""
@@ -1482,9 +1487,9 @@ def _bpe_batched_oracle(n_passes: int = _BPE_BATCH_PASSES) -> str:
         AND r.rhs NOT IN (a.ml, a.mr, a.ml || a.mr)
       ORDER BY r.rk LIMIT 1
     ), wa{t} AS (
-      SELECT w, cnt, {_BPE_FOLD} AS sym FROM w{t - 1} CROSS JOIN a{t}
+      SELECT w, cnt, {_BPE_FOLD} AS sym FROM w{t - 1} LEFT JOIN a{t} ON true
     ), w{t} AS (
-      SELECT w, cnt, {_BPE_FOLD} AS sym FROM wa{t} CROSS JOIN b{t}
+      SELECT w, cnt, {_BPE_FOLD} AS sym FROM wa{t} LEFT JOIN b{t} ON true
     )""")
     scaffold = _bpe_steps_sql(0).rstrip().rstrip(",")
     unions = "\n      ".join(

@@ -247,6 +247,25 @@ def test_bench_gate_load_normalization(tmp_path):
     assert out.returncode == 1
 
 
+def test_fingerprint_sees_module_constant_edits():
+    """Round-7 ADVICE: module-level constants (BPE_MAX_MERGES,
+    _BPE_PAIRS_EXPR, …) shape the Spark plan without appearing in any
+    hashed function source; the ledger must report 'changed' when one
+    is edited, else the changed plan skips its driver re-check."""
+    import flink_anomaly_spark.operators.text as text
+    from tools.plan_fingerprints import query_fingerprint
+
+    for const in ["BPE_MAX_MERGES", "_BPE_PAIRS_EXPR"]:
+        saved = getattr(text, const)
+        before = query_fingerprint("bpe_learn_merges")
+        try:
+            setattr(text, const, saved + 1 if isinstance(saved, int) else saved + " ")
+            assert query_fingerprint("bpe_learn_merges") != before, const
+        finally:
+            setattr(text, const, saved)
+        assert query_fingerprint("bpe_learn_merges") == before, const
+
+
 def test_changed_plans_hold_window_slots():
     """Rotation discipline (VERDICT r6 #3), mechanical: any registered
     query whose plan fingerprint — transitive builder source + oracle

@@ -64,10 +64,28 @@ def _is_package_obj(obj) -> bool:
     return isinstance(mod, str) and mod.startswith(_PKG)
 
 
+def _const_repr(obj) -> str | None:
+    """Deterministic repr for module-level constants worth hashing.
+    Sets are ordered by repr (iteration order varies with PYTHONHASHSEED,
+    which would fabricate phantom drift); mutable containers are hashed
+    by their insertion-ordered repr, which is stable given same source."""
+    if isinstance(obj, (str, bytes, int, float, complex, bool, type(None))):
+        return repr(obj)
+    if isinstance(obj, (set, frozenset)):
+        return "{" + ", ".join(sorted(repr(x) for x in obj)) + "}"
+    if isinstance(obj, (tuple, list, dict)):
+        return repr(obj)
+    return None
+
+
 def _walk_code(code: types.CodeType, globalns: dict, seen: set, parts: list) -> None:
     """Collect sources of every package-internal callable reachable from
     ``code``: names resolved through the defining module's globals, plus
-    nested code objects (lambdas, inner defs, comprehensions)."""
+    nested code objects (lambdas, inner defs, comprehensions). Module-
+    level CONSTANTS referenced by name are hashed by value (round-7
+    ADVICE: editing e.g. ``BPE_MAX_MERGES`` or ``_BPE_PAIRS_EXPR``
+    changes the Spark plan without changing any function source — the
+    ledger must see that)."""
     for name in code.co_names:
         obj = globalns.get(name)
         if obj is None:
@@ -79,6 +97,19 @@ def _walk_code(code: types.CodeType, globalns: dict, seen: set, parts: list) -> 
             continue
         if (inspect.isfunction(obj) or inspect.isclass(obj)) and _is_package_obj(obj):
             _add_obj(obj, seen, parts)
+            continue
+        modname = globalns.get("__name__", "")
+        if (
+            not name.startswith("__")
+            and isinstance(modname, str)
+            and modname.startswith(_PKG)
+        ):
+            rep = _const_repr(obj)
+            if rep is not None:
+                key = (modname, f"<const>{name}")
+                if key not in seen:
+                    seen.add(key)
+                    parts.append(f"# {modname}.{name}\n{rep}")
     for const in code.co_consts:
         if isinstance(const, types.CodeType):
             _walk_code(const, globalns, seen, parts)
