@@ -1452,3 +1452,162 @@ def edit_distance_near_dup(
         .select("id_a", "id_b", F.col("lev").cast("bigint").alias("lev"))
         .repartition(2 * ncpu)
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 6,
+    threshold: int = 80,
+    key_chars: int = 16,
+    part_chars: int = 1,
+) -> DataFrame:
+    """Sorted-neighborhood near-dup pairs (Hernández & Stolfo, SIGMOD
+    1995): sort the corpus by a normalized blocking key, slide a
+    ``window``-row neighborhood down the sorted order, and verify each
+    in-window candidate pair with banded Levenshtein — the classic
+    record-linkage blocking strategy that trades LSH's probabilistic
+    recall for a DETERMINISTIC candidate set linear in the corpus
+    (exactly (window−1)·n candidates, vs block-join's per-block n²).
+
+    Spark-first plan, no global sort:
+
+    1. key = first ``key_chars`` of the lowercased alphanumeric
+       projection of the ASCII text (ASCII first: byte-wise lower is
+       identical across engines, so the oracle can mirror it).
+    2. Global ordinal via the TWO-PHASE rank idiom (global_rank_export):
+       row_number within ``part_chars``-prefix partitions of the key +
+       a broadcast cumulative-count offset per prefix — the total order
+       (key, id) without funnelling the corpus through one task. A
+       longer prefix buys more parallelism at scale.
+    3. Each row explodes into ``window−1`` successor probes
+       (rank + 1 … rank + window−1); an equi-join on rank pairs every
+       row with its window — a plain hash shuffle on an 8-byte key.
+    4. Verify: length-gap prune (a true Levenshtein lower bound), then
+       3-arg ``levenshtein(a, b, threshold)`` whose early exit makes
+       over-threshold pairs cheap.
+
+    Known SNM property (not a bug): near-dups that differ in the key
+    prefix land far apart and are missed — production runs multi-pass
+    with rotated keys; this is the single-pass operator.
+    """
+    from pyspark.sql import Window as W
+
+    t = F.regexp_replace(F.col(text_col), r"[^\x00-\x7F]", "")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        t.alias("t"),
+    ).select(
+        "id",
+        "t",
+        F.length("t").alias("n"),
+        F.substring(
+            F.regexp_replace(F.lower(F.col("t")), "[^a-z0-9]", ""), 1, key_chars
+        ).alias("key"),
+    )
+    base = base.withColumn("pfx", F.substring("key", 1, part_chars))
+    per = F.row_number().over(W.partitionBy("pfx").orderBy("key", "id"))
+    offs = F.broadcast(
+        base.groupBy("pfx")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "pfx",
+            (
+                F.sum("cnt").over(
+                    W.orderBy("pfx").rowsBetween(W.unboundedPreceding, W.currentRow)
+                )
+                - F.col("cnt")
+            ).alias("off"),
+        )
+    )
+    ranked = _persist(
+        base.join(offs, "pfx").select(
+            "id", "t", "n", (per + F.col("off")).cast("bigint").alias("rk")
+        )
+    )
+    probes = ranked.select(
+        F.col("id").alias("id2"),
+        F.col("t").alias("t2"),
+        F.col("n").alias("n2"),
+        F.col("rk").alias("rk2"),
+        F.explode(F.sequence(F.lit(1), F.lit(window - 1))).alias("__i"),
+    ).select(
+        "id2", "t2", "n2", (F.col("rk2") - F.col("__i")).alias("rk")
+    )
+    cands = (
+        ranked.join(probes, "rk")
+        .filter(F.abs(F.col("n") - F.col("n2")) <= threshold)
+        .select("id", "id2", "t", "t2")
+    )
+    return (
+        cands.withColumn("lev", F.levenshtein(F.col("t"), F.col("t2"), threshold))
+        .filter(F.col("lev") >= 0)
+        .select(
+            F.col("id").alias("id_a"),
+            F.col("id2").alias("id_b"),
+            F.col("lev").cast("bigint").alias("lev"),
+        )
+    )
+
+
+def containment_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 4,
+    tau: float = 0.6,
+    max_postings: int = 64,
+) -> DataFrame:
+    """Asymmetric shingle-CONTAINMENT pairs (Broder 1997's c(A,B) =
+    |S(A)∩S(B)| / |S(A)|, the companion to resemblance/Jaccard): flags
+    quote/boilerplate INCLUSION — a short doc embedded in a long one —
+    which symmetric Jaccard structurally misses (the union denominator
+    drowns the small side).
+
+    Same inverted-index join shape as :func:`ngram_jaccard_pairs`
+    (postings on 60-bit hashed grams, intersection = count of shared
+    postings, per-doc sizes joined back), plus the web-scale guard that
+    operator deliberately omits: grams appearing in more than
+    ``max_postings`` documents are dropped from the index BEFORE the
+    self-join (they contribute postings² candidate rows and mostly
+    stopword signal). Both containment directions are evaluated; the
+    pair survives when either side is ``tau``-contained. Denominators
+    are the FULL per-doc distinct-gram counts (capping prunes
+    candidates, not the measure's scale).
+    """
+    base = spread(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    )
+    sh = _persist(
+        base.select(
+            "id",
+            F.array_distinct(shingles(F.col("__text"), n)).alias("sh"),
+        )
+    )
+    sizes = sh.select("id", F.size("sh").alias("n_sh"))
+    posts = sh.select("id", F.explode("sh").alias("g")).select(
+        "id", md5_long(F.col("g")).alias("s")
+    )
+    keep = posts.groupBy("s").agg(F.count("*").alias("df_s")).filter(
+        F.col("df_s") <= max_postings
+    )
+    capped = posts.join(keep.select("s"), "s")
+    inter = (
+        capped.alias("a")
+        .join(capped.alias("b"), "s")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .agg(F.count("*").cast("bigint").alias("inter"))
+    )
+    joined = inter.join(
+        sizes.select(F.col("id").alias("id1"), F.col("n_sh").alias("n1")), "id1"
+    ).join(sizes.select(F.col("id").alias("id2"), F.col("n_sh").alias("n2")), "id2")
+    cont_a = F.round(F.col("inter") / F.col("n1"), 4)
+    cont_b = F.round(F.col("inter") / F.col("n2"), 4)
+    return (
+        joined.withColumn("cont_a", cont_a)
+        .withColumn("cont_b", cont_b)
+        .filter(F.greatest(F.col("cont_a"), F.col("cont_b")) >= tau)
+        .select("id1", "id2", "inter", "cont_a", "cont_b")
+    )

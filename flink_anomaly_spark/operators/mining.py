@@ -1,0 +1,319 @@
+"""Pattern-mining and decision-analysis operators: Pareto skyline,
+market-basket pair mining, Theil–Sen robust trend, and CUSUM
+changepoint detection.
+
+Reference scope note: GlebSolovev/flink-anomaly (Main.java:23-58) is a
+DataStream anomaly repro with none of these; they extend the engine's
+anomaly/analytics families (SURVEY §2.9 breadth) the way a Flink user
+would reach for next. Every operator is declarative DataFrame code —
+no Python in the row path — and each documents the plan shape it must
+keep at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (2D skyline)
+# ---------------------------------------------------------------------------
+
+
+def pareto_frontier_2d(
+    df: DataFrame,
+    minimize_col: str,
+    maximize_col: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Rows not dominated under (minimize ``minimize_col``, maximize
+    ``maximize_col``): no other row is ≤ on the minimize axis AND ≥ on
+    the maximize axis with at least one strict inequality (Börzsönyi
+    et al., "The Skyline Operator", ICDE 2001).
+
+    Scalable 2D plan — prefix-max, not pairwise: a row (p, s) is
+    dominated iff ``max(s' | p' < p) >= s`` or ``max(s' | p' <= p) > s``,
+    so the skyline reduces to running maxima of ``maximize_col`` over
+    the ``minimize_col`` order. Those maxima are computed TWO-PHASE to
+    avoid the single-partition global-sort window anti-pattern (the
+    global_rank_export shape): (1) aggregate to one row per distinct
+    minimize value (map-side combine shrinks the exchange to |domain|),
+    (2) running max WITHIN ``bucket_width``-wide value buckets — each
+    bucket an independent partition, (3) a |buckets|-row prefix-max of
+    per-bucket maxima (KBs — broadcast), folded in with ``greatest``.
+    The final frame joins back to the input on the minimize value via
+    broadcast. No shuffle ever carries more than one row per distinct
+    minimize value; the input-sized side moves zero times.
+    """
+    p, s = F.col("__p"), F.col("__s")
+    g = (
+        df.select(F.col(minimize_col).alias("__p"), F.col(maximize_col).alias("__s"))
+        .groupBy("__p")
+        .agg(F.max("__s").alias("__mx"))
+        .withColumn("__bkt", F.floor(p / F.lit(bucket_width)).cast("bigint"))
+    )
+    wb = Window.partitionBy("__bkt").orderBy("__p")
+    g = g.withColumn(
+        "__in_cum",
+        F.max("__mx").over(wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    ).withColumn(
+        "__in_strict",
+        F.max("__mx").over(wb.rowsBetween(Window.unboundedPreceding, -1)),
+    )
+    bkts = g.groupBy("__bkt").agg(F.max("__mx").alias("__bmx"))
+    # prefix-max over buckets: |buckets| rows total — the only
+    # unpartitioned window, deliberately tiny (domain/bucket_width rows)
+    wob = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    bkts = bkts.select("__bkt", F.max("__bmx").over(wob).alias("__prev_bmx"))
+    bounds = g.join(F.broadcast(bkts), "__bkt").select(
+        "__p",
+        # greatest() skips NULLs: NULL __in_strict (first row in bucket)
+        # or NULL __prev_bmx (first bucket) fall through to the other
+        F.greatest("__in_strict", "__prev_bmx").alias("__strict_mx"),
+        F.greatest("__in_cum", "__prev_bmx").alias("__cum_mx"),
+    )
+    joined = df.join(
+        F.broadcast(bounds), F.col(minimize_col) == F.col("__p"), "inner"
+    )
+    keep = (
+        F.col("__strict_mx").isNull() | (F.col(maximize_col) > F.col("__strict_mx"))
+    ) & (F.col(maximize_col) >= F.col("__cum_mx"))
+    return joined.filter(keep).select(*df.columns)
+
+
+# ---------------------------------------------------------------------------
+# Market-basket frequent item pairs
+# ---------------------------------------------------------------------------
+
+
+def frequent_item_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    max_basket_items: int = 50,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top-k co-occurring item pairs with support and lift (the pair
+    stage of Apriori / "frequently bought together").
+
+    Plan: distinct (basket, item) → basket-size cap → equi-self-join on
+    the basket key with ``item_a < item_b`` → hash-agg pair counts →
+    TakeOrderedAndProject for the top-k (count desc, pair asc — total
+    order, never a global sort) → two broadcast joins against the
+    |items|-bounded item-frequency table for lift.
+
+    Scale: the self-join shuffles each basket's items once, keyed by
+    basket; a basket of n items emits n(n-1)/2 pairs, so the
+    ``max_basket_items`` cap bounds the blow-up at cap²/2 per basket
+    (mega-baskets are catalog crawls, not signal — the standard
+    market-basket guard). Pair counting is map-side combinable; only
+    (item, item, count) triples reach the reduce side.
+    """
+    items = df.select(
+        F.col(basket_col).alias("__bk"), F.col(item_col).alias("__it")
+    ).distinct()
+    sized = items.groupBy("__bk").agg(F.count("*").alias("__n_items"))
+    ok = sized.filter(F.col("__n_items") <= max_basket_items).select("__bk")
+    items = items.join(ok, "__bk")
+    pairs = (
+        items.alias("a")
+        .join(items.alias("b"), "__bk")
+        .filter(F.col("a.__it") < F.col("b.__it"))
+        .groupBy(F.col("a.__it").alias("__ia"), F.col("b.__it").alias("__ib"))
+        .agg(F.count("*").alias("pair_count"))
+    )
+    top = pairs.orderBy(
+        F.col("pair_count").desc(), F.col("__ia"), F.col("__ib")
+    ).limit(top_k)
+    freq = items.groupBy("__it").agg(F.count("*").alias("__cnt"))
+    # lazy scalar: the basket count rides along as a broadcast 1-row
+    # frame (no driver-side count during plan construction)
+    nb = ok.agg(F.count("*").cast("bigint").alias("__n_baskets"))
+    fa = freq.select(F.col("__it").alias("__fa"), F.col("__cnt").alias("count_a"))
+    fb = freq.select(F.col("__it").alias("__fb"), F.col("__cnt").alias("count_b"))
+    return (
+        top.join(F.broadcast(fa), F.col("__ia") == F.col("__fa"))
+        .join(F.broadcast(fb), F.col("__ib") == F.col("__fb"))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            F.col("__ia").alias("item_a"),
+            F.col("__ib").alias("item_b"),
+            F.col("pair_count").cast("bigint").alias("pair_count"),
+            F.col("count_a").cast("bigint").alias("count_a"),
+            F.col("count_b").cast("bigint").alias("count_b"),
+            (
+                F.round(
+                    F.col("pair_count")
+                    * F.col("__n_baskets")
+                    / (F.col("count_a") * F.col("count_b")),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil–Sen robust trend
+# ---------------------------------------------------------------------------
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-key Theil–Sen slope: the median of all pairwise slopes
+    between per-day mean values (Theil 1950 / Sen 1968) — the robust
+    trend estimator (29% breakdown point vs OLS's zero).
+
+    Plan: (1) pre-aggregate to per-(key, day) means — the O(n²) pair
+    stage then runs over DAYS per key, bounded by the calendar (≤365²/2
+    pairs/key/year) regardless of row count, which is what makes
+    Theil–Sen feasible at 100 TB; (2) pair days within each key via an
+    equi-self-join on the key (renamed columns — fresh exprs, one keyed
+    exchange); (3) exact median via ``percentile`` in one hash-agg.
+
+    Cross-engine determinism: day means are ``sum(round(v*100))/(100·n)``
+    — integer cents accumulate association-order-free, the division is
+    a single exactly-rounded op, so both engines see bit-identical
+    slope multisets and the interpolated median matches exactly.
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    daily = (
+        df.select(F.col(key_col).alias("__k"), day.alias("__d"), cents.alias("__c"))
+        .groupBy("__k", "__d")
+        .agg((F.sum("__c") / (F.lit(100.0) * F.count("*"))).alias("__v"))
+    )
+    slopes = (
+        daily.alias("a")
+        .join(daily.alias("b"), "__k")
+        .filter(F.col("a.__d") < F.col("b.__d"))
+        .select(
+            "__k",
+            (
+                (F.col("b.__v") - F.col("a.__v"))
+                / F.datediff(F.col("b.__d"), F.col("a.__d"))
+            ).alias("__slope"),
+        )
+    )
+    return slopes.groupBy("__k").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        (F.round(F.expr("percentile(__slope, 0.5)"), 6) + F.lit(0.0)).alias(
+            "median_slope"
+        ),
+    ).select(F.col("__k").alias(key_col), "n_pairs", "median_slope")
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection
+# ---------------------------------------------------------------------------
+
+#: Tabular-CUSUM parameters shared by the batch and streaming queries
+#: (integer CENTS so every accumulation is association-order-free and
+#: bit-identical across engines — the scd2 cum_spend lesson).
+CUSUM_TARGET_C = 5000  # reference level μ0 = 50.00
+CUSUM_K_C = 2500  # slack k = 25.00 (≈ σ/2 for this corpus)
+CUSUM_H_C = 30000  # decision threshold h = 300.00
+
+
+def _cusum_cols(ts_col: str, order_col: str, key: str, x_cents: Column):
+    """Positive/negative CUSUM statistics as window columns.
+
+    Page's recursion ``pos_t = max(0, pos_{t-1} + (x_t − μ0 − k))`` is
+    not a windowable cumsum, but its closed form is:
+    ``pos_t = S_t − min(0, min_{j≤t} S_j)`` with ``S_t = Σ(x − μ0 − k)``
+    — a cumulative sum minus its running minimum, both single-pass
+    window aggregates over one (key, ts) sort. All integer cents.
+    """
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts_col, order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    inc_pos = x_cents - F.lit(CUSUM_TARGET_C + CUSUM_K_C)
+    inc_neg = F.lit(CUSUM_TARGET_C - CUSUM_K_C) - x_cents
+    s_pos = F.sum(inc_pos).over(w)
+    s_neg = F.sum(inc_neg).over(w)
+    pos = s_pos - F.least(F.lit(0), F.min(s_pos).over(w))
+    neg = s_neg - F.least(F.lit(0), F.min(s_neg).over(w))
+    return pos, neg
+
+
+def cusum_alarms(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Event-level CUSUM alarms (Page 1954): one row per event whose
+    positive CUSUM statistic exceeds ``CUSUM_H_C`` — a sustained upward
+    level shift, the classic SPC changepoint signal (and the batch twin
+    replayed by the streaming operator's oracle).
+
+    One keyed sort computes S, its running min, and the statistic;
+    keys are bounded-cardinality stream identities (event types), the
+    sequential scan per key is inherent to CUSUM's recursion — the
+    same key-serial shape as any keyed Flink ValueState operator.
+    """
+    x_c = F.round(F.col(value_col) * 100).cast("bigint")
+    pos, _neg = _cusum_cols(ts_col, order_col, key_col, x_c)
+    return (
+        df.select(
+            F.col(key_col),
+            F.col(ts_col),
+            F.col(order_col),
+            pos.alias("pos_c"),
+        )
+        .filter(F.col("pos_c") > F.lit(CUSUM_H_C))
+        .select(
+            key_col,
+            order_col,
+            ts_col,
+            F.col("pos_c").cast("bigint").alias("pos_c"),
+        )
+    )
+
+
+def cusum_changepoint_stats(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-key two-sided CUSUM summary: alarm counts, statistic maxima
+    (back in value units), and the first upward-alarm timestamp. Both
+    sides share one window sort (same partition/order spec ⇒ Catalyst
+    folds them into a single Window node / one exchange+sort)."""
+    x_c = F.round(F.col(value_col) * 100).cast("bigint")
+    pos, neg = _cusum_cols(ts_col, order_col, key_col, x_c)
+    h = F.lit(CUSUM_H_C)
+    scored = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(ts_col).alias("__ts"),
+        pos.alias("__pos"),
+        neg.alias("__neg"),
+    )
+    return (
+        scored.groupBy("__k")
+        .agg(
+            F.count(F.when(F.col("__pos") > h, 1)).cast("bigint").alias("n_pos_alarms"),
+            F.count(F.when(F.col("__neg") > h, 1)).cast("bigint").alias("n_neg_alarms"),
+            (F.max("__pos") / 100.0).alias("max_pos"),
+            (F.max("__neg") / 100.0).alias("max_neg"),
+            F.min(F.when(F.col("__pos") > h, F.col("__ts"))).alias("first_pos_alarm_ts"),
+        )
+        .select(
+            F.col("__k").alias(key_col),
+            "n_pos_alarms",
+            "n_neg_alarms",
+            "max_pos",
+            "max_neg",
+            "first_pos_alarm_ts",
+        )
+    )

@@ -698,3 +698,86 @@ def priority_sample_per_stratum(
             ),
         )
     )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_id: str,
+    tolerance_seconds: int,
+    out_id: str = "nearest_id",
+    out_gap: str = "gap_us",
+) -> DataFrame:
+    """Nearest-as-of join (pandas ``merge_asof(direction='nearest')``,
+    which Spark lacks): for each left row, the right row on the same key
+    minimizing ``|right.ts − left.ts|`` within ``tolerance_seconds``;
+    no candidate ⇒ NULL match columns. Ties break deterministically by
+    (gap, earlier right ts, smaller right id).
+
+    Same union-then-window shape as :func:`asof_join` — ONE exchange +
+    sort on (key, ts) computes BOTH directional candidates as two
+    frames of a single Window spec (Catalyst folds them into one sort):
+    a running max of ``struct(ts, −id)`` over preceding rows (latest
+    right at-or-before; −id makes the struct max pick the SMALLER id on
+    equal ts) and a running min of ``struct(ts, id)`` over following
+    rows (earliest right strictly after). The nearest pick is then a
+    row-local comparison. Right rows order before left rows on equal
+    ts, so a gap-0 match is always the backward candidate.
+    """
+    from pyspark.sql import Window
+
+    tol_us = tolerance_seconds * 1_000_000
+
+    def _us(c: Column) -> Column:
+        return F.unix_micros(c.cast("timestamp"))
+
+    lcols = left.columns
+    l_tagged = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*[F.col(c) for c in lcols]).alias("__l"),
+        F.lit(None).cast("struct<rts:timestamp,nid:bigint,rid:bigint>").alias("__r"),
+    )
+    r_tagged = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(l_tagged.schema["__l"].dataType.simpleString()).alias("__l"),
+        F.struct(
+            F.col(right_ts).cast("timestamp").alias("rts"),
+            (-F.col(right_id)).cast("bigint").alias("nid"),
+            F.col(right_id).cast("bigint").alias("rid"),
+        ).alias("__r"),
+    )
+    w = Window.partitionBy("__k").orderBy("__ts", "__is_left")
+    back = F.max("__r").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = F.min("__r").over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    scored = (
+        l_tagged.unionByName(r_tagged)
+        .withColumn("__b", back)
+        .withColumn("__f", fwd)
+        .filter(F.col("__is_left") == 1)
+    )
+    gap_b = _us(F.col("__ts")) - _us(F.col("__b.rts"))
+    gap_f = _us(F.col("__f.rts")) - _us(F.col("__ts"))
+    use_back = F.col("__b").isNotNull() & (
+        F.col("__f").isNull() | (gap_b <= gap_f)
+    )
+    chosen_id = F.when(use_back, F.col("__b.rid")).otherwise(F.col("__f.rid"))
+    chosen_gap = F.when(use_back, -gap_b).otherwise(gap_f)
+    in_tol = F.abs(chosen_gap) <= F.lit(tol_us)
+    return scored.select(
+        F.col("__l.*"),
+        F.when(chosen_id.isNotNull() & in_tol, chosen_id)
+        .cast("bigint")
+        .alias(out_id),
+        F.when(chosen_id.isNotNull() & in_tol, chosen_gap)
+        .cast("bigint")
+        .alias(out_gap),
+    )

@@ -232,6 +232,7 @@ def _load_all() -> None:
         embedding_queries,
         extensions,
         governance,
+        mining_queries,
         multimodal_queries,
         quality_queries,
         reference_parity,

@@ -744,3 +744,57 @@ def q_streaming_cms_topk_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = stream_events_with_final_flush(spark, sf_dir, work)
     cells = run_to_memory(cms_cell_stream(events, key_col="user_id", d=3, w=16))
     return cms_windowed_point_estimates(cells, keys=_CMS_KEYS, d=3, w=16)
+
+
+def _cusum_stream_oracle() -> str:
+    from flink_anomaly_spark.operators.mining import (
+        CUSUM_H_C,
+        CUSUM_K_C,
+        CUSUM_TARGET_C,
+    )
+
+    order = "epoch_ns(ts) // 1000, event_id"
+    return f"""
+    WITH s AS (
+      SELECT event_type, event_id, ts,
+             sum(CAST(round(value*100) AS BIGINT) - {CUSUM_TARGET_C + CUSUM_K_C})
+               OVER w AS sp
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY {order}
+                   ROWS UNBOUNDED PRECEDING)
+    ), p AS (
+      SELECT event_type, event_id, ts,
+             sp - least(0, min(sp) OVER w2) AS pos
+      FROM s
+      WINDOW w2 AS (PARTITION BY event_type ORDER BY {order}
+                    ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+           CAST(pos AS BIGINT) AS pos_c
+    FROM p WHERE pos > {CUSUM_H_C}
+    """
+
+
+@register(
+    "streaming_cusum_alarms",
+    oracle=_cusum_stream_oracle(),
+    doc="Keyed online CUSUM changepoint alarms (Page 1954) as a custom "
+    "stateful streaming operator — the sequential-analysis sibling of "
+    "streaming_running_zscore (level-shift detection where z-score "
+    "flags single spikes). State is TWO BIGINTs per key (running sum S "
+    "of the cents drift and its running min — the closed form of "
+    "Page's max(0,·) recursion), constant in stream length; the cents "
+    "projection runs in Catalyst before the Arrow-batched fold, so the "
+    "Python side is pure integer arithmetic and the single-batch "
+    "availableNow run is bit-identical to the batch window-aggregate "
+    "replay (shares its constants with batch cusum_changepoints via "
+    "operators.mining). Append-mode emission is immediate — alarms "
+    "don't wait for watermark finalization, the operational shape an "
+    "alerting sink needs.",
+)
+def q_streaming_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.streaming.stateful import cusum_alarm_stream
+
+    return run_to_memory(
+        cusum_alarm_stream(stream_events(spark, sf_dir))
+    ).withColumnRenamed("key", "event_type")

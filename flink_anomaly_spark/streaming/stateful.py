@@ -275,3 +275,76 @@ def session_stream_custom(events: DataFrame, gap_ms: int = 30 * 60 * 1000) -> Da
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Stateful streaming CUSUM changepoint alarms
+# ---------------------------------------------------------------------------
+
+CUSUM_OUTPUT_SCHEMA = "key string, event_id long, ts timestamp, pos_c long"
+CUSUM_STATE_SCHEMA = "s long, smin long"
+
+
+def _cusum_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per key: Page's CUSUM recursion over integer cents. State is the
+    running sum S of (x − μ0 − k) and its running minimum — two BIGINTs
+    per key, the closed form of ``pos_t = max(0, pos_{t−1} + inc_t)``
+    as ``pos_t = S_t − min(0, min_{j≤t} S_j)`` (the identical algebra
+    the batch operator runs as window aggregates, so the EOS-flushed
+    stream replays the batch result row-for-row). Integer arithmetic
+    only — association-order-free, bit-identical to the oracle."""
+    from flink_anomaly_spark.operators.mining import (
+        CUSUM_H_C,
+        CUSUM_K_C,
+        CUSUM_TARGET_C,
+    )
+
+    s, smin = state.get if state.exists else (0, 0)
+    pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(["ts", "event_id"])
+    out_ids, out_ts, out_pos = [], [], []
+    drift = CUSUM_TARGET_C + CUSUM_K_C
+    for eid, ts, x_c in zip(pdf["event_id"], pdf["ts"], pdf["x_c"]):
+        s += int(x_c) - drift
+        smin = min(smin, s)
+        pos = s - min(0, smin)
+        if pos > CUSUM_H_C:
+            out_ids.append(eid)
+            out_ts.append(ts)
+            out_pos.append(pos)
+    yield pd.DataFrame(
+        {
+            "key": [key[0]] * len(out_ids),
+            "event_id": pd.array(out_ids, dtype="int64"),
+            # explicit dtype so a zero-alarm batch still matches the schema
+            "ts": pd.Series(out_ts, dtype="datetime64[ns]"),
+            "pos_c": pd.array(out_pos, dtype="int64"),
+        }
+    )
+    state.update((s, smin))
+
+
+def cusum_alarm_stream(events: DataFrame, key: str = "event_type") -> DataFrame:
+    """Keyed online CUSUM changepoint alarms over a streaming DataFrame
+    — the sequential-analysis sibling of :func:`running_zscore_stream`
+    (level-shift detection where z-score flags single spikes). The
+    cents projection runs in Catalyst BEFORE the UDF so the Python side
+    is pure integer folding; state is two BIGINTs per key regardless of
+    stream length."""
+    return (
+        events.select(
+            F.col(key).alias("key"),
+            "event_id",
+            "ts",
+            F.round(F.col("value") * 100).cast("long").alias("x_c"),
+        )
+        .groupBy("key")
+        .applyInPandasWithState(
+            _cusum_fn,
+            CUSUM_OUTPUT_SCHEMA,
+            CUSUM_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
