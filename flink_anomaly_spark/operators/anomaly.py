@@ -288,3 +288,130 @@ def rolling_zscore_outliers(
         .withColumn("zscore", F.round(z, 4))
         .filter((F.col("trailing_n") >= 5) & (F.abs(F.col("zscore")) > threshold))
     )
+
+
+def hbos_outliers(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    ts_col: str,
+    n_bins: int = 10,
+    top_k: int = 20,
+) -> DataFrame:
+    """Histogram-Based Outlier Score (Goldstein & Dengel 2012) over two
+    features — equi-width-binned ``value_col`` and hour-of-day — with
+    the top-k rarest rows selected by an INTEGER key.
+
+    HBOS = Σ_f log(maxcount_f / count_f(x)). log is monotone, so the
+    ranking equals the ranking of the integer product
+    ``count_v · count_h`` ascending — the selection key stays in exact
+    BIGINT arithmetic (libm log differs in the last ulp across engines;
+    a float selection key could flip borderline top-k membership, the
+    round-7 priority-sampling lesson). The reported score is the
+    product form ``(maxc_v/c_v)·(maxc_h/c_h)`` — the same two
+    exactly-rounded divisions and one multiply on both engines.
+
+    Plan: two broadcast-sized histogram tables (≤ n_bins and 24 rows)
+    joined back to the events, then TakeOrderedAndProject — the corpus
+    is scanned twice (once per histogram pass folds into one shared
+    scan per feature aggregation) and never shuffled whole.
+    """
+    vmax = df.agg(F.max(value_col).alias("__vmax"))
+    binned = (
+        df.select(
+            F.col(id_col),
+            F.col(value_col).alias("__v"),
+            F.hour(F.col(ts_col)).alias("__h"),
+        )
+        .crossJoin(F.broadcast(vmax))
+        .select(
+            id_col,
+            "__h",
+            F.least(
+                F.floor(F.col("__v") / (F.col("__vmax") / n_bins)).cast("bigint"),
+                F.lit(n_bins - 1),
+            ).alias("__bv"),
+        )
+    )
+    hist_v = binned.groupBy("__bv").agg(F.count("*").alias("__cv"))
+    hist_h = binned.groupBy("__h").agg(F.count("*").alias("__ch"))
+    maxes = hist_v.agg(F.max("__cv").alias("__mv")).crossJoin(
+        hist_h.agg(F.max("__ch").alias("__mh"))
+    )
+    scored = (
+        binned.join(F.broadcast(hist_v), "__bv")
+        .join(F.broadcast(hist_h), "__h")
+        .crossJoin(F.broadcast(maxes))
+    )
+    return (
+        scored.orderBy((F.col("__cv") * F.col("__ch")).asc(), F.col(id_col).asc())
+        .limit(top_k)
+        .select(
+            F.col(id_col),
+            F.col("__bv").alias("value_bin"),
+            F.col("__h").cast("bigint").alias("hour_bin"),
+            F.col("__cv").cast("bigint").alias("count_v"),
+            F.col("__ch").cast("bigint").alias("count_h"),
+            F.round(
+                (F.col("__mv").cast("double") / F.col("__cv"))
+                * (F.col("__mh").cast("double") / F.col("__ch")),
+                4,
+            ).alias("hbos_score"),
+        )
+    )
+
+
+#: Benford first-digit probabilities log10(1 + 1/d), d = 1..9, as
+#: full-precision PYTHON literals — embedded identically in the Spark
+#: expression and the oracle SQL so neither engine runs libm at query
+#: time (log10 is not guaranteed correctly rounded in either).
+BENFORD_P = tuple(
+    float.fromhex(h)
+    for h in (
+        "0x1.34413509f79ffp-2",  # log10(2/1)
+        "0x1.68a288b60b7fcp-3",  # log10(3/2)
+        "0x1.ffbfc2bbc7801p-4",  # log10(4/3)
+        "0x1.8cf183886480dp-4",  # log10(5/4)
+        "0x1.44538de3b27ebp-4",  # log10(6/5)
+        "0x1.1236cc009220bp-4",  # log10(7/6)
+        "0x1.db11ed766abf1p-5",  # log10(8/7)
+        "0x1.a30a9d609efeap-5",  # log10(9/8)
+        "0x1.76d869b02a032p-5",  # log10(10/9)
+    )
+)
+
+
+def benford_deviation(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Per-group Benford's-law first-digit test: chi-square deviation of
+    the observed leading-digit distribution of integer cents from the
+    Benford expectation — the forensic data-quality screen for
+    fabricated or truncated numeric columns.
+
+    Determinism: digits come from the decimal string of exact cents;
+    the chi-square is a FIXED nine-term expression tree over integer
+    observed counts and literal probabilities (no libm, no
+    association-order-sensitive SUM over float terms — each engine
+    evaluates the identical left-to-right chain). One hash aggregation
+    with nine conditional integer counts; output is |groups| rows.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    base = df.select(F.col(group_col).alias("__g"), digit.alias("__d")).filter(
+        cents > 0
+    )
+    aggs = [
+        F.count(F.when(F.col("__d") == d, 1)).alias(f"__o{d}") for d in range(1, 10)
+    ]
+    g = base.groupBy("__g").agg(F.count("*").alias("__n"), *aggs)
+    n = F.col("__n").cast("double")
+    chi2 = None
+    for d in range(1, 10):
+        e = n * F.lit(BENFORD_P[d - 1])
+        term = (F.col(f"__o{d}") - e) * (F.col(f"__o{d}") - e) / e
+        chi2 = term if chi2 is None else chi2 + term
+    return g.select(
+        F.col("__g").alias(group_col),
+        F.col("__n").cast("bigint").alias("n"),
+        F.round(F.col("__o1") / n, 4).alias("leading_one_share"),
+        F.round(chi2, 4).alias("benford_chi2"),
+    )

@@ -84,3 +84,43 @@ def pagerank(
         )
         ranks = truncate(ranks)
     return ranks.select("id", (F.round("pr", 6) + F.lit(0.0)).alias("pr"))
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int = 3,
+    reliable_checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Fixed-depth multi-source BFS: minimum hop distance (≤
+    ``max_depth``) from any seed, over a directed edge list
+    (symmetrize beforehand for undirected graphs).
+
+    ``edges``: (src, dst). ``seeds``: (id). Returns (id, dist) for every
+    node within ``max_depth`` hops — unreachable nodes are absent.
+
+    Per iteration: one (src)-keyed join of the current distance frame
+    onto the edge list and one (id)-keyed min-aggregation — the same
+    two-shuffle step as :func:`pagerank`, with the same per-step lineage
+    truncation (each frame feeds the next; without checkpointing the
+    edge derivation — often itself a pair-mining pipeline — recomputes
+    per level). Fixed depth keeps it deterministic and oracle-unrollable
+    (the kmeans/pagerank/BPE pattern); distances are exact ints.
+    """
+    from flink_anomaly_spark.operators.dedup import _truncate_fn
+
+    truncate = _truncate_fn(edges, reliable_checkpoint_dir)
+    edges = truncate(edges.select("src", "dst"))
+    dist = seeds.select(F.col("id"), F.lit(0).cast("bigint").alias("dist"))
+    for _ in range(max_depth):
+        expanded = (
+            edges.join(dist.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(expanded)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+        )
+        dist = truncate(dist)
+    return dist

@@ -317,3 +317,57 @@ def cusum_changepoint_stats(
             "first_pos_alarm_ts",
         )
     )
+
+
+def moving_median_daily(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """Trailing ``window_days``-day moving MEDIAN of per-day mean values
+    per key — robust smoothing (a single corrupted day cannot move the
+    curve, unlike a moving average).
+
+    Spark has no median window aggregate; after the per-day
+    pre-aggregation the frame per (key, day) holds ≤ ``window_days``
+    values, so an exact median is a ``sort_array(collect_list(...))``
+    over the row-bounded frame plus middle-element math — constant work
+    per output row, NEVER a per-row O(n log n) over raw events (the day
+    pre-agg is the scale move, as in Theil–Sen). Day means are
+    integer-cents sums over counts ⇒ bit-identical inputs on both
+    engines; the even-count midpoint average is one exactly-rounded op.
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    daily = (
+        df.select(F.col(key_col).alias("__k"), day.alias("__d"), cents.alias("__c"))
+        .groupBy("__k", "__d")
+        .agg((F.sum("__c") / (F.lit(100.0) * F.count("*"))).alias("__v"))
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__d")
+        .rowsBetween(-(window_days - 1), Window.currentRow)
+    )
+    arr = F.sort_array(F.collect_list("__v").over(w))
+    n = F.size(arr)
+    mid_hi = (n / 2 + 1).cast("int")  # 1-based upper middle
+    mid_lo = (n / 2).cast("int")
+    med = F.when(
+        n % 2 == 1, F.element_at(arr, ((n + 1) / 2).cast("int"))
+    ).otherwise((F.element_at(arr, mid_lo) + F.element_at(arr, mid_hi)) / 2.0)
+    # emitted UNROUNDED: every input double is bit-identical across
+    # engines (integer-cents day means) and the oracle replays the same
+    # sort + midpoint ops, so the raw double matches exactly — while
+    # round() itself is the divergence risk here (Spark rounds the
+    # SHORTEST DECIMAL repr via BigDecimal, DuckDB rounds the binary
+    # value; a midpoint landing on ...75e-4 flips between them,
+    # observed at sf0.001)
+    return daily.select(
+        F.col("__k").alias(key_col),
+        F.col("__d").alias("day"),
+        n.cast("bigint").alias("n_days"),
+        med.alias("moving_median"),
+    )

@@ -626,3 +626,71 @@ __all__ = [
     "countmin_term_estimates",
     "countmin_oracle_sql",
 ]
+
+
+# ---------------------------------------------------------------------------
+# k-mins (Flajolet–Martin / MinCount) distinct sketch
+# ---------------------------------------------------------------------------
+
+
+def kmins_salt_hash(col: Column, salt: int) -> Column:
+    """Salted 32-bit hash for register ``salt`` of the k-mins sketch —
+    the per-salt uniform hash whose MINIMUM is the register state."""
+    return md5_int32(F.concat(F.lit(f"{salt}:"), col.cast("string")))
+
+
+def kmins_windowed_estimate(regs: DataFrame, k: int = 16) -> DataFrame:
+    """Finalize per-window k-mins registers (MinCount estimator,
+    Lumbroso 2010 family): ``regs`` is the streaming sink
+    ``(window_start, window_end, salt, hmin)``; the estimate maps each
+    register to the uniform (0,1] variate ``(hmin+1)/2^32`` whose mean
+    approximates ``1/(n+1)``, giving ``n̂ = k·2^32/(Σhmin + k) − 1``.
+
+    The register SUM stays in exact BIGINT (association-order-free);
+    the estimate is two exactly-rounded float ops — NO libm anywhere,
+    one step stricter than the HLL finalize (whose LinearCounting
+    branch needs ln). Completes the cardinality-estimator matrix:
+    register-max (HLL), order-statistics (KMV bottom-k), register-min
+    (k-mins) — the three classical families — on the streaming surface.
+    """
+    agg = regs.groupBy("window_start", "window_end").agg(
+        F.count("*").alias("v_present"),
+        F.sum("hmin").alias("__s"),
+    )
+    est = F.lit(float(k) * 4294967296.0) / (
+        F.col("__s") + F.lit(k)
+    ).cast("double") - F.lit(1.0)
+    return agg.select(
+        "window_start",
+        "window_end",
+        F.col("v_present").cast("bigint").alias("k_present"),
+        F.round(est, 4).alias("est_distinct"),
+    )
+
+
+def kmins_windowed_oracle_sql(
+    col: str, table: str, k: int = 16, trunc: str = "hour"
+) -> str:
+    """DuckDB mirror of stream-registers → :func:`kmins_windowed_estimate`
+    (one generator per sketch family so engine and oracle cannot
+    drift): full per-window register build + estimate, no watermark
+    HAVING — the registered query uses the EOS sentinel flush."""
+    h = (
+        "CAST(('0x' || substr(md5(s || ':' || CAST("
+        + col
+        + " AS VARCHAR)),1,8)) AS BIGINT)"
+    )
+    return f"""
+    WITH salts AS (SELECT CAST(unnest(range(0, {k})) AS VARCHAR) AS s),
+    h AS (SELECT date_trunc('{trunc}', ts) AS ws, s, {h} AS h
+          FROM {table}, salts WHERE {col} IS NOT NULL),
+    regs AS (SELECT ws, s, min(h) AS hmin FROM h GROUP BY ws, s),
+    a AS (SELECT ws, CAST(count(*) AS BIGINT) AS k_present,
+                 sum(hmin) AS sh
+          FROM regs GROUP BY ws)
+    SELECT ws AS window_start, ws + INTERVAL 1 {trunc} AS window_end,
+           k_present,
+           round({float(k) * 4294967296.0!r} / CAST(sh + {k} AS DOUBLE) - 1.0,
+                 4) AS est_distinct
+    FROM a
+    """

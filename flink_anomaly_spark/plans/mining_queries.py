@@ -313,3 +313,206 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, id_col="doc_id", text_col="text",
         n=_CONT_N, tau=_CONT_TAU, max_postings=_CONT_CAP,
     )
+
+
+@register(
+    "hbos_outliers",
+    oracle="""
+    WITH b AS (
+      SELECT event_id,
+             least(CAST(floor(value / ((SELECT max(value) FROM events) / 10))
+                        AS BIGINT), 9) AS value_bin,
+             CAST(hour(ts) AS BIGINT) AS hour_bin
+      FROM events
+    ),
+    hv AS (SELECT value_bin, CAST(count(*) AS BIGINT) AS cv FROM b GROUP BY 1),
+    hh AS (SELECT hour_bin, CAST(count(*) AS BIGINT) AS ch FROM b GROUP BY 1),
+    mx AS (SELECT (SELECT max(cv) FROM hv) AS mv, (SELECT max(ch) FROM hh) AS mh),
+    scored AS (
+      SELECT b.event_id, b.value_bin, b.hour_bin, hv.cv, hh.ch, mx.mv, mx.mh
+      FROM b JOIN hv USING (value_bin) JOIN hh USING (hour_bin), mx
+    )
+    SELECT event_id, value_bin, hour_bin,
+           cv AS count_v, ch AS count_h,
+           round((CAST(mv AS DOUBLE) / cv) * (CAST(mh AS DOUBLE) / ch), 4)
+             AS hbos_score
+    FROM scored
+    ORDER BY cv * ch ASC, event_id ASC
+    LIMIT 20
+    """,
+    doc="Histogram-Based Outlier Score (Goldstein & Dengel 2012) over "
+    "(equi-width value bin, hour-of-day): top-20 rarest events. The "
+    "top-k SELECTION key is the integer product count_v·count_h — log "
+    "is monotone, so the ranking is HBOS's, but the key never touches "
+    "libm (the round-7 selection-key lesson); the reported score is "
+    "the product of inverse densities, two exactly-rounded divisions. "
+    "Histograms are broadcast-sized (10 + 24 rows); the corpus joins "
+    "against them and feeds TakeOrderedAndProject.",
+)
+def q_hbos_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.anomaly import hbos_outliers
+
+    events = load_table(spark, sf_dir, "events")
+    return hbos_outliers(
+        events, id_col="event_id", value_col="value", ts_col="ts",
+        n_bins=10, top_k=20,
+    )
+
+
+def _benford_oracle() -> str:
+    from flink_anomaly_spark.operators.anomaly import BENFORD_P
+
+    terms = " + ".join(
+        f"((o{d} - n * {BENFORD_P[d-1]!r}) * (o{d} - n * {BENFORD_P[d-1]!r})"
+        f" / (n * {BENFORD_P[d-1]!r}))"
+        for d in range(1, 10)
+    )
+    counts = ", ".join(
+        f"CAST(count(*) FILTER (d = {d}) AS BIGINT) AS o{d}" for d in range(1, 10)
+    )
+    return f"""
+    WITH c AS (
+      SELECT event_type AS g,
+             CAST(substr(CAST(CAST(round(value*100) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INTEGER) AS d
+      FROM events WHERE CAST(round(value*100) AS BIGINT) > 0
+    ),
+    a AS (SELECT g, CAST(count(*) AS BIGINT) AS n_i, {counts}
+          FROM c GROUP BY g)
+    SELECT g AS event_type, n_i AS n,
+           round(o1 / CAST(n_i AS DOUBLE), 4) AS leading_one_share,
+           round({terms.replace('n *', 'CAST(n_i AS DOUBLE) *').replace('/ (n ', '/ (CAST(n_i AS DOUBLE) ')}, 4) AS benford_chi2
+    FROM a
+    """
+
+
+@register(
+    "benford_deviation",
+    oracle=_benford_oracle(),
+    doc="Benford's-law first-digit screen per event type: chi-square of "
+    "the observed leading-digit distribution of integer cents against "
+    "the Benford expectation — the forensic test for fabricated or "
+    "truncated numerics. The nine log10(1+1/d) probabilities are "
+    "FULL-PRECISION PYTHON LITERALS embedded in both engines (neither "
+    "runs libm at query time), and the chi-square is a fixed nine-term "
+    "expression chain over integer counts — no float SUM whose "
+    "association order could differ. One hash agg, |types| output rows.",
+)
+def q_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.anomaly import benford_deviation
+
+    events = load_table(spark, sf_dir, "events")
+    return benford_deviation(events, group_col="event_type", value_col="value")
+
+
+_BFS_MIN_SUPPORT = 2
+_BFS_SEED_MOD = 50
+_BFS_DEPTH = 3
+
+
+@register(
+    "copurchase_bfs_distances",
+    oracle=f"""
+    WITH items AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+    pairs AS (
+      SELECT a.it AS ia, b.it AS ib
+      FROM items a JOIN items b ON a.bk = b.bk AND a.it < b.it
+      GROUP BY 1, 2 HAVING count(*) >= {_BFS_MIN_SUPPORT}
+    ),
+    e AS (SELECT ia AS src, ib AS dst FROM pairs
+          UNION ALL SELECT ib, ia FROM pairs),
+    s0 AS (SELECT DISTINCT it AS id FROM items WHERE it % {_BFS_SEED_MOD} = 0),
+    r1 AS (SELECT DISTINCT e.dst AS id FROM e JOIN s0 ON e.src = s0.id),
+    r2 AS (SELECT DISTINCT e.dst AS id FROM e JOIN r1 ON e.src = r1.id),
+    r3 AS (SELECT DISTINCT e.dst AS id FROM e JOIN r2 ON e.src = r2.id),
+    lvl AS (
+      SELECT id, 0 AS d FROM s0
+      UNION ALL SELECT id, 1 FROM r1
+      UNION ALL SELECT id, 2 FROM r2
+      UNION ALL SELECT id, 3 FROM r3
+    )
+    SELECT id AS p_partkey, CAST(min(d) AS BIGINT) AS dist
+    FROM lvl GROUP BY id
+    """,
+    doc="Fixed-depth (3) multi-source BFS over the co-purchase graph "
+    "(parts co-ordered in ≥2 baskets, symmetrized; seeds = partkey ≡ 0 "
+    "mod 50): minimum hop distance per reachable part. Per level: one "
+    "src-keyed edge join + one min-aggregation (the pagerank two-"
+    "shuffle step) with per-level lineage truncation so the pair-"
+    "mining edge derivation runs once, not 2^depth times. The oracle "
+    "unrolls the identical three expansions.",
+)
+def q_copurchase_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.graph import bfs_distances
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("it")
+    ).distinct()
+    pairs = (
+        items.alias("a")
+        .join(items.alias("b"), "bk")
+        .filter(F.col("a.it") < F.col("b.it"))
+        .groupBy(F.col("a.it").alias("ia"), F.col("b.it").alias("ib"))
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= _BFS_MIN_SUPPORT)
+        .select("ia", "ib")
+    )
+    edges = pairs.select(
+        F.col("ia").alias("src"), F.col("ib").alias("dst")
+    ).unionByName(pairs.select(F.col("ib").alias("src"), F.col("ia").alias("dst")))
+    seeds = (
+        items.filter(F.col("it") % _BFS_SEED_MOD == 0)
+        .select(F.col("it").alias("id"))
+        .distinct()
+    )
+    return bfs_distances(edges, seeds, max_depth=_BFS_DEPTH).select(
+        F.col("id").alias("p_partkey"), F.col("dist").cast("bigint").alias("dist")
+    )
+
+
+@register(
+    "moving_median_daily",
+    # the oracle computes the median EXPLICITLY (sorted window list +
+    # the same midpoint ops as the Spark side) rather than median()
+    # OVER, and neither side rounds: identical input doubles + identical
+    # arithmetic ⇒ bit-identical output, whereas round() itself
+    # diverges at ...75e-4 midpoints (Spark rounds the shortest decimal
+    # repr, DuckDB the binary value)
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             sum(CAST(round(value*100) AS BIGINT)) / (100.0 * count(*)) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT event_type, day,
+             list_sort(list(v) OVER win) AS arr,
+             CAST(count(*) OVER win AS BIGINT) AS n_days
+      FROM daily
+      WINDOW win AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, day, n_days,
+           CASE WHEN n_days % 2 = 1
+                THEN arr[CAST((n_days + 1) // 2 AS INTEGER)]
+                ELSE (arr[CAST(n_days // 2 AS INTEGER)]
+                      + arr[CAST(n_days // 2 + 1 AS INTEGER)]) / 2.0
+           END AS moving_median
+    FROM w
+    """,
+    doc="Trailing 7-day moving MEDIAN of per-day mean values per event "
+    "type — robust smoothing a moving average can't give (one corrupted "
+    "day moves the mean, never the median). Spark lacks a median window "
+    "aggregate; after the day pre-agg each frame holds ≤7 values, so "
+    "sort_array(collect_list) + middle-element math is exact and "
+    "constant-work per row — the day pre-aggregation (integer cents) is "
+    "what makes this scale- and determinism-safe, as in theil_sen_trend.",
+)
+def q_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.mining import moving_median_daily
+
+    events = load_table(spark, sf_dir, "events")
+    return moving_median_daily(
+        events, key_col="event_type", ts_col="ts", value_col="value", window_days=7
+    )

@@ -798,3 +798,36 @@ def q_streaming_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(
         cusum_alarm_stream(stream_events(spark, sf_dir))
     ).withColumnRenamed("key", "event_type")
+
+
+def _kmins_stream_oracle() -> str:
+    from flink_anomaly_spark.operators.sketches import kmins_windowed_oracle_sql
+
+    return kmins_windowed_oracle_sql("user_id", "events", k=16, trunc="hour")
+
+
+@register(
+    "streaming_kmins_distinct_final",
+    oracle=_kmins_stream_oracle(),
+    doc="Streaming k-mins (Flajolet–Martin register-MIN) distinct "
+    "estimate per hourly window — completes the cardinality-estimator "
+    "matrix on the streaming surface: register-max (streaming_hll), "
+    "order-statistics (batch KMV), register-min (this). Each event "
+    "statelessly explodes to k=16 salted hashes; the stateful stage is "
+    "a windowed min per (window, salt) — exactly k register rows of "
+    "state per open window. EOS-sentinel flush finalizes every real "
+    "window; the finalize is libm-FREE (exact BIGINT register sum, two "
+    "exactly-rounded float ops), one step stricter than HLL's "
+    "LinearCounting ln branch. The oracle replays the identical "
+    "register build + estimate.",
+)
+def q_streaming_kmins_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from flink_anomaly_spark.operators.sketches import kmins_windowed_estimate
+    from flink_anomaly_spark.streaming.pipelines import kmins_register_stream
+
+    work = tempfile.mkdtemp(prefix="eos_flush_")
+    events = stream_events_with_final_flush(spark, sf_dir, work)
+    regs = run_to_memory(kmins_register_stream(events, key_col="user_id", k=16))
+    return kmins_windowed_estimate(regs, k=16)

@@ -683,3 +683,49 @@ def two_level_window_stream(events: DataFrame) -> DataFrame:
             "total",
         )
     )
+
+
+def kmins_register_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    k: int = 16,
+    duration: str = "1 hour",
+) -> DataFrame:
+    """Streaming per-window k-mins register build — the register-MIN
+    sibling of :func:`hll_register_stream` (register max) and the
+    third classical cardinality-estimator family after KMV's order
+    statistics: each event statelessly explodes to its ``k`` salted
+    32-bit hashes, the stateful stage is a windowed ``min`` per
+    (window, salt) — state is exactly ``k`` register rows per open
+    window, constant in event volume. The k× stateless row fan-out is
+    the k-mins cost model (HLL pays 1 row/event but needs ln at
+    finalize; k-mins stays libm-free end to end). Finalized registers
+    feed :func:`~flink_anomaly_spark.operators.sketches.\
+kmins_windowed_estimate` batch-side (serve-layer split)."""
+    from flink_anomaly_spark.operators.sketches import kmins_salt_hash
+
+    key = F.col(key_col)
+    sh = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("salt"), kmins_salt_hash(key, s).alias("h")
+                )
+                for s in range(k)
+            ]
+        )
+    ).alias("sh")
+    return (
+        events.filter(key.isNotNull())
+        .select("ts", sh)
+        .select("ts", F.col("sh.salt").alias("salt"), F.col("sh.h").alias("h"))
+        .withWatermark("ts", "20 seconds")
+        .groupBy(F.window("ts", duration).alias("win"), "salt")
+        .agg(F.min("h").alias("hmin"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "salt",
+            "hmin",
+        )
+    )

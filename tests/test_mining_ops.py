@@ -332,3 +332,162 @@ def test_containment_postings_cap_drops_hot_grams(spark):
         df, "doc_id", "text", n=3, tau=0.3, max_postings=2
     ).collect()
     assert got == []
+
+
+# ---------------------------------------------------------------------------
+# HBOS
+# ---------------------------------------------------------------------------
+
+
+def test_hbos_matches_bruteforce_ranking(spark):
+    from collections import Counter
+
+    from flink_anomaly_spark.operators.anomaly import hbos_outliers
+
+    rng = random.Random(7)
+    rows = [
+        (i, round(rng.uniform(0.01, 99.99), 2),
+         f"2026-04-01 {rng.randint(0, 23):02d}:00:00")
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, value double, ts string")
+    df = df.withColumn("ts", F.to_timestamp("ts"))
+    got = hbos_outliers(df, "event_id", "value", "ts", n_bins=10, top_k=15).collect()
+
+    vmax = max(v for _, v, _ in rows)
+    feats = [
+        (i, min(int(v // (vmax / 10)), 9), int(t[11:13])) for i, v, t in rows
+    ]
+    cv = Counter(b for _, b, _ in feats)
+    ch = Counter(h for _, _, h in feats)
+    ref = sorted(feats, key=lambda r: (cv[r[1]] * ch[r[2]], r[0]))[:15]
+    assert [r.event_id for r in got] == [i for i, _, _ in ref]
+    mv, mh = max(cv.values()), max(ch.values())
+    for r in got:
+        assert r.hbos_score == round((mv / cv[r.value_bin]) * (mh / ch[r.hour_bin]), 4)
+
+
+# ---------------------------------------------------------------------------
+# Benford
+# ---------------------------------------------------------------------------
+
+
+def test_benford_conforming_vs_uniform(spark):
+    from flink_anomaly_spark.operators.anomaly import BENFORD_P, benford_deviation
+
+    rng = random.Random(11)
+    rows = []
+    # group "b": Benford-conforming (log-uniform magnitudes)
+    for i in range(3000):
+        v = 10 ** rng.uniform(-1, 3)
+        rows.append(("b", round(v, 2)))
+    # group "u": uniform [10, 100) — first digits heavily skewed off Benford
+    for i in range(3000):
+        rows.append(("u", round(rng.uniform(10, 99.99), 2)))
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    got = {r.event_type: r for r in benford_deviation(df, "event_type", "value").collect()}
+    assert got["b"].benford_chi2 < 30 < got["u"].benford_chi2
+    assert abs(got["b"].leading_one_share - BENFORD_P[0]) < 0.03
+
+
+def test_benford_chi2_exact_reference(spark):
+    from flink_anomaly_spark.operators.anomaly import BENFORD_P, benford_deviation
+
+    rows = [("g", 1.23), ("g", 0.45), ("g", 91.0), ("g", 0.002), ("g", 0.01)]
+    # cents: 123, 45, 9100, 0 (excluded), 1 -> digits 1, 4, 9, 1
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    r = benford_deviation(df, "event_type", "value").collect()[0]
+    assert r.n == 4
+    obs = {1: 2, 4: 1, 9: 1}
+    chi2 = 0.0
+    for d in range(1, 10):
+        e = 4.0 * BENFORD_P[d - 1]
+        o = obs.get(d, 0)
+        chi2 = chi2 + (o - e) * (o - e) / e
+    assert r.benford_chi2 == round(chi2, 4)
+    assert r.leading_one_share == round(2 / 4.0, 4)
+
+
+# ---------------------------------------------------------------------------
+# BFS
+# ---------------------------------------------------------------------------
+
+
+def test_bfs_matches_python_bfs(spark):
+    from collections import deque
+
+    from flink_anomaly_spark.operators.graph import bfs_distances
+
+    rng = random.Random(13)
+    edges = list({(rng.randint(0, 60), rng.randint(0, 60)) for _ in range(150)})
+    edges = [(a, b) for a, b in edges if a != b]
+    seeds = [0, 7, 33]
+    sym = edges + [(b, a) for a, b in edges]
+    adj = {}
+    for a, b in sym:
+        adj.setdefault(a, []).append(b)
+    dist = {s: 0 for s in seeds}
+    q = deque(seeds)
+    while q:
+        u = q.popleft()
+        if dist[u] >= 3:
+            continue
+        for v in adj.get(u, []):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    e_df = spark.createDataFrame(sym, "src long, dst long")
+    s_df = spark.createDataFrame([(s,) for s in seeds], "id long")
+    got = {r.id: r.dist for r in bfs_distances(e_df, s_df, max_depth=3).collect()}
+    assert got == dist
+
+
+# ---------------------------------------------------------------------------
+# Moving median
+# ---------------------------------------------------------------------------
+
+
+def test_moving_median_matches_pandas_rolling(spark):
+    from flink_anomaly_spark.operators.mining import moving_median_daily
+
+    rng = random.Random(17)
+    rows = []
+    for d in range(20):
+        for _ in range(rng.randint(1, 4)):
+            rows.append(("a", f"2026-05-{d+1:02d} 09:00:00",
+                         round(rng.uniform(1, 500), 2)))
+    df = spark.createDataFrame(rows, "event_type string, ts string, value double")
+    df = df.withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        str(r.day)[:10]: (r.n_days, r.moving_median)
+        for r in moving_median_daily(df, "event_type", "ts", "value", 7).collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["k", "ts", "v"])
+    pdf["day"] = pdf["ts"].str[:10]
+    pdf["c"] = (pdf["v"] * 100).round().astype("int64")
+    daily = pdf.groupby("day").agg(s=("c", "sum"), n=("c", "size")).reset_index()
+    daily["v"] = daily["s"] / (100.0 * daily["n"])
+    med = daily["v"].rolling(7, min_periods=1).median()
+    for i, row in daily.iterrows():
+        n_days, got_med = got[row["day"]]
+        assert n_days == min(i + 1, 7)
+        assert got_med == med.iloc[i], row["day"]
+
+
+# ---------------------------------------------------------------------------
+# k-mins estimate
+# ---------------------------------------------------------------------------
+
+
+def test_kmins_estimate_closed_form(spark):
+    from flink_anomaly_spark.operators.sketches import kmins_windowed_estimate
+
+    regs = spark.createDataFrame(
+        [("2026-01-01 00:00:00", "2026-01-01 01:00:00", s, 1000 * (s + 1))
+         for s in range(16)],
+        "window_start string, window_end string, salt int, hmin long",
+    )
+    got = kmins_windowed_estimate(regs, k=16).collect()[0]
+    s = sum(1000 * (s + 1) for s in range(16))
+    assert got.k_present == 16
+    assert got.est_distinct == round(16 * 4294967296.0 / (s + 16) - 1.0, 4)
