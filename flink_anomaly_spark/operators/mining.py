@@ -371,3 +371,116 @@ def moving_median_daily(
         n.cast("bigint").alias("n_days"),
         med.alias("moving_median"),
     )
+
+
+def ks_drift_matrix(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic for EVERY pair of
+    groups — the distribution-drift screen a training-data pipeline
+    runs between sources/snapshots before mixing them.
+
+    Exactness at scale: the KS sup runs over the aggregated value GRID
+    (distinct integer cents — bounded by the value domain, ~50k rows,
+    NOT by corpus size), so the per-group ECDFs are cumulative integer
+    counts over |groups| independent window partitions. The sup is
+    selected by the INTEGER cross-multiplied key
+    ``|cum_a·n_b − cum_b·n_a|`` (= |F_a−F_b|·n_a·n_b) — exact BIGINT
+    compare, no float in selection (the libm/selection-key rule); the
+    reported statistic is one exactly-rounded division, emitted
+    unrounded. Requires n_a·n_b < 2^63 (~3·10⁹ rows per group) — past
+    that, scale the key to 128-bit decimals.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    base = df.select(F.col(group_col).alias("__g"), cents.alias("__c"))
+    grid = base.select("__c").distinct()
+    groups = base.groupBy("__g").agg(F.count("*").alias("__n"))
+    counts = base.groupBy("__g", "__c").agg(F.count("*").alias("__cnt"))
+    dense = (
+        grid.crossJoin(F.broadcast(groups.select("__g")))
+        .join(counts, ["__g", "__c"], "left_outer")
+        .select("__g", "__c", F.coalesce(F.col("__cnt"), F.lit(0)).alias("__cnt"))
+    )
+    w = (
+        Window.partitionBy("__g")
+        .orderBy("__c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ecdf = dense.withColumn("__cum", F.sum("__cnt").over(w)).select(
+        "__g", "__c", "__cum"
+    )
+    ga = groups.select(F.col("__g").alias("__ga"), F.col("__n").alias("n_a"))
+    gb = groups.select(F.col("__g").alias("__gb"), F.col("__n").alias("n_b"))
+    paired = (
+        ecdf.alias("a")
+        .join(ecdf.alias("b"), "__c")
+        .filter(F.col("a.__g") < F.col("b.__g"))
+        .select(
+            F.col("a.__g").alias("__ga"),
+            F.col("b.__g").alias("__gb"),
+            F.col("a.__cum").alias("__ca"),
+            F.col("b.__cum").alias("__cb"),
+        )
+        .join(F.broadcast(ga), "__ga")
+        .join(F.broadcast(gb), "__gb")
+    )
+    key = F.abs(F.col("__ca") * F.col("n_b") - F.col("__cb") * F.col("n_a"))
+    return (
+        paired.groupBy("__ga", "__gb")
+        .agg(
+            F.max(key).alias("ks_num"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
+        .select(
+            F.col("__ga").alias("group_a"),
+            F.col("__gb").alias("group_b"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.col("ks_num").cast("bigint").alias("ks_num"),
+            (
+                F.col("ks_num").cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("ks_stat"),
+        )
+    )
+
+
+def seasonality_profile(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Hour-of-day seasonality index per key: mean value in the hour
+    bucket relative to the key's overall mean — the multiplicative
+    seasonal component of the classical decomposition, computed as ONE
+    exactly-rounded division of exact integer-cents cross products
+    (``(Σc_h·n) / (n_h·Σc)``), emitted unrounded. Two hash aggregations
+    (hour level + key level) and a broadcast join; output is
+    |keys|·24 rows."""
+    hour = F.hour(F.col(ts_col))
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    base = df.select(
+        F.col(key_col).alias("__k"), hour.alias("__h"), cents.alias("__c")
+    )
+    hourly = base.groupBy("__k", "__h").agg(
+        F.sum("__c").alias("__sc_h"), F.count("*").alias("__n_h")
+    )
+    totals = base.groupBy("__k").agg(
+        F.sum("__c").alias("__sc"), F.count("*").alias("__n")
+    )
+    return (
+        hourly.join(F.broadcast(totals), "__k")
+        .select(
+            F.col("__k").alias(key_col),
+            F.col("__h").cast("bigint").alias("hour"),
+            F.col("__n_h").cast("bigint").alias("n_events"),
+            (
+                (F.col("__sc_h") * F.col("__n")).cast("double")
+                / (F.col("__n_h") * F.col("__sc")).cast("double")
+            ).alias("seasonality_idx"),
+        )
+    )

@@ -516,3 +516,135 @@ def q_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return moving_median_daily(
         events, key_col="event_type", ts_col="ts", value_col="value", window_days=7
     )
+
+
+@register(
+    "ks_drift_matrix",
+    oracle="""
+    WITH base AS (
+      SELECT event_type AS g, CAST(round(value*100) AS BIGINT) AS c FROM events
+    ),
+    grid AS (SELECT DISTINCT c FROM base),
+    groups AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY g),
+    counts AS (SELECT g, c, CAST(count(*) AS BIGINT) AS cnt FROM base GROUP BY g, c),
+    dense AS (
+      SELECT gr.g, grid.c, coalesce(counts.cnt, 0) AS cnt
+      FROM grid CROSS JOIN (SELECT g FROM groups) gr
+      LEFT JOIN counts ON counts.g = gr.g AND counts.c = grid.c
+    ),
+    ecdf AS (
+      SELECT g, c,
+             sum(cnt) OVER (PARTITION BY g ORDER BY c
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM dense
+    ),
+    paired AS (
+      SELECT a.g AS group_a, b.g AS group_b, a.cum AS ca, b.cum AS cb
+      FROM ecdf a JOIN ecdf b ON a.c = b.c AND a.g < b.g
+    )
+    SELECT p.group_a, p.group_b, ga.n AS n_a, gb.n AS n_b,
+           CAST(max(abs(p.ca * gb.n - p.cb * ga.n)) AS BIGINT) AS ks_num,
+           CAST(max(abs(p.ca * gb.n - p.cb * ga.n)) AS DOUBLE)
+             / CAST(ga.n * gb.n AS DOUBLE) AS ks_stat
+    FROM paired p JOIN groups ga ON p.group_a = ga.g
+                  JOIN groups gb ON p.group_b = gb.g
+    GROUP BY p.group_a, p.group_b, ga.n, gb.n
+    """,
+    doc="Exact two-sample Kolmogorov–Smirnov statistic for every pair "
+    "of event types — the distribution-drift screen between data "
+    "sources. ECDFs are cumulative integer counts over the aggregated "
+    "value GRID (distinct cents — bounded by the value domain, never "
+    "corpus size), one window partition per type; the sup is selected "
+    "by the exact BIGINT cross-multiplied key |cum_a·n_b − cum_b·n_a| "
+    "(no float in selection), and the statistic is one exactly-rounded "
+    "division emitted unrounded. Valid while n_a·n_b < 2^63.",
+)
+def q_ks_drift_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.mining import ks_drift_matrix
+
+    events = load_table(spark, sf_dir, "events")
+    return ks_drift_matrix(events, group_col="event_type", value_col="value")
+
+
+def _hll_weekly_oracle() -> str:
+    from flink_anomaly_spark.operators.sketches import hll_windowed_oracle_sql
+
+    return hll_windowed_oracle_sql("user_id", "events", p=8, trunc="week")
+
+
+@register(
+    "hll_register_rollup_weekly",
+    oracle=_hll_weekly_oracle(),
+    doc="Sketch ALGEBRA — the property that makes sketches worth "
+    "holding at 100 TB: per-DAY HLL registers merged to per-WEEK "
+    "estimates by register max alone (merge(max-sketches) ≡ sketch of "
+    "the union; no rescan of the raw corpus). The engine builds day "
+    "registers then max-merges them per week; the oracle builds week "
+    "registers DIRECTLY from raw events — hash-equality of the two is "
+    "the cross-engine proof of mergeability. Day registers are the "
+    "materialization a lakehouse would store per partition; the weekly "
+    "rollup shuffle carries ≤ 256 register rows per day.",
+)
+def q_hll_register_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.sketches import (
+        hll_bucket_rho,
+        hll_windowed_estimate,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    bucket, rho = hll_bucket_rho(F.col("user_id"), p=8)
+    day_regs = (
+        events.filter(F.col("user_id").isNotNull())
+        .select(F.date_trunc("day", F.col("ts")).alias("day"), bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("day", "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    week_regs = (
+        day_regs.groupBy(
+            F.date_trunc("week", F.col("day")).alias("window_start"), F.col("bucket")
+        )
+        .agg(F.max("reg").alias("reg"))
+        .select(
+            "window_start",
+            (F.col("window_start") + F.expr("INTERVAL 7 DAYS")).alias("window_end"),
+            "bucket",
+            "reg",
+        )
+    )
+    return hll_windowed_estimate(week_regs, p=8)
+
+
+@register(
+    "seasonality_profile",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, hour(ts) AS h,
+             CAST(round(value*100) AS BIGINT) AS c
+      FROM events
+    ),
+    hourly AS (
+      SELECT event_type, h, sum(c) AS sc_h, CAST(count(*) AS BIGINT) AS n_h
+      FROM base GROUP BY 1, 2
+    ),
+    totals AS (
+      SELECT event_type, sum(c) AS sc, CAST(count(*) AS BIGINT) AS n
+      FROM base GROUP BY 1
+    )
+    SELECT h.event_type, CAST(h.h AS BIGINT) AS hour,
+           h.n_h AS n_events,
+           CAST(h.sc_h * t.n AS DOUBLE) / CAST(h.n_h * t.sc AS DOUBLE)
+             AS seasonality_idx
+    FROM hourly h JOIN totals t ON h.event_type = t.event_type
+    """,
+    doc="Hour-of-day multiplicative seasonality index per event type "
+    "(hour mean over overall mean), as ONE exactly-rounded division of "
+    "exact integer-cents cross products — emitted unrounded. Two hash "
+    "aggs + a broadcast join; |types|·24 output rows.",
+)
+def q_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.mining import seasonality_profile
+
+    events = load_table(spark, sf_dir, "events")
+    return seasonality_profile(
+        events, key_col="event_type", ts_col="ts", value_col="value"
+    )

@@ -491,3 +491,116 @@ def test_kmins_estimate_closed_form(spark):
     s = sum(1000 * (s + 1) for s in range(16))
     assert got.k_present == 16
     assert got.est_distinct == round(16 * 4294967296.0 / (s + 16) - 1.0, 4)
+
+
+# ---------------------------------------------------------------------------
+# KS drift
+# ---------------------------------------------------------------------------
+
+
+def test_ks_exact_reference_and_extremes(spark):
+    from flink_anomaly_spark.operators.mining import ks_drift_matrix
+
+    rng = random.Random(19)
+    rows = []
+    a_vals = [round(rng.uniform(0, 50), 2) for _ in range(200)]
+    b_vals = [round(rng.uniform(25, 75), 2) for _ in range(150)]
+    rows += [("a", v) for v in a_vals]
+    rows += [("b", v) for v in b_vals]
+    rows += [("c", v) for v in a_vals]          # identical to a -> ks 0
+    rows += [("d", round(rng.uniform(100, 200), 2)) for _ in range(50)]  # disjoint -> ks 1
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    got = {
+        (r.group_a, r.group_b): r
+        for r in ks_drift_matrix(df, "event_type", "value").collect()
+    }
+
+    def ref_ks(xs, ys):
+        grid = sorted(set(xs) | set(ys))
+        na, nb = len(xs), len(ys)
+        best = 0
+        for t in grid:
+            ca = sum(1 for v in xs if v <= t)
+            cb = sum(1 for v in ys if v <= t)
+            best = max(best, abs(ca * nb - cb * na))
+        return best, na, nb
+
+    num, na, nb = ref_ks([round(v * 100) for v in a_vals], [round(v * 100) for v in b_vals])
+    assert got[("a", "b")].ks_num == num
+    assert got[("a", "b")].ks_stat == num / (na * nb)
+    assert got[("a", "c")].ks_num == 0 and got[("a", "c")].ks_stat == 0.0
+    assert got[("a", "d")].ks_stat == 1.0 and got[("b", "d")].ks_stat == 1.0
+    assert len(got) == 6  # C(4,2) pairs
+
+
+# ---------------------------------------------------------------------------
+# HLL rollup mergeability
+# ---------------------------------------------------------------------------
+
+
+def test_hll_day_to_week_merge_equals_direct_build(spark):
+    from flink_anomaly_spark.operators.sketches import (
+        hll_bucket_rho,
+        hll_windowed_estimate,
+    )
+    from flink_anomaly_spark.tables import load_table
+
+    events = load_table(spark, SF_SMOKE, "events").filter(F.col("user_id").isNotNull())
+    bucket, rho = hll_bucket_rho(F.col("user_id"), p=8)
+    proj = events.select(
+        F.date_trunc("week", F.col("ts")).alias("window_start"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        bucket.alias("bucket"),
+        rho.alias("rho"),
+    )
+    direct = (
+        proj.groupBy("window_start", "bucket")
+        .agg(F.max("rho").alias("reg"))
+        .select(
+            "window_start",
+            (F.col("window_start") + F.expr("INTERVAL 7 DAYS")).alias("window_end"),
+            "bucket",
+            "reg",
+        )
+    )
+    merged = (
+        proj.groupBy("window_start", "day", "bucket")
+        .agg(F.max("rho").alias("reg"))
+        .groupBy("window_start", "bucket")
+        .agg(F.max("reg").alias("reg"))
+        .select(
+            "window_start",
+            (F.col("window_start") + F.expr("INTERVAL 7 DAYS")).alias("window_end"),
+            "bucket",
+            "reg",
+        )
+    )
+    d = sorted(map(tuple, hll_windowed_estimate(direct, p=8).collect()))
+    m = sorted(map(tuple, hll_windowed_estimate(merged, p=8).collect()))
+    assert d == m and len(d) > 0
+
+
+# ---------------------------------------------------------------------------
+# Seasonality
+# ---------------------------------------------------------------------------
+
+
+def test_seasonality_exact_reference(spark):
+    from flink_anomaly_spark.operators.mining import seasonality_profile
+
+    rows = [
+        ("a", "2026-06-01 00:10:00", 10.0),
+        ("a", "2026-06-01 00:20:00", 30.0),   # hour 0: mean 20
+        ("a", "2026-06-01 06:00:00", 60.0),   # hour 6: mean 60; overall 100/3
+        ("b", "2026-06-01 12:00:00", 5.0),    # single hour: idx exactly 1
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts string, value double")
+    df = df.withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        (r.event_type, r.hour): r
+        for r in seasonality_profile(df, "event_type", "ts", "value").collect()
+    }
+    assert got[("a", 0)].seasonality_idx == (4000 * 3) / (2 * 10000)
+    assert got[("a", 6)].seasonality_idx == (6000 * 3) / (1 * 10000)
+    assert got[("b", 12)].seasonality_idx == 1.0
+    assert got[("a", 0)].n_events == 2
