@@ -316,6 +316,8 @@ def hbos_outliers(
     is scanned twice (once per histogram pass folds into one shared
     scan per feature aggregation) and never shuffled whole.
     """
+    from flink_anomaly_spark.operators.dedup import _persist
+
     vmax = df.agg(F.max(value_col).alias("__vmax"))
     binned = (
         df.select(
@@ -333,6 +335,10 @@ def hbos_outliers(
             ).alias("__bv"),
         )
     )
+    # persisted: both histogram passes and the final scoring join read
+    # this narrow (id, hour, bin) projection — without the cache each
+    # consumer rescans the corpus and recomputes the vmax aggregate
+    binned = _persist(binned)
     hist_v = binned.groupBy("__bv").agg(F.count("*").alias("__cv"))
     hist_h = binned.groupBy("__h").agg(F.count("*").alias("__ch"))
     maxes = hist_v.agg(F.max("__cv").alias("__mv")).crossJoin(

@@ -109,12 +109,17 @@ def frequent_item_pairs(
     market-basket guard). Pair counting is map-side combinable; only
     (item, item, count) triples reach the reduce side.
     """
+    from flink_anomaly_spark.operators.dedup import _persist
+
     items = df.select(
         F.col(basket_col).alias("__bk"), F.col(item_col).alias("__it")
     ).distinct()
     sized = items.groupBy("__bk").agg(F.count("*").alias("__n_items"))
     ok = sized.filter(F.col("__n_items") <= max_basket_items).select("__bk")
-    items = items.join(ok, "__bk")
+    # persisted: three consumers (pair join, item frequencies, basket
+    # total) would otherwise each replay distinct + cap — the winnowing
+    # shared-frame pattern
+    items = _persist(items.join(ok, "__bk"))
     pairs = (
         items.alias("a")
         .join(items.alias("b"), "__bk")
@@ -127,8 +132,13 @@ def frequent_item_pairs(
     ).limit(top_k)
     freq = items.groupBy("__it").agg(F.count("*").alias("__cnt"))
     # lazy scalar: the basket count rides along as a broadcast 1-row
-    # frame (no driver-side count during plan construction)
-    nb = ok.agg(F.count("*").cast("bigint").alias("__n_baskets"))
+    # frame (no driver-side count during plan construction), derived
+    # from the persisted items frame rather than replaying the cap scan
+    nb = (
+        items.select("__bk")
+        .distinct()
+        .agg(F.count("*").cast("bigint").alias("__n_baskets"))
+    )
     fa = freq.select(F.col("__it").alias("__fa"), F.col("__cnt").alias("count_a"))
     fb = freq.select(F.col("__it").alias("__fb"), F.col("__cnt").alias("count_b"))
     return (
@@ -408,8 +418,15 @@ def ks_drift_matrix(
         .orderBy("__c")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    ecdf = dense.withColumn("__cum", F.sum("__cnt").over(w)).select(
-        "__g", "__c", "__cum"
+    from flink_anomaly_spark.operators.dedup import _persist
+
+    # persisted: the pair stage reads the ECDF frame twice (both sides
+    # of the self-join); the frame is grid-bounded (|domain|·|groups|
+    # rows), so the cache is small and saves a full corpus re-aggregation
+    ecdf = _persist(
+        dense.withColumn("__cum", F.sum("__cnt").over(w)).select(
+            "__g", "__c", "__cum"
+        )
     )
     ga = groups.select(F.col("__g").alias("__ga"), F.col("__n").alias("n_a"))
     gb = groups.select(F.col("__g").alias("__gb"), F.col("__n").alias("n_b"))

@@ -620,3 +620,127 @@ def test_exact_substring_spans_no_cartesian_and_pruned(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert_column_pruned(df, "lang")
     assert_column_pruned(df, "source")
+
+
+# ---------------------------------------------------------------------------
+# Round-8 operators
+# ---------------------------------------------------------------------------
+
+
+def test_asof_nearest_single_shuffle_single_window(spark):
+    """Nearest-as-of must stay the union-then-window shape: ONE keyed
+    exchange and ONE Window node computing both directional frames — a
+    second sort or a join would double the operator's cost."""
+    df = _Q["asof_join_nearest"](spark, SF_SMOKE)
+    from flink_anomaly_spark.plans.contracts import physical_plan
+
+    assert_single_shuffle(df)
+    plan = physical_plan(df, "simple")
+    assert plan.count("Window") == 1, plan
+
+
+def test_cusum_shares_one_sort(spark):
+    """Both CUSUM window passes (cumsum, running min) share the same
+    partition/order spec — the plan must contain exactly ONE Sort, or
+    the closed form has lost its single-keyed-sort advantage."""
+    from flink_anomaly_spark.plans.contracts import physical_plan
+
+    df = _Q["cusum_changepoints"](spark, SF_SMOKE)
+    plan = physical_plan(df, "simple")
+    sorts = [ln for ln in plan.splitlines() if ln.strip().startswith("+- Sort") or ln.strip().startswith("Sort")]
+    assert len(sorts) == 1, plan
+
+
+def test_frequent_pairs_take_ordered_and_broadcast_lift(spark):
+    """Top-k pair selection must be TakeOrderedAndProject; the lift
+    joins against item frequencies and the 1-row basket total must
+    broadcast (never shuffle the top-k side)."""
+    df = _Q["frequent_item_pairs"](spark, SF_SMOKE)
+    assert_take_ordered(df)
+    assert_broadcast_join(df)
+
+
+def test_pareto_broadcasts_bounds_no_smj_no_cartesian(spark):
+    """The skyline's dominance bounds join back to the corpus by
+    BROADCAST on the distinct minimize value; any SortMergeJoin or
+    CartesianProduct means the two-phase prefix-max shape regressed to
+    a corpus shuffle."""
+    from flink_anomaly_spark.plans.contracts import physical_plan
+
+    df = _Q["pareto_frontier_parts"](spark, SF_SMOKE)
+    assert_broadcast_join(df)
+    plan = physical_plan(df, "simple")
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_benford_single_aggregation_exchange(spark):
+    """Benford is ONE hash aggregation — the nine digit counts are
+    conditional aggregates in the same pass, never nine scans."""
+    df = _Q["benford_deviation"](spark, SF_SMOKE)
+    assert_single_shuffle(df)
+
+
+def test_sorted_neighborhood_no_cartesian_broadcast_offsets(spark):
+    """SNM pairs join on the 8-byte rank key (hash join) with the
+    prefix-offset table broadcast; a CartesianProduct would mean the
+    two-phase rank degenerated to all-pairs."""
+    from flink_anomaly_spark.plans.contracts import physical_plan
+
+    df = _Q["sorted_neighborhood_dup_pairs"](spark, SF_SMOKE)
+    assert_broadcast_join(df)
+    plan = physical_plan(df, "simple")
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_containment_no_cartesian(spark):
+    """Containment pairs materialize only through the postings
+    inverted-index join — never an all-pairs product."""
+    from flink_anomaly_spark.plans.contracts import physical_plan
+
+    plan = physical_plan(_Q["containment_dup_pairs"](spark, SF_SMOKE), "simple")
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ks_windows_partition_by_group(spark):
+    """The ECDF cumulative sums must be per-group window partitions
+    (parallel across groups), and pairing joins on the grid value —
+    no CartesianProduct, no unpartitioned corpus window."""
+    from flink_anomaly_spark.plans.contracts import physical_plan
+
+    df = _Q["ks_drift_matrix"](spark, SF_SMOKE)
+    plan = physical_plan(df, "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "partitionBy" not in plan  # sanity: simple mode has no such token
+    assert "Window" in plan, plan
+
+
+def test_hbos_take_ordered_integer_key(spark):
+    """HBOS's top-k must be TakeOrderedAndProject ordered on the integer
+    count product (check the sort key is the multiply, not the float
+    score)."""
+    from flink_anomaly_spark.plans.contracts import physical_plan
+
+    df = _Q["hbos_outliers"](spark, SF_SMOKE)
+    assert_take_ordered(df)
+    plan = physical_plan(df, "simple")
+    line = next(ln for ln in plan.splitlines() if "TakeOrderedAndProject" in ln)
+    assert "hbos_score" not in line.split("output=")[0], line
+
+
+def test_moving_median_single_window_sort(spark):
+    """Moving median: one keyed exchange for the day agg + one Window
+    sort — the collect_list frame must not add extra shuffles."""
+    from flink_anomaly_spark.plans.contracts import physical_plan
+
+    df = _Q["moving_median_daily"](spark, SF_SMOKE)
+    plan = physical_plan(df, "simple")
+    assert plan.count("Window") == 1, plan
+    ex = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert len(ex) <= 2, plan
+
+
+def test_seasonality_broadcast_totals(spark):
+    """Seasonality joins the 24-row hourly aggregate against the
+    |keys|-row totals via broadcast."""
+    df = _Q["seasonality_profile"](spark, SF_SMOKE)
+    assert_broadcast_join(df)
