@@ -93,70 +93,94 @@ _LOADED = False
 #: green in round 2 (incl. the plan-changed-in-r6 tfidf_top_terms and
 #: dims-extended embedding_topk — the round-6 re-queue), and 10 of the
 #: 25 rows last green in round 3.
+#: ROUND-8 WINDOW: (a) the 16 queries NEW this round, (b) the one plan
+#: CHANGED this round (bpe_learn_merges_batched — its oracle's fold
+#: joins became total LEFT JOINs per round-7 ADVICE; the fingerprint
+#: ledger holds it to a slot mechanically), then (c) the stalest
+#: re-confirms: ALL 18 remaining rows last green in round 3, plus the
+#: first 15 (alphabetical) of the 50 rows last green in round 4. The
+#: window is drawn against CORRECTNESS_r01..r07 — see
+#: ``WINDOW_DRAWN_AFTER_ROUND`` below, which the staleness contract
+#: test uses as its baseline cutoff so the in-flight round's own
+#: CORRECTNESS file never invalidates the test (round-7 ADVICE #1).
+WINDOW_DRAWN_AFTER_ROUND = 7
+
 DRIVER_WINDOW: tuple[str, ...] = (
-    # ---- (a) NEW round-7 queries (prove them on the driver immediately)
-    "exact_substring_spans",
+    # ---- (a) NEW round-8 queries (prove them on the driver immediately)
+    "pareto_frontier_parts",
+    "frequent_item_pairs",
+    "theil_sen_trend",
+    "cusum_changepoints",
+    "asof_join_nearest",
+    "sorted_neighborhood_dup_pairs",
+    "containment_dup_pairs",
+    "hbos_outliers",
+    "benford_deviation",
+    "copurchase_bfs_distances",
+    "moving_median_daily",
+    "ks_drift_matrix",
+    "hll_register_rollup_weekly",
+    "seasonality_profile",
+    "streaming_cusum_alarms",
+    "streaming_kmins_distinct_final",
+    # ---- (b) plan CHANGED in round 8 (batched-BPE oracle totality fix)
     "bpe_learn_merges_batched",
-    "streaming_hll_distinct_final",
-    "priority_sample_per_lang",
-    "streaming_cms_topk_final",
-    "value_histogram_quantiles",
-    # ---- (b) plans CHANGED in round 7 (probe-side repartition; empty-
-    # group semantics; empty-input estimate; vec_col parameter; shared
-    # IVF-PQ index frame + single index-build scan; _bpe_vocab factor;
-    # hll_bucket_rho/_hll_estimate_cols factor; _starts_to_intervals
-    # factor)
-    "edit_distance_near_dup",
-    "normalized_exact_dedup",
-    "hll_distinct_users",
-    "rrf_hybrid_retrieval",
-    "embedding_ann_ivfpq",
-    "embedding_ann_ivfpq_rerank",
-    "span_dedup_clean",
-    "bpe_learn_merges",
-    "bpe_fertility_by_lang",
-    # ---- (c) stalest re-confirms: last green in ROUND 1
-    "cross_join_grid",
-    "custkeys_except",
-    "custkeys_intersect",
-    "docs_by_lang_source",
-    "full_outer_join",
-    "left_outer_join_nulls",
-    # ---- last green in ROUND 2 (tfidf_top_terms first: its plan
-    # changed in r6 and this is its promised re-queue slot)
-    "tfidf_top_terms",
-    "embedding_topk",
-    "clean_text_corpus",
-    "customers_with_orders_semi",
-    "customers_without_orders_anti",
-    "exact_percentiles",
-    "filter_project",
-    "global_concat_single_key",
-    "hash_sample_10pct",
-    "interval_event_pairs",
-    "map_upper",
-    "merge_upsert_customers",
-    "pivot_order_status",
-    "revenue_by_nation",
-    "session_window_agg",
-    "sliding_window_agg",
-    "topk_orders",
-    "tpch_q18_big_orders",
-    "tpch_q3_sql",
-    "tpch_q6_forecast",
-    "union_bag",
-    "zscore_outliers",
-    # ---- last green in ROUND 3 (7 of 25; the rest queue for r8 —
-    # simhash_fingerprints / tpch_q1_pricing / window_count_agg ceded
-    # their slots to the session's 3 later new queries)
-    "asof_last_signup",
-    "dedup_clusters",
-    "exact_dedup",
-    "embedding_ann_ivf",
-    "flagship_running_concat",
-    "langid_char_ngram",
-    "minhash_near_dup_pairs",
+    # ---- (c) stalest re-confirms: ALL 18 rows last green in ROUND 3
+    "dedup_pipeline_survivors",
+    "embedding_ann_lsh",
+    "embedding_near_dup",
+    "keyed_concat_total",
+    "multimodal_features",
+    "multimodal_frame_plan",
+    "ngram_jaccard_pairs",
+    "rolling_zscore_outliers",
+    "simhash_fingerprints",
+    "simhash_near_dup_pairs",
+    "streaming_interval_join",
+    "streaming_running_concat",
+    "streaming_window_argmax",
+    "streaming_window_count",
+    "text_profile",
+    "tpch_q1_pricing",
+    "window_argmax",
+    "window_count_agg",
+    # ---- first 15 (alphabetical) of the 50 rows last green in ROUND 4
+    "ann_ivf_recall",
+    "ann_lsh_recall",
+    "bigram_pmi_top",
+    "bloom_prefilter_urgent_revenue",
+    "boilerplate_segment_removal",
+    "canonical_doc_per_cluster",
+    "centroid_distance_outliers",
+    "chunk_pack_pipeline",
+    "corpus_curation_pipeline",
+    "cross_doc_repeated_ngrams",
+    "data_quality_suite",
+    "doc_repetition_profile",
+    "doc_token_chunks",
+    "embedding_int8_quantize",
+    "embedding_near_dup_lsh",
 )
+# Rotated OUT in round 8 (all green in CORRECTNESS_r07, 50/50):
+# exact_substring_spans, streaming_hll_distinct_final,
+# priority_sample_per_lang, streaming_cms_topk_final,
+# value_histogram_quantiles, edit_distance_near_dup,
+# normalized_exact_dedup, hll_distinct_users, rrf_hybrid_retrieval,
+# embedding_ann_ivfpq, embedding_ann_ivfpq_rerank, span_dedup_clean,
+# bpe_learn_merges, bpe_fertility_by_lang, cross_join_grid,
+# custkeys_except, custkeys_intersect, docs_by_lang_source,
+# full_outer_join, left_outer_join_nulls, tfidf_top_terms,
+# embedding_topk, clean_text_corpus, customers_with_orders_semi,
+# customers_without_orders_anti, exact_percentiles, filter_project,
+# global_concat_single_key, hash_sample_10pct, interval_event_pairs,
+# map_upper, merge_upsert_customers, pivot_order_status,
+# revenue_by_nation, session_window_agg, sliding_window_agg,
+# topk_orders, tpch_q18_big_orders, tpch_q3_sql, tpch_q6_forecast,
+# union_bag, zscore_outliers, asof_last_signup, dedup_clusters,
+# exact_dedup, embedding_ann_ivf, flagship_running_concat,
+# langid_char_ngram, minhash_near_dup_pairs.
+# (bpe_learn_merges_batched stayed IN: its oracle changed this round.)
+#
 # Rotated OUT in round 7 (all green in CORRECTNESS_r06, 50/50):
 # embedding_ann_pq_lloyd, streaming_sliding_count_final,
 # semdedup_survivors, quality_logistic_score, media_dhash_near_dup,

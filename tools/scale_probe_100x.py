@@ -98,6 +98,20 @@ PROBE = [
     ("kmv_custkey_difference", "orders"),
     ("embedding_ann_ivfpq_rerank", "embeddings"),
     ("rrf_hybrid_retrieval", "documents"),
+    # round-8 extension: the pair-mining self-join (key-shifted
+    # orderkeys keep baskets base-sized — pairs must grow linearly,
+    # flat B/row), the CUSUM keyed sort (flat B/row), the grid-bounded
+    # KS ECDF and the domain-bounded skyline (B/row must DROP ~n-fold —
+    # their exchanges carry the VALUE DOMAIN, not the corpus), and the
+    # two new dedup blockers over disjoint-token replicas (SNM rank
+    # candidates are exactly (w-1)·n; containment postings lists stay
+    # base-sized).
+    ("frequent_item_pairs", "lineitem"),
+    ("cusum_changepoints", "events"),
+    ("ks_drift_matrix", "events"),
+    ("pareto_frontier_parts", "part"),
+    ("sorted_neighborhood_dup_pairs", "documents"),
+    ("containment_dup_pairs", "documents"),
 ]
 
 _KEY_SHIFT = {
@@ -108,6 +122,10 @@ _KEY_SHIFT = {
     # (vec_id 0..15, 42) keep existing in the replicated corpus
     "embeddings": ["vec_id"],
     "events": ["event_id"],
+    # round 8: the skyline probe needs a bigger part table; key-shifted
+    # partkeys leave the (price, size) distribution identical, so the
+    # frontier itself stays domain-sized while the corpus grows x n
+    "part": ["p_partkey"],
 }
 
 
@@ -189,7 +207,7 @@ def main() -> None:
         replicate(spark, n, big_dir)
         big = measure(spark, app_id, big_dir)
         lines = [
-            f"## x100 scale probe (rounds 4-6) — shuffle bytes/row at x{n} facts",
+            f"## x100 scale probe (rounds 4-8) — shuffle bytes/row at x{n} facts",
             "",
             f"Generated by `python tools/scale_probe_100x.py {n}`. Documents are",
             "replicated with DISJOINT per-replica token spaces (every token gets",

@@ -100,6 +100,21 @@ PROBE = [
     ("bpe_learn_merges_batched", "vocab-sized pair-count exchanges, one per PASS (not per merge)"),
     ("priority_sample_per_lang", "one lang exchange; WindowGroupLimit trims to top-(k+1) per map partition first"),
     ("value_histogram_quantiles", "<=64 bin partials per map task; all downstream frames are sketch-sized"),
+    # round-8 operators
+    ("pareto_frontier_parts", "distinct-price agg exchange only; dominance bounds broadcast back — the corpus never shuffles"),
+    ("frequent_item_pairs", "basket-keyed item self-join + map-side-combined pair partials; <=cap^2/2 pairs per basket"),
+    ("theil_sen_trend", "day pre-agg exchange; the O(days^2) pair join runs over calendar-bounded rows per key"),
+    ("cusum_changepoints", "ONE event_type sort exchange shared by all four window aggregates (closed-form Page recursion)"),
+    ("asof_join_nearest", "1 exchange: union-tag window; both directional candidates from one sort"),
+    ("sorted_neighborhood_dup_pairs", "prefix-rank exchange + 8-byte rank-key candidate join; exactly (w-1)*n candidates"),
+    ("containment_dup_pairs", "capped postings joins on 60-bit gram keys; hot grams dropped before the self-join"),
+    ("hbos_outliers", "two broadcast-sized histogram aggs joined back; TakeOrdered on the integer key — no corpus shuffle"),
+    ("benford_deviation", "one hash agg: nine conditional digit counts in a single pass"),
+    ("ks_drift_matrix", "grid-bounded ECDF exchanges (value domain, not corpus); integer sup key"),
+    ("moving_median_daily", "day agg + one keyed window sort over calendar-bounded frames"),
+    ("copurchase_bfs_distances", "per-level ids-only frontier joins over the support-filtered edge list"),
+    ("seasonality_profile", "two map-side-combined aggs; totals broadcast"),
+    ("hll_register_rollup_weekly", "<=256 register rows per day shuffled; weekly merge is register max"),
 ]
 
 
