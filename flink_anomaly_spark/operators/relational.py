@@ -781,3 +781,93 @@ def asof_join_nearest(
         .cast("bigint")
         .alias(out_gap),
     )
+
+
+def negative_sampling_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    rank_bucket: int = 1000,
+) -> DataFrame:
+    """Deterministic random negative pairs for contrastive training:
+    ``k`` pseudo-random partner documents per anchor, drawn by hashing
+    (anchor id, sample index) onto the corpus ordinal space, with
+    normalized-content duplicates of the anchor excluded (a "negative"
+    that is a reformatted copy of the anchor is a false negative — the
+    standard contrastive-sampling hygiene rule).
+
+    Deterministic by construction — ``md5(id:j) mod N`` replaces RNG
+    state, so resampling any shard reproduces bit-identical pairs (the
+    priority-sampling/hash_sample design rule). The ordinal index is
+    the two-phase rank (``floor(id / rank_bucket)`` partitions + a
+    broadcast cumulative-offset table — the global_rank_export shape),
+    the candidate join is an equi-join on the 8-byte ordinal, and the
+    corpus count rides along as a broadcast 1-row aggregate.
+    """
+    from pyspark.sql import Window as W
+
+    from flink_anomaly_spark.operators.dedup import md5_int32, normalize_text
+
+    norm = normalize_text(F.col(text_col))
+    d = df.select(
+        F.col(id_col).alias("__id"),
+        F.when(F.length(norm) > 0, F.md5(norm)).alias("__nh"),
+    )
+    d = d.withColumn("__bkt", F.floor(F.col("__id") / rank_bucket))
+    per = F.row_number().over(W.partitionBy("__bkt").orderBy("__id"))
+    offs = F.broadcast(
+        d.groupBy("__bkt")
+        .agg(F.count("*").alias("__cnt"))
+        .select(
+            "__bkt",
+            (
+                F.sum("__cnt").over(
+                    W.orderBy("__bkt").rowsBetween(W.unboundedPreceding, W.currentRow)
+                )
+                - F.col("__cnt")
+            ).alias("__off"),
+        )
+    )
+    ranked = d.join(offs, "__bkt").select(
+        "__id", "__nh", (per + F.col("__off") - 1).cast("bigint").alias("__rk")
+    )
+    n = ranked.agg(F.count("*").cast("bigint").alias("__n"))
+    cands = (
+        ranked.select(F.col("__id"), F.col("__nh"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "__id",
+            "__nh",
+            "__n",
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__j"),
+        )
+        .select(
+            "__id",
+            "__nh",
+            "__j",
+            F.pmod(
+                md5_int32(F.concat(F.col("__id").cast("string"), F.lit(":"), F.col("__j").cast("string"))),
+                F.col("__n"),
+            ).alias("__rk"),
+        )
+    )
+    neg = ranked.select(
+        F.col("__rk"),
+        F.col("__id").alias("neg_id"),
+        F.col("__nh").alias("__neg_nh"),
+    )
+    return (
+        cands.join(neg, "__rk")
+        .filter(F.col("neg_id") != F.col("__id"))
+        .filter(
+            F.col("__nh").isNull()
+            | F.col("__neg_nh").isNull()
+            | (F.col("__nh") != F.col("__neg_nh"))
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__j").cast("bigint").alias("sample_j"),
+            F.col("neg_id"),
+        )
+    )

@@ -1252,3 +1252,53 @@ def ivf_pq_rerank_topk(
         "exact_micro",
         "rank",
     )
+
+
+def hard_negative_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    query_ids: list[int],
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: the top-k most
+    COSINE-SIMILAR vectors with a DIFFERENT label per query — the
+    negatives that actually move an embedding model (random negatives
+    are trivially separable; the hard ones sit just across the
+    decision boundary).
+
+    Same plan as :func:`brute_force_topk` — broadcast query side, one
+    corpus stream, per-query top-k window on the tiny query key space —
+    with the label inequality folded into the broadcast-join condition
+    so excluded positives never materialize.
+    """
+    base = spread(
+        df.select(
+            F.col(id_col).alias("nid"),
+            F.col(vec_col).alias("nvec"),
+            F.col(label_col).alias("neg_label"),
+        )
+    )
+    queries = df.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qvec"),
+        F.col(label_col).alias("qlab"),
+    )
+    scored = base.join(
+        F.broadcast(queries),
+        (F.col("nid") != F.col("qid")) & (F.col("neg_label") != F.col("qlab")),
+    ).select(
+        "qid",
+        "nid",
+        "neg_label",
+        F.round(cosine(F.col("qvec"), F.col("nvec")), 6).alias("cos_sim"),
+    )
+    out = top_k_per_group(
+        scored,
+        group_cols=["qid"],
+        order_by=[F.col("cos_sim").desc(), F.col("nid").asc()],
+        k=k,
+        rank_col="rank",
+    )
+    return out.select("qid", "nid", "neg_label", "cos_sim", "rank")

@@ -648,3 +648,87 @@ def q_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonality_profile(
         events, key_col="event_type", ts_col="ts", value_col="value"
     )
+
+
+@register(
+    "hard_negatives_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qvec, label AS qlab
+               FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS nid, embedding AS nvec, label AS neg_label
+               FROM embeddings),
+         scored AS (
+           SELECT qid, nid, neg_label,
+                  round(
+                    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                      list_transform(range(1, len(qvec)+1),
+                        i -> CAST(qvec[i] AS DOUBLE) * CAST(nvec[i] AS DOUBLE))), (a,b) -> a+b)
+                    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                         list_transform(range(1, len(qvec)+1),
+                           i -> CAST(qvec[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE))), (a,b) -> a+b))
+                     * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                         list_transform(range(1, len(nvec)+1),
+                           i -> CAST(nvec[i] AS DOUBLE) * CAST(nvec[i] AS DOUBLE))), (a,b) -> a+b)))
+                  , 6) AS cos_sim
+           FROM c JOIN q ON nid != qid AND neg_label != qlab)
+    SELECT qid, nid, neg_label, cos_sim, rank FROM (
+      SELECT qid, nid, neg_label, cos_sim,
+             row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid ASC) AS rank
+      FROM scored) t
+    WHERE rank <= 5
+    """,
+    doc="Hard-negative mining for contrastive training: top-5 most "
+    "cosine-similar vectors with a DIFFERENT label per query — the "
+    "negatives just across the decision boundary that actually train "
+    "an embedding model. Same broadcast-query / one-corpus-stream / "
+    "tiny-key top-k plan as embedding_topk, with the label inequality "
+    "folded into the join condition so positives never materialize; "
+    "the dot-product fold is the shared left-to-right chain, "
+    "bit-identical to the oracle's list_reduce.",
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.similarity import hard_negative_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negative_topk(
+        emb, id_col="vec_id", vec_col="embedding", label_col="label",
+        query_ids=list(range(10)), k=5,
+    )
+
+
+@register(
+    "negative_sampling_pairs",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) > 0
+                  THEN md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+             END AS nh
+      FROM documents
+    ),
+    r AS (SELECT doc_id, nh, row_number() OVER (ORDER BY doc_id) - 1 AS rk FROM d),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM d),
+    c AS (SELECT d.doc_id, d.nh, j.j,
+                 CAST(('0x' || substr(md5(d.doc_id || ':' || j.j), 1, 8)) AS BIGINT)
+                   % n.cnt AS rj
+          FROM d, (SELECT unnest(range(0, 4)) AS j) j, n)
+    SELECT c.doc_id, CAST(c.j AS BIGINT) AS sample_j, r.doc_id AS neg_id
+    FROM c JOIN r ON c.rj = r.rk
+    WHERE r.doc_id != c.doc_id
+      AND (c.nh IS NULL OR r.nh IS NULL OR c.nh != r.nh)
+    """,
+    doc="Deterministic random negatives for contrastive training: 4 "
+    "pseudo-random partner docs per anchor via md5(id:j) mod N onto "
+    "the corpus ordinal space — RNG-free, so any shard resample is "
+    "bit-reproducible (the hash_sample/priority-sampling design "
+    "rule); normalized-content copies of the anchor are excluded "
+    "(false negatives). Ordinals come from the two-phase rank "
+    "(bucketed row_number + broadcast offsets); the candidate join is "
+    "an 8-byte ordinal equi-join; N rides along as a broadcast 1-row "
+    "aggregate.",
+)
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.relational import negative_sampling_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return negative_sampling_pairs(docs, id_col="doc_id", text_col="text", k=4)

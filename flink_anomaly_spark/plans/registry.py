@@ -123,6 +123,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "seasonality_profile",
     "streaming_cusum_alarms",
     "streaming_kmins_distinct_final",
+    "hard_negatives_topk",
+    "negative_sampling_pairs",
     # ---- (b) plan CHANGED in round 8 (batched-BPE oracle totality fix)
     "bpe_learn_merges_batched",
     # ---- (c) stalest re-confirms: ALL 18 rows last green in ROUND 3
@@ -144,7 +146,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "tpch_q1_pricing",
     "window_argmax",
     "window_count_agg",
-    # ---- first 15 (alphabetical) of the 50 rows last green in ROUND 4
+    # ---- first 13 (alphabetical) of the 50 rows last green in ROUND 4
+    # (two late round-8 additions displaced embedding_int8_quantize and
+    # embedding_near_dup_lsh back into the round-9 queue)
     "ann_ivf_recall",
     "ann_lsh_recall",
     "bigram_pmi_top",
@@ -158,8 +162,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "data_quality_suite",
     "doc_repetition_profile",
     "doc_token_chunks",
-    "embedding_int8_quantize",
-    "embedding_near_dup_lsh",
 )
 # Rotated OUT in round 8 (all green in CORRECTNESS_r07, 50/50):
 # exact_substring_spans, streaming_hll_distinct_final,

@@ -604,3 +604,69 @@ def test_seasonality_exact_reference(spark):
     assert got[("a", 6)].seasonality_idx == (6000 * 3) / (1 * 10000)
     assert got[("b", 12)].seasonality_idx == 1.0
     assert got[("a", 0)].n_events == 2
+
+
+# ---------------------------------------------------------------------------
+# Contrastive-training sampling
+# ---------------------------------------------------------------------------
+
+
+def test_hard_negatives_exclude_same_label(spark):
+    from flink_anomaly_spark.operators.similarity import hard_negative_topk
+    from flink_anomaly_spark.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    got = hard_negative_topk(
+        emb, "vec_id", "embedding", "label", query_ids=[0, 1, 2], k=5
+    ).collect()
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    assert len(got) == 15
+    for r in got:
+        assert r.neg_label != labels[r.qid]
+        assert r.nid != r.qid
+        assert labels[r.nid] == r.neg_label
+    # ranks are 1..5 per query, cos_sim non-increasing within a query
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.qid, []).append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+        sims = [r.cos_sim for r in rows]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_negative_sampling_deterministic_and_exclusions(spark):
+    import hashlib
+
+    from flink_anomaly_spark.operators.relational import negative_sampling_pairs
+
+    docs = [(i, f"unique document body number {i}") for i in range(40)]
+    docs.append((100, "unique document body number 7"))  # normalized dup of 7
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out1 = sorted(map(tuple, negative_sampling_pairs(df, "doc_id", "text", k=4).collect()))
+    out2 = sorted(map(tuple, negative_sampling_pairs(df, "doc_id", "text", k=4).collect()))
+    assert out1 == out2 and len(out1) > 0  # bit-reproducible, RNG-free
+
+    ids = sorted([i for i, _ in docs])
+    n = len(ids)
+    rank_of = {i: r for r, i in enumerate(ids)}
+    id_of = {r: i for i, r in rank_of.items()}
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    expect = []
+    def norm(t):
+        import re
+        return re.sub(r"[^a-z0-9]+", " ", t.lower()).strip()
+    norms = {i: norm(t) for i, t in docs}
+    for i, _ in docs:
+        for j in range(4):
+            neg = id_of[h32(f"{i}:{j}") % n]
+            if neg != i and norms[neg] != norms[i]:
+                expect.append((i, j, neg))
+    assert out1 == sorted(expect)
+    # the planted normalized duplicate can never be sampled as the
+    # other's negative
+    assert not any((a == 7 and c == 100) or (a == 100 and c == 7) for a, _, c in out1)
