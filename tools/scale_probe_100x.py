@@ -182,10 +182,13 @@ def stable_stages(spark, app_id):
 
 
 def measure(spark, app_id, sf_dir: str) -> dict[str, dict]:
+    from flink_anomaly_spark.operators.dedup import release_cached
+
     qs = all_queries()
     out = {}
     for name, fact in PROBE:
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()  # warm
+        release_cached()  # the warm run's persisted intermediates
         before = {s["stageId"] for s in stable_stages(spark, app_id)}
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
@@ -194,6 +197,11 @@ def measure(spark, app_id, sf_dir: str) -> dict[str, dict]:
         sw = sum(s.get("shuffleWriteBytes", 0) for s in new)
         rows = load_table(spark, sf_dir, fact).count()
         out[name] = {"wall": wall, "shuffle": sw, "rows": rows}
+        # x100 persisted frames (pair-mining items, containment gram
+        # arrays, KS ECDF) are multi-GB — un-released they accumulate
+        # across the 23 probe entries and starve later broadcast builds
+        # (observed: OOM on the round-8 first full run)
+        release_cached()
     return out
 
 
