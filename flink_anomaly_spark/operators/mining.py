@@ -501,3 +501,57 @@ def seasonality_profile(
             ).alias("seasonality_idx"),
         )
     )
+
+
+def gini_concentration(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-key Gini coefficient of an integer measure — the corpus
+    inequality profile (how concentrated token mass is in a few long
+    documents), the statistic behind 'a handful of documents dominate
+    the training mix' reports.
+
+    Exact and domain-bounded: over the sorted values,
+    ``G = 2·Σ i·x_(i) / (n·Σx) − (n+1)/n``; grouping rows by DISTINCT
+    VALUE first makes the rank sum a closed form per value
+    (ranks of a tie-group are cum_before+1 … cum_before+m, so
+    Σ i·x = Σ_v v·(m_v·cum_before_v + m_v(m_v+1)/2)) — the window runs
+    over the VALUE DOMAIN per key, never the corpus (the KS/skyline
+    pattern), and every term is exact BIGINT until the two final
+    exactly-rounded divisions (emitted unrounded). Requires
+    ``n²·max(x) < 2^63`` — past that, DECIMAL(38,0) the rank sum.
+    """
+    base = df.select(F.col(key_col).alias("__k"), F.col(value_col).alias("__x"))
+    byval = base.groupBy("__k", "__x").agg(F.count("*").alias("__m"))
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = byval.withColumn("__cum", F.sum("__m").over(w)).withColumn(
+        "__cb", F.col("__cum") - F.col("__m")
+    )
+    # DIV (integer division) keeps the tie-group rank sum in exact
+    # BIGINT — `/` would detour through a double and lose exactness for
+    # large tie groups; m(m+1) is always even so DIV 2 is lossless
+    ranksum_v = F.col("__x") * (
+        F.col("__m") * F.col("__cb") + F.expr("__m * (__m + 1) DIV 2")
+    )
+    agg = cum.groupBy("__k").agg(
+        F.sum(F.col("__m")).cast("bigint").alias("__n"),
+        F.sum(F.col("__x") * F.col("__m")).cast("bigint").alias("__t"),
+        F.sum(ranksum_v).cast("bigint").alias("__s"),
+    )
+    gini = (2 * F.col("__s")).cast("double") / (
+        F.col("__n") * F.col("__t")
+    ).cast("double") - (F.col("__n") + 1).cast("double") / F.col("__n").cast(
+        "double"
+    )
+    return agg.select(
+        F.col("__k").alias(key_col),
+        F.col("__n").alias("n_rows"),
+        F.col("__t").alias("total"),
+        gini.alias("gini"),
+    )

@@ -581,7 +581,10 @@ def histogram_quantile_oracle_sql(
       FROM h
     ), c2 AS (SELECT bin, cnt, cum, cum - cnt AS cum_before FROM c),
     t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM h),
-    q AS (SELECT unnest([{qs}]) AS q),
+    -- CAST: a bare 0.9 in a DuckDB list literal is DECIMAL, and
+    -- decimal q*n is EXACT where Spark's double q*n rounds — the
+    -- interpolation then diverges in the last ulp (round-8 find)
+    q AS (SELECT CAST(unnest([{qs}]) AS DOUBLE) AS q),
     cand AS (
       SELECT q.q, t.n, c2.bin, c2.cnt, c2.cum_before
       FROM c2, t, q WHERE c2.cum >= q.q * t.n
@@ -693,4 +696,119 @@ def kmins_windowed_oracle_sql(
            round({float(k) * 4294967296.0!r} / CAST(sh + {k} AS DOUBLE) - 1.0,
                  4) AS est_distinct
     FROM a
+    """
+
+
+def histogram_quantiles_weekly(
+    df: DataFrame,
+    ts_col: str,
+    col: str,
+    lo: float = 0.0,
+    hi: float = 512.0,
+    n_bins: int = 64,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Per-week quantile estimates from DAY-level histogram sketches
+    merged by ADDING bin counts — the quantile family's mergeability
+    rollup (the companion to the HLL day→week register-max rollup):
+    the day histograms are what a lakehouse materializes per partition;
+    any coarser period's quantiles come from count addition alone, no
+    rescan. The oracle builds the weekly histograms DIRECTLY from raw
+    rows, so hash equality is the cross-engine proof that
+    merge(day sketches) ≡ sketch(week).
+
+    All frames after the first groupBy are ≤ (weeks × n_bins) rows;
+    the estimate arithmetic is the same exactly-rounded IEEE chain as
+    :func:`histogram_quantile_sketch`, value-hash-checked unrounded.
+    """
+    if n_bins < 2 or hi <= lo:
+        raise ValueError(f"need n_bins >= 2 and hi > lo; got {n_bins=} {lo=} {hi=}")
+    width = (hi - lo) / n_bins
+    bin_col = (
+        F.least(
+            F.lit(n_bins - 1),
+            F.greatest(F.lit(0), F.floor((F.col(col) - F.lit(lo)) / F.lit(width))),
+        )
+        .cast("int")
+        .alias("bin")
+    )
+    day_hist = (
+        df.filter(F.col(col).isNotNull())
+        .select(
+            F.date_trunc("week", F.col(ts_col)).alias("week_start"),
+            F.date_trunc("day", F.col(ts_col)).alias("__day"),
+            bin_col,
+        )
+        .groupBy("week_start", "__day", "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    merged = day_hist.groupBy("week_start", "bin").agg(F.sum("cnt").alias("cnt"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("week_start").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = merged.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "cum_before", F.col("cum") - F.col("cnt")
+    )
+    totals = merged.groupBy("week_start").agg(F.sum("cnt").cast("bigint").alias("n"))
+    qdf = df.sparkSession.createDataFrame([(float(q),) for q in quantiles], "q double")
+    cand = (
+        cum.join(F.broadcast(totals), "week_start")
+        .crossJoin(F.broadcast(qdf))
+        .filter(F.col("cum") >= F.col("q") * F.col("n"))
+    )
+    best = cand.groupBy("week_start", "q", "n").agg(
+        F.min_by(F.struct("bin", "cnt", "cum_before"), F.col("bin")).alias("s")
+    )
+    est = (
+        F.lit(lo)
+        + F.col("s.bin") * F.lit(width)
+        + F.lit(width)
+        * (F.col("q") * F.col("n") - F.col("s.cum_before"))
+        / F.col("s.cnt")
+    )
+    return best.select("week_start", "q", "n", est.alias("est"))
+
+
+def histogram_quantiles_weekly_oracle_sql(
+    ts_col: str,
+    col: str,
+    table: str,
+    lo: float = 0.0,
+    hi: float = 512.0,
+    n_bins: int = 64,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> str:
+    """DuckDB mirror of :func:`histogram_quantiles_weekly`, built
+    DIRECTLY from raw rows (no day stage) — the mergeability check."""
+    width = (hi - lo) / n_bins
+    qs = ", ".join(repr(float(q)) for q in quantiles)
+    return f"""
+    WITH h AS (
+      SELECT date_trunc('week', {ts_col}) AS ws,
+             CAST(least({n_bins - 1}, greatest(0,
+               floor(({col} - {lo!r}) / {width!r}))) AS INT) AS bin,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM {table} WHERE {col} IS NOT NULL GROUP BY 1, 2
+    ), c AS (
+      SELECT ws, bin, cnt,
+             sum(cnt) OVER (PARTITION BY ws ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM h
+    ), c2 AS (SELECT ws, bin, cnt, cum, cum - cnt AS cum_before FROM c),
+    t AS (SELECT ws, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY ws),
+    -- CAST q to DOUBLE: see histogram_quantile_oracle_sql (a bare
+    -- decimal literal makes q*n exact where Spark's double rounds)
+    q AS (SELECT CAST(unnest([{qs}]) AS DOUBLE) AS q),
+    cand AS (
+      SELECT c2.ws, q.q, t.n, c2.bin, c2.cnt, c2.cum_before
+      FROM c2 JOIN t USING (ws), q WHERE c2.cum >= q.q * t.n
+    ), best AS (
+      SELECT ws, q, n, min(bin) AS bin FROM cand GROUP BY ws, q, n
+    )
+    SELECT best.ws AS week_start, best.q, best.n,
+           {lo!r} + best.bin * {width!r}
+             + {width!r} * (best.q * best.n - c2.cum_before) / c2.cnt AS est
+    FROM best JOIN c2 ON best.ws = c2.ws AND best.bin = c2.bin
     """

@@ -732,3 +732,78 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return negative_sampling_pairs(docs, id_col="doc_id", text_col="text", k=4)
+
+
+@register(
+    "token_gini_by_lang",
+    oracle=f"""
+    WITH base AS (
+      SELECT lang AS k, CAST(len({TOKS}) AS BIGINT) AS x FROM documents
+    ),
+    byval AS (SELECT k, x, CAST(count(*) AS BIGINT) AS m FROM base GROUP BY k, x),
+    c AS (
+      SELECT k, x, m,
+             sum(m) OVER (PARTITION BY k ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM byval
+    ),
+    c2 AS (SELECT k, x, m, cum - m AS cb FROM c),
+    a AS (
+      SELECT k, CAST(sum(m) AS BIGINT) AS n, CAST(sum(x * m) AS BIGINT) AS t,
+             CAST(sum(x * (m * cb + (m * (m + 1)) // 2)) AS BIGINT) AS s
+      FROM c2 GROUP BY k
+    )
+    SELECT k AS lang, n AS n_rows, t AS total,
+           CAST(2 * s AS DOUBLE) / CAST(n * t AS DOUBLE)
+             - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE) AS gini
+    FROM a
+    """,
+    doc="Per-language Gini coefficient of document token counts — the "
+    "corpus-concentration profile ('a few long docs dominate the "
+    "mix'). Exact: tie-groups over the DISTINCT token-count domain "
+    "give the rank sum in closed form (ranks cb+1…cb+m per group), so "
+    "the window runs over the value domain per key — the KS/skyline "
+    "pattern — and everything is BIGINT (tie-group term via integer "
+    "DIV; m(m+1) is even, so lossless) until two exactly-rounded "
+    "divisions, emitted unrounded. Valid while n²·max(x) < 2^63.",
+)
+def q_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.mining import gini_concentration
+    from flink_anomaly_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", token_count(F.col("text")).cast("bigint").alias("n_tok")
+    )
+    return gini_concentration(docs, key_col="lang", value_col="n_tok").select(
+        F.col("lang"),
+        F.col("n_rows"),
+        F.col("total"),
+        F.col("gini"),
+    )
+
+
+def _hist_weekly_oracle() -> str:
+    from flink_anomaly_spark.operators.sketches import (
+        histogram_quantiles_weekly_oracle_sql,
+    )
+
+    return histogram_quantiles_weekly_oracle_sql("ts", "value", "events")
+
+
+@register(
+    "histogram_quantiles_weekly",
+    oracle=_hist_weekly_oracle(),
+    doc="Quantile-sketch ALGEBRA (the quantile companion of "
+    "hll_register_rollup_weekly): per-DAY equi-width histogram "
+    "sketches merged to per-WEEK p50/p90/p99 by ADDING bin counts — "
+    "no raw rescan; the oracle builds weekly histograms directly from "
+    "raw events, so hash equality proves merge(day sketches) ≡ "
+    "sketch(week) cross-engine. Every post-groupBy frame is ≤ "
+    "weeks×64 rows; estimates are the exactly-rounded IEEE "
+    "interpolation chain, hash-checked unrounded.",
+)
+def q_histogram_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.sketches import histogram_quantiles_weekly
+
+    events = load_table(spark, sf_dir, "events")
+    return histogram_quantiles_weekly(events, ts_col="ts", col="value")

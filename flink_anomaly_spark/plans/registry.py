@@ -125,8 +125,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "streaming_kmins_distinct_final",
     "hard_negatives_topk",
     "negative_sampling_pairs",
-    # ---- (b) plan CHANGED in round 8 (batched-BPE oracle totality fix)
+    "token_gini_by_lang",
+    "histogram_quantiles_weekly",
+    # ---- (b) plans CHANGED in round 8 (batched-BPE oracle totality
+    # fix; histogram oracle q cast to DOUBLE — a bare 0.9 list literal
+    # is DECIMAL in DuckDB and its exact q*n diverges from Spark's
+    # double in the interpolation ulp)
     "bpe_learn_merges_batched",
+    "value_histogram_quantiles",
     # ---- (c) stalest re-confirms: ALL 18 rows last green in ROUND 3
     "dedup_pipeline_survivors",
     "embedding_ann_lsh",
@@ -146,9 +152,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "tpch_q1_pricing",
     "window_argmax",
     "window_count_agg",
-    # ---- first 13 (alphabetical) of the 50 rows last green in ROUND 4
-    # (two late round-8 additions displaced embedding_int8_quantize and
-    # embedding_near_dup_lsh back into the round-9 queue)
+    # ---- first 10 (alphabetical) of the 50 rows last green in ROUND 4
+    # (late round-8 additions displaced embedding_int8_quantize,
+    # embedding_near_dup_lsh, data_quality_suite, doc_repetition_profile
+    # and doc_token_chunks back into the round-9 queue)
     "ann_ivf_recall",
     "ann_lsh_recall",
     "bigram_pmi_top",
@@ -159,9 +166,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "chunk_pack_pipeline",
     "corpus_curation_pipeline",
     "cross_doc_repeated_ngrams",
-    "data_quality_suite",
-    "doc_repetition_profile",
-    "doc_token_chunks",
 )
 # Rotated OUT in round 8 (all green in CORRECTNESS_r07, 50/50):
 # exact_substring_spans, streaming_hll_distinct_final,

@@ -75,7 +75,7 @@ def test_driver_window_is_first_50():
     # the same-round re-check the fingerprint ledger demands (the
     # companion test test_changed_plans_hold_window_slots enforces the
     # set mechanically; this names the known members for readability)
-    changed_this_round = {"bpe_learn_merges_batched"}
+    changed_this_round = {"bpe_learn_merges_batched", "value_histogram_quantiles"}
     assert changed_this_round <= set(qs[:50])
     # stalest-first refill invariant, threshold-free: every filler must
     # be at most as fresh as the freshest-starved row left outside

@@ -670,3 +670,51 @@ def test_negative_sampling_deterministic_and_exclusions(spark):
     # the planted normalized duplicate can never be sampled as the
     # other's negative
     assert not any((a == 7 and c == 100) or (a == 100 and c == 7) for a, _, c in out1)
+
+
+# ---------------------------------------------------------------------------
+# Gini and weekly histogram rollup
+# ---------------------------------------------------------------------------
+
+
+def test_gini_exact_reference_and_extremes(spark):
+    from flink_anomaly_spark.operators.mining import gini_concentration
+
+    def ref_gini(xs):
+        xs = sorted(xs)
+        n = len(xs)
+        s = sum((i + 1) * x for i, x in enumerate(xs))
+        return 2 * s / (n * sum(xs)) - (n + 1) / n
+
+    rng = random.Random(23)
+    rows = [("a", rng.randint(1, 500)) for _ in range(300)]
+    rows += [("eq", 7)] * 50                     # all equal -> gini 0
+    rows += [("conc", 0)] * 99 + [("conc", 1000)]  # one holder -> gini -> (n-1)/n
+    df = spark.createDataFrame(rows, "k string, x long")
+    got = {r.k: r for r in gini_concentration(df, "k", "x").collect()}
+    assert got["a"].gini == ref_gini([x for k, x in rows if k == "a"])
+    assert got["eq"].gini == 0.0
+    assert got["conc"].gini == ref_gini([0] * 99 + [1000])
+    assert got["a"].n_rows == 300 and got["eq"].total == 350
+
+
+def test_histogram_weekly_merge_equals_direct(spark):
+    """Engine day→week count-merge must equal a direct weekly build —
+    the mergeability property the registered query's oracle checks
+    cross-engine, here engine-vs-engine on the smoke corpus."""
+    from flink_anomaly_spark.operators.sketches import (
+        histogram_quantile_sketch,
+        histogram_quantiles_weekly,
+    )
+    from flink_anomaly_spark.tables import load_table
+
+    events = load_table(spark, SF_SMOKE, "events")
+    weekly = histogram_quantiles_weekly(events, "ts", "value")
+    rows = {(r.week_start, r.q): (r.n, r.est) for r in weekly.collect()}
+    # direct per-week build via the GLOBAL sketch applied to each week
+    weeks = sorted({w for w, _ in rows})
+    for w in weeks:
+        sub = events.filter(F.date_trunc("week", F.col("ts")) == F.lit(w))
+        direct = {r.q: (r.n, r.est) for r in histogram_quantile_sketch(sub, "value").collect()}
+        for q, (n, est) in direct.items():
+            assert rows[(w, q)] == (n, est), (w, q)
