@@ -92,9 +92,25 @@ def main() -> int:
         spark = SparkSession.builder.master("local[32]").appName("oracle-check-plain").getOrCreate()
     else:
         spark = get_spark("oracle-check")
-    con = duckdb.connect()
-    for t in TABLE_NAMES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    import tempfile as _tf
+
+    spill_dir = _tf.mkdtemp(prefix="duck_spill_")
+
+    def fresh_con():
+        """One DuckDB connection PER ORACLE (round-8 hardening): a
+        single shared connection let the dedup_clusters recursive-CTE
+        oracle balloon the buffer manager toward the limit, after which
+        a later small allocation died ("Failed to allocate block of
+        16384 bytes") and — under a tighter cap — the process
+        segfaulted. Views are cheap to recreate; full isolation is the
+        robust fix. 48GB bounds the reachability CTE while leaving the
+        Spark heap headroom on a 128GB box."""
+        c = duckdb.connect()
+        c.execute("SET memory_limit='48GB'")
+        c.execute(f"SET temp_directory='{spill_dir}'")
+        for t in TABLE_NAMES:
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        return c
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
@@ -121,7 +137,11 @@ def main() -> int:
             print(f"OK?  {name}: rows-only ({s_n} rows, no oracle) [{time.time()-t0:.1f}s]")
             continue
         try:
-            odf = con.execute(oracles[name]).fetchdf()
+            con = fresh_con()
+            try:
+                odf = con.execute(oracles[name]).fetchdf()
+            finally:
+                con.close()
             o_n, o_cols, o_hash = normalize(odf)
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
