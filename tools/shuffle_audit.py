@@ -115,6 +115,10 @@ PROBE = [
     ("copurchase_bfs_distances", "per-level ids-only frontier joins over the support-filtered edge list"),
     ("seasonality_profile", "two map-side-combined aggs; totals broadcast"),
     ("hll_register_rollup_weekly", "<=256 register rows per day shuffled; weekly merge is register max"),
+    ("hard_negatives_topk", "broadcast query side; corpus streams once into a tiny-key top-k window"),
+    ("negative_sampling_pairs", "two-phase ordinal rank + 8-byte ordinal equi-join; offsets and N broadcast"),
+    ("token_gini_by_lang", "distinct-count-domain window per lang; all-BIGINT rank sums, map-side combined"),
+    ("histogram_quantiles_weekly", "<=64 bin partials per (week, day) map task; all downstream frames are sketch-sized"),
 ]
 
 
