@@ -311,6 +311,14 @@ def hbos_outliers(
     product form ``(maxc_v/c_v)·(maxc_h/c_h)`` — the same two
     exactly-rounded divisions and one multiply on both engines.
 
+    Binning (round-9 fix, ADVICE r8): equi-width over the OBSERVED
+    [min, max] range — ``floor((v − vmin)/width)`` clamped into
+    [0, n_bins−1] — instead of the original ``v / (vmax/n_bins)``
+    which gave every negative value its own unbounded bin and
+    degenerated when max(value) ≤ 0. A constant column (vmax = vmin,
+    width 0) maps wholly to bin 0. The clamp arithmetic is the same
+    exactly-rounded subtract/divide/floor on both engines.
+
     Plan: two broadcast-sized histogram tables (≤ n_bins and 24 rows)
     joined back to the events, then TakeOrderedAndProject — the corpus
     is scanned twice (once per histogram pass folds into one shared
@@ -318,21 +326,30 @@ def hbos_outliers(
     """
     from flink_anomaly_spark.operators.dedup import _persist
 
-    vmax = df.agg(F.max(value_col).alias("__vmax"))
+    bounds = df.agg(
+        F.min(value_col).alias("__vmin"), F.max(value_col).alias("__vmax")
+    )
+    width = (F.col("__vmax") - F.col("__vmin")) / n_bins
+    clamped = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.least(
+            F.floor((F.col("__v") - F.col("__vmin")) / width).cast("bigint"),
+            F.lit(n_bins - 1).cast("bigint"),
+        ),
+    )
     binned = (
         df.select(
             F.col(id_col),
             F.col(value_col).alias("__v"),
             F.hour(F.col(ts_col)).alias("__h"),
         )
-        .crossJoin(F.broadcast(vmax))
+        .crossJoin(F.broadcast(bounds))
         .select(
             id_col,
             "__h",
-            F.least(
-                F.floor(F.col("__v") / (F.col("__vmax") / n_bins)).cast("bigint"),
-                F.lit(n_bins - 1),
-            ).alias("__bv"),
+            F.when(F.col("__vmax") > F.col("__vmin"), clamped)
+            .otherwise(F.lit(0).cast("bigint"))
+            .alias("__bv"),
         )
     )
     # persisted: both histogram passes and the final scoring join read

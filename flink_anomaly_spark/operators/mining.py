@@ -336,9 +336,18 @@ def moving_median_daily(
     value_col: str,
     window_days: int = 7,
 ) -> DataFrame:
-    """Trailing ``window_days``-day moving MEDIAN of per-day mean values
-    per key — robust smoothing (a single corrupted day cannot move the
-    curve, unlike a moving average).
+    """Trailing moving MEDIAN of the last ``window_days`` OBSERVED
+    per-day mean values per key — robust smoothing (a single corrupted
+    day cannot move the curve, unlike a moving average).
+
+    Window semantics are ROW-based over the per-day rows
+    (``ROWS window_days−1 PRECEDING``), deliberately: a key with
+    missing days medians its last ``window_days`` observations, which
+    may span more calendar days — the "last N readings" convention of
+    sparse telemetry. A strictly calendar-bounded variant would swap
+    the frame for a ``rangeBetween`` over day epochs; the oracle
+    mirrors the ROWS frame, and changing either alone breaks the
+    bit-exact replay contract documented below.
 
     Spark has no median window aggregate; after the per-day
     pre-aggregation the frame per (key, day) holds ≤ ``window_days``

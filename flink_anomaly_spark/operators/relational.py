@@ -720,12 +720,16 @@ def asof_join_nearest(
     Same union-then-window shape as :func:`asof_join` — ONE exchange +
     sort on (key, ts) computes BOTH directional candidates as two
     frames of a single Window spec (Catalyst folds them into one sort):
-    a running max of ``struct(ts, −id)`` over preceding rows (latest
-    right at-or-before; −id makes the struct max pick the SMALLER id on
-    equal ts) and a running min of ``struct(ts, id)`` over following
-    rows (earliest right strictly after). The nearest pick is then a
-    row-local comparison. Right rows order before left rows on equal
-    ts, so a gap-0 match is always the backward candidate.
+    a running max of ``struct(ts, −id, id)`` over preceding rows
+    (latest right at-or-before; −id makes the struct MAX pick the
+    SMALLER id on equal ts) and a running min of ``struct(ts, id)``
+    over following rows (earliest right at-or-after; the direct id
+    field makes the struct MIN pick the SMALLER id on equal ts — the
+    two directions need DIFFERENT tie fields because one extremizes up
+    and the other down; a shared negated field would make the forward
+    min pick the LARGEST id on tied timestamps). The nearest pick is
+    then a row-local comparison. Right rows order before left rows on
+    equal ts, so a gap-0 match is always the backward candidate.
     """
     from pyspark.sql import Window
 
@@ -740,7 +744,8 @@ def asof_join_nearest(
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__is_left"),
         F.struct(*[F.col(c) for c in lcols]).alias("__l"),
-        F.lit(None).cast("struct<rts:timestamp,nid:bigint,rid:bigint>").alias("__r"),
+        F.lit(None).cast("struct<rts:timestamp,nid:bigint,rid:bigint>").alias("__rb"),
+        F.lit(None).cast("struct<rts:timestamp,rid:bigint>").alias("__rf"),
     )
     r_tagged = right.select(
         F.col(key).alias("__k"),
@@ -751,13 +756,17 @@ def asof_join_nearest(
             F.col(right_ts).cast("timestamp").alias("rts"),
             (-F.col(right_id)).cast("bigint").alias("nid"),
             F.col(right_id).cast("bigint").alias("rid"),
-        ).alias("__r"),
+        ).alias("__rb"),
+        F.struct(
+            F.col(right_ts).cast("timestamp").alias("rts"),
+            F.col(right_id).cast("bigint").alias("rid"),
+        ).alias("__rf"),
     )
     w = Window.partitionBy("__k").orderBy("__ts", "__is_left")
-    back = F.max("__r").over(
+    back = F.max("__rb").over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    fwd = F.min("__r").over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    fwd = F.min("__rf").over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
     scored = (
         l_tagged.unionByName(r_tagged)
         .withColumn("__b", back)

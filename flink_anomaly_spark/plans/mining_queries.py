@@ -318,12 +318,16 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "hbos_outliers",
     oracle="""
-    WITH b AS (
+    WITH mm AS (SELECT min(value) AS vmin, max(value) AS vmax FROM events),
+    b AS (
       SELECT event_id,
-             least(CAST(floor(value / ((SELECT max(value) FROM events) / 10))
-                        AS BIGINT), 9) AS value_bin,
+             CASE WHEN vmax > vmin THEN greatest(
+                    CAST(0 AS BIGINT),
+                    least(CAST(floor((value - vmin) / ((vmax - vmin) / 10))
+                               AS BIGINT), 9))
+                  ELSE CAST(0 AS BIGINT) END AS value_bin,
              CAST(hour(ts) AS BIGINT) AS hour_bin
-      FROM events
+      FROM events, mm
     ),
     hv AS (SELECT value_bin, CAST(count(*) AS BIGINT) AS cv FROM b GROUP BY 1),
     hh AS (SELECT hour_bin, CAST(count(*) AS BIGINT) AS ch FROM b GROUP BY 1),
@@ -341,7 +345,9 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 20
     """,
     doc="Histogram-Based Outlier Score (Goldstein & Dengel 2012) over "
-    "(equi-width value bin, hour-of-day): top-20 rarest events. The "
+    "(equi-width value bin over the observed [min,max], clamped — "
+    "negative and constant columns bin sanely; ADVICE r8 — and "
+    "hour-of-day): top-20 rarest events. The "
     "top-k SELECTION key is the integer product count_v·count_h — log "
     "is monotone, so the ranking is HBOS's, but the key never touches "
     "libm (the round-7 selection-key lesson); the reported score is "

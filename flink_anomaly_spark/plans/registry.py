@@ -93,12 +93,15 @@ _LOADED = False
 #: green in round 2 (incl. the plan-changed-in-r6 tfidf_top_terms and
 #: dims-extended embedding_topk — the round-6 re-queue), and 10 of the
 #: 25 rows last green in round 3.
-#: ROUND-8 WINDOW: (a) the 16 queries NEW this round, (b) the one plan
+#: ROUND-8 WINDOW: (a) the 20 queries NEW this round, (b) the two plans
 #: CHANGED this round (bpe_learn_merges_batched — its oracle's fold
-#: joins became total LEFT JOINs per round-7 ADVICE; the fingerprint
-#: ledger holds it to a slot mechanically), then (c) the stalest
-#: re-confirms: ALL 18 remaining rows last green in round 3, plus the
-#: first 15 (alphabetical) of the 50 rows last green in round 4. The
+#: joins became total LEFT JOINs per round-7 ADVICE — and
+#: value_histogram_quantiles, whose oracle's q literals were cast to
+#: DOUBLE; the fingerprint ledger holds both to slots mechanically),
+#: then (c) the stalest re-confirms: ALL 18 remaining rows last green
+#: in round 3, plus the first 10 (alphabetical) of the 50 rows last
+#: green in round 4 (counts corrected per round-8 ADVICE — the header
+#: originally said 16 new / first 15). The
 #: window is drawn against CORRECTNESS_r01..r07 — see
 #: ``WINDOW_DRAWN_AFTER_ROUND`` below, which the staleness contract
 #: test uses as its baseline cutoff so the in-flight round's own
@@ -167,10 +170,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "corpus_curation_pipeline",
     "cross_doc_repeated_ngrams",
 )
-# Rotated OUT in round 8 (all green in CORRECTNESS_r07, 50/50):
+# Rotated OUT in round 8 (all green in CORRECTNESS_r07, 50/50;
+# value_histogram_quantiles was NOT rotated out — its changed oracle
+# kept it a window slot, per the (b) section above):
 # exact_substring_spans, streaming_hll_distinct_final,
 # priority_sample_per_lang, streaming_cms_topk_final,
-# value_histogram_quantiles, edit_distance_near_dup,
+# edit_distance_near_dup,
 # normalized_exact_dedup, hll_distinct_users, rrf_hybrid_retrieval,
 # embedding_ann_ivfpq, embedding_ann_ivfpq_rerank, span_dedup_clean,
 # bpe_learn_merges, bpe_fertility_by_lang, cross_join_grid,

@@ -818,14 +818,41 @@ def _ann_ivf_recall_oracle() -> str:
     oracle=None,  # installed below — composes the two registered oracles
     doc="recall@5 of the IVF-flat index against exact brute force, per "
     "query — the n_probe tuning signal (recall rises with probed "
-    "cells). Same composed-oracle construction as ann_lsh_recall.",
+    "cells). Same composed-oracle construction as ann_lsh_recall. The "
+    "two arms score the SAME persisted (vec_id, embedding) projection "
+    "— the evaluation reads the corpus parquet once, not once per arm "
+    "(VERDICT r8 #2: the same index-frame sharing 767deec gave IVFPQ); "
+    "the centroid collect doubles as the cache materialization.",
 )
 def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from flink_anomaly_spark.plans.registry import QUERIES
+    from flink_anomaly_spark.operators.dedup import _persist
+    from flink_anomaly_spark.operators.similarity import (
+        brute_force_topk,
+        collect_centroids,
+        ivf_flat_topk,
+    )
 
-    exact = QUERIES["embedding_topk"].build(spark, sf_dir).select("qid", "nid")
+    emb = _persist(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    key = _ivf_cache_key(sf_dir)
+    if key not in _IVF_CENTROID_CACHE:
+        _IVF_CENTROID_CACHE.clear()
+        _IVF_CENTROID_CACHE[key] = collect_centroids(
+            emb, "vec_id", "embedding", _IVF_CENTROID_IDS
+        )
+    # both arms must mirror the standalone registrations exactly:
+    # embedding_topk = brute_force_topk(query_ids=range(10), k=5);
+    # embedding_ann_ivf = ivf_flat_topk(8 sampled centroids, n_probe=2)
+    exact = brute_force_topk(
+        emb, id_col="vec_id", vec_col="embedding", query_ids=list(range(10)), k=5
+    ).select("qid", "nid")
     ivf = (
-        QUERIES["embedding_ann_ivf"].build(spark, sf_dir)
+        ivf_flat_topk(
+            emb, id_col="vec_id", vec_col="embedding", query_ids=list(range(10)),
+            k=5, centroid_ids=_IVF_CENTROID_IDS,
+            centroids=_IVF_CENTROID_CACHE[key],
+        )
         .select("qid", "nid")
         .withColumn("__hit", F.lit(1))
     )

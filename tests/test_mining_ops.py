@@ -220,6 +220,7 @@ def test_asof_nearest_tie_and_tolerance_semantics(spark):
             (2, 100, "2026-01-01 18:00:00"),  # only far candidates -> NULL
             (3, 200, "2026-01-01 12:00:30"),  # exact-ts match -> gap 0
             (4, 300, "2026-01-01 12:00:00"),  # no right rows for key
+            (5, 400, "2026-01-01 12:00:00"),  # FORWARD duplicate ts -> smaller id
         ],
         "event_id long, user_id long, ts string",
     ).withColumn("ts", F.to_timestamp("ts"))
@@ -229,6 +230,8 @@ def test_asof_nearest_tie_and_tolerance_semantics(spark):
             (12, 100, "2026-01-01 12:01:00"),
             (21, 200, "2026-01-01 12:00:30"),
             (22, 200, "2026-01-01 12:00:30"),  # duplicate ts -> smaller id
+            (42, 400, "2026-01-01 12:00:10"),  # forward-only candidates with
+            (41, 400, "2026-01-01 12:00:10"),  # tied ts: min must take id 41
         ],
         "err_id long, user_id long, err_ts string",
     ).withColumn("err_ts", F.to_timestamp("err_ts"))
@@ -242,6 +245,9 @@ def test_asof_nearest_tie_and_tolerance_semantics(spark):
     assert got[2] == (None, None)  # 5h59m away, outside 1h tolerance
     assert got[3] == (21, 0)  # equal ts, duplicate -> smaller id
     assert got[4] == (None, None)
+    # forward direction on tied right ts: the pre-round-9 shared-struct
+    # plan picked the LARGEST id here (min over a negated tie field)
+    assert got[5] == (41, 10_000_000)
 
 
 # ---------------------------------------------------------------------------
@@ -345,8 +351,11 @@ def test_hbos_matches_bruteforce_ranking(spark):
     from flink_anomaly_spark.operators.anomaly import hbos_outliers
 
     rng = random.Random(7)
+    # negative values included: the round-9 min-relative clamped binning
+    # must keep them inside [0, n_bins-1] (the old v/(vmax/n) binning
+    # gave every negative value its own unbounded bin — ADVICE r8)
     rows = [
-        (i, round(rng.uniform(0.01, 99.99), 2),
+        (i, round(rng.uniform(-25.0, 99.99), 2),
          f"2026-04-01 {rng.randint(0, 23):02d}:00:00")
         for i in range(400)
     ]
@@ -354,17 +363,36 @@ def test_hbos_matches_bruteforce_ranking(spark):
     df = df.withColumn("ts", F.to_timestamp("ts"))
     got = hbos_outliers(df, "event_id", "value", "ts", n_bins=10, top_k=15).collect()
 
+    vmin = min(v for _, v, _ in rows)
     vmax = max(v for _, v, _ in rows)
+    width = (vmax - vmin) / 10
     feats = [
-        (i, min(int(v // (vmax / 10)), 9), int(t[11:13])) for i, v, t in rows
+        (i, max(0, min(int((v - vmin) // width), 9)), int(t[11:13]))
+        for i, v, t in rows
     ]
     cv = Counter(b for _, b, _ in feats)
     ch = Counter(h for _, _, h in feats)
     ref = sorted(feats, key=lambda r: (cv[r[1]] * ch[r[2]], r[0]))[:15]
     assert [r.event_id for r in got] == [i for i, _, _ in ref]
+    assert all(0 <= b <= 9 for _, b, _ in feats)
     mv, mh = max(cv.values()), max(ch.values())
     for r in got:
         assert r.hbos_score == round((mv / cv[r.value_bin]) * (mh / ch[r.hour_bin]), 4)
+
+
+def test_hbos_constant_column_degenerates_to_hour_only(spark):
+    from flink_anomaly_spark.operators.anomaly import hbos_outliers
+
+    rows = [
+        (i, 5.0, f"2026-04-01 {(0 if i < 9 else 13):02d}:00:00") for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, value double, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = hbos_outliers(df, "event_id", "value", "ts", n_bins=10, top_k=1).collect()
+    # constant value -> width 0 -> everything in bin 0 (no NULL bins);
+    # the lone 13:00 event is the rarest on the hour feature
+    assert got[0].event_id == 9 and got[0].value_bin == 0
 
 
 # ---------------------------------------------------------------------------
