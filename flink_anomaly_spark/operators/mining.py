@@ -392,6 +392,72 @@ def moving_median_daily(
     )
 
 
+def twap_daily(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Time-weighted average value per (key, day) over IRREGULARLY
+    sampled events — the TWAP / time-weighted-average hyperfunction of
+    time-series stores (TimescaleDB ``time_weight('LOCF', ...)``):
+    each observation holds from its timestamp until the next
+    observation (last-observation-carried-forward), the final one
+    until day end, so a value that persisted 20 h dominates one that
+    lasted 3 s — which a plain AVG (one vote per row) gets exactly
+    wrong on event-driven data.
+
+    Determinism: integer cents × integer µs gaps, summed in BIGINT
+    (association-order-free), one terminal division. With cents ≤ 10^6
+    and ≤ 86.4·10^9 µs per day the numerator stays < 10^17 — inside
+    int64 on both engines (DuckDB raises on overflow; staying in range
+    keeps both exact AND identical). Ties on ts are ordered by
+    ``order_col`` so the gap-to-next assignment is reproducible.
+
+    Scale shape: ONE exchange+sort on (key, day) drives both the
+    lead() gap and the final hash-agg (the day boundary keeps window
+    frames calendar-bounded); nothing else shuffles. The first
+    observation's pre-history is NOT back-filled from the previous day
+    — days are independent, which is what keeps the operator
+    embarrassingly parallel across (key, day) at 100 TB.
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    day_end_us = F.unix_micros(
+        (day + F.expr("INTERVAL 1 DAY")).cast("timestamp")
+    )
+    w = Window.partitionBy("__k", "__d").orderBy("__us", F.col("__o"))
+    rows = df.select(
+        F.col(key_col).alias("__k"),
+        day.alias("__d"),
+        F.col(order_col).alias("__o"),
+        us.alias("__us"),
+        day_end_us.alias("__end"),
+        cents.alias("__c"),
+    ).withColumn("__gap", F.coalesce(F.lead("__us").over(w), F.col("__end")) - F.col("__us"))
+    return (
+        rows.groupBy("__k", "__d")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("__gap").cast("bigint").alias("active_us"),
+            F.sum(F.col("__c") * F.col("__gap")).cast("bigint").alias("twap_num"),
+        )
+        .select(
+            F.col("__k").alias(key_col),
+            F.col("__d").alias("day"),
+            "n_events",
+            "active_us",
+            "twap_num",
+            (
+                F.col("twap_num").cast("double")
+                / (F.lit(100).cast("bigint") * F.col("active_us")).cast("double")
+            ).alias("twap"),
+        )
+    )
+
+
 def ks_drift_matrix(
     df: DataFrame,
     group_col: str,

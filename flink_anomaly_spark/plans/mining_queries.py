@@ -813,3 +813,48 @@ def q_histogram_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return histogram_quantiles_weekly(events, ts_col="ts", col="value")
+
+
+# ---------------------------------------------------------------------------
+# Round 9: time-weighted average (TWAP) per (event_type, day)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "twap_daily",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(round(value * 100) AS BIGINT) AS c,
+             coalesce(
+               lead(epoch_us(ts)) OVER (
+                 PARTITION BY event_type, date_trunc('day', ts)
+                 ORDER BY epoch_us(ts), event_id),
+               epoch_us(date_trunc('day', ts) + INTERVAL 1 DAY)
+             ) - epoch_us(ts) AS gap
+      FROM events
+    )
+    SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(gap) AS BIGINT) AS active_us,
+           CAST(sum(c * gap) AS BIGINT) AS twap_num,
+           CAST(sum(c * gap) AS DOUBLE) / CAST(100 * sum(gap) AS DOUBLE) AS twap
+    FROM g GROUP BY event_type, day
+    """,
+    doc="Time-weighted average value per (event_type, day) over "
+    "irregular events — the TWAP / time_weight('LOCF') hyperfunction "
+    "of time-series stores: each value holds until the next "
+    "observation (day-end for the last), so persistence, not sample "
+    "count, sets its weight. Integer cents x integer microsecond gaps "
+    "summed in BIGINT (association-order-free), ONE terminal division; "
+    "one exchange+sort on (key, day) serves both the lead() gap and "
+    "the final agg; days are independent, so the operator stays "
+    "embarrassingly parallel across (key, day) at 100 TB.",
+)
+def q_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.mining import twap_daily
+
+    events = load_table(spark, sf_dir, "events")
+    return twap_daily(
+        events, key_col="event_type", ts_col="ts", order_col="event_id",
+        value_col="value",
+    )

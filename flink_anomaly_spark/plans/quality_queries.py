@@ -1683,3 +1683,49 @@ def q_normalized_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalized_exact_dedup(
         load_table(spark, sf_dir, "documents"), content_col="text", id_col="doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: global fixed-size weighted sample (priority sampling, corpus-wide)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "weighted_sample_global",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id, n_chars,
+             (CAST(n_chars AS DOUBLE) * 4294967296.0)
+               / CAST({_MD5_32.format(x="'psampg:' || CAST(doc_id AS VARCHAR)")} + 1 AS DOUBLE) AS q
+      FROM documents
+    ), r AS (
+      SELECT doc_id, n_chars, q,
+             row_number() OVER (ORDER BY q DESC, doc_id ASC) AS rn
+      FROM p
+    ), t AS (
+      SELECT coalesce(max(CASE WHEN rn = 51 THEN q END), 0.0) AS tau FROM r
+    )
+    SELECT r.doc_id, r.n_chars, CAST(r.rn AS BIGINT) AS rn,
+           greatest(CAST(r.n_chars AS DOUBLE), t.tau) AS w_est
+    FROM r, t WHERE rn <= 50
+    """,
+    doc="CORPUS-level fixed-size weight-proportional sample — global "
+    "priority sampling (Duffield-Lund-Thorup 2007): the 50 highest "
+    "w/hash-uniform priorities across ALL documents, each carrying the "
+    "unbiased estimate max(w, tau) with tau the global 51st priority. "
+    "Completes the sampling matrix: Bernoulli (weighted_doc_sample) / "
+    "per-stratum fixed-size (priority_sample_per_lang) / global "
+    "fixed-size (here). A-ES exponential keys are deliberately not "
+    "used (libm-defined); the w*2^32/(h+1) priority is one exactly-"
+    "rounded IEEE division, so SELECTION is oracle-exact. Scale: "
+    "orderBy().limit(k+1) = TakeOrderedAndProject — partitions forward "
+    "only their top-(k+1); no global sort, no corpus shuffle; the "
+    "rank/tau window runs over exactly k+1 rows.",
+)
+def q_weighted_sample_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.relational import weighted_sample_global
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample_global(
+        docs, weight_col="n_chars", id_col="doc_id", k=50
+    )

@@ -1066,3 +1066,46 @@ def test_priority_sample_small_strata_edges(spark):
     assert len(edge) == 5  # exactly one of the 6 dropped
     taus = {r.w_est for r in edge if r.w_est != r.n_chars}
     assert len(taus) <= 1
+
+
+def test_weighted_sample_global_fixed_size_and_unbiased(spark):
+    """Global priority sampling: exactly k rows corpus-wide, dense
+    ranks, w_est = max(w, tau) >= w with ONE shared global tau, brute-
+    force priority agreement, and DLT unbiasedness E[sum w_est] = total
+    weight over independent salts."""
+    import hashlib
+
+    from flink_anomaly_spark.operators.relational import weighted_sample_global
+
+    rows = [(i, 10 + (i * 37) % 500) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    total = sum(w for _, w in rows)
+    out = weighted_sample_global(df, "n_chars", "doc_id", k=25).collect()
+    assert len(out) == 25
+    assert sorted(r.rn for r in out) == list(range(1, 26))
+    assert all(r.w_est >= r.n_chars for r in out)
+    taus = {r.w_est for r in out if r.w_est != r.n_chars}
+    assert len(taus) <= 1
+    # brute-force replica of the deterministic priorities
+    def prio(i, w, salt="psampg:"):
+        h = int(hashlib.md5(f"{salt}{i}".encode()).hexdigest()[:8], 16) + 1
+        return (float(w) * 4294967296.0) / float(h)
+
+    ref = sorted(rows, key=lambda r: (-prio(r[0], r[1]), r[0]))[:25]
+    assert [r.doc_id for r in sorted(out, key=lambda r: r.rn)] == [i for i, _ in ref]
+    est = []
+    for s in range(12):
+        sample = weighted_sample_global(df, "n_chars", "doc_id", k=25, salt=f"g{s}:").collect()
+        est.append(sum(r.w_est for r in sample))
+    mean = sum(est) / len(est)
+    assert abs(mean - total) / total < 0.10, (mean, total)
+
+
+def test_weighted_sample_global_small_corpus(spark):
+    """Corpus smaller than k keeps every row with tau = 0."""
+    from flink_anomaly_spark.operators.relational import weighted_sample_global
+
+    df = spark.createDataFrame([(i, 100 + i) for i in range(4)], "doc_id long, n_chars long")
+    out = weighted_sample_global(df, "n_chars", "doc_id", k=10).collect()
+    assert len(out) == 4
+    assert all(r.w_est == float(r.n_chars) for r in out)

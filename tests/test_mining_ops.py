@@ -746,3 +746,52 @@ def test_histogram_weekly_merge_equals_direct(spark):
         direct = {r.q: (r.n, r.est) for r in histogram_quantile_sketch(sub, "value").collect()}
         for q, (n, est) in direct.items():
             assert rows[(w, q)] == (n, est), (w, q)
+
+
+# ---------------------------------------------------------------------------
+# TWAP
+# ---------------------------------------------------------------------------
+
+
+def test_twap_daily_interval_weighting(spark):
+    from flink_anomaly_spark.operators.mining import twap_daily
+
+    # value 10.0 holds 06:00->18:00 (12h), value 30.0 holds 18:00->24:00
+    # (6h), first interval 00:00->06:00 belongs to the 00:00 event (5.0)
+    rows = [
+        (1, "a", "2026-01-01 00:00:00", 5.0),
+        (2, "a", "2026-01-01 06:00:00", 10.0),
+        (3, "a", "2026-01-01 18:00:00", 30.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, k string, ts string, value double")
+    df = df.withColumn("ts", F.to_timestamp("ts"))
+    out = twap_daily(df, "k", "ts", "event_id", "value").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_events == 3
+    assert r.active_us == 24 * 3600 * 1_000_000
+    expect = (5.0 * 6 + 10.0 * 12 + 30.0 * 6) / 24
+    assert r.twap == expect
+    # constant series -> twap equals the constant exactly
+    const = spark.createDataFrame(
+        [(i, "c", f"2026-01-01 0{i}:13:0{i}", 7.25) for i in range(1, 6)],
+        "event_id long, k string, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    rc = twap_daily(const, "k", "ts", "event_id", "value").collect()[0]
+    assert rc.twap == 7.25
+
+
+def test_twap_daily_tied_timestamps_deterministic(spark):
+    from flink_anomaly_spark.operators.mining import twap_daily
+
+    # two events share a ts; order_col decides which one carries forward
+    rows = [
+        (2, "a", "2026-01-01 00:00:00", 100.0),
+        (1, "a", "2026-01-01 00:00:00", 0.0),
+        (3, "a", "2026-01-01 12:00:00", 100.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, k string, ts string, value double")
+    df = df.withColumn("ts", F.to_timestamp("ts"))
+    r = twap_daily(df, "k", "ts", "event_id", "value").collect()[0]
+    # event 1 gets gap 0, event 2 carries 00:00->12:00 -> twap = 100.0
+    assert r.twap == 100.0 and r.active_us == 24 * 3600 * 1_000_000
