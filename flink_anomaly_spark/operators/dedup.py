@@ -1551,6 +1551,142 @@ def sorted_neighborhood_pairs(
     )
 
 
+def _snm_pass_pairs(
+    keyed: DataFrame, window: int, part_chars: int
+) -> DataFrame:
+    """One sorted-neighborhood pass over a pre-keyed frame
+    (id, n, key): two-phase global rank (prefix-partitioned row_number
+    + broadcast cumulative offsets — no single-task sort), then the
+    (window−1) successor probes joined on the 8-byte rank. Emits
+    CANONICAL id pairs (id_lo < id_hi) only — texts are joined back
+    once after the cross-pass union, so pass candidates never shuffle
+    document bytes."""
+    from pyspark.sql import Window as W
+
+    base = keyed.withColumn("pfx", F.substring("key", 1, part_chars))
+    per = F.row_number().over(W.partitionBy("pfx").orderBy("key", "id"))
+    offs = F.broadcast(
+        base.groupBy("pfx")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "pfx",
+            (
+                F.sum("cnt").over(
+                    W.orderBy("pfx").rowsBetween(W.unboundedPreceding, W.currentRow)
+                )
+                - F.col("cnt")
+            ).alias("off"),
+        )
+    )
+    ranked = base.join(offs, "pfx").select(
+        "id", (per + F.col("off")).cast("bigint").alias("rk")
+    )
+    probes = ranked.select(
+        F.col("id").alias("id2"),
+        F.col("rk").alias("rk2"),
+        F.explode(F.sequence(F.lit(1), F.lit(window - 1))).alias("__i"),
+    ).select("id2", (F.col("rk2") - F.col("__i")).alias("rk"))
+    return (
+        ranked.join(probes, "rk")
+        .select(
+            F.least("id", "id2").alias("id_lo"),
+            F.greatest("id", "id2").alias("id_hi"),
+        )
+    )
+
+
+def sorted_neighborhood_multipass(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 6,
+    threshold: int = 80,
+    key_chars: int = 16,
+    part_chars: int = 1,
+) -> DataFrame:
+    """MULTI-PASS sorted-neighborhood near-dup pairs (Hernández &
+    Stolfo, SIGMOD 1995 — the multi-pass variant their paper
+    prescribes): near-dups whose difference falls in the blocking-key
+    prefix land far apart in that sort order and are missed by a
+    single pass (the documented recall gap of
+    :func:`sorted_neighborhood_pairs`), so production SNM runs the
+    window over SEVERAL rotated keys and unions the candidates. Three
+    deterministic keys here:
+
+    - P0 forward: first ``key_chars`` of the normalized text (the
+      single-pass key — multipass output is a superset by
+      construction);
+    - P1 reversed: same prefix of the REVERSED normalization (catches
+      edits near the head, e.g. a changed title);
+    - P2 token-sorted: prefix of the alphabetically-sorted token
+      concatenation (catches word-order moves, which spoil both
+      character orders).
+
+    Candidates from the three passes are canonicalized (id_lo <
+    id_hi), set-unioned, and verified ONCE: texts join back on the id
+    (pass candidates carry only 8-byte ids, never document bytes),
+    then the length-gap prune and one banded 3-arg levenshtein. Each
+    pass contributes exactly (window−1)·n candidates, so the verify
+    input is ≤ 3(window−1)·n rows — still linear in the corpus, vs
+    block-join's per-block n².
+    """
+    t = F.regexp_replace(F.col(text_col), r"[^\x00-\x7F]", "")
+    norm = F.regexp_replace(F.lower(F.col("t")), "[^a-z0-9]", "")
+    toksorted = F.concat_ws(
+        "",
+        F.sort_array(
+            F.filter(
+                F.split(F.lower(F.col("t")), "[^a-z0-9]+"), lambda x: x != ""
+            )
+        ),
+    )
+    base = _persist(
+        df.select(F.col(id_col).alias("id"), t.alias("t")).select(
+            "id",
+            "t",
+            F.length("t").alias("n"),
+            F.substring(norm, 1, key_chars).alias("k0"),
+            F.substring(F.reverse(norm), 1, key_chars).alias("k1"),
+            F.substring(toksorted, 1, key_chars).alias("k2"),
+        )
+    )
+    passes = [
+        _snm_pass_pairs(
+            base.select("id", F.col(kc).alias("key")), window, part_chars
+        )
+        for kc in ("k0", "k1", "k2")
+    ]
+    cands = passes[0]
+    for p in passes[1:]:
+        cands = cands.unionByName(p)
+    # the distinct's output is a tiny id-pair exchange that AQE
+    # coalesces to ~1 partition — which would serialize the banded
+    # levenshtein below into a single task (measured 5.3 s of the 8 s
+    # total at sf0.1; the round-6 edit_distance lesson). A round-robin
+    # repartition of the 16-byte pairs restores full-core parallelism
+    # for the one CPU-bound stage.
+    ncpu = df.sparkSession.sparkContext.defaultParallelism
+    cands = cands.distinct().repartition(2 * ncpu)
+    lo = base.select(
+        F.col("id").alias("id_lo"), F.col("t").alias("t_lo"), F.col("n").alias("n_lo")
+    )
+    hi = base.select(
+        F.col("id").alias("id_hi"), F.col("t").alias("t_hi"), F.col("n").alias("n_hi")
+    )
+    return (
+        cands.join(lo, "id_lo")
+        .join(hi, "id_hi")
+        .filter(F.abs(F.col("n_lo") - F.col("n_hi")) <= threshold)
+        .withColumn("lev", F.levenshtein(F.col("t_lo"), F.col("t_hi"), threshold))
+        .filter(F.col("lev") >= 0)
+        .select(
+            F.col("id_lo").alias("id_a"),
+            F.col("id_hi").alias("id_b"),
+            F.col("lev").cast("bigint").alias("lev"),
+        )
+    )
+
+
 def containment_dup_pairs(
     df: DataFrame,
     id_col: str,

@@ -266,6 +266,64 @@ def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sorted_neighborhood_multipass",
+    oracle=rf"""
+    WITH d AS (
+      SELECT doc_id AS id,
+             regexp_replace(text, '[^\x00-\x7F]', '', 'g') AS t
+      FROM documents
+    ), k AS (
+      SELECT id, t, length(t) AS n,
+             substr(regexp_replace(lower(t), '[^a-z0-9]', '', 'g'),
+                    1, {_SNM_KEY_CHARS}) AS k0,
+             substr(reverse(regexp_replace(lower(t), '[^a-z0-9]', '', 'g')),
+                    1, {_SNM_KEY_CHARS}) AS k1,
+             substr(array_to_string(list_sort(list_filter(
+                      string_split_regex(lower(t), '[^a-z0-9]+'),
+                      x -> x != '')), ''),
+                    1, {_SNM_KEY_CHARS}) AS k2
+      FROM d
+    ),
+    r0 AS (SELECT id, row_number() OVER (ORDER BY k0, id) AS rk FROM k),
+    r1 AS (SELECT id, row_number() OVER (ORDER BY k1, id) AS rk FROM k),
+    r2 AS (SELECT id, row_number() OVER (ORDER BY k2, id) AS rk FROM k),
+    cand AS (
+      SELECT least(a.id, b.id) AS id_lo, greatest(a.id, b.id) AS id_hi
+      FROM r0 a JOIN r0 b ON b.rk > a.rk AND b.rk <= a.rk + {_SNM_WINDOW - 1}
+      UNION
+      SELECT least(a.id, b.id), greatest(a.id, b.id)
+      FROM r1 a JOIN r1 b ON b.rk > a.rk AND b.rk <= a.rk + {_SNM_WINDOW - 1}
+      UNION
+      SELECT least(a.id, b.id), greatest(a.id, b.id)
+      FROM r2 a JOIN r2 b ON b.rk > a.rk AND b.rk <= a.rk + {_SNM_WINDOW - 1}
+    )
+    SELECT c.id_lo AS id_a, c.id_hi AS id_b,
+           CAST(levenshtein(x.t, y.t) AS BIGINT) AS lev
+    FROM cand c JOIN k x ON c.id_lo = x.id JOIN k y ON c.id_hi = y.id
+    WHERE abs(x.n - y.n) <= {_SNM_THRESHOLD}
+      AND levenshtein(x.t, y.t) <= {_SNM_THRESHOLD}
+    """,
+    doc="MULTI-PASS sorted neighborhood (the variant Hernández-Stolfo "
+    "SIGMOD'95 prescribes for production): three rotated blocking keys "
+    "— forward prefix, reversed prefix (head edits), token-sorted "
+    "prefix (word-order moves) — each slid with the same 6-row window; "
+    "candidates canonicalized and set-unioned (≤ 3(w−1)·n, still "
+    "linear), texts joined back by 8-byte id, ONE banded Levenshtein "
+    "verify. Closes the single-pass recall gap documented on "
+    "sorted_neighborhood_dup_pairs; output is a superset of that "
+    "query's pairs by construction (pass 0 is its key).",
+)
+def q_sorted_neighborhood_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.dedup import sorted_neighborhood_multipass
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sorted_neighborhood_multipass(
+        docs, id_col="doc_id", text_col="text",
+        window=_SNM_WINDOW, threshold=_SNM_THRESHOLD, key_chars=_SNM_KEY_CHARS,
+    )
+
+
 _CONT_N = 4
 _CONT_TAU = 0.6
 _CONT_CAP = 64

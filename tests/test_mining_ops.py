@@ -795,3 +795,45 @@ def test_twap_daily_tied_timestamps_deterministic(spark):
     r = twap_daily(df, "k", "ts", "event_id", "value").collect()[0]
     # event 1 gets gap 0, event 2 carries 00:00->12:00 -> twap = 100.0
     assert r.twap == 100.0 and r.active_us == 24 * 3600 * 1_000_000
+
+
+def test_sorted_neighborhood_multipass_recall_superset(spark):
+    from flink_anomaly_spark.operators.dedup import (
+        sorted_neighborhood_multipass,
+        sorted_neighborhood_pairs,
+    )
+
+    # 1-2: near-dups differing ONLY in the first words (prefix spoiled
+    #      -> invisible to the forward pass, caught by the reversed key)
+    # 3-4: word-order move (both character orders spoiled, caught by
+    #      the token-sorted key)
+    # 5-6: classic suffix edit the single forward pass already finds
+    filler = "zebra yak xylophone walrus vulture termite snake rhino "
+    docs = [
+        (1, "alpha " + filler + "common tail of the record"),
+        (2, "omega " + filler + "common tail of the record"),
+        (3, "gamma delta " + filler),
+        (4, "delta gamma " + filler),
+        (5, filler + "ending one"),
+        (6, filler + "ending two"),
+        (7, "completely unrelated content about spark optimizers"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    single = {
+        frozenset((r.id_a, r.id_b))
+        for r in sorted_neighborhood_pairs(
+            df, "doc_id", "text", window=3, threshold=30
+        ).collect()
+    }
+    multi = {
+        frozenset((r.id_a, r.id_b))
+        for r in sorted_neighborhood_multipass(
+            df, "doc_id", "text", window=3, threshold=30
+        ).collect()
+    }
+    assert single <= multi
+    assert frozenset((5, 6)) in single  # forward pass finds suffix edits
+    assert frozenset((1, 2)) in multi  # reversed key closes the prefix gap
+    assert frozenset((3, 4)) in multi  # token-sorted key closes order moves
+    assert frozenset((1, 2)) not in single
+    assert not any(7 in p for p in multi)

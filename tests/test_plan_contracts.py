@@ -744,3 +744,19 @@ def test_seasonality_broadcast_totals(spark):
     |keys|-row totals via broadcast."""
     df = _Q["seasonality_profile"](spark, SF_SMOKE)
     assert_broadcast_join(df)
+
+
+def test_snm_multipass_verify_parallel(spark):
+    """sorted_neighborhood_multipass runs ONE banded levenshtein over
+    the unioned candidate set; the candidates' distinct() output is a
+    tiny id-pair exchange AQE coalesces to ~1 partition, which would
+    serialize the whole verify into a single task (measured 5.3 s of
+    8 s at sf0.1). Pin: a RoundRobinPartitioning exchange sits between
+    the distinct and the text-join/levenshtein stage."""
+    df = _Q["sorted_neighborhood_multipass"](spark, SF_SMOKE)
+    plan = physical_plan(df, mode="simple")
+    assert "levenshtein" in plan.lower(), plan
+    assert "Exchange RoundRobinPartitioning" in plan, (
+        "candidate pairs must be round-robin spread before the "
+        f"levenshtein verify:\n{plan}"
+    )
