@@ -392,6 +392,156 @@ def moving_median_daily(
     )
 
 
+#: Fixed-edge histogram config for the distribution-drift screens.
+#: Edges are FIXED (integer-cents bins of width TV_BIN_CENTS, clamped
+#: into [0, TV_N_BINS−1]) — the production drift-monitor convention
+#: (PSI bins come from a frozen reference period, never from the live
+#: window), and the property that makes the STREAMING twin possible:
+#: an online operator cannot know the stream's global min/max.
+TV_N_BINS = 16
+TV_BIN_CENTS = 4000
+#: Reference period: days strictly before this UTC date build the
+#: reference histogram every day/window is compared against.
+TV_REF_END = "2024-01-08"
+#: Drift flag: tv > 1/(2·TV_DRIFT_DEN)·TV_DRIFT_NUM — evaluated as the
+#: exact BIGINT cross-multiplication TV_DRIFT_MULT·tv_num > n_ref·n_day
+#: (i.e. tv > 0.1), never a float threshold comparison.
+TV_DRIFT_MULT = 5
+
+
+def tv_hist_bin(value_col: str) -> Column:
+    """Fixed-edge drift-histogram bin of ``value_col`` — SHARED by the
+    batch screen and the streaming projection so engine, twin, and
+    oracle cannot drift: integer cents, BIGINT floor-division by the
+    bin width, clamped into [0, TV_N_BINS−1] (the clamp also absorbs
+    the Spark-trunc vs DuckDB-floor divergence on negative cents)."""
+    return F.expr(
+        f"greatest(CAST(0 AS BIGINT), "
+        f"least(CAST(round({value_col} * 100) AS BIGINT) DIV {TV_BIN_CENTS}, "
+        f"{TV_N_BINS - 1}))"
+    )
+
+
+def tv_reference_hist(df: DataFrame, ts_col: str, value_col: str) -> DataFrame:
+    """Reference histogram (bin, rc) from the frozen reference period
+    (days strictly before TV_REF_END) — ≤ TV_N_BINS rows, the broadcast
+    side of every drift comparison."""
+    day = F.date_trunc("day", F.col(ts_col))
+    return (
+        df.filter(day < F.lit(TV_REF_END).cast("timestamp"))
+        .select(tv_hist_bin(value_col).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").cast("bigint").alias("rc"))
+    )
+
+
+def tv_drift_finalize(day_bins: DataFrame, ref: DataFrame) -> DataFrame:
+    """Per-day total-variation drift vs the reference histogram.
+
+    ``day_bins``: (day, bin, c) counts — from a batch groupBy or a
+    finalized streaming window sink. ``ref``: (bin, rc).
+
+    TV(day) = ½ Σ_b |c_b/N_day − rc_b/N_ref| is computed EXACTLY as
+    the BIGINT numerator Σ_b |c_b·N_ref − rc_b·N_day| over the full
+    fixed bin grid (missing bins count 0 on either side), then ONE
+    correctly-rounded division by 2·N_ref·N_day — integer-exact where
+    PSI's Σ(p−q)·ln(p/q) would ride libm ln (cross-engine divergent in
+    the last ulp, the HBOS/priority-sampling lesson); TV is the
+    standard distribution-drift metric with none of that exposure.
+    The drift flag is the cross-multiplied integer comparison
+    TV_DRIFT_MULT·tv_num > N_ref·N_day (τ = 0.1), never a float test.
+
+    Scale: ref and the bin grid are broadcast (≤ TV_N_BINS rows); the
+    only wide op upstream is the (day, bin) count agg — ≤ TV_N_BINS
+    rows per day reach this finalize regardless of event volume.
+    """
+    spark = day_bins.sparkSession
+    nref = ref.agg(F.sum("rc").cast("bigint").alias("__n_ref"))
+    days = day_bins.groupBy("day").agg(F.sum("c").cast("bigint").alias("n_day"))
+    bins = spark.range(TV_N_BINS).select(F.col("id").cast("bigint").alias("bin"))
+    grid = days.crossJoin(F.broadcast(bins))
+    term = F.abs(
+        F.coalesce(F.col("c"), F.lit(0)) * F.col("__n_ref")
+        - F.coalesce(F.col("rc"), F.lit(0)) * F.col("n_day")
+    )
+    return (
+        grid.join(day_bins, ["day", "bin"], "left")
+        .join(F.broadcast(ref), "bin", "left")
+        .crossJoin(F.broadcast(nref))
+        .groupBy("day", "n_day", "__n_ref")
+        .agg(F.sum(term).cast("bigint").alias("tv_num"))
+        .select(
+            "day",
+            "n_day",
+            "tv_num",
+            (
+                F.col("tv_num").cast("double")
+                / (F.lit(2) * F.col("__n_ref") * F.col("n_day")).cast("double")
+            ).alias("tv"),
+            (
+                F.lit(TV_DRIFT_MULT) * F.col("tv_num")
+                > F.col("__n_ref") * F.col("n_day")
+            ).alias("drift"),
+        )
+    )
+
+
+def tv_drift_oracle_sql(ts_col: str, value_col: str, table: str) -> str:
+    """DuckDB oracle for the TV drift screens — one generator serves
+    the batch query AND the streaming final (their results are defined
+    to be identical), so engine, twin, and oracle share every constant
+    and expression."""
+    return f"""
+    WITH b AS (
+      SELECT date_trunc('day', {ts_col}) AS day,
+             greatest(CAST(0 AS BIGINT),
+                      least(CAST(round({value_col} * 100) AS BIGINT) // {TV_BIN_CENTS},
+                            {TV_N_BINS - 1})) AS bin
+      FROM {table}
+    ),
+    ref AS (SELECT bin, CAST(count(*) AS BIGINT) AS rc FROM b
+            WHERE day < TIMESTAMP '{TV_REF_END}' GROUP BY bin),
+    nr AS (SELECT CAST(sum(rc) AS BIGINT) AS n_ref FROM ref),
+    dc AS (SELECT day, bin, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY day, bin),
+    nd AS (SELECT day, CAST(sum(c) AS BIGINT) AS n_day FROM dc GROUP BY day),
+    grid AS (SELECT nd.day, nd.n_day, t.bin
+             FROM nd CROSS JOIN (SELECT unnest(range(0, {TV_N_BINS})) AS bin) t),
+    terms AS (
+      SELECT g.day, g.n_day, nr.n_ref,
+             abs(coalesce(dc.c, 0) * nr.n_ref - coalesce(ref.rc, 0) * g.n_day) AS term
+      FROM grid g
+      LEFT JOIN dc ON dc.day = g.day AND dc.bin = g.bin
+      LEFT JOIN ref ON ref.bin = g.bin
+      CROSS JOIN nr
+    )
+    SELECT day, n_day, CAST(sum(term) AS BIGINT) AS tv_num,
+           CAST(sum(term) AS DOUBLE) / CAST(2 * n_ref * n_day AS DOUBLE) AS tv,
+           {TV_DRIFT_MULT} * CAST(sum(term) AS BIGINT) > n_ref * n_day AS drift
+    FROM terms GROUP BY day, n_day, n_ref
+    """
+
+
+def tv_drift_daily(df: DataFrame, ts_col: str, value_col: str) -> DataFrame:
+    """Batch distribution-drift screen: per-DAY total-variation distance
+    of the value histogram against the frozen reference period — the
+    batch twin of the streaming per-window drift monitor (they share
+    :func:`tv_hist_bin`, :func:`tv_reference_hist`, and
+    :func:`tv_drift_finalize`, so the two surfaces are the same
+    operator by construction)."""
+    day = F.date_trunc("day", F.col(ts_col))
+    b = df.select(day.alias("day"), tv_hist_bin(value_col).alias("bin"))
+    from flink_anomaly_spark.operators.dedup import _persist
+
+    b = _persist(b)  # two consumers: reference build + daily counts
+    ref = (
+        b.filter(F.col("day") < F.lit(TV_REF_END).cast("timestamp"))
+        .groupBy("bin")
+        .agg(F.count("*").cast("bigint").alias("rc"))
+    )
+    day_bins = b.groupBy("day", "bin").agg(F.count("*").cast("bigint").alias("c"))
+    return tv_drift_finalize(day_bins, ref)
+
+
 def twap_daily(
     df: DataFrame,
     key_col: str,

@@ -916,3 +916,36 @@ def q_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         events, key_col="event_type", ts_col="ts", order_col="event_id",
         value_col="value",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: distribution drift — daily total variation vs a frozen reference
+# ---------------------------------------------------------------------------
+
+
+def _tv_drift_oracle() -> str:
+    from flink_anomaly_spark.operators.mining import tv_drift_oracle_sql
+
+    return tv_drift_oracle_sql("ts", "value", "events")
+
+
+@register(
+    "tv_drift_daily",
+    oracle=_tv_drift_oracle(),
+    doc="Per-day distribution-drift screen: total-variation distance of "
+    "the fixed-edge value histogram against the frozen reference period "
+    "(days before 2024-01-08) — the role PSI plays in production "
+    "monitors, chosen over PSI because TV is integer-exact (BIGINT "
+    "numerator sum(|c*N_ref - rc*N_day|) over the bin grid, ONE "
+    "division) where PSI's sum((p-q)*ln(p/q)) rides libm ln, cross-"
+    "engine divergent in the last ulp. Drift flag is the cross-"
+    "multiplied integer comparison 5*tv_num > N_ref*N_day (tau = 0.1). "
+    "One (day,bin) count agg is the only wide op; reference and the "
+    "16-bin grid broadcast. Shares bin/finalize code with the "
+    "streaming twin streaming_tv_drift_final by construction.",
+)
+def q_tv_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.mining import tv_drift_daily
+
+    events = load_table(spark, sf_dir, "events")
+    return tv_drift_daily(events, ts_col="ts", value_col="value")

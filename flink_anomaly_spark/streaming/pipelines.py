@@ -139,6 +139,40 @@ sketches.hll_windowed_estimate` batch-side (the serve-layer split the
     )
 
 
+def hist_bin_stream(
+    events: DataFrame,
+    value_col: str = "value",
+    duration: str = "1 day",
+) -> DataFrame:
+    """Streaming per-window fixed-edge histogram build — the
+    distribution-DRIFT sketch on the streaming surface (VERDICT r8 #4):
+    the stateless bin projection is
+    :func:`~flink_anomaly_spark.operators.mining.tv_hist_bin` (shared
+    with the batch drift screen so twin and oracle cannot diverge), and
+    the stateful stage is a plain windowed count per (window, bin) —
+    state is ≤ TV_N_BINS rows per open window, CONSTANT in event
+    volume, the same hold-a-sketch-not-the-data argument as the HLL /
+    CMS / k-mins streams. Finalized counts feed
+    :func:`~flink_anomaly_spark.operators.mining.tv_drift_finalize`
+    batch-side against the broadcast reference histogram (the
+    serve-layer split all sketch finals use)."""
+    from flink_anomaly_spark.operators.mining import tv_hist_bin
+
+    return (
+        events.filter(F.col(value_col).isNotNull())
+        .select("ts", tv_hist_bin(value_col).alias("bin"))
+        .withWatermark("ts", "20 seconds")
+        .groupBy(F.window("ts", duration).alias("win"), "bin")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "bin",
+            "c",
+        )
+    )
+
+
 def cms_cell_stream(
     events: DataFrame,
     key_col: str = "user_id",

@@ -837,3 +837,41 @@ def test_sorted_neighborhood_multipass_recall_superset(spark):
     assert frozenset((3, 4)) in multi  # token-sorted key closes order moves
     assert frozenset((1, 2)) not in single
     assert not any(7 in p for p in multi)
+
+
+# ---------------------------------------------------------------------------
+# TV drift
+# ---------------------------------------------------------------------------
+
+
+def test_tv_drift_flags_shifted_day(spark):
+    from flink_anomaly_spark.operators.mining import (
+        TV_BIN_CENTS,
+        tv_drift_daily,
+    )
+
+    # reference days (before TV_REF_END) concentrated in bin 0; day
+    # 2024-01-20 shifts every value up by 3 bins -> TV = 1.0, flagged;
+    # day 2024-01-21 replays the reference distribution -> TV = 0
+    ref_rows = [
+        (f"2024-01-0{d} 10:00:{i:02d}", 1.0) for d in range(1, 7) for i in range(10)
+    ]
+    shifted = [(f"2024-01-20 10:00:{i:02d}", 3.2 * TV_BIN_CENTS / 100) for i in range(10)]
+    same = [(f"2024-01-21 10:00:{i:02d}", 1.0) for i in range(10)]
+    df = spark.createDataFrame(
+        ref_rows + shifted + same, "ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {str(r.day)[:10]: r for r in tv_drift_daily(df, "ts", "value").collect()}
+    assert got["2024-01-20"].tv == 1.0 and got["2024-01-20"].drift
+    assert got["2024-01-21"].tv == 0.0 and not got["2024-01-21"].drift
+    # reference days compared against their own pool: small TV, unflagged
+    assert not got["2024-01-01"].drift
+
+
+def test_streaming_tv_drift_equals_batch(spark):
+    from flink_anomaly_spark.plans.registry import all_queries
+
+    q = all_queries()
+    live = sorted(map(tuple, q["streaming_tv_drift_final"](spark, SF_SMOKE).collect()))
+    batch = sorted(map(tuple, q["tv_drift_daily"](spark, SF_SMOKE).collect()))
+    assert live == batch and len(live) > 0
