@@ -8,6 +8,7 @@ in the DuckDB oracle.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -1348,3 +1349,237 @@ def bpe_fertility_by_lang(
     rows = out.collect()
     vocab.unpersist()
     return df.sparkSession.createDataFrame(rows, out.schema)
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM-style tokenizer vocabulary trainer (iterative prune)
+# ---------------------------------------------------------------------------
+
+#: Longest candidate piece (characters). Seed substrings and the greedy
+#: matcher share this bound, and the oracle embeds it.
+UNIGRAM_MAX_PIECE = 4
+#: Multi-character seed-vocabulary size (top by weighted substring
+#: count; single characters are always in-vocab on top of these).
+UNIGRAM_SEED_M = 48
+#: Pieces pruned per EM iteration (lowest usage first).
+UNIGRAM_PRUNE_P = 8
+#: Fixed number of prune iterations — the oracle unrolls exactly this
+#: many (the kmeans_lloyd / batched-BPE fixed-iteration contract).
+UNIGRAM_ITERS = 3
+
+
+def _unigram_seg_usage(words: DataFrame, vocab: list[str]) -> DataFrame:
+    """E-step: segment every DISTINCT word with greedy longest-match
+    against ``vocab`` (the WordPiece inference rule — deterministic,
+    unlike unigram-LM's float-scored Viterbi, so both engines replay it
+    exactly) and return per-piece usage weighted by word count.
+
+    The matcher is an Arrow-batched pandas UDF over the vocabulary-
+    collapsed words frame — per-word Python string ops against a
+    broadcast frozenset (piece count is bounded: ≤ seed_m + |alphabet|
+    at any corpus size), never a per-corpus-row loop. Unknown
+    characters fall back to single-character pieces, mirroring the
+    oracle's coalesce(match, 1-char)."""
+    from pyspark.sql.functions import pandas_udf
+
+    vs = frozenset(vocab)
+    maxlen = UNIGRAM_MAX_PIECE
+
+    @pandas_udf("array<string>")
+    def seg(col: pd.Series) -> pd.Series:
+        def one(word: str) -> list[str]:
+            out: list[str] = []
+            pos, n = 0, len(word)
+            while pos < n:
+                step = None
+                for l in range(min(maxlen, n - pos), 0, -1):
+                    cand = word[pos : pos + l]
+                    if cand in vs:
+                        step = cand
+                        break
+                if step is None:
+                    step = word[pos]
+                out.append(step)
+                pos += len(step)
+            return out
+
+        return col.map(one)
+
+    return (
+        words.select("cnt", F.explode(seg(F.col("w"))).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("cnt").cast("bigint").alias("usage"))
+    )
+
+
+def unigram_lm_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    seed_m: int = UNIGRAM_SEED_M,
+    prune_p: int = UNIGRAM_PRUNE_P,
+    iters: int = UNIGRAM_ITERS,
+) -> DataFrame:
+    """Unigram-LM-STYLE tokenizer vocabulary trainer by iterative prune
+    (the SentencePiece trainer family, Kudo 2018), the second tokenizer
+    family next to BPE (text.bpe_learn_merges*): seed a large candidate
+    vocabulary, repeatedly segment the corpus and PRUNE the least-used
+    pieces, keep what survives.
+
+    Deterministic-replay substitutions (documented, not hidden): the
+    E-step scores segmentations by GREEDY LONGEST-MATCH (the WordPiece
+    inference rule) instead of Viterbi over float log-probs, and the
+    M-step prunes the ``prune_p`` lowest-(usage, piece) pieces instead
+    of estimating likelihood loss — both selection keys are pure
+    integers/strings, so the DuckDB oracle unrolls the exact same
+    ``iters`` iterations (the Lloyd/batched-BPE contract) and hash-
+    matches bit-for-bit. Single characters are never pruned (coverage,
+    as in SentencePiece's character_coverage=1.0).
+
+    Scale shape: the corpus collapses to its DISTINCT-WORD vocabulary
+    before any per-character work (the _bpe_vocab move) — every
+    E-step maps that words frame once (Arrow-batched UDF, broadcast
+    piece set) and aggregates ≤ |vocab| usage rows; per-iteration
+    driver traffic is one ≤(seed_m+|alphabet|)-row collect (the BPE
+    candidate-collect class). Job count is O(iters), independent of
+    corpus and vocabulary size.
+
+    Output: one row per surviving piece — (piece, piece_len, usage)
+    with usage from a final E-step against the pruned vocabulary.
+    """
+    words = (
+        spread(df.select(F.col(text_col).alias("__t")))
+        .select(F.explode(tokens(F.col("__t"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .persist()
+    )
+    subs = (
+        f"flatten(transform(sequence(2, {UNIGRAM_MAX_PIECE}), "
+        f"L -> CASE WHEN length(w) >= L THEN "
+        f"transform(sequence(1, length(w) - L + 1), i -> substr(w, i, L)) "
+        f"ELSE array() END))"
+    )
+    seed = (
+        words.select("cnt", F.explode(F.expr(subs)).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("cnt").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("piece").asc())
+        .limit(seed_m)
+        .collect()
+    )
+    chars = (
+        words.select(
+            F.explode(
+                F.expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))")
+            ).alias("piece")
+        )
+        .distinct()
+        .collect()
+    )
+    vocab = sorted({r.piece for r in chars} | {r.piece for r in seed})
+    for _ in range(iters):
+        usage = {r.piece: r.usage for r in _unigram_seg_usage(words, vocab).collect()}
+        multi = [p for p in vocab if len(p) >= 2]
+        victims = set(sorted(multi, key=lambda p: (usage.get(p, 0), p))[:prune_p])
+        vocab = [p for p in vocab if p not in victims]
+    final_usage = _unigram_seg_usage(words, vocab)
+    pieces = words.sparkSession.createDataFrame(
+        [(p,) for p in vocab], "piece string"
+    )
+    out = (
+        pieces.join(final_usage, "piece", "left")
+        .select(
+            "piece",
+            F.length("piece").cast("bigint").alias("piece_len"),
+            F.coalesce(F.col("usage"), F.lit(0)).cast("bigint").alias("usage"),
+        )
+    )
+    rows = out.collect()
+    words.unpersist()
+    return df.sparkSession.createDataFrame(rows, out.schema)
+
+
+def unigram_lm_oracle_sql(
+    table: str = "documents",
+    seed_m: int = UNIGRAM_SEED_M,
+    prune_p: int = UNIGRAM_PRUNE_P,
+    iters: int = UNIGRAM_ITERS,
+) -> str:
+    """DuckDB oracle for :func:`unigram_lm_vocab` — the ``iters``
+    EM-prune iterations UNROLLED (one greedy-segmentation recursive CTE
+    per iteration), sharing every constant with the engine. The
+    position/candidate-substring grids are vocabulary-independent, so
+    they are built once and every iteration joins against them."""
+    from flink_anomaly_spark.plans.fragments import TOKS
+
+    maxp = UNIGRAM_MAX_PIECE
+    head = f"""
+    WITH RECURSIVE
+    w AS (
+      SELECT t AS word, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest({TOKS}) AS t FROM {table}) GROUP BY t
+    ),
+    seed AS (
+      SELECT piece FROM (
+        SELECT piece, CAST(sum(cnt) AS BIGINT) AS n FROM (
+          SELECT cnt, unnest(flatten(list_transform(range(2, {maxp + 1}),
+            L -> list_transform(range(1, length(word) - L + 2),
+                                i -> substr(word, i, L))))) AS piece
+          FROM w) GROUP BY piece)
+      ORDER BY n DESC, piece ASC LIMIT {seed_m}
+    ),
+    chars AS (
+      SELECT DISTINCT unnest(list_transform(range(1, length(word) + 1),
+                                            i -> substr(word, i, 1))) AS piece
+      FROM w
+    ),
+    v0 AS (SELECT piece FROM chars UNION SELECT piece FROM seed),
+    cand AS (
+      SELECT word, pos, L, substr(word, pos + 1, L) AS sub
+      FROM (SELECT word, unnest(range(0, length(word))) AS pos FROM w) p,
+           (SELECT unnest(range(1, {maxp + 1})) AS L) lens
+      WHERE pos + L <= length(word)
+    )"""
+    blocks = []
+    for t in range(iters + 1):
+        blocks.append(f""",
+    match{t} AS (
+      SELECT c.word, c.pos, max_by(c.sub, c.L) AS best
+      FROM cand c JOIN v{t} v ON c.sub = v.piece
+      GROUP BY c.word, c.pos
+    ),
+    seg{t} AS (
+      SELECT word, 0 AS pos FROM w
+      UNION ALL
+      SELECT s.word, s.pos + coalesce(length(m.best), 1) AS pos
+      FROM seg{t} s
+      JOIN w ww ON ww.word = s.word
+      LEFT JOIN match{t} m ON m.word = s.word AND m.pos = s.pos
+      WHERE s.pos < length(ww.word)
+    ),
+    use{t} AS (
+      SELECT coalesce(m.best, substr(s.word, s.pos + 1, 1)) AS piece,
+             CAST(sum(ww.cnt) AS BIGINT) AS usage
+      FROM seg{t} s
+      JOIN w ww ON ww.word = s.word
+      LEFT JOIN match{t} m ON m.word = s.word AND m.pos = s.pos
+      WHERE s.pos < length(ww.word)
+      GROUP BY 1
+    )""")
+        if t < iters:
+            blocks.append(f""",
+    drop{t} AS (
+      SELECT piece FROM (
+        SELECT v.piece, coalesce(u.usage, 0) AS uu
+        FROM v{t} v LEFT JOIN use{t} u USING (piece)
+        WHERE length(v.piece) >= 2)
+      ORDER BY uu ASC, piece ASC LIMIT {prune_p}
+    ),
+    v{t + 1} AS (SELECT v.piece FROM v{t} v
+      WHERE NOT EXISTS (SELECT 1 FROM drop{t} d WHERE d.piece = v.piece))""")
+    tail = f"""
+    SELECT v.piece, CAST(length(v.piece) AS BIGINT) AS piece_len,
+           CAST(coalesce(u.usage, 0) AS BIGINT) AS usage
+    FROM v{iters} v LEFT JOIN use{iters} u USING (piece)
+    """
+    return head + "".join(blocks) + tail

@@ -1729,3 +1729,38 @@ def q_weighted_sample_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample_global(
         docs, weight_col="n_chars", id_col="doc_id", k=50
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: unigram-LM-style tokenizer vocabulary (iterative prune)
+# ---------------------------------------------------------------------------
+
+
+def _unigram_oracle() -> str:
+    from flink_anomaly_spark.operators.text import unigram_lm_oracle_sql
+
+    return unigram_lm_oracle_sql("documents")
+
+
+@register(
+    "unigram_lm_vocab",
+    oracle=_unigram_oracle(),
+    doc="Unigram-LM-style tokenizer vocabulary trainer (the "
+    "SentencePiece iterative-prune family, Kudo 2018 — the second "
+    "tokenizer trainer next to BPE): seed = top-48 weighted substrings "
+    "(len 2-4) + all single chars; 3 EM iterations, each segmenting "
+    "the DISTINCT-WORD vocabulary by greedy longest-match (the "
+    "WordPiece inference rule — deterministic where Viterbi's float "
+    "log-probs are not) and pruning the 8 lowest-(usage, piece) "
+    "multi-char pieces; chars never pruned (full coverage). The "
+    "oracle unrolls the exact 3 iterations (one recursive greedy-walk "
+    "CTE per pass). Corpus collapses to distinct words before any "
+    "per-char work; per-iteration driver traffic is one <=100-row "
+    "collect; job count O(iters), independent of corpus and vocab "
+    "size.",
+)
+def q_unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.text import unigram_lm_vocab
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_lm_vocab(docs, text_col="text")

@@ -705,3 +705,72 @@ def test_bpe_batched_trainer_sublinear_actions_and_disjoint_selection(spark):
     for prs in by_pass.values():
         ns = [r.n for r in prs]
         assert ns == sorted(ns, reverse=True)
+
+
+def test_unigram_lm_vocab_matches_python_reference(spark):
+    """Full-trainer equivalence on a synthetic corpus: seed selection,
+    greedy longest-match segmentation, (usage, piece) pruning, and the
+    final usage report all match an independent pure-Python replay."""
+    from collections import Counter
+
+    from flink_anomaly_spark.operators.text import (
+        UNIGRAM_MAX_PIECE,
+        unigram_lm_vocab,
+    )
+
+    texts = [
+        "the cat sat on the mat",
+        "the cats sat on the mats",
+        "a banana and a bandana",
+        "ban the bandana banana",
+        "mat cat bat the the the",
+    ] * 3
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = {
+        r.piece: (r.piece_len, r.usage)
+        for r in unigram_lm_vocab(
+            df, "text", seed_m=12, prune_p=3, iters=2
+        ).collect()
+    }
+
+    # ---- independent reference ----
+    words = Counter(w for t in texts for w in t.split() if w)
+    subs: Counter = Counter()
+    for w, c in words.items():
+        for L in range(2, UNIGRAM_MAX_PIECE + 1):
+            for i in range(len(w) - L + 1):
+                subs[w[i : i + L]] += c
+    seed = [p for p, _ in sorted(subs.items(), key=lambda kv: (-kv[1], kv[0]))[:12]]
+    chars = {ch for w in words for ch in w}
+    vocab = sorted(chars | set(seed))
+
+    def seg(word, vs):
+        out, pos = [], 0
+        while pos < len(word):
+            step = None
+            for l in range(min(UNIGRAM_MAX_PIECE, len(word) - pos), 0, -1):
+                if word[pos : pos + l] in vs:
+                    step = word[pos : pos + l]
+                    break
+            if step is None:
+                step = word[pos]
+            out.append(step)
+            pos += len(step)
+        return out
+
+    def usage_of(vs):
+        u: Counter = Counter()
+        for w, c in words.items():
+            for p in seg(w, frozenset(vs)):
+                u[p] += c
+        return u
+
+    for _ in range(2):
+        u = usage_of(vocab)
+        multi = [p for p in vocab if len(p) >= 2]
+        victims = set(sorted(multi, key=lambda p: (u.get(p, 0), p))[:3])
+        vocab = [p for p in vocab if p not in victims]
+    final = usage_of(vocab)
+    want = {p: (len(p), final.get(p, 0)) for p in vocab}
+    assert got == want
+    assert any(l >= 2 for l, _ in got.values())  # multi-char pieces survive
