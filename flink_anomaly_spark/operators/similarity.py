@@ -335,6 +335,111 @@ def semantic_decontamination(
     )
 
 
+def mmr_diversified_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    pool_n: int = 12,
+    k: int = 4,
+    lam: float = 0.7,
+    mu: float = 0.3,
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k (Carbonell &
+    Goldstein, SIGIR 1998) — the retrieval-diversification stage a RAG
+    pipeline runs after ANN: from each query's ``pool_n`` most-similar
+    candidates, pick ``k`` documents one at a time by
+
+        score(d) = λ·sim(q, d) − μ·max_{s ∈ selected} sim(d, s)
+
+    (μ passed EXPLICITLY, never computed as 1−λ: the float literal 0.3
+    and the expression 1.0−0.7 are different doubles, and both engines
+    must use the same one). The first pick's penalty is an empty max,
+    defined as 0. Ties break by smaller id.
+
+    Determinism: all similarities are the engine's round(cosine, 6)
+    doubles; each score is two exactly-rounded multiplies and one
+    subtract on them, and every argmax carries the id tiebreak — so the
+    fixed ``k``-round selection is replayed bit-for-bit by the
+    oracle's unrolled SQL (the Lloyd/unigram fixed-iteration
+    contract).
+
+    Scale shape: pooling is brute-force scoring against a broadcast
+    query side (swap in the IVF probe join past memory scale); the
+    iterative stage touches only (|queries|·pool_n)-row frames — the
+    pool and its pairwise-similarity table are persisted once and each
+    of the k rounds is a window argmax over them, never a corpus
+    re-scan. The k-round sequential dependency is inherent to MMR's
+    greedy definition.
+    """
+    from flink_anomaly_spark.operators.dedup import _persist
+    from flink_anomaly_spark.operators.relational import top_k_per_group
+
+    base = spread(df.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")))
+    queries = df.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+    )
+    scored = base.join(F.broadcast(queries), F.col("nid") != F.col("qid")).select(
+        "qid",
+        "nid",
+        "nvec",
+        F.round(cosine(F.col("qvec"), F.col("nvec")), 6).alias("simq"),
+    )
+    pool = _persist(
+        top_k_per_group(
+            scored,
+            group_cols=["qid"],
+            order_by=[F.col("simq").desc(), F.col("nid").asc()],
+            k=pool_n,
+        ).select("qid", "nid", "nvec", "simq")
+    )
+    a = pool.select("qid", F.col("nid").alias("n1"), F.col("nvec").alias("v1"))
+    b = pool.select("qid", F.col("nid").alias("n2"), F.col("nvec").alias("v2"))
+    pairs = _persist(
+        a.join(b, "qid")
+        .filter(F.col("n1") != F.col("n2"))
+        .select(
+            "qid",
+            "n1",
+            "n2",
+            F.round(cosine(F.col("v1"), F.col("v2")), 6).alias("sim"),
+        )
+    )
+    cand0 = pool.select("qid", "nid", "simq")
+
+    def _pick(cand: DataFrame, pen_col, rank: int) -> DataFrame:
+        score = F.lit(lam) * F.col("simq") - F.lit(mu) * pen_col
+        return top_k_per_group(
+            cand.withColumn("__score", score),
+            group_cols=["qid"],
+            order_by=[F.col("__score").desc(), F.col("nid").asc()],
+            k=1,
+        ).select(
+            "qid",
+            "nid",
+            F.col("__score").alias("mmr_score"),
+            F.lit(rank).cast("bigint").alias("pick_rank"),
+        )
+
+    sel_all = _pick(cand0, F.lit(0.0), 1)
+    for t in range(2, k + 1):
+        pen = (
+            pairs.join(
+                sel_all.select("qid", F.col("nid").alias("n2")), ["qid", "n2"]
+            )
+            .groupBy("qid", F.col("n1").alias("nid"))
+            .agg(F.max("sim").alias("__pen"))
+        )
+        cand = (
+            cand0.join(sel_all.select("qid", "nid"), ["qid", "nid"], "left_anti")
+            .join(pen, ["qid", "nid"], "left")
+        )
+        sel_all = sel_all.unionByName(
+            _pick(cand, F.coalesce(F.col("__pen"), F.lit(0.0)), t)
+        )
+    return sel_all.select("qid", "nid", "pick_rank", "mmr_score")
+
+
 def brute_force_topk(
     df: DataFrame,
     id_col: str,

@@ -867,6 +867,97 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MMR_QUERIES = 6
+_MMR_POOL = 12
+_MMR_K = 4
+
+
+def _mmr_oracle(n_queries: int = _MMR_QUERIES, pool_n: int = _MMR_POOL, k: int = _MMR_K) -> str:
+    """Unrolled-SQL oracle for MMR diversified top-k: the fixed k
+    greedy rounds as k CTE blocks (argmax with the id tiebreak, the
+    running selected set as UNION ALL), sharing the λ=0.7 / μ=0.3
+    DOUBLE literals and the round(cos, 6) similarity with the engine."""
+    cos_q = (
+        f"{_pair_dot('qvec', 'nvec')} / "
+        f"(sqrt({_pair_dot('qvec', 'qvec')}) * sqrt({_pair_dot('nvec', 'nvec')}))"
+    )
+    cos_p = (
+        f"{_pair_dot('e1.embedding', 'e2.embedding')} / "
+        f"(sqrt({_pair_dot('e1.embedding', 'e1.embedding')}) * "
+        f"sqrt({_pair_dot('e2.embedding', 'e2.embedding')}))"
+    )
+    s1_score = "CAST(0.7 AS DOUBLE) * simq - CAST(0.3 AS DOUBLE) * CAST(0.0 AS DOUBLE)"
+    parts = [f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+               WHERE vec_id < {n_queries}),
+    c AS (SELECT vec_id AS nid, embedding AS nvec FROM embeddings),
+    scored AS (SELECT qid, nid, round({cos_q}, 6) AS simq
+               FROM c JOIN q ON nid != qid),
+    pool AS (SELECT qid, nid, simq FROM (
+      SELECT qid, nid, simq,
+             row_number() OVER (PARTITION BY qid ORDER BY simq DESC, nid ASC) AS rk
+      FROM scored) t WHERE rk <= {pool_n}),
+    pp AS (SELECT a.qid, a.nid AS n1, b.nid AS n2, round({cos_p}, 6) AS sim
+           FROM pool a JOIN pool b ON a.qid = b.qid AND a.nid != b.nid
+           JOIN embeddings e1 ON e1.vec_id = a.nid
+           JOIN embeddings e2 ON e2.vec_id = b.nid),
+    s1 AS (SELECT qid, nid, score AS mmr_score, CAST(1 AS BIGINT) AS pick_rank FROM (
+      SELECT qid, nid, {s1_score} AS score,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY {s1_score} DESC, nid ASC) AS rk
+      FROM pool) t WHERE rk = 1),
+    sel1 AS (SELECT qid, nid FROM s1)"""]
+    for t in range(2, k + 1):
+        score = (
+            "CAST(0.7 AS DOUBLE) * p.simq - CAST(0.3 AS DOUBLE) * "
+            f"coalesce(pen{t}.pen, CAST(0.0 AS DOUBLE))"
+        )
+        parts.append(f""",
+    pen{t} AS (SELECT pp.qid, pp.n1 AS nid, max(pp.sim) AS pen
+               FROM pp JOIN sel{t - 1} s ON s.qid = pp.qid AND s.nid = pp.n2
+               GROUP BY pp.qid, pp.n1),
+    s{t} AS (SELECT qid, nid, score AS mmr_score, CAST({t} AS BIGINT) AS pick_rank FROM (
+      SELECT p.qid AS qid, p.nid AS nid, {score} AS score,
+             row_number() OVER (PARTITION BY p.qid
+                                ORDER BY {score} DESC, p.nid ASC) AS rk
+      FROM pool p
+      LEFT JOIN pen{t} ON pen{t}.qid = p.qid AND pen{t}.nid = p.nid
+      WHERE NOT EXISTS (SELECT 1 FROM sel{t - 1} z
+                        WHERE z.qid = p.qid AND z.nid = p.nid)
+      ) t WHERE rk = 1),
+    sel{t} AS (SELECT qid, nid FROM sel{t - 1}
+               UNION ALL SELECT qid, nid FROM s{t})""")
+    union = " UNION ALL ".join(
+        f"SELECT qid, nid, pick_rank, mmr_score FROM s{t}" for t in range(1, k + 1)
+    )
+    return "".join(parts) + "\n    " + union
+
+
+@register(
+    "mmr_diversified_topk",
+    oracle=_mmr_oracle(),
+    doc="Maximal Marginal Relevance diversified retrieval (Carbonell-"
+    "Goldstein SIGIR'98) — the post-ANN diversification stage of a RAG "
+    "pipeline: from each query's 12-candidate cosine pool, 4 greedy "
+    "picks by lambda*sim(q,d) - mu*max_selected sim(d,s) with "
+    "lambda=0.7, mu=0.3 (mu an explicit literal, never 1-lambda: the "
+    "two doubles differ). Pool and its pairwise-sim table are "
+    "persisted (|queries|*12 rows); each round is a window argmax over "
+    "them — no corpus re-scan; the k-round chain is inherent to MMR's "
+    "greedy definition. The oracle unrolls the same 4 rounds with "
+    "identical literals, tiebreaks, and the empty-max-is-zero first "
+    "pick.",
+)
+def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.similarity import mmr_diversified_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mmr_diversified_topk(
+        emb, id_col="vec_id", vec_col="embedding",
+        query_ids=list(range(_MMR_QUERIES)), pool_n=_MMR_POOL, k=_MMR_K,
+    )
+
+
 def _install_ann_ivf_recall_oracle() -> None:
     from flink_anomaly_spark.plans.registry import QUERIES, QuerySpec
 

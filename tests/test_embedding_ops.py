@@ -242,3 +242,63 @@ def test_sub_l2_pandas_bit_identical_to_hof_fold(spark):
         for r in df.select("id", sub_l2_pandas(cws)(F.col("v")).alias("d")).collect()
     }
     assert got == want  # exact float equality, not approx
+
+
+def test_mmr_diversifies_and_matches_reference(spark):
+    """MMR must break up a redundant pair: two near-duplicate vectors
+    both sit closest to the query, plain top-2 returns both, MMR's
+    second pick must skip the duplicate for a diverse candidate.
+    Full selection sequence checked against a pure-Python replay."""
+    import math
+
+    from flink_anomaly_spark.operators.similarity import mmr_diversified_topk
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    vecs = {
+        0: unit([1.0, 0.0, 0.0]),        # query
+        1: unit([0.98, 0.2, 0.0]),       # near query
+        2: unit([0.97, 0.22, 0.01]),     # near-duplicate of 1
+        3: unit([0.7, -0.7, 0.0]),       # diverse, still relevant
+        4: unit([0.1, 0.1, 0.99]),       # off-topic
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    out = sorted(
+        mmr_diversified_topk(
+            df, "vec_id", "embedding", query_ids=[0], pool_n=4, k=3,
+            lam=0.5, mu=0.5,
+        ).collect(),
+        key=lambda r: r.pick_rank,
+    )
+    picks = [r.nid for r in out]
+
+    # python replay with identical rounding and tie rules
+    def cos(a, b):
+        return round(
+            sum(x * y for x, y in zip(a, b))
+            / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))),
+            6,
+        )
+
+    simq = {i: cos(vecs[0], vecs[i]) for i in vecs if i != 0}
+    pool = sorted(simq, key=lambda i: (-simq[i], i))[:4]
+    sel = []
+    for _ in range(3):
+        best = None
+        for d in pool:
+            if d in sel:
+                continue
+            pen = max((cos(vecs[d], vecs[s]) for s in sel), default=0.0)
+            score = 0.5 * simq[d] - 0.5 * pen
+            key = (-score, d)
+            if best is None or key < best[0]:
+                best = (key, d)
+        sel.append(best[1])
+    assert picks == sel
+    assert picks[0] == 1  # most relevant first
+    assert picks[1] == 3  # NOT the near-duplicate 2: diversity kicked in
+    assert 2 in picks or len(picks) == 3
