@@ -106,70 +106,94 @@ _LOADED = False
 #: ``WINDOW_DRAWN_AFTER_ROUND`` below, which the staleness contract
 #: test uses as its baseline cutoff so the in-flight round's own
 #: CORRECTNESS file never invalidates the test (round-7 ADVICE #1).
-WINDOW_DRAWN_AFTER_ROUND = 7
+WINDOW_DRAWN_AFTER_ROUND = 8
 
+#: ROUND-9 WINDOW: (a) the 7 queries NEW this round, (b) the three
+#: plans CHANGED this round (asof_join_nearest — forward tie-break
+#: fix, ADVICE r8 medium; hbos_outliers — min-relative clamped
+#: binning, ADVICE r8; ann_ivf_recall — both arms share one persisted
+#: corpus projection, VERDICT r8 #2; the doc-only moving_median_daily
+#: change was selectively manifest-refreshed after 3-SF local
+#: re-verification, docs/ROUND9.md), then (c) ALL 40 rows last green
+#: in ROUND 4 — the staleness floor advances r4 → r5 (VERDICT r8 #3).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # ---- (a) NEW round-8 queries (prove them on the driver immediately)
-    "pareto_frontier_parts",
-    "frequent_item_pairs",
-    "theil_sen_trend",
-    "cusum_changepoints",
+    # ---- (a) NEW round-9 queries (prove them on the driver immediately)
+    "tv_drift_daily",
+    "streaming_tv_drift_final",
+    "unigram_lm_vocab",
+    "sorted_neighborhood_multipass",
+    "weighted_sample_global",
+    "mmr_diversified_topk",
+    "twap_daily",
+    # ---- (b) plans CHANGED in round 9
     "asof_join_nearest",
-    "sorted_neighborhood_dup_pairs",
-    "containment_dup_pairs",
     "hbos_outliers",
-    "benford_deviation",
-    "copurchase_bfs_distances",
-    "moving_median_daily",
-    "ks_drift_matrix",
-    "hll_register_rollup_weekly",
-    "seasonality_profile",
-    "streaming_cusum_alarms",
-    "streaming_kmins_distinct_final",
-    "hard_negatives_topk",
-    "negative_sampling_pairs",
-    "token_gini_by_lang",
-    "histogram_quantiles_weekly",
-    # ---- (b) plans CHANGED in round 8 (batched-BPE oracle totality
-    # fix; histogram oracle q cast to DOUBLE — a bare 0.9 list literal
-    # is DECIMAL in DuckDB and its exact q*n diverges from Spark's
-    # double in the interpolation ulp)
-    "bpe_learn_merges_batched",
-    "value_histogram_quantiles",
-    # ---- (c) stalest re-confirms: ALL 18 rows last green in ROUND 3
-    "dedup_pipeline_survivors",
-    "embedding_ann_lsh",
-    "embedding_near_dup",
-    "keyed_concat_total",
-    "multimodal_features",
-    "multimodal_frame_plan",
-    "ngram_jaccard_pairs",
-    "rolling_zscore_outliers",
-    "simhash_fingerprints",
-    "simhash_near_dup_pairs",
-    "streaming_interval_join",
-    "streaming_running_concat",
-    "streaming_window_argmax",
-    "streaming_window_count",
-    "text_profile",
-    "tpch_q1_pricing",
-    "window_argmax",
-    "window_count_agg",
-    # ---- first 10 (alphabetical) of the 50 rows last green in ROUND 4
-    # (late round-8 additions displaced embedding_int8_quantize,
-    # embedding_near_dup_lsh, data_quality_suite, doc_repetition_profile
-    # and doc_token_chunks back into the round-9 queue)
     "ann_ivf_recall",
-    "ann_lsh_recall",
-    "bigram_pmi_top",
-    "bloom_prefilter_urgent_revenue",
-    "boilerplate_segment_removal",
-    "canonical_doc_per_cluster",
-    "centroid_distance_outliers",
-    "chunk_pack_pipeline",
-    "corpus_curation_pipeline",
-    "cross_doc_repeated_ngrams",
+    # ---- (c) stalest re-confirms: ALL 40 rows last green in ROUND 4
+    "data_quality_suite",
+    "doc_repetition_profile",
+    "doc_token_chunks",
+    "embedding_int8_quantize",
+    "embedding_near_dup_lsh",
+    "embedding_random_projection",
+    "encoding_anomaly_flags",
+    "event_sessionization",
+    "ewma_smoothing",
+    "funnel_transitions",
+    "global_rank_export",
+    "gopher_quality_flags",
+    "heavy_hitter_terms",
+    "incremental_dedup_new_batch",
+    "leakage_free_split",
+    "mad_outliers",
+    "neardup_triangle_count",
+    "ngram_decontamination",
+    "pagerank_neardup",
+    "prefix_filter_jaccard_pairs",
+    "salted_event_type_stats",
+    "scd2_customer_history",
+    "sequence_packing",
+    "snapshot_diff_orders",
+    "streaming_dedup",
+    "streaming_dim_enrich",
+    "streaming_session_count",
+    "streaming_sliding_count",
+    "streaming_window_count_final",
+    "temperature_resampled_corpus",
+    "tokenizer_fertility_by_lang",
+    "tpch_q21_late_blame",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q5_local_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "udaf_weighted_mean",
+    "weighted_doc_sample",
+    "zorder_file_layout",
 )
+# Rotated OUT in round 9 (all green in CORRECTNESS_r08, 50/50;
+# asof_join_nearest, hbos_outliers and ann_ivf_recall were NOT rotated
+# out — their plans changed this round, per the (b) section above):
+# pareto_frontier_parts, frequent_item_pairs, theil_sen_trend,
+# cusum_changepoints, sorted_neighborhood_dup_pairs,
+# containment_dup_pairs, benford_deviation, copurchase_bfs_distances,
+# moving_median_daily, ks_drift_matrix, hll_register_rollup_weekly,
+# seasonality_profile, streaming_cusum_alarms,
+# streaming_kmins_distinct_final, hard_negatives_topk,
+# negative_sampling_pairs, token_gini_by_lang,
+# histogram_quantiles_weekly, bpe_learn_merges_batched,
+# value_histogram_quantiles, dedup_pipeline_survivors,
+# embedding_ann_lsh, embedding_near_dup, keyed_concat_total,
+# multimodal_features, multimodal_frame_plan, ngram_jaccard_pairs,
+# rolling_zscore_outliers, simhash_fingerprints,
+# simhash_near_dup_pairs, streaming_interval_join,
+# streaming_running_concat, streaming_window_argmax,
+# streaming_window_count, text_profile, tpch_q1_pricing,
+# window_argmax, window_count_agg, ann_lsh_recall, bigram_pmi_top,
+# bloom_prefilter_urgent_revenue, boilerplate_segment_removal,
+# canonical_doc_per_cluster, centroid_distance_outliers,
+# chunk_pack_pipeline, corpus_curation_pipeline,
+# cross_doc_repeated_ngrams.
 # Rotated OUT in round 8 (all green in CORRECTNESS_r07, 50/50;
 # value_histogram_quantiles was NOT rotated out — its changed oracle
 # kept it a window slot, per the (b) section above):

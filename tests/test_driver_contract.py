@@ -43,30 +43,17 @@ def test_driver_window_is_first_50():
     stale-fillers check is parameterized: no filler may be FRESHER than
     any oracle-backed query left outside the window (the queue is
     stalest-first, so max(filler) ≤ min(outside) up to ties)."""
-    import glob as _glob
-    import json as _json
-    import re as _re
-
     from flink_anomaly_spark.plans.registry import (
         DRIVER_WINDOW,
         WINDOW_DRAWN_AFTER_ROUND,
     )
+    from tools.round_files import last_green_map
 
     qs = list(entrymod.queries())
     assert len(DRIVER_WINDOW) == 50
     assert qs[:50] == list(DRIVER_WINDOW)
     repo = os.path.dirname(os.path.abspath(entrymod.__file__))
-    last_green: dict[str, int] = {}
-    for path in sorted(_glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
-        m = _re.search(r"_r(\d+)\.json$", path)
-        if m is None:
-            continue
-        rnd = int(m.group(1))
-        if rnd > WINDOW_DRAWN_AFTER_ROUND:
-            continue  # the in-flight round's own results: not baseline
-        for name, row in _json.load(open(path)).items():
-            if row.get("rows_match") and row.get("schema_match") and row.get("hash_match"):
-                last_green[name] = max(last_green.get(name, 0), rnd)
+    last_green = last_green_map(repo, WINDOW_DRAWN_AFTER_ROUND)
     oracles = set(entrymod.oracle_sql())
     never_checked = [n for n in qs if n in oracles and n not in last_green]
     missing = set(never_checked) - set(qs[:50])
@@ -75,7 +62,7 @@ def test_driver_window_is_first_50():
     # the same-round re-check the fingerprint ledger demands (the
     # companion test test_changed_plans_hold_window_slots enforces the
     # set mechanically; this names the known members for readability)
-    changed_this_round = {"bpe_learn_merges_batched", "value_histogram_quantiles"}
+    changed_this_round = {"asof_join_nearest", "hbos_outliers", "ann_ivf_recall"}
     assert changed_this_round <= set(qs[:50])
     # stalest-first refill invariant, threshold-free: every filler must
     # be at most as fresh as the freshest-starved row left outside
@@ -298,3 +285,28 @@ def test_changed_plans_hold_window_slots():
         "plans changed since their last driver check but hold no window "
         f"slot (add to DRIVER_WINDOW or refresh the manifest): {escaped}"
     )
+
+
+def test_round_parse_survives_round_10(tmp_path):
+    """Round-10 file-naming dry run (VERDICT r8 #8): the staleness
+    baseline must aggregate by the PARSED round number, so a synthetic
+    CORRECTNESS_r10.json outranks r09 (and an unpadded r9 parses too —
+    lexicographic filename order would put it after r10)."""
+    import json as _json
+
+    from tools.round_files import last_green_map, round_of
+
+    green = {"q": {"rows_match": True, "schema_match": True, "hash_match": True}}
+    red = {"q": {"rows_match": True, "schema_match": True, "hash_match": False}}
+    (tmp_path / "CORRECTNESS_r09.json").write_text(_json.dumps(green))
+    (tmp_path / "CORRECTNESS_r10.json").write_text(_json.dumps(green))
+    (tmp_path / "CORRECTNESS_r11.json").write_text(_json.dumps(red))
+    (tmp_path / "CORRECTNESS_r100.json").write_text(_json.dumps(green))
+    assert round_of("CORRECTNESS_r10.json") == 10
+    assert round_of("CORRECTNESS_r9.json") == 9
+    assert round_of("CORRECTNESS_r10.json.bak") is None
+    assert last_green_map(str(tmp_path), 9) == {"q": 9}
+    assert last_green_map(str(tmp_path), 10) == {"q": 10}
+    # red rows never advance the baseline; cutoff hides future rounds
+    assert last_green_map(str(tmp_path), 11) == {"q": 10}
+    assert last_green_map(str(tmp_path), 1000) == {"q": 100}

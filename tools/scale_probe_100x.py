@@ -112,6 +112,32 @@ PROBE = [
     ("pareto_frontier_parts", "part"),
     ("sorted_neighborhood_dup_pairs", "documents"),
     ("containment_dup_pairs", "documents"),
+    # round-9 extension part 1 (VERDICT r8 #7): the remaining round-8
+    # shapes. theil_sen/seasonality-class day pre-aggs and the two
+    # sketch ROLLUPS carry calendar/register-bounded exchanges (B/row
+    # must DROP ~n-fold); asof's union-sort and negative sampling's
+    # ordinal exchanges are corpus-linear (flat B/row); copurchase BFS
+    # edges stay basket-bounded under key-shifted orderkeys.
+    ("theil_sen_trend", "events"),
+    ("copurchase_bfs_distances", "lineitem"),
+    ("asof_join_nearest", "events"),
+    ("negative_sampling_pairs", "documents"),
+    ("hll_register_rollup_weekly", "events"),
+    ("histogram_quantiles_weekly", "events"),
+    # round-9 extension part 2: the new round-9 shapes. twap's keyed
+    # (type, day) sort is corpus-linear (flat); tv_drift's (day, bin)
+    # exchange is grid-bounded (DROPS); weighted_sample_global is
+    # TakeOrdered-only (B/row ~0); multipass SNM candidates are exactly
+    # 3(w-1)·n (flat); the unigram trainer's aggregates are vocab-sized
+    # over replica-suffixed tokens (its worst case, like the BPE row);
+    # MMR's iterative stage is (queries·pool)-bounded after the
+    # brute-force pool scan (B/row ~0).
+    ("twap_daily", "events"),
+    ("tv_drift_daily", "events"),
+    ("weighted_sample_global", "documents"),
+    ("sorted_neighborhood_multipass", "documents"),
+    ("unigram_lm_vocab", "documents"),
+    ("mmr_diversified_topk", "embeddings"),
 ]
 
 _KEY_SHIFT = {
@@ -215,7 +241,7 @@ def main() -> None:
         replicate(spark, n, big_dir)
         big = measure(spark, app_id, big_dir)
         lines = [
-            f"## x100 scale probe (rounds 4-8) — shuffle bytes/row at x{n} facts",
+            f"## x100 scale probe (rounds 4-9) — shuffle bytes/row at x{n} facts",
             "",
             f"Generated by `python tools/scale_probe_100x.py {n}`. Documents are",
             "replicated with DISJOINT per-replica token spaces (every token gets",
