@@ -259,9 +259,12 @@ def main() -> None:
             bpr_b = b["shuffle"] / b["rows"]
             bpr_g = g["shuffle"] / g["rows"]
             fmt = lambda x: f"{x / (1 << 20):.1f} MiB" if x >= 1 << 20 else f"{x / 1024:.1f} KiB"
+            # a zero-shuffle base (TakeOrdered-only plans, e.g.
+            # weighted_sample_global) has no meaningful ratio
+            ratio = f"{bpr_g / bpr_b:.2f}x" if bpr_b > 0 else ("0 (none)" if bpr_g == 0 else "n/a (base 0)")
             lines.append(
                 f"| {name} | {b['wall']:.2f} | {g['wall']:.2f} | {fmt(b['shuffle'])} "
-                f"| {fmt(g['shuffle'])} | {bpr_b:.1f} | {bpr_g:.1f} | {bpr_g / bpr_b:.2f}x |"
+                f"| {fmt(g['shuffle'])} | {bpr_b:.1f} | {bpr_g:.1f} | {ratio} |"
             )
         lines.append("")
         section = "\n".join(lines)

@@ -119,6 +119,13 @@ PROBE = [
     ("negative_sampling_pairs", "two-phase ordinal rank + 8-byte ordinal equi-join; offsets and N broadcast"),
     ("token_gini_by_lang", "distinct-count-domain window per lang; all-BIGINT rank sums, map-side combined"),
     ("histogram_quantiles_weekly", "<=64 bin partials per (week, day) map task; all downstream frames are sketch-sized"),
+    # round-9 operators
+    ("tv_drift_daily", "(day, bin) count exchange only — 16-bin grid and reference broadcast; TV is a per-day BIGINT fold"),
+    ("unigram_lm_vocab", "words-frame aggs per EM pass (vocab-collapsed corpus); piece set broadcast to the Arrow matcher"),
+    ("sorted_neighborhood_multipass", "3 prefix-rank exchanges + id-pair union distinct + round-robin respread before ONE levenshtein verify"),
+    ("weighted_sample_global", "no corpus shuffle: TakeOrderedAndProject top-(k+1); rank/tau window over k+1 rows"),
+    ("mmr_diversified_topk", "brute-force pool scan (queries broadcast); k argmax rounds over persisted (queries x pool) frames"),
+    ("twap_daily", "ONE (key, day) sort exchange shared by the lead() gap and the final agg"),
 ]
 
 
