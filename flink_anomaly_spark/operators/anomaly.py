@@ -438,3 +438,77 @@ def benford_deviation(df: DataFrame, group_col: str, value_col: str) -> DataFram
         F.round(F.col("__o1") / n, 4).alias("leading_one_share"),
         F.round(chi2, 4).alias("benford_chi2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal anomaly p-values (distribution-free)
+# ---------------------------------------------------------------------------
+
+#: calibration/test split instant for the conformal screen — the same
+#: frozen-reference boundary the TV-drift screen uses (week 1 = calib).
+CONFORMAL_SPLIT_TS = "2024-01-08"
+
+
+def conformal_anomaly_pvalues(
+    df: DataFrame,
+    id_col: str,
+    ts_col: str,
+    value_col: str,
+    split_ts: str = CONFORMAL_SPLIT_TS,
+    top_k: int = 20,
+) -> DataFrame:
+    """Split-conformal anomaly p-values (Vovk et al., *Algorithmic
+    Learning in a Random World*): for each test-period event the exact
+    finite-sample-valid p-value ``p = (1 + #{calib >= s}) / (n_calib
+    + 1)`` of its score under the calibration period — under
+    exchangeability, P(p <= a) <= a with NO distributional assumption,
+    which is why conformal screens survive the messy value columns a
+    training pipeline meets. Returns the ``top_k`` most anomalous test
+    events (smallest p).
+
+    Exact and domain-bounded: scores are integer cents; the calibration
+    exceedance count ``#{calib >= s}`` is a suffix-cumulative sum over
+    the merged DISTINCT-SCORE domain (calib histogram unioned with
+    zero-count test scores — the Gini/KS value-domain pattern), never a
+    quadratic inequality join. Test events hash-join the |domain|-row
+    map on the score; the top-k SELECTION key is the integer pair
+    (exceedance count asc, id asc) — the p-value itself is ONE exactly
+    rounded terminal division. State: the domain window is bounded by
+    the distinct-cents cardinality, not the corpus.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    split = F.lit(split_ts).cast("timestamp")
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(ts_col).alias("__ts"),
+        cents.alias("__s"),
+    )
+    calib = base.filter(F.col("__ts") < split)
+    test = base.filter(F.col("__ts") >= split)
+    calib_hist = calib.groupBy("__s").agg(F.count("*").cast("bigint").alias("__c"))
+    test_scores = test.select("__s").distinct().withColumn("__c", F.lit(0).cast("bigint"))
+    dom = (
+        calib_hist.unionByName(test_scores)
+        .groupBy("__s")
+        .agg(F.sum("__c").alias("__c"))
+    )
+    w = Window.orderBy(F.col("__s").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ge = dom.withColumn("__ge", F.sum("__c").over(w)).select("__s", "__ge")
+    n_calib = calib.agg(F.count("*").cast("bigint").alias("__n"))
+    scored = test.join(ge, "__s").join(F.broadcast(n_calib))
+    return (
+        scored.orderBy(F.col("__ge").asc(), F.col("__id").asc())
+        .limit(top_k)
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__ts").alias(ts_col),
+            F.col("__s").alias("score_cents"),
+            F.col("__ge").cast("bigint").alias("n_calib_ge"),
+            F.round(
+                (1 + F.col("__ge")).cast("double") / (F.col("__n") + 1).cast("double"),
+                6,
+            ).alias("p_value"),
+        )
+    )

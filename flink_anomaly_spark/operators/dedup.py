@@ -1747,3 +1747,75 @@ def containment_dup_pairs(
         .filter(F.greatest(F.col("cont_a"), F.col("cont_b")) >= tau)
         .select("id1", "id2", "inter", "cont_a", "cont_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# All-pairs binary cosine over shingle sets (Bayardo et al., WWW'07)
+# ---------------------------------------------------------------------------
+
+
+def allpairs_binary_cosine(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k_shingle: int = 3,
+    max_df: int = 20,
+    tau2_num: int = 1,
+    tau2_den: int = 4,
+) -> DataFrame:
+    """All document pairs with BINARY cosine similarity >= tau over
+    their k-shingle sets (the all-pairs similarity-search problem of
+    Bayardo, Ma & Srikant WWW'07): with 0/1 shingle-indicator vectors,
+    ``cos(A,B) = |A inter B| / sqrt(|A|*|B|)`` — the set-similarity
+    cousin of Jaccard that length-normalizes asymmetrically, so a
+    short near-copy of a long page still scores high.
+
+    Exact integer threshold: a pair passes iff
+    ``tau2_den * c^2 >= tau2_num * |A| * |B|`` (tau^2 = num/den as a
+    RATIONAL literal — no float compare decides membership); the
+    reported cosine is one division + sqrt over exact BIGINTs. The
+    shingle universe drops shingles with document frequency >
+    ``max_df`` (the Bayardo maxweight idea in its bluntest form): hot
+    shingles generate the quadratic postings blow-up while carrying no
+    pair signal, so the inverted-index self-join is bounded by
+    ``max_df^2/2`` pairs per surviving shingle — a tunable cap
+    independent of corpus size, exactly like containment_dup_pairs'
+    ``max_postings``. Sizes |A| are counted over the SAME capped
+    universe so the cosine is internally consistent.
+    """
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), k_shingle))).alias("__t"),
+    )
+    sh = _persist(sh)
+    keep = sh.groupBy("__t").agg(F.count("*").alias("__df")).filter(
+        F.col("__df") <= max_df
+    )
+    postings = sh.join(keep.select("__t"), "__t")
+    sizes = postings.groupBy("__id").agg(F.count("*").cast("bigint").alias("__sz"))
+    a = postings.select(F.col("__id").alias("id1"), "__t")
+    b = postings.select(F.col("__id").alias("id2"), "__t")
+    co = (
+        a.join(b, "__t")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").cast("bigint").alias("__c"))
+    )
+    sized = (
+        co.join(sizes.withColumnRenamed("__id", "id1").withColumnRenamed("__sz", "__sa"), "id1")
+        .join(sizes.withColumnRenamed("__id", "id2").withColumnRenamed("__sz", "__sb"), "id2")
+        .filter(
+            F.lit(tau2_den) * F.col("__c") * F.col("__c")
+            >= F.lit(tau2_num) * F.col("__sa") * F.col("__sb")
+        )
+    )
+    return sized.select(
+        "id1",
+        "id2",
+        F.col("__c").alias("n_common"),
+        F.round(
+            F.col("__c").cast("double")
+            / F.sqrt((F.col("__sa") * F.col("__sb")).cast("double")),
+            6,
+        ).alias("cos_sim"),
+    )

@@ -1414,3 +1414,100 @@ def hard_negative_topk(
         rank_col="rank",
     )
     return out.select("qid", "nid", "neg_label", "cos_sim", "rank")
+
+
+# ---------------------------------------------------------------------------
+# kNN-graph statistics (LSH-blocked)
+# ---------------------------------------------------------------------------
+
+
+def knn_graph_stats(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 5,
+    n_planes: int = 4,
+) -> DataFrame:
+    """Per-label statistics of the LSH-blocked kNN graph — the health
+    check run before any kNN-graph consumer (label propagation, graph
+    dedup, UMAP-style layout): average neighbor similarity and the
+    MUTUAL-edge rate (a in kNN(b) and b in kNN(a)), the standard
+    proxy for how hub-dominated / asymmetric the neighborhood
+    structure is (Jégou et al.'s k-reciprocal heuristic).
+
+    Scale shape: neighbors are computed WITHIN the vector's LSH bucket
+    (the embedding_near_dup_lsh blocking — per-block pair cost bounded
+    by bucket sizes, deterministic buckets reproducible in the
+    oracle), top-k per node ranks (cos desc, id asc) inside one window
+    over the bucket-join output, and the mutual flag is a self-join of
+    the n*k edge list on the reversed key — edge-list sized, never
+    pair-space sized. The per-label average cosine is summed in exact
+    BIGINT MICRO-UNITS of the 6-rounded cosine (float SUM order never
+    differs across engines) with one terminal division.
+    """
+    from flink_anomaly_spark.operators.dedup import _persist
+
+    planes = hyperplane_matrix(n_planes, _dim_of(df, vec_col))
+    base = _persist(
+        spread(
+            df.select(
+                F.col(id_col).alias("__nid"),
+                F.col(vec_col).alias("__nvec"),
+                F.col(label_col).alias("__label"),
+                lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
+            )
+        )
+    )
+    q = base.select(
+        F.col("__nid").alias("__qid"),
+        F.col("__nvec").alias("__qvec"),
+        F.col("__label").alias("__qlabel"),
+        "__bucket",
+    )
+    scored = (
+        base.join(q, "__bucket")
+        .filter(F.col("__nid") != F.col("__qid"))
+        .select(
+            "__qid",
+            "__qlabel",
+            "__nid",
+            F.round(cosine(F.col("__qvec"), F.col("__nvec")), 6).alias("__cos"),
+        )
+    )
+    edges = _persist(
+        top_k_per_group(
+            scored,
+            group_cols=["__qid"],
+            order_by=[F.col("__cos").desc(), F.col("__nid").asc()],
+            k=k,
+            rank_col="__rank",
+        ).select("__qid", "__qlabel", "__nid", "__cos")
+    )
+    rev = edges.select(
+        F.col("__nid").alias("__qid"), F.col("__qid").alias("__nid"),
+        F.lit(1).alias("__has_rev"),
+    )
+    flagged = edges.join(rev, ["__qid", "__nid"], "left")
+    nodes = base.groupBy("__label").agg(F.count("*").cast("bigint").alias("n_nodes"))
+    per_label = flagged.groupBy("__qlabel").agg(
+        F.count("*").cast("bigint").alias("n_edges"),
+        F.sum(F.when(F.col("__has_rev").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_mutual"),
+        F.sum(F.round(F.col("__cos") * 1000000).cast("bigint")).alias("__cos_micro"),
+    )
+    return (
+        nodes.join(per_label, nodes["__label"] == per_label["__qlabel"])
+        .select(
+            F.col("__label").alias(label_col),
+            "n_nodes",
+            "n_edges",
+            "n_mutual",
+            F.round(
+                F.col("__cos_micro").cast("double")
+                / (F.lit(1000000.0) * F.col("n_edges").cast("double")),
+                6,
+            ).alias("avg_cos"),
+        )
+    )

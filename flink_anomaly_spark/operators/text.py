@@ -1583,3 +1583,92 @@ def unigram_lm_oracle_sql(
     FROM v{iters} v LEFT JOIN use{iters} u USING (piece)
     """
     return head + "".join(blocks) + tail
+
+
+# ---------------------------------------------------------------------------
+# Chi-square keyness: terms distinctive of a group (corpus linguistics)
+# ---------------------------------------------------------------------------
+
+
+def chi2_sql(n: str, num: str, ab: str, cd: str, ac: str, bd: str) -> str:
+    """Pearson chi-square of a 2x2 contingency table as ONE shared SQL
+    string — identical syntax and IEEE evaluation order in Spark SQL
+    and DuckDB, so the engine expression and the oracle cannot drift.
+    ``num`` must be the exact BIGINT ``a*d - b*c`` (|num| < 2^53 keeps
+    the cast lossless); the four marginals are cast to DOUBLE before
+    multiplying because their product overflows BIGINT long before the
+    inputs do."""
+    return (
+        f"CAST({n} AS DOUBLE) * CAST({num} AS DOUBLE) * CAST({num} AS DOUBLE)"
+        f" / (CAST({ab} AS DOUBLE) * CAST({cd} AS DOUBLE)"
+        f" * CAST({ac} AS DOUBLE) * CAST({bd} AS DOUBLE))"
+    )
+
+
+def keyness_chi2_terms(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    min_term_total: int = 5,
+    top_k: int = 5,
+) -> DataFrame:
+    """Top-k terms most DISTINCTIVE of each group by chi-square keyness
+    (corpus-linguistics keyword extraction; Dunning 1993 uses G2, the
+    chi-square variant is its libm-free sibling): for each (group,
+    term), the 2x2 table a = term-in-group, b = term-elsewhere,
+    c = other-terms-in-group, d = the rest, scored
+    N*(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)), keeping overrepresented
+    terms only (ad > bc).
+
+    Scale shape: one explode over the corpus feeds a (group, term)
+    hash agg (map-side combinable) — every later frame is TERM-DOMAIN
+    sized, never corpus sized: term totals re-aggregate the counts
+    frame, group totals are a broadcast |groups|-row aggregate, and
+    the chi-square is a scalar expression over exact BIGINT marginals
+    (the selection compares doubles both engines derive from identical
+    integers via the SHARED ``chi2_sql`` fragment). Top-k per group
+    ranks the domain frame, not the corpus.
+    """
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        F.explode(tokens(F.col(text_col))).alias("__t"),
+    )
+    counts = base.groupBy("__g", "__t").agg(F.count("*").cast("bigint").alias("__a"))
+    term_tot = counts.groupBy("__t").agg(F.sum("__a").alias("__tt"))
+    grp_tot = counts.groupBy("__g").agg(F.sum("__a").alias("__gt"))
+    n_tot = counts.agg(F.sum("__a").alias("__N"))
+    scored = (
+        counts.join(term_tot, "__t")
+        .join(F.broadcast(grp_tot), "__g")
+        .join(F.broadcast(n_tot))
+        .withColumn("__b", F.col("__tt") - F.col("__a"))
+        .withColumn("__c", F.col("__gt") - F.col("__a"))
+        .withColumn("__d", F.col("__N") - F.col("__gt") - F.col("__b"))
+        .withColumn("__num", F.col("__a") * F.col("__d") - F.col("__b") * F.col("__c"))
+        .filter((F.col("__tt") >= min_term_total) & (F.col("__num") > 0))
+        .withColumn(
+            "__chi2",
+            F.expr(
+                chi2_sql(
+                    "__N", "__num", "__a + __b", "__c + __d", "__a + __c", "__b + __d"
+                )
+            ),
+        )
+    )
+    from flink_anomaly_spark.operators.relational import top_k_per_group
+
+    ranked = top_k_per_group(
+        scored,
+        group_cols=["__g"],
+        order_by=[F.col("__chi2").desc(), F.col("__t").asc()],
+        k=top_k,
+        rank_col="rank",
+    )
+    return ranked.select(
+        F.col("__g").alias(group_col),
+        F.col("__t").alias("term"),
+        F.col("__a").alias("n_in_group"),
+        F.col("__b").alias("n_elsewhere"),
+        F.round(F.col("__chi2"), 4).alias("chi2"),
+        "rank",
+    )

@@ -125,6 +125,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "weighted_sample_global",
     "mmr_diversified_topk",
     "twap_daily",
+    # ---- (a continued) session-2 NEW round-9 queries: each displaces
+    # one round-4 re-confirm filler from section (c) — the round-6
+    # precedent that a never-driver-checked first check outranks a
+    # re-confirm (displaced rows lead the round-10 refill queue and
+    # stay covered by the local 3-SF hash gate)
+    "quality_score_auc",
+    "keyness_chi2_terms",
+    "conformal_anomaly_pvalues",
+    "allpairs_binary_cosine",
+    "knn_graph_stats",
     # ---- (b) plans CHANGED in round 9
     "asof_join_nearest",
     "hbos_outliers",
@@ -165,12 +175,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "tpch_q2_min_cost_supplier",
     "tpch_q5_local_supplier",
     "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "udaf_weighted_mean",
-    "weighted_doc_sample",
-    "zorder_file_layout",
 )
+# Displaced by session-2 new queries (r4-green, lead the round-10
+# refill queue): tpch_q8_market_share, tpch_q9_product_profit,
+# udaf_weighted_mean, weighted_doc_sample, zorder_file_layout.
 # Rotated OUT in round 9 (all green in CORRECTNESS_r08, 50/50;
 # asof_join_nearest, hbos_outliers and ann_ivf_recall were NOT rotated
 # out — their plans changed this round, per the (b) section above):
@@ -300,6 +308,11 @@ def _load_all() -> None:
         udf_surface,
         tpch,
     )
+
+    # imported after relational_ext: its kNN-graph oracle reuses
+    # relational_ext's LSH fragments, whose module body in turn needs
+    # extensions' embedding_topk already registered
+    from flink_anomaly_spark.plans import evaluation_queries  # noqa: F401
 
     missing = [n for n in DRIVER_WINDOW if n not in QUERIES]
     if missing:

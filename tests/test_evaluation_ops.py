@@ -1,0 +1,302 @@
+"""Unit tests for the round-9 session-2 operators: Mann-Whitney AUC,
+chi-square keyness, conformal p-values, binary-cosine all-pairs, and
+kNN-graph stats. Each is checked against an independent pure-Python
+reference on synthetic data (the 3-SF oracle gate covers the parquet
+corpus separately)."""
+
+from __future__ import annotations
+
+import random
+
+
+# ---------------------------------------------------------------------------
+# score_auc
+# ---------------------------------------------------------------------------
+
+
+def _brute_auc(pairs):
+    """AUC by literal pair counting: P(s_pos > s_neg) + 0.5*P(==)."""
+    pos = [s for s, y in pairs if y == 1]
+    neg = [s for s, y in pairs if y == 0]
+    if not pos or not neg:
+        return None
+    wins = sum(1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg)
+    return wins / (len(pos) * len(neg))
+
+
+def test_score_auc_matches_pair_counting(spark):
+    from flink_anomaly_spark.operators.mining import score_auc
+
+    rng = random.Random(9)
+    rows = []
+    for g in ["a", "b", "c"]:
+        for i in range(120):
+            y = rng.randint(0, 1)
+            # heavy ties: scores drawn from a small integer domain,
+            # positives shifted so AUC is far from 0.5 in group b
+            s = rng.randint(0, 15) + (5 * y if g == "b" else 0)
+            rows.append((g, s, y))
+    df = spark.createDataFrame(rows, "g string, s long, y int")
+    got = {r.g: r for r in score_auc(df, "g", "s", "y").collect()}
+    for g in ["a", "b", "c"]:
+        pairs = [(s, y) for gg, s, y in rows if gg == g]
+        expect = _brute_auc(pairs)
+        assert abs(got[g].auc - expect) < 1e-6, g
+        assert got[g].n_pos == sum(y for _, y in pairs)
+    assert got["b"].auc > 0.75
+
+
+def test_score_auc_drops_one_class_groups(spark):
+    from flink_anomaly_spark.operators.mining import score_auc
+
+    rows = [("only_pos", 5, 1), ("only_pos", 7, 1), ("ok", 1, 0), ("ok", 2, 1)]
+    df = spark.createDataFrame(rows, "g string, s long, y int")
+    got = score_auc(df, "g", "s", "y").collect()
+    assert [r.g for r in got] == ["ok"]
+    assert got[0].auc == 1.0
+
+
+def test_score_auc_all_tied_is_half(spark):
+    from flink_anomaly_spark.operators.mining import score_auc
+
+    rows = [("g", 3, y) for y in [0, 1, 0, 1, 1]]
+    df = spark.createDataFrame(rows, "g string, s long, y int")
+    assert score_auc(df, "g", "s", "y").collect()[0].auc == 0.5
+
+
+# ---------------------------------------------------------------------------
+# keyness_chi2_terms
+# ---------------------------------------------------------------------------
+
+
+def _brute_chi2(a, b, c, d):
+    n = a + b + c + d
+    num = a * d - b * c
+    return float(n) * num * num / ((a + b) * (c + d) * (a + c) * (b + d))
+
+
+def test_keyness_finds_planted_group_terms(spark):
+    from flink_anomaly_spark.operators.text import keyness_chi2_terms
+
+    rng = random.Random(17)
+    common = ["alpha", "beta", "gamma", "delta"]
+    rows = []
+    for i in range(60):
+        g = "g1" if i % 2 == 0 else "g2"
+        marker = "xmarker" if g == "g1" else "ymarker"
+        toks = [rng.choice(common) for _ in range(10)] + [marker] * 3
+        rng.shuffle(toks)
+        rows.append((g, " ".join(toks)))
+    df = spark.createDataFrame(rows, "g string, text string")
+    got = keyness_chi2_terms(df, "g", "text", min_term_total=5, top_k=2)
+    top = {r.g: r.term for r in got.collect() if r.rank == 1}
+    assert top == {"g1": "xmarker", "g2": "ymarker"}
+
+
+def test_keyness_chi2_value_matches_contingency(spark):
+    from flink_anomaly_spark.operators.text import keyness_chi2_terms
+
+    # g1: 6x "hot" + 4x "cold"; g2: 1x "hot" + 9x "cold"
+    rows = [("g1", " ".join(["hot"] * 6 + ["cold"] * 4)),
+            ("g2", " ".join(["hot"] * 1 + ["cold"] * 9))]
+    df = spark.createDataFrame(rows, "g string, text string")
+    got = {(r.g, r.term): r for r in
+           keyness_chi2_terms(df, "g", "text", min_term_total=1, top_k=5).collect()}
+    # hot is overrepresented in g1: a=6, b=1, c=4, d=9
+    r = got[("g1", "hot")]
+    assert r.n_in_group == 6 and r.n_elsewhere == 1
+    assert abs(r.chi2 - round(_brute_chi2(6, 1, 4, 9), 4)) < 1e-9
+    # underrepresented terms (ad <= bc) are excluded: no ("g1","cold")
+    assert ("g1", "cold") not in got
+    assert ("g2", "cold") in got
+
+
+def test_keyness_min_total_filters_rare_terms(spark):
+    from flink_anomaly_spark.operators.text import keyness_chi2_terms
+
+    rows = [("g1", "rare common common"), ("g2", "common common common")]
+    df = spark.createDataFrame(rows, "g string, text string")
+    got = keyness_chi2_terms(df, "g", "text", min_term_total=2, top_k=5).collect()
+    assert all(r.term != "rare" for r in got)
+
+
+# ---------------------------------------------------------------------------
+# conformal_anomaly_pvalues
+# ---------------------------------------------------------------------------
+
+
+def test_conformal_pvalues_match_bruteforce(spark):
+    import datetime
+
+    from flink_anomaly_spark.operators.anomaly import conformal_anomaly_pvalues
+
+    rng = random.Random(21)
+    base = datetime.datetime(2024, 1, 1)
+    split = datetime.datetime(2024, 1, 8)
+    rows = []
+    for i in range(400):
+        ts = base + datetime.timedelta(minutes=30 * i)
+        # small integer domain forces heavy score ties
+        rows.append((i, ts, rng.randint(0, 40) / 1.0))
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    got = conformal_anomaly_pvalues(
+        df, "event_id", "ts", "value", split_ts="2024-01-08", top_k=10
+    ).collect()
+    calib = [round(v * 100) for _, ts, v in rows if ts < split]
+    tests = [(i, round(v * 100)) for i, ts, v in rows if ts >= split]
+    brute = sorted(
+        (sum(1 for c in calib if c >= s), i) for i, s in tests
+    )[:10]
+    assert [(r.n_calib_ge, r.event_id) for r in got] == brute
+    for r in got:
+        assert abs(r.p_value - round((1 + r.n_calib_ge) / (len(calib) + 1), 6)) < 1e-12
+    # the most anomalous test event has the HIGHEST score (ge smallest)
+    assert got[0].score_cents == max(s for _, s in tests)
+
+
+def test_conformal_test_score_above_all_calib_gets_min_p(spark):
+    import datetime
+
+    from flink_anomaly_spark.operators.anomaly import conformal_anomaly_pvalues
+
+    rows = [
+        (1, datetime.datetime(2024, 1, 2), 1.0),
+        (2, datetime.datetime(2024, 1, 3), 2.0),
+        (3, datetime.datetime(2024, 1, 9), 99.0),  # above every calib score
+        (4, datetime.datetime(2024, 1, 9), 1.5),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    got = {r.event_id: r for r in conformal_anomaly_pvalues(
+        df, "event_id", "ts", "value", split_ts="2024-01-08", top_k=10
+    ).collect()}
+    assert got[3].n_calib_ge == 0 and got[3].p_value == round(1 / 3, 6)
+    assert got[4].n_calib_ge == 1 and got[4].p_value == round(2 / 3, 6)
+
+
+# ---------------------------------------------------------------------------
+# allpairs_binary_cosine
+# ---------------------------------------------------------------------------
+
+
+def _shingle_set(text, k=3):
+    toks = text.split()
+    if len(toks) < k:
+        return {" ".join(toks)}
+    return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+
+def test_binary_cosine_matches_bruteforce(spark):
+    import math
+
+    from flink_anomaly_spark.operators.dedup import allpairs_binary_cosine
+
+    rng = random.Random(33)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = []
+    for i in range(30):
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(25))))
+    # exact clone + a prefix-trimmed near-copy: guaranteed hits
+    docs.append((100, docs[0][1]))
+    docs.append((101, " ".join(docs[1][1].split()[3:])))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r.id1, r.id2): r for r in allpairs_binary_cosine(
+        df, "doc_id", "text", k_shingle=3, max_df=10, tau2_num=1, tau2_den=4
+    ).collect()}
+    # brute force over the capped universe
+    sets = {i: _shingle_set(t) for i, t in docs}
+    from collections import Counter
+
+    dfc = Counter(s for ss in sets.values() for s in ss)
+    capped = {i: {s for s in ss if dfc[s] <= 10} for i, ss in sets.items()}
+    expect = {}
+    ids = sorted(capped)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            c = len(capped[a] & capped[b])
+            sa, sb = len(capped[a]), len(capped[b])
+            if c and sa and sb and 4 * c * c >= sa * sb:
+                expect[(a, b)] = c / math.sqrt(sa * sb)
+    assert set(got) == set(expect)
+    assert (0, 100) in got
+    for key, r in got.items():
+        assert abs(r.cos_sim - round(expect[key], 6)) < 1e-9
+
+
+def test_binary_cosine_df_cap_drops_hot_shingles(spark):
+    from flink_anomaly_spark.operators.dedup import allpairs_binary_cosine
+
+    # every doc shares the same hot shingle; with max_df=2 it is dropped
+    # and only the planted pair survives on its private shingles
+    rows = [(i, "hot hot hot " + f"u{i} v{i} w{i} x{i}") for i in range(5)]
+    rows.append((9, "hot hot hot u0 v0 w0 x0"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = allpairs_binary_cosine(
+        df, "doc_id", "text", k_shingle=3, max_df=2, tau2_num=1, tau2_den=4
+    ).collect()
+    assert [(r.id1, r.id2) for r in got] == [(0, 9)]
+
+
+# ---------------------------------------------------------------------------
+# knn_graph_stats
+# ---------------------------------------------------------------------------
+
+
+def test_knn_graph_stats_matches_bruteforce(spark):
+    import math
+
+    from flink_anomaly_spark.operators.similarity import (
+        hyperplane_matrix,
+        knn_graph_stats,
+    )
+
+    rng = random.Random(5)
+    dim, n, k, n_planes = 8, 60, 3, 2
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)], i % 3) for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {r.label: r for r in knn_graph_stats(
+        df, "vec_id", "embedding", "label", k=k, n_planes=n_planes
+    ).collect()}
+
+    # pure-python replica: same planes, same float32 inputs, same
+    # rounding and tiebreak
+    import numpy as np
+
+    planes = hyperplane_matrix(n_planes, dim)
+    vecs = {i: np.array(v, dtype=np.float32).astype(float) for i, v, _ in rows}
+    labels = {i: l for i, _, l in rows}
+
+    def bucket(v):
+        return sum(
+            (1 << j) for j, w in enumerate(planes) if float(np.dot(v, w)) >= 0
+        )
+
+    bk = {i: bucket(v) for i, v in vecs.items()}
+    edges = {}
+    for q in vecs:
+        cands = []
+        for c in vecs:
+            if c == q or bk[c] != bk[q]:
+                continue
+            cos = float(np.dot(vecs[q], vecs[c])) / (
+                math.sqrt(float(np.dot(vecs[q], vecs[q])))
+                * math.sqrt(float(np.dot(vecs[c], vecs[c])))
+            )
+            cands.append((round(cos, 6), c))
+        cands.sort(key=lambda t: (-t[0], t[1]))
+        edges[q] = cands[:k]
+    neigh = {q: {c for _, c in es} for q, es in edges.items()}
+    for lab in sorted({l for _, _, l in rows}):
+        qs = [q for q in vecs if labels[q] == lab]
+        n_edges = sum(len(edges[q]) for q in qs)
+        n_mutual = sum(
+            1 for q in qs for _, c in edges[q] if q in neigh.get(c, set())
+        )
+        micro = sum(round(cos * 1e6) for q in qs for cos, _ in edges[q])
+        r = got[lab]
+        assert r.n_nodes == len(qs)
+        assert r.n_edges == n_edges
+        assert r.n_mutual == n_mutual
+        assert abs(r.avg_cos - round(micro / (1e6 * n_edges), 6)) < 1e-12
