@@ -512,3 +512,81 @@ def conformal_anomaly_pvalues(
             ).alias("p_value"),
         )
     )
+
+
+#: Benford alarm threshold for the per-window streaming screen: a
+#: chi-square this far above the 9-digit expectation flags the window.
+#: A LITERAL compared against a deterministic double — no libm at
+#: query time (the synthetic uniform-ish value column fails Benford by
+#: construction, so the flag fires; real ledgers sit well under it).
+BENFORD_ALARM_CHI2 = 20.0
+
+
+def benford_windowed_chi2(day_digits: DataFrame) -> DataFrame:
+    """Finalize per-window Benford chi-square from streamed (window,
+    digit, count) rows — the batch half of the streaming screen's
+    serve-layer split. Same fixed nine-term expression chain over
+    integer counts and the BENFORD_P literals as the batch
+    ``benford_deviation`` (no float SUM whose association order could
+    differ; digits absent from a window coalesce to 0). Rows outside
+    digits 1-9 — the streamed 0/NULL rows of non-positive cents, which
+    the stream must NOT pre-filter (see benford_digit_stream's
+    watermark-pushdown note) — are excluded here, mirroring the batch
+    screen's ``cents > 0`` domain. Emits the alarm flag
+    ``chi2 > BENFORD_ALARM_CHI2``.
+    """
+    kept = day_digits.filter(
+        (F.col("digit") >= 1) & (F.col("digit") <= 9)
+    )
+    aggs = [
+        F.coalesce(
+            F.sum(F.when(F.col("digit") == d, F.col("c"))), F.lit(0)
+        ).cast("bigint").alias(f"__o{d}")
+        for d in range(1, 10)
+    ]
+    g = kept.groupBy("window_start").agg(
+        F.sum("c").cast("bigint").alias("__n"), *aggs
+    )
+    n = F.col("__n").cast("double")
+    chi2 = None
+    for d in range(1, 10):
+        e = n * F.lit(BENFORD_P[d - 1])
+        term = (F.col(f"__o{d}") - e) * (F.col(f"__o{d}") - e) / e
+        chi2 = term if chi2 is None else chi2 + term
+    return g.select(
+        "window_start",
+        F.col("__n").alias("n"),
+        F.round(F.col("__o1") / n, 4).alias("leading_one_share"),
+        F.round(chi2, 4).alias("benford_chi2"),
+        (F.round(chi2, 4) > F.lit(BENFORD_ALARM_CHI2)).alias("alarm"),
+    )
+
+
+def benford_windowed_oracle_sql(ts_col: str, value_col: str, table: str) -> str:
+    """DuckDB replay of the streamed per-window Benford screen: the
+    identical day-digit histogram build from raw events, then the same
+    nine-term chain (shared BENFORD_P literals, shared term order)."""
+    counts = ", ".join(
+        f"CAST(count(*) FILTER (d = {dd}) AS BIGINT) AS o{dd}" for dd in range(1, 10)
+    )
+    terms = " + ".join(
+        f"((o{dd} - CAST(n AS DOUBLE) * {BENFORD_P[dd-1]!r})"
+        f" * (o{dd} - CAST(n AS DOUBLE) * {BENFORD_P[dd-1]!r})"
+        f" / (CAST(n AS DOUBLE) * {BENFORD_P[dd-1]!r}))"
+        for dd in range(1, 10)
+    )
+    return f"""
+    WITH c AS (
+      SELECT date_trunc('day', {ts_col}) AS window_start,
+             CAST(substr(CAST(CAST(round({value_col}*100) AS BIGINT) AS VARCHAR),
+                         1, 1) AS INTEGER) AS d
+      FROM {table} WHERE CAST(round({value_col}*100) AS BIGINT) > 0
+    ),
+    a AS (SELECT window_start, CAST(count(*) AS BIGINT) AS n, {counts}
+          FROM c GROUP BY 1)
+    SELECT CAST(window_start AS TIMESTAMP) AS window_start, n,
+           round(o1 / CAST(n AS DOUBLE), 4) AS leading_one_share,
+           round({terms}, 4) AS benford_chi2,
+           round({terms}, 4) > {BENFORD_ALARM_CHI2!r} AS alarm
+    FROM a
+    """

@@ -135,6 +135,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "conformal_anomaly_pvalues",
     "allpairs_binary_cosine",
     "knn_graph_stats",
+    "streaming_benford_final",
     # ---- (b) plans CHANGED in round 9
     "asof_join_nearest",
     "hbos_outliers",
@@ -174,11 +175,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "tpch_q21_late_blame",
     "tpch_q2_min_cost_supplier",
     "tpch_q5_local_supplier",
-    "tpch_q7_volume_shipping",
 )
 # Displaced by session-2 new queries (r4-green, lead the round-10
-# refill queue): tpch_q8_market_share, tpch_q9_product_profit,
-# udaf_weighted_mean, weighted_doc_sample, zorder_file_layout.
+# refill queue): tpch_q7_volume_shipping, tpch_q8_market_share,
+# tpch_q9_product_profit, udaf_weighted_mean, weighted_doc_sample,
+# zorder_file_layout.
 # Rotated OUT in round 9 (all green in CORRECTNESS_r08, 50/50;
 # asof_join_nearest, hbos_outliers and ann_ivf_recall were NOT rotated
 # out — their plans changed this round, per the (b) section above):

@@ -873,3 +873,38 @@ def q_streaming_tv_drift_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = tv_reference_hist(load_table(spark, sf_dir, "events"), "ts", "value")
     day_bins = sunk.select(F.col("window_start").alias("day"), "bin", "c")
     return tv_drift_finalize(day_bins, ref)
+
+
+def _benford_stream_oracle() -> str:
+    from flink_anomaly_spark.operators.anomaly import benford_windowed_oracle_sql
+
+    return benford_windowed_oracle_sql("ts", "value", "events")
+
+
+@register(
+    "streaming_benford_final",
+    oracle=_benford_stream_oracle(),
+    doc="Streaming per-window Benford's-law first-digit screen — the "
+    "forensic data-quality monitor on the streaming surface: each "
+    "event statelessly maps to the leading digit of its integer cents "
+    "(projection shared with the batch benford_deviation screen), the "
+    "stateful stage is a windowed count per (1-day window, digit) "
+    "whose state is <= 9 rows per open window (constant in event "
+    "volume), the EOS sentinel passes the watermark BEFORE the "
+    "cents>0 domain filter so every real window finalizes, and the "
+    "batch side evaluates the fixed nine-term chi-square chain over "
+    "integer counts and the full-precision BENFORD_P literals (no "
+    "libm, no order-sensitive float SUM) with the alarm flag as a "
+    "literal threshold compare. The oracle replays the identical "
+    "day-digit histogram from raw events.",
+)
+def q_streaming_benford_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from flink_anomaly_spark.operators.anomaly import benford_windowed_chi2
+    from flink_anomaly_spark.streaming.pipelines import benford_digit_stream
+
+    work = tempfile.mkdtemp(prefix="eos_flush_")
+    events = stream_events_with_final_flush(spark, sf_dir, work)
+    sunk = run_to_memory(benford_digit_stream(events, value_col="value"))
+    return benford_windowed_chi2(sunk)

@@ -763,3 +763,48 @@ kmins_windowed_estimate` batch-side (serve-layer split)."""
             "hmin",
         )
     )
+
+
+def benford_digit_stream(
+    events: DataFrame,
+    value_col: str = "value",
+    duration: str = "1 day",
+) -> DataFrame:
+    """Streaming per-window leading-digit histogram build — the
+    Benford's-law forensic screen on the streaming surface: each event
+    statelessly maps to the first decimal digit of its integer cents
+    (the projection shared with the batch screen,
+    operators/anomaly.benford_deviation), and the stateful stage is a
+    plain windowed count per (window, digit) — state is ≤ 11 rows per
+    open window (digits 1-9 plus the 0/NULL rows of non-positive
+    cents), CONSTANT in event volume (the hold-a-sketch argument of
+    the HLL / CMS / TV-drift streams).
+
+    NO pre-aggregation domain filter: a ``cents > 0`` predicate is
+    deterministic and not on the event-time column, so Catalyst pushes
+    it BELOW the EventTimeWatermark node — which silently drops the
+    EOS sentinel (value 0.0) before it can advance the watermark, and
+    the final real window never flushes (measured: 29/30 windows at
+    sf0.01). Instead every row streams through (the TV-drift shape)
+    and the finalize excludes digits outside 1-9; the sentinel's own
+    window never finalizes by construction. Finalized digit counts feed
+    :func:`~flink_anomaly_spark.operators.anomaly.benford_windowed_chi2`
+    batch-side (the serve-layer split all sketch finals use).
+    """
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    # non-positive cents map to digit 0 ("0...") or NULL ("-..."),
+    # excluded at finalize — never filtered here (see docstring)
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    return (
+        events.filter(F.col(value_col).isNotNull())
+        .select("ts", digit.alias("digit"))
+        .withWatermark("ts", "20 seconds")
+        .groupBy(F.window("ts", duration).alias("win"), "digit")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "digit",
+            "c",
+        )
+    )

@@ -300,3 +300,51 @@ def test_knn_graph_stats_matches_bruteforce(spark):
         assert r.n_edges == n_edges
         assert r.n_mutual == n_mutual
         assert abs(r.avg_cos - round(micro / (1e6 * n_edges), 6)) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# streaming_benford_final
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_benford_equals_batch_replay(spark):
+    from pyspark.sql import functions as F
+
+    from flink_anomaly_spark.operators.anomaly import benford_windowed_chi2
+    from flink_anomaly_spark.plans.registry import all_queries
+    from flink_anomaly_spark.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    q = all_queries()
+    live = sorted(map(tuple, q["streaming_benford_final"](spark, SF_SMOKE).collect()))
+    # batch replay: identical day-digit histogram from the batch table
+    # through the SAME finalize
+    ev = load_table(spark, SF_SMOKE, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    day_digits = (
+        ev.select(
+            F.date_trunc("day", F.col("ts")).alias("window_start"),
+            F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit"),
+        )
+        .groupBy("window_start", "digit")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    batch = sorted(map(tuple, benford_windowed_chi2(day_digits).collect()))
+    assert live == batch and len(live) > 0
+
+
+def test_benford_finalize_excludes_nonpositive_digit_rows(spark):
+    import datetime
+
+    from flink_anomaly_spark.operators.anomaly import benford_windowed_chi2
+
+    d0 = datetime.datetime(2024, 1, 1)
+    rows = [(d0, 1, 30), (d0, 9, 10), (d0, 0, 99), (d0, None, 7)]
+    df = spark.createDataFrame(rows, "window_start timestamp, digit int, c long")
+    got = benford_windowed_chi2(df).collect()
+    assert len(got) == 1
+    r = got[0]
+    # n counts only digits 1-9; the 0/NULL rows (non-positive cents)
+    # are outside the Benford domain
+    assert r.n == 40
+    assert abs(r.leading_one_share - 0.75) < 1e-12
