@@ -590,3 +590,144 @@ def benford_windowed_oracle_sql(ts_col: str, value_col: str, table: str) -> str:
            round({terms}, 4) > {BENFORD_ALARM_CHI2!r} AS alarm
     FROM a
     """
+
+
+# ---------------------------------------------------------------------------
+# Local Outlier Factor over an embedding column (LSH-blocked)
+# ---------------------------------------------------------------------------
+
+
+def lof_outliers(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_planes: int = 4,
+    top_k: int = 20,
+) -> DataFrame:
+    """Local Outlier Factor (Breunig et al., SIGMOD 2000) over an
+    embedding column — the DENSITY-RELATIVE outlier score the global
+    screens (z-score / MAD / centroid distance) cannot express: a
+    point is anomalous if its local density is low RELATIVE TO its
+    neighbors', so a sparse-cluster member is not flagged just for
+    living in a sparse region. Returns the ``top_k`` highest-LOF
+    points.
+
+    Scale shape: neighborhoods come from the deterministic LSH
+    blocking (per-block pair cost bounded, the knn_graph_stats /
+    embedding_near_dup_lsh plan); every stage after the kNN edges is
+    EDGE-LIST sized (n*k rows): k-distance is a per-node max,
+    reachability joins the edge list to the neighbor's k-distance,
+    and both density sums ride exact BIGINT MICRO-UNITS of 6-rounded
+    doubles (reach distances, then lrd itself re-quantized) so no
+    float SUM's association order can differ between engines — each
+    density is one deterministic scalar division. Singleton-bucket
+    points have no neighborhood and drop out (LOF undefined), same on
+    both engines.
+    """
+    from flink_anomaly_spark.operators.dedup import _persist
+    from flink_anomaly_spark.operators.relational import top_k_per_group
+    from flink_anomaly_spark.operators.similarity import (
+        _dim_of,
+        hyperplane_matrix,
+        lsh_bucket,
+    )
+    from flink_anomaly_spark.partitioning import spread
+
+    planes = hyperplane_matrix(n_planes, _dim_of(df, vec_col))
+    base = _persist(
+        spread(
+            df.select(
+                F.col(id_col).alias("__nid"),
+                F.col(vec_col).alias("__nvec"),
+                lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
+            )
+        )
+    )
+    q = base.select(
+        F.col("__nid").alias("__qid"), F.col("__nvec").alias("__qvec"), "__bucket"
+    )
+    l2 = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("__qvec"),
+                F.col("__nvec"),
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    pairs = (
+        base.join(q, "__bucket")
+        .filter(F.col("__nid") != F.col("__qid"))
+        .select("__qid", "__nid", F.round(l2, 6).alias("__d"))
+    )
+    edges = _persist(
+        top_k_per_group(
+            pairs,
+            group_cols=["__qid"],
+            order_by=[F.col("__d").asc(), F.col("__nid").asc()],
+            k=k,
+            rank_col="__rank",
+        ).select("__qid", "__nid", "__d")
+    )
+    kstats = edges.groupBy("__qid").agg(
+        F.count("*").cast("bigint").alias("__nn"),
+        F.max("__d").alias("__kdist"),
+    )
+    reach = edges.join(
+        kstats.select(F.col("__qid").alias("__nid"), F.col("__kdist").alias("__kd_b")),
+        "__nid",
+    ).select(
+        "__qid",
+        F.round(F.greatest(F.col("__kd_b"), F.col("__d")) * 1000000)
+        .cast("bigint")
+        .alias("__reach_micro"),
+    )
+    lrd = (
+        reach.groupBy("__qid")
+        .agg(F.sum("__reach_micro").alias("__s"))
+        .join(kstats, "__qid")
+        .select(
+            "__qid",
+            "__nn",
+            F.round(
+                F.col("__nn").cast("double")
+                * F.lit(1000000000000.0)
+                / F.greatest(F.col("__s"), F.lit(1)).cast("double")
+            )
+            .cast("bigint")
+            .alias("__lrd_micro"),
+        )
+    )
+    nbr_lrd = edges.join(
+        lrd.select(
+            F.col("__qid").alias("__nid"), F.col("__lrd_micro").alias("__lrd_b")
+        ),
+        "__nid",
+    ).groupBy("__qid").agg(F.sum("__lrd_b").cast("bigint").alias("__sum_lrd_b"))
+    scored = nbr_lrd.join(lrd, "__qid").select(
+        "__qid",
+        "__nn",
+        F.col("__lrd_micro"),
+        F.round(
+            F.col("__sum_lrd_b").cast("double")
+            / (
+                F.col("__nn").cast("double")
+                * F.greatest(F.col("__lrd_micro"), F.lit(1)).cast("double")
+            ),
+            6,
+        ).alias("__lof"),
+    )
+    return (
+        scored.orderBy(F.col("__lof").desc(), F.col("__qid").asc())
+        .limit(top_k)
+        .select(
+            F.col("__qid").alias(id_col),
+            F.col("__nn").alias("n_neighbors"),
+            F.round(F.col("__lrd_micro").cast("double") / 1000000.0, 6).alias("lrd"),
+            F.col("__lof").alias("lof"),
+        )
+    )

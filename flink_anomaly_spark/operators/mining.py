@@ -845,3 +845,77 @@ def score_auc(
             ).alias("auc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-key OLS trend over daily totals (closed form, integer-exact)
+# ---------------------------------------------------------------------------
+
+
+def ols_trend_daily(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    epoch_date: str = "2024-01-01",
+) -> DataFrame:
+    """Per-key ordinary-least-squares trend of DAILY TOTALS against the
+    day index — the parametric companion of ``theil_sen_trend`` (same
+    day pre-aggregation, same calendar-bounded cost): slope, intercept
+    and R^2 from the closed-form normal equations.
+
+    Exactness: x is the small day index, y the day's integer-cents
+    total, so the five sufficient statistics (Sx, Sy, Sxy, Sxx, Syy)
+    are EXACT BIGINT sums — association-order-free, bit-identical
+    across engines — and slope/intercept/R^2 are scalar double
+    expressions over them: slope = (n*Sxy − Sx*Sy)/(n*Sxx − Sx²),
+    intercept by the symmetric closed form, R² as the squared
+    correlation (numerator squared in DOUBLE — its BIGINT square would
+    overflow first). Requires n_days²·max_day_cents² < 2^63 for Syy —
+    past that, DECIMAL(38,0) the moments. Keys with < 2 days or zero
+    x/y variance are dropped (undefined fit) on both engines. One
+    map-side-combinable day agg, then a |keys|-row hash agg.
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    daily = (
+        df.select(
+            F.col(key_col).alias("__k"),
+            F.datediff(day.cast("date"), F.lit(epoch_date).cast("date"))
+            .cast("bigint")
+            .alias("__x"),
+            cents.alias("__c"),
+        )
+        .groupBy("__k", "__x")
+        .agg(F.sum("__c").cast("bigint").alias("__y"))
+    )
+    s = daily.groupBy("__k").agg(
+        F.count("*").cast("bigint").alias("__n"),
+        F.sum("__x").cast("bigint").alias("__sx"),
+        F.sum("__y").cast("bigint").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).cast("bigint").alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).cast("bigint").alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).cast("bigint").alias("__syy"),
+    )
+    num = F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    denx = F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    deny = F.col("__n") * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    inum = F.col("__sy") * F.col("__sxx") - F.col("__sx") * F.col("__sxy")
+    return (
+        s.filter((F.col("__n") >= 2) & (denx > 0) & (deny > 0))
+        .select(
+            F.col("__k").alias(key_col),
+            F.col("__n").alias("n_days"),
+            F.round(num.cast("double") / denx.cast("double") / 100.0, 6).alias(
+                "slope_per_day"
+            ),
+            F.round(inum.cast("double") / denx.cast("double") / 100.0, 6).alias(
+                "intercept"
+            ),
+            F.round(
+                num.cast("double") * num.cast("double")
+                / (denx.cast("double") * deny.cast("double")),
+                6,
+            ).alias("r2"),
+        )
+    )

@@ -287,3 +287,130 @@ def q_knn_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_graph_stats(
         emb, id_col="vec_id", vec_col="embedding", label_col="label", k=5
     )
+
+
+@register(
+    "ols_trend_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS k,
+             CAST(date_diff('day', DATE '2024-01-01',
+                            CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
+             CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x*y) AS BIGINT) AS sxy,
+             CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy
+      FROM daily GROUP BY k
+    )
+    SELECT k AS event_type, n AS n_days,
+           round(CAST(n*sxy - sx*sy AS DOUBLE)
+                 / CAST(n*sxx - sx*sx AS DOUBLE) / 100.0, 6) + 0.0 AS slope_per_day,
+           round(CAST(sy*sxx - sx*sxy AS DOUBLE)
+                 / CAST(n*sxx - sx*sx AS DOUBLE) / 100.0, 6) + 0.0 AS intercept,
+           round(CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE)
+                 / (CAST(n*sxx - sx*sx AS DOUBLE)
+                    * CAST(n*syy - sy*sy AS DOUBLE)), 6) AS r2
+    FROM s WHERE n >= 2 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+    """,
+    doc="Per-type OLS trend of daily revenue totals against the day "
+    "index — the parametric companion of theil_sen_trend: slope, "
+    "intercept and R^2 from closed-form normal equations whose five "
+    "sufficient statistics are exact BIGINT sums (association-order-"
+    "free), leaving three deterministic scalar double expressions. Day "
+    "pre-aggregation makes the cost calendar-bounded; one map-side-"
+    "combinable day agg then a |keys|-row hash agg. Signed outputs "
+    "carry the +0.0 IEEE -0.0 guard.",
+)
+def q_ols_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from flink_anomaly_spark.operators.mining import ols_trend_daily
+
+    events = load_table(spark, sf_dir, "events")
+    out = ols_trend_daily(
+        events, key_col="event_type", ts_col="ts", value_col="value",
+        epoch_date="2024-01-01",
+    )
+    return out.select(
+        "event_type",
+        "n_days",
+        (F.col("slope_per_day") + F.lit(0.0)).alias("slope_per_day"),
+        (F.col("intercept") + F.lit(0.0)).alias("intercept"),
+        "r2",
+    )
+
+
+def _lof_oracle(k: int = 5, top_k: int = 20) -> str:
+    from flink_anomaly_spark.plans.relational_ext import _DIM, _bucket_sql
+
+    sq = (
+        "(CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))"
+        " * (CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))"
+    )
+    l2 = (
+        f"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {_DIM + 1}), i -> {sq})), (x,y) -> x+y))"
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, embedding, {_bucket_sql()} AS bucket FROM embeddings),
+    pairs AS (
+      SELECT q.vec_id AS qid, c.vec_id AS nid, round({l2}, 6) AS d
+      FROM v q JOIN v c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+    ),
+    edges AS (
+      SELECT qid, nid, d FROM (
+        SELECT qid, nid, d,
+               row_number() OVER (PARTITION BY qid ORDER BY d ASC, nid ASC) AS rn
+        FROM pairs) t
+      WHERE rn <= {k}
+    ),
+    kstats AS (SELECT qid, CAST(count(*) AS BIGINT) AS nn, max(d) AS kdist
+               FROM edges GROUP BY qid),
+    reach AS (
+      SELECT e.qid,
+             CAST(round(greatest(kb.kdist, e.d) * 1000000) AS BIGINT) AS rm
+      FROM edges e JOIN kstats kb ON e.nid = kb.qid
+    ),
+    lrd AS (
+      SELECT r.qid, k2.nn,
+             CAST(round(CAST(k2.nn AS DOUBLE) * 1000000000000.0
+                        / CAST(greatest(r.s, 1) AS DOUBLE)) AS BIGINT) AS lrd_micro
+      FROM (SELECT qid, CAST(sum(rm) AS BIGINT) AS s FROM reach GROUP BY qid) r
+      JOIN kstats k2 ON r.qid = k2.qid
+    ),
+    nbr AS (
+      SELECT e.qid, CAST(sum(lb.lrd_micro) AS BIGINT) AS sum_lrd_b
+      FROM edges e JOIN lrd lb ON e.nid = lb.qid GROUP BY e.qid
+    ),
+    scored AS (
+      SELECT n.qid, l.nn, l.lrd_micro,
+             round(CAST(n.sum_lrd_b AS DOUBLE)
+                   / (CAST(l.nn AS DOUBLE)
+                      * CAST(greatest(l.lrd_micro, 1) AS DOUBLE)), 6) AS lof
+      FROM nbr n JOIN lrd l ON n.qid = l.qid
+    )
+    SELECT qid AS vec_id, nn AS n_neighbors,
+           round(CAST(lrd_micro AS DOUBLE) / 1000000.0, 6) AS lrd, lof
+    FROM scored ORDER BY lof DESC, qid ASC LIMIT {top_k}
+    """
+
+
+@register(
+    "lof_outliers",
+    oracle=_lof_oracle(),
+    doc="Local Outlier Factor (Breunig et al. SIGMOD'00) over the "
+    "embedding corpus, LSH-blocked, k=5, top-20: the density-RELATIVE "
+    "outlier score the global screens cannot express. Every post-kNN "
+    "stage is edge-list sized; both density sums ride exact BIGINT "
+    "micro-units of 6-rounded doubles (reach distances, then lrd "
+    "re-quantized) so no float SUM order can differ between engines; "
+    "each density is one deterministic scalar division.",
+)
+def q_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.anomaly import lof_outliers
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lof_outliers(emb, id_col="vec_id", vec_col="embedding", k=5, top_k=20)

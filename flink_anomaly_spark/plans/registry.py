@@ -136,6 +136,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "allpairs_binary_cosine",
     "knn_graph_stats",
     "streaming_benford_final",
+    "ols_trend_daily",
+    "lof_outliers",
     # ---- (b) plans CHANGED in round 9
     "asof_join_nearest",
     "hbos_outliers",
@@ -173,11 +175,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "temperature_resampled_corpus",
     "tokenizer_fertility_by_lang",
     "tpch_q21_late_blame",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q5_local_supplier",
 )
 # Displaced by session-2 new queries (r4-green, lead the round-10
-# refill queue): tpch_q7_volume_shipping, tpch_q8_market_share,
+# refill queue): tpch_q2_min_cost_supplier, tpch_q5_local_supplier,
+# tpch_q7_volume_shipping, tpch_q8_market_share,
 # tpch_q9_product_profit, udaf_weighted_mean, weighted_doc_sample,
 # zorder_file_layout.
 # Rotated OUT in round 9 (all green in CORRECTNESS_r08, 50/50;

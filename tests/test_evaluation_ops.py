@@ -348,3 +348,127 @@ def test_benford_finalize_excludes_nonpositive_digit_rows(spark):
     # are outside the Benford domain
     assert r.n == 40
     assert abs(r.leading_one_share - 0.75) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# ols_trend_daily
+# ---------------------------------------------------------------------------
+
+
+def test_ols_trend_matches_closed_form(spark):
+    import datetime
+
+    from flink_anomaly_spark.operators.mining import ols_trend_daily
+
+    rng = random.Random(7)
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    # key "up": strong positive trend + noise; key "flat": pure noise
+    for d in range(20):
+        for _ in range(5):
+            rows.append(("up", base + datetime.timedelta(days=d, hours=rng.randint(0, 23)),
+                         10.0 * d + rng.uniform(0, 2)))
+            rows.append(("flat", base + datetime.timedelta(days=d, hours=rng.randint(0, 23)),
+                         rng.uniform(0, 2)))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    got = {r.k: r for r in ols_trend_daily(df, "k", "ts", "value").collect()}
+
+    def brute(key):
+        daily = {}
+        for kk, ts, v in rows:
+            if kk != key:
+                continue
+            x = (ts.date() - base.date()).days
+            daily[x] = daily.get(x, 0) + round(v * 100)
+        xs, ys = zip(*sorted(daily.items()))
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx, syy = sum(x * x for x in xs), sum(y * y for y in ys)
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx) / 100.0
+        intercept = (sy * sxx - sx * sxy) / (n * sxx - sx * sx) / 100.0
+        r2 = (n * sxy - sx * sy) ** 2 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+        return slope, intercept, r2
+
+    for key in ("up", "flat"):
+        slope, intercept, r2 = brute(key)
+        assert abs(got[key].slope_per_day - slope) < 1e-5, key
+        assert abs(got[key].intercept - intercept) < 1e-5, key
+        assert abs(got[key].r2 - r2) < 1e-5, key
+    assert got["up"].r2 > 0.99 and abs(got["up"].slope_per_day - 50.0) < 1.0
+    assert got["flat"].r2 < 0.3
+
+
+def test_ols_trend_drops_degenerate_keys(spark):
+    import datetime
+
+    from flink_anomaly_spark.operators.mining import ols_trend_daily
+
+    d0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("one_day", d0, 1.0), ("one_day", d0, 2.0),        # zero x variance
+        ("const", d0, 5.0),
+        ("const", d0 + datetime.timedelta(days=1), 5.0),    # zero y variance
+        ("ok", d0, 1.0), ("ok", d0 + datetime.timedelta(days=1), 2.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    got = ols_trend_daily(df, "k", "ts", "value").collect()
+    assert [r.k for r in got] == ["ok"]
+    assert abs(got[0].slope_per_day - 1.0) < 1e-9
+    assert got[0].r2 == 1.0
+
+
+# ---------------------------------------------------------------------------
+# lof_outliers
+# ---------------------------------------------------------------------------
+
+
+def test_lof_matches_pure_python_replica(spark):
+    import math
+
+    import numpy as np
+
+    from flink_anomaly_spark.operators.anomaly import lof_outliers
+    from flink_anomaly_spark.operators.similarity import hyperplane_matrix
+
+    rng = random.Random(13)
+    dim, n, k, n_planes = 6, 80, 4, 2
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(n)
+    ]
+    # plant a far-away singleton INSIDE a populated bucket region: an
+    # outlier relative to its neighbors' density
+    rows.append((500, [5.0] * dim))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = lof_outliers(df, "vec_id", "embedding", k=k, n_planes=n_planes, top_k=15)
+    got = got.collect()
+
+    planes = hyperplane_matrix(n_planes, dim)
+    vecs = {i: np.array(v, dtype=np.float32).astype(float) for i, v in rows}
+    bk = {
+        i: sum((1 << j) for j, w in enumerate(planes) if float(np.dot(v, w)) >= 0)
+        for i, v in vecs.items()
+    }
+    edges = {}
+    for q in vecs:
+        cands = sorted(
+            (round(math.sqrt(float(np.dot(vecs[q] - vecs[c], vecs[q] - vecs[c]))), 6), c)
+            for c in vecs if c != q and bk[c] == bk[q]
+        )[:k]
+        if cands:
+            edges[q] = cands
+    kdist = {q: max(d for d, _ in es) for q, es in edges.items()}
+    nn = {q: len(es) for q, es in edges.items()}
+    lrd = {}
+    for q, es in edges.items():
+        s = sum(round(max(kdist[c], d) * 1e6) for d, c in es)
+        lrd[q] = round(nn[q] * 1e12 / max(s, 1))
+    lof = {
+        q: round(sum(lrd[c] for _, c in es) / (nn[q] * max(lrd[q], 1)), 6)
+        for q, es in edges.items()
+    }
+    expect = sorted(((-v, q) for q, v in lof.items()))[:15]
+    assert [(r.vec_id, r.lof) for r in got] == [(q, -v) for v, q in expect]
+    for r in got:
+        assert abs(r.lrd - round(lrd[r.vec_id] / 1e6, 6)) < 1e-9
+        assert r.n_neighbors == nn[r.vec_id]
