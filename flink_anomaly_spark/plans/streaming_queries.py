@@ -908,3 +908,46 @@ def q_streaming_benford_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = stream_events_with_final_flush(spark, sf_dir, work)
     sunk = run_to_memory(benford_digit_stream(events, value_col="value"))
     return benford_windowed_chi2(sunk)
+
+
+def _twap_stream_oracle() -> str:
+    # the streaming twin replays the batch TWAP exactly — reuse its
+    # oracle verbatim (the ann_ivf_recall oracle-reuse precedent);
+    # mining_queries registers first in registry._load_all
+    from flink_anomaly_spark.plans.registry import QUERIES
+
+    return QUERIES["twap_daily"].oracle
+
+
+@register(
+    "streaming_twap_final",
+    oracle=_twap_stream_oracle(),
+    doc="Streaming TWAP (time-weighted average, LOCF-to-day-end) per "
+    "(event_type, day) — the stateful-operator twin of the batch "
+    "twap_daily hyperfunction, NOT expressible as a declarative "
+    "windowed agg (each observation's weight is the time until the "
+    "NEXT one): applyInPandasWithState carries five BIGINTs per open "
+    "(key, day) group, folds rows in (ts, event_id) order, and an "
+    "EVENT-TIME TIMEOUT at day end (raised past every real day by the "
+    "EOS sentinel — Flink max-watermark parity) carries the last value "
+    "to day close and emits the final row. Integer cents x integer "
+    "microsecond gaps in BIGINT, one terminal division; state is "
+    "bounded by open (key, day) groups, not event volume. The oracle "
+    "is the batch TWAP SQL verbatim.",
+)
+def q_streaming_twap_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_anomaly_spark.streaming.stateful import twap_stream
+
+    work = tempfile.mkdtemp(prefix="eos_flush_")
+    # multi-batch source (events file, then sentinel file): day groups
+    # time out when the sentinel batch raises the watermark — the same
+    # forcing the custom-session operator uses
+    events = stream_events_with_final_flush(
+        spark, sf_dir, work, max_files_per_trigger=1
+    )
+    sunk = run_to_memory(twap_stream(events, key="event_type"))
+    return sunk.withColumnRenamed("key", "event_type")

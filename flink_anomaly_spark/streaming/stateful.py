@@ -348,3 +348,95 @@ def cusum_alarm_stream(events: DataFrame, key: str = "event_type") -> DataFrame:
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Stateful streaming TWAP per (key, day) with event-time-timeout close
+# ---------------------------------------------------------------------------
+
+TWAP_OUTPUT_SCHEMA = (
+    "key string, day timestamp, n_events long, active_us long, "
+    "twap_num long, twap double"
+)
+TWAP_STATE_SCHEMA = "last_us long, last_c long, num long, gap long, n long"
+
+_DAY_US = 86_400_000_000
+
+
+def twap_stream(events: DataFrame, key: str = "event_type") -> DataFrame:
+    """Keyed streaming TWAP (time-weighted average, LOCF-to-day-end) —
+    the live twin of the batch ``twap_daily`` hyperfunction and the
+    operator the declarative windowed aggs CANNOT express: the weight
+    of each observation is the time UNTIL THE NEXT one, which needs
+    per-(key, day) open state (last observation, accumulated integer
+    numerator) and a DAY-CLOSE flush — the same event-time-timeout
+    applyInPandasWithState pattern as :func:`session_stream_custom`.
+
+    Per (key, day) the state is five BIGINTs; rows fold in (ts,
+    event_id) order across the whole batch (chunk handling per
+    _concat_fn); when the watermark passes day end (the EOS sentinel
+    raises it at stream close, Flink max-watermark parity) the group
+    times out, the last value is carried to day end and the final row
+    emits — integer cents × integer µs gaps summed in BIGINT, ONE
+    terminal division, so the EOS-flushed stream replays the batch
+    operator row-for-row. The sentinel's own (key, day) group can
+    never time out and never emits.
+    """
+
+    def fn(key_t: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        day_ts = pd.Timestamp(key_t[1])
+        day_us = day_ts.value // 1_000
+        if state.hasTimedOut:
+            last_us, last_c, num, gap, n = state.get
+            tail = day_us + _DAY_US - last_us
+            num += last_c * tail
+            gap += tail
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "key": [key_t[0]],
+                    "day": [day_ts],
+                    "n_events": pd.array([n], dtype="int64"),
+                    "active_us": pd.array([gap], dtype="int64"),
+                    "twap_num": pd.array([num], dtype="int64"),
+                    "twap": pd.array([num / (100 * gap)], dtype="float64"),
+                }
+            )
+            return
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(["ts", "event_id"])
+        ts_us = (pdf["ts"].astype("int64") // 1_000).tolist()
+        cents = pdf["x_c"].tolist()
+        cur = state.get if state.exists else None
+        for t, c in zip(ts_us, cents):
+            c = int(c)
+            if cur is None:
+                cur = (t, c, 0, 0, 1)
+            else:
+                last_us, last_c, num, gap, n = cur
+                step = t - last_us
+                cur = (t, c, num + last_c * step, gap + step, n + 1)
+        state.update(cur)
+        # fire when the event-time watermark passes day end (timeout API
+        # is ms-precision; the day boundary is whole seconds, so this is
+        # exact)
+        state.setTimeoutTimestamp((day_us + _DAY_US) // 1_000)
+        yield from ()
+
+    return (
+        events.select(
+            F.col(key).alias("key"),
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            "ts",
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("x_c"),
+        )
+        .withWatermark("ts", "20 seconds")
+        .groupBy("key", "day")
+        .applyInPandasWithState(
+            fn,
+            TWAP_OUTPUT_SCHEMA,
+            TWAP_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -472,3 +472,73 @@ def test_lof_matches_pure_python_replica(spark):
     for r in got:
         assert abs(r.lrd - round(lrd[r.vec_id] / 1e6, 6)) < 1e-9
         assert r.n_neighbors == nn[r.vec_id]
+
+
+# ---------------------------------------------------------------------------
+# streaming_twap_final
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_twap_equals_batch(spark):
+    from flink_anomaly_spark.plans.registry import all_queries
+    from tests.conftest import SF_SMOKE
+
+    q = all_queries()
+    live = sorted(map(tuple, q["streaming_twap_final"](spark, SF_SMOKE).collect()))
+    batch = sorted(map(tuple, q["twap_daily"](spark, SF_SMOKE).collect()))
+    assert live == batch and len(live) > 0
+
+
+def test_twap_stream_multi_batch_state_carry(spark, tmp_path):
+    """Rows of one (key, day) split across micro-batches must fold into
+    ONE state (gap across the batch boundary included) and emit exactly
+    one final row per (key, day) on timeout."""
+    import datetime
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_anomaly_spark.streaming.pipelines import run_to_memory
+    from flink_anomaly_spark.streaming.stateful import twap_stream
+
+    d = str(tmp_path / "twap_src")
+    os.makedirs(d)
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def write(path, rows):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "event_type": pa.array(["a"] * len(rows), pa.string()),
+                "value": pa.array([r[2] for r in rows], pa.float64()),
+            }
+        )
+        pq.write_table(tbl, path)
+
+    # batch 1: two observations; batch 2: one more + a sentinel far out
+    write(os.path.join(d, "a_batch1.parquet"),
+          [(1, t0, 10.0), (2, t0 + datetime.timedelta(hours=6), 20.0)])
+    write(os.path.join(d, "b_batch2.parquet"),
+          [(3, t0 + datetime.timedelta(hours=18), 40.0),
+           (9, t0 + datetime.timedelta(days=5), 0.0)])
+    os.utime(os.path.join(d, "a_batch1.parquet"), (1_000_000_000, 1_000_000_000))
+    os.utime(os.path.join(d, "b_batch2.parquet"), (2_000_000_000, 2_000_000_000))
+    events = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    got = run_to_memory(twap_stream(events, key="event_type")).collect()
+    rows = [r for r in got if str(r.day).startswith("2024-01-01")]
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_events == 3
+    assert r.active_us == 86_400_000_000
+    # 10 for 6h, 20 for 12h, 40 for 6h -> (10*6 + 20*12 + 40*6)/24 = 22.5
+    expect_num = (1000 * 6 + 2000 * 12 + 4000 * 6) * 3_600_000_000
+    assert r.twap_num == expect_num
+    assert abs(r.twap - 22.5) < 1e-12
