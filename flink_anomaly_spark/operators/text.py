@@ -1672,3 +1672,70 @@ def keyness_chi2_terms(
         F.round(F.col("__chi2"), 4).alias("chi2"),
         "rank",
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction (Rose et al. 2010)
+# ---------------------------------------------------------------------------
+
+
+def rake_stopword_regex(stopwords: list[str] | None = None) -> str:
+    """Whole-word stopword pattern shared by the Spark expression and
+    the DuckDB oracle (Java regex and RE2 agree on ``\\b`` and
+    alternation, verified by the gate)."""
+    return r"\b(" + "|".join(stopwords or STOPWORDS) + r")\b"
+
+
+def rake_keywords(
+    df: DataFrame,
+    text_col: str,
+    top_k: int = 20,
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """Corpus-level RAKE keywords (Rapid Automatic Keyword Extraction,
+    Rose et al. 2010): split each document into candidate phrases at
+    stopword boundaries, score every content word by
+    ``degree / freq`` where ``freq`` counts the word's occurrences and
+    ``degree`` sums the lengths of the phrases containing it — words
+    that live in long multi-word phrases outrank equally-frequent
+    words that stand alone. Returns the ``top_k`` words.
+
+    Scale shape: phrase segmentation is ONE narrow regex replace +
+    split per row (stopwords become a delimiter — no per-doc window,
+    no shuffle until the aggregation); the (word) hash agg is
+    map-side combinable and WORD-DOMAIN sized; degree and freq are
+    exact BIGINT sums, the score is one deterministic division ranked
+    with a (score desc, word asc) TakeOrderedAndProject.
+    """
+    phrases = F.split(
+        F.regexp_replace(F.col(text_col), rake_stopword_regex(stopwords), "|"),
+        r"\|",
+    )
+    phrase = F.explode(phrases).alias("__phrase")
+    words_arr = F.filter(F.split(F.trim(F.col("__phrase")), r"\s+"), lambda t: t != "")
+    exploded = (
+        df.select(phrase)
+        .select(words_arr.alias("__ws"))
+        .filter(F.size("__ws") > 0)
+        .select(F.size("__ws").alias("__plen"), F.explode("__ws").alias("__w"))
+    )
+    scored = (
+        exploded.groupBy("__w")
+        .agg(
+            F.count("*").cast("bigint").alias("freq"),
+            F.sum("__plen").cast("bigint").alias("degree"),
+        )
+        .withColumn(
+            "__score", F.col("degree").cast("double") / F.col("freq").cast("double")
+        )
+    )
+    return (
+        scored.orderBy(F.col("__score").desc(), F.col("__w").asc())
+        .limit(top_k)
+        .select(
+            F.col("__w").alias("word"),
+            "freq",
+            "degree",
+            F.round(F.col("__score"), 4).alias("rake_score"),
+        )
+    )

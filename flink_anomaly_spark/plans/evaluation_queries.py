@@ -414,3 +414,150 @@ def q_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return lof_outliers(emb, id_col="vec_id", vec_col="embedding", k=5, top_k=20)
+
+
+def _rake_oracle(top_k: int = 20) -> str:
+    from flink_anomaly_spark.operators.text import rake_stopword_regex
+
+    pat = rake_stopword_regex()
+    return f"""
+    WITH ph AS (
+      SELECT unnest(string_split(regexp_replace(text, '{pat}', '|', 'g'), '|'))
+        AS phrase
+      FROM documents
+    ),
+    ws AS (
+      SELECT list_filter(string_split_regex(trim(phrase), '\\s+'),
+                         tk -> tk != '') AS w
+      FROM ph
+    ),
+    ex AS (
+      SELECT len(w) AS plen, unnest(w) AS word FROM ws WHERE len(w) > 0
+    ),
+    sc AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(plen) AS BIGINT) AS degree,
+             CAST(sum(plen) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS score
+      FROM ex GROUP BY word
+    )
+    SELECT word, freq, degree, round(score, 4) AS rake_score
+    FROM sc ORDER BY score DESC, word ASC LIMIT {top_k}
+    """
+
+
+@register(
+    "rake_keywords",
+    oracle=_rake_oracle(),
+    doc="Corpus-level RAKE keywords (Rose et al. 2010): documents split "
+    "into candidate phrases at stopword boundaries (ONE narrow regex "
+    "replace + split per row — no shuffle before the aggregation), "
+    "each content word scored degree/freq over exact BIGINT sums with "
+    "one deterministic division, top-20 by (score desc, word asc) via "
+    "TakeOrderedAndProject. The stopword pattern is a single shared "
+    "fragment (rake_stopword_regex) so engine and oracle segment "
+    "identically.",
+)
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.text import rake_keywords
+
+    docs = load_table(spark, sf_dir, "documents")
+    return rake_keywords(docs, text_col="text", top_k=20)
+
+
+def _hilbert_oracle() -> str:
+    from flink_anomaly_spark.plans.fragments import hilbert_steps
+    from flink_anomaly_spark.plans.governance import _ZBITS
+
+    nb = 2**_ZBITS
+    steps, d_expr = hilbert_steps(_ZBITS)
+    inner = f"""
+      SELECT d.doc_id, d.n_chars, d.lang,
+             least({nb - 1},
+                   CAST(floor(CAST((d.n_chars - s.mn) AS DOUBLE) * {nb}
+                              / (s.mx - s.mn + 1)) AS BIGINT)) AS hx0,
+             l.lang_rank % {nb} AS hy0
+      FROM documents d,
+           (SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM documents) s
+      JOIN (SELECT lang,
+                   CAST((row_number() OVER (ORDER BY lang)) - 1 AS BIGINT)
+                     AS lang_rank
+            FROM (SELECT DISTINCT lang FROM documents)) l
+        ON d.lang = l.lang"""
+    q = inner
+    for name, expr in steps:
+        q = f"SELECT *, {expr} AS {name} FROM ({q})"
+    return f"""
+    SELECT hvalue AS file_id, count(*) AS n_docs,
+           count(DISTINCT lang) AS n_langs,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars
+    FROM (SELECT *, {d_expr} AS hvalue FROM ({q}))
+    GROUP BY hvalue
+    """
+
+
+@register(
+    "hilbert_file_layout",
+    oracle=_hilbert_oracle(),
+    doc="Hilbert-curve file-layout assignment over the SAME (size "
+    "bucket x lang rank) keys as zorder_file_layout — the layout "
+    "Iceberg/Delta offer beside Z-order because the Hilbert curve has "
+    "strictly better locality (every curve step is grid-adjacent; "
+    "Morton jumps across the plane at power-of-two seams, so range "
+    "scans touch fewer files). The unrolled xy2d transform is ONE "
+    "shared %%/CASE fragment (fragments.hilbert_steps, adjacency-"
+    "verified) evaluated as narrow bit-math on both engines; plan is "
+    "identical to the z-order twin: 1-row stats broadcast, tiny "
+    "lang-rank broadcast, one final groupBy(hvalue) bounded at 256 "
+    "rows.",
+)
+def q_hilbert_file_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from flink_anomaly_spark.plans.fragments import hilbert_steps
+    from flink_anomaly_spark.plans.governance import _ZBITS
+
+    nb = 2**_ZBITS
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars", "lang")
+    stats = F.broadcast(
+        docs.agg(F.min("n_chars").alias("mn"), F.max("n_chars").alias("mx"))
+    )
+    langs = F.broadcast(
+        docs.select("lang")
+        .distinct()
+        .select(
+            "lang",
+            (F.row_number().over(Window.orderBy("lang")) - 1)
+            .cast("bigint")
+            .alias("lang_rank"),
+        )
+    )
+    keyed = (
+        docs.crossJoin(stats)
+        .join(langs, "lang")
+        .select(
+            "doc_id",
+            "n_chars",
+            "lang",
+            F.least(
+                F.lit(nb - 1),
+                F.floor(
+                    (F.col("n_chars") - F.col("mn")).cast("double")
+                    * nb
+                    / (F.col("mx") - F.col("mn") + 1)
+                ).cast("bigint"),
+            ).alias("hx0"),
+            (F.col("lang_rank") % nb).alias("hy0"),
+        )
+    )
+    steps, d_expr = hilbert_steps(_ZBITS)
+    cur = keyed
+    for name, expr in steps:
+        cur = cur.withColumn(name, F.expr(expr))
+    cur = cur.withColumn("hvalue", F.expr(d_expr))
+    return cur.groupBy(F.col("hvalue").alias("file_id")).agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )

@@ -139,6 +139,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ols_trend_daily",
     "lof_outliers",
     "streaming_twap_final",
+    "rake_keywords",
+    "hilbert_file_layout",
     # ---- (b) plans CHANGED in round 9
     "asof_join_nearest",
     "hbos_outliers",
@@ -173,11 +175,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "streaming_session_count",
     "streaming_sliding_count",
     "streaming_window_count_final",
-    "temperature_resampled_corpus",
-    "tokenizer_fertility_by_lang",
 )
 # Displaced by session-2 new queries (r4-green, lead the round-10
-# refill queue): tpch_q21_late_blame,
+# refill queue): temperature_resampled_corpus,
+# tokenizer_fertility_by_lang, tpch_q21_late_blame,
 # tpch_q2_min_cost_supplier, tpch_q5_local_supplier,
 # tpch_q7_volume_shipping, tpch_q8_market_share,
 # tpch_q9_product_profit, udaf_weighted_mean, weighted_doc_sample,

@@ -542,3 +542,120 @@ def test_twap_stream_multi_batch_state_carry(spark, tmp_path):
     expect_num = (1000 * 6 + 2000 * 12 + 4000 * 6) * 3_600_000_000
     assert r.twap_num == expect_num
     assert abs(r.twap - 22.5) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# rake_keywords
+# ---------------------------------------------------------------------------
+
+
+def test_rake_matches_pure_python(spark):
+    import re
+    from collections import defaultdict
+
+    from flink_anomaly_spark.operators.text import STOPWORDS, rake_keywords
+
+    rng = random.Random(41)
+    content = ["spark", "engine", "query", "plan", "shuffle", "join"]
+    docs = []
+    for i in range(40):
+        toks = []
+        for _ in range(12):
+            toks.append(rng.choice(content))
+            if rng.random() < 0.3:
+                toks.append(rng.choice(STOPWORDS))
+        docs.append((i, " ".join(toks)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = rake_keywords(df, "text", top_k=10).collect()
+
+    pat = re.compile(r"\b(" + "|".join(STOPWORDS) + r")\b")
+    freq, degree = defaultdict(int), defaultdict(int)
+    for _, text in docs:
+        for phrase in pat.sub("|", text).split("|"):
+            ws = [w for w in phrase.strip().split() if w]
+            for w in ws:
+                freq[w] += 1
+                degree[w] += len(ws)
+    expect = sorted(
+        ((degree[w] / freq[w], w) for w in freq), key=lambda t: (-t[0], t[1])
+    )[:10]
+    assert [(r.word, r.freq, r.degree) for r in got] == [
+        (w, freq[w], degree[w]) for _, w in expect
+    ]
+    for r in got:
+        assert abs(r.rake_score - round(degree[r.word] / freq[r.word], 4)) < 1e-9
+
+
+def test_rake_phrase_boundaries_at_stopwords(spark):
+    from flink_anomaly_spark.operators.text import rake_keywords
+
+    # "big data" always co-occur in one phrase; "solo" stands alone:
+    # equal freq, but degree favors the phrase members
+    docs = [(i, "big data the solo") for i in range(5)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.word: r for r in rake_keywords(df, "text", top_k=10).collect()}
+    assert got["big"].degree == 10 and got["big"].freq == 5
+    assert got["solo"].degree == 5
+    assert got["big"].rake_score == 2.0 and got["solo"].rake_score == 1.0
+    assert "the" not in got
+
+
+# ---------------------------------------------------------------------------
+# hilbert_steps / hilbert_file_layout
+# ---------------------------------------------------------------------------
+
+
+def _xy2d_ref(n, x, y):
+    """Pure-Python Hilbert xy2d with the n-1 flip (the fragment's
+    variant — every intermediate stays in [0, n))."""
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_fragment_is_bijective_adjacent_and_matches_reference():
+    import duckdb
+
+    from flink_anomaly_spark.plans.fragments import hilbert_steps
+
+    for bits in (2, 4):
+        n = 2**bits
+        steps, d_expr = hilbert_steps(bits)
+        q = (
+            f"SELECT x AS hx0, y AS hy0 FROM (SELECT unnest(range({n})) x), "
+            f"(SELECT unnest(range({n})) y)"
+        )
+        for name, expr in steps:
+            q = f"SELECT *, {expr} AS {name} FROM ({q})"
+        rows = duckdb.sql(
+            f"SELECT hx0, hy0, {d_expr} AS d FROM ({q})"
+        ).fetchall()
+        pos = {d: (x, y) for x, y, d in rows}
+        assert len(pos) == n * n  # bijective onto [0, n^2)
+        assert set(pos) == set(range(n * n))
+        # the Hilbert property: consecutive curve steps are grid-adjacent
+        for d in range(n * n - 1):
+            (x1, y1), (x2, y2) = pos[d], pos[d + 1]
+            assert abs(x1 - x2) + abs(y1 - y2) == 1, d
+        assert all(_xy2d_ref(n, x, y) == d for x, y, d in rows)
+
+
+def test_hilbert_layout_partitions_the_corpus(spark):
+    from flink_anomaly_spark.plans.registry import all_queries
+    from tests.conftest import SF_SMOKE
+
+    q = all_queries()
+    got = q["hilbert_file_layout"](spark, SF_SMOKE).collect()
+    zorder = q["zorder_file_layout"](spark, SF_SMOKE).collect()
+    # both layouts place every document exactly once
+    assert sum(r.n_docs for r in got) == sum(r.n_docs for r in zorder)
+    assert all(0 <= r.file_id < 256 for r in got)
