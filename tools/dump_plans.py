@@ -61,6 +61,13 @@ HEADLINE = {
     "exact_substring_spans": "(id, start, hash64) postings; hash-count groupBy + postings join; interval merge + span slice are per-row array math after one id agg.",
     "priority_sample_per_lang": "WindowGroupLimit: per-partition top-(k+1) precedes the single lang exchange; tau + estimate ride the same window layout.",
     "value_histogram_quantiles": "Partial->final 64-bin hash agg is the only data-sized exchange; every later frame is sketch-sized (bins x quantiles).",
+    # round-9 session-2 operators
+    "quality_score_auc": "Score-domain rank-sum AUC: (group, score) partial agg is the only data-sized exchange; the midrank window runs over the score domain per group.",
+    "conformal_anomaly_pvalues": "Calib histogram + zero-count test scores merged on the distinct-cents domain; one domain-sized suffix-cumsum window; test events hash-join the domain map into TakeOrderedAndProject.",
+    "lof_outliers": "LSH-bucket pair join -> one qid window for kNN edges; every later stage (k-dist, reachability, both density sums) is edge-list sized joins/aggs; final TakeOrdered.",
+    "allpairs_binary_cosine": "df-capped shingle postings self-join; integer cross-multiplied threshold filters BEFORE the cosine projection; sizes join on id only.",
+    "hilbert_file_layout": "Narrow unrolled xy2d arithmetic against 1-row stats + |langs|-row rank broadcasts; final exchange bounded at 256 groups (the z-order twin's plan).",
+    "rake_keywords": "Regex phrase split is per-row narrow; the (word) hash agg is the only exchange, word-domain sized; TakeOrderedAndProject top-k.",
 }
 
 

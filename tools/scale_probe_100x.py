@@ -138,6 +138,24 @@ PROBE = [
     ("sorted_neighborhood_multipass", "documents"),
     ("unigram_lm_vocab", "documents"),
     ("mmr_diversified_topk", "embeddings"),
+    # round-9 session-2 extension: AUC/conformal/OLS exchanges are
+    # score-/cents-/calendar-DOMAIN bounded (B/row must DROP ~n-fold);
+    # keyness and RAKE aggregate the replica-suffixed token vocab (xn
+    # vocab — their worst case, like the BPE row — linear, flat
+    # B/row); binary cosine's df-capped postings stay base-sized under
+    # disjoint replica shingles (flat B/row); hilbert's final exchange
+    # is 256 rows (DROPS). knn_graph_stats and lof_outliers are NOT
+    # probed: verbatim-replicated vectors are the pathological N-way-
+    # duplicate corpus for within-bucket pair generation (the same
+    # exclusion as embedding_near_dup_lsh) — their per-bucket pair
+    # bound is documented in SCALE_NOTES prose instead.
+    ("quality_score_auc", "documents"),
+    ("keyness_chi2_terms", "documents"),
+    ("conformal_anomaly_pvalues", "events"),
+    ("allpairs_binary_cosine", "documents"),
+    ("ols_trend_daily", "events"),
+    ("rake_keywords", "documents"),
+    ("hilbert_file_layout", "documents"),
 ]
 
 _KEY_SHIFT = {

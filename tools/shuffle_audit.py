@@ -126,6 +126,17 @@ PROBE = [
     ("weighted_sample_global", "no corpus shuffle: TakeOrderedAndProject top-(k+1); rank/tau window over k+1 rows"),
     ("mmr_diversified_topk", "brute-force pool scan (queries broadcast); k argmax rounds over persisted (queries x pool) frames"),
     ("twap_daily", "ONE (key, day) sort exchange shared by the lead() gap and the final agg"),
+    # round-9 session-2 operators
+    ("quality_score_auc", "(group, score) domain agg + domain window; corpus never re-shuffles"),
+    ("keyness_chi2_terms", "(group, term) hash agg is the only corpus-sized exchange; totals broadcast; domain-frame top-k"),
+    ("conformal_anomaly_pvalues", "distinct-cents domain cumsum + score equi-join; TakeOrdered selection"),
+    ("allpairs_binary_cosine", "df-capped shingle postings self-join; sizes join on id; integer threshold pre-filters the cosine"),
+    ("knn_graph_stats", "LSH-bucket pair join + one qid window; mutual flag is an edge-list self-join"),
+    ("ols_trend_daily", "one day agg + one |keys|-row moment agg — calendar-bounded like theil_sen"),
+    ("lof_outliers", "bucket pair join + qid window; k-dist/reach/density stages are edge-list joins/aggs"),
+    ("rake_keywords", "word-domain hash agg only; phrase split is per-row narrow"),
+    ("hilbert_file_layout", "narrow unrolled xy2d bit-math; final exchange bounded at 256 groups"),
+    ("acf_daily", "one day agg + ONE keyed sort serving the (n,S) window and all three leads"),
 ]
 
 
