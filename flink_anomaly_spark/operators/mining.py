@@ -864,17 +864,21 @@ def ols_trend_daily(
     day pre-aggregation, same calendar-bounded cost): slope, intercept
     and R^2 from the closed-form normal equations.
 
-    Exactness: x is the small day index, y the day's integer-cents
-    total, so the five sufficient statistics (Sx, Sy, Sxy, Sxx, Syy)
-    are EXACT BIGINT sums — association-order-free, bit-identical
-    across engines — and slope/intercept/R^2 are scalar double
-    expressions over them: slope = (n*Sxy − Sx*Sy)/(n*Sxx − Sx²),
-    intercept by the symmetric closed form, R² as the squared
-    correlation (numerator squared in DOUBLE — its BIGINT square would
-    overflow first). Requires n_days²·max_day_cents² < 2^63 for Syy —
-    past that, DECIMAL(38,0) the moments. Keys with < 2 days or zero
-    x/y variance are dropped (undefined fit) on both engines. One
-    map-side-combinable day agg, then a |keys|-row hash agg.
+    Exactness: x is the small day index, y the day's total in WHOLE
+    currency units — the exact integer-cents sum floored by 100 (a
+    non-negative-domain DIV, identical in both engines) — so the five
+    sufficient statistics (Sx, Sy, Sxy, Sxx, Syy) are EXACT BIGINT
+    sums — association-order-free, bit-identical across engines — and
+    slope/intercept/R^2 are scalar double expressions over them:
+    slope = (n*Sxy − Sx*Sy)/(n*Sxx − Sx²), intercept by the symmetric
+    closed form, R² as the squared correlation (numerator squared in
+    DOUBLE — its BIGINT square would overflow first). Whole units keep
+    ``n_days·max_day_total² < 2^63`` (Syy, the tightest moment)
+    through a x1000 corpus scale-up — measured: cents overflowed the
+    x100 probe, units clear it — past that, DECIMAL(38,0) the moments.
+    Keys with < 2 days or zero x/y variance are dropped (undefined
+    fit) on both engines. One map-side-combinable day agg, then a
+    |keys|-row hash agg.
     """
     day = F.date_trunc("day", F.col(ts_col))
     cents = F.round(F.col(value_col) * 100).cast("bigint")
@@ -887,7 +891,7 @@ def ols_trend_daily(
             cents.alias("__c"),
         )
         .groupBy("__k", "__x")
-        .agg(F.sum("__c").cast("bigint").alias("__y"))
+        .agg(F.expr("CAST(sum(__c) DIV 100 AS BIGINT)").alias("__y"))
     )
     s = daily.groupBy("__k").agg(
         F.count("*").cast("bigint").alias("__n"),
@@ -906,10 +910,10 @@ def ols_trend_daily(
         .select(
             F.col("__k").alias(key_col),
             F.col("__n").alias("n_days"),
-            F.round(num.cast("double") / denx.cast("double") / 100.0, 6).alias(
+            F.round(num.cast("double") / denx.cast("double"), 6).alias(
                 "slope_per_day"
             ),
-            F.round(inum.cast("double") / denx.cast("double") / 100.0, 6).alias(
+            F.round(inum.cast("double") / denx.cast("double"), 6).alias(
                 "intercept"
             ),
             F.round(
@@ -919,3 +923,71 @@ def ols_trend_daily(
             ).alias("r2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation of daily totals (exact rational form)
+# ---------------------------------------------------------------------------
+
+
+def acf_daily(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    max_lag: int = 3,
+) -> DataFrame:
+    """Per-key autocorrelation of DAILY TOTALS at lags 1..``max_lag`` —
+    the seasonality/persistence screen run before any forecasting or
+    drift model: ``acf_k = sum (y_t - m)(y_{t+k} - m) / sum (y_t - m)^2``
+    over the observed day series (row-based lags, the
+    moving_median_daily convention for gapped calendars).
+
+    Exactness: the mean ``m = S/n`` is rational, so both sides are
+    multiplied by n^2 — numerator ``sum (n*y_t - S)(n*y_{t+k} - S)``
+    and denominator ``sum (n*y_t - S)^2`` are EXACT BIGINT
+    (association-order-free), each acf one terminal division. Daily
+    totals accumulate in DECI-units (``round(value*10)``) to keep
+    ``n^2 * y^2`` inside int64 headroom at sf0.1 x10 (past that,
+    DECIMAL(38,0) the cross-products). ONE keyed exchange+sort serves
+    the unbounded (n, S) window and every lead(k); keys with zero
+    variance or fewer than ``max_lag + 1`` days are dropped on both
+    engines.
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    deci = F.round(F.col(value_col) * 10).cast("bigint")
+    daily = (
+        df.select(F.col(key_col).alias("__k"), day.alias("__d"), deci.alias("__c"))
+        .groupBy("__k", "__d")
+        .agg(F.sum("__c").cast("bigint").alias("__y"))
+    )
+    wall = Window.partitionBy("__k")
+    word = Window.partitionBy("__k").orderBy("__d")
+    cur = (
+        daily.withColumn("__n", F.count("*").over(wall))
+        .withColumn("__s", F.sum("__y").over(wall))
+        .withColumn("__e", F.col("__n") * F.col("__y") - F.col("__s"))
+    )
+    for k in range(1, max_lag + 1):
+        cur = cur.withColumn(f"__e{k}", F.lead("__e", k).over(word))
+    aggs = [
+        F.sum(F.col("__e") * F.col("__e")).cast("bigint").alias("__den"),
+        F.max("__n").alias("__nd"),
+    ] + [
+        F.sum(F.col("__e") * F.col(f"__e{k}")).cast("bigint").alias(f"__num{k}")
+        for k in range(1, max_lag + 1)
+    ]
+    g = cur.groupBy("__k").agg(*aggs)
+    out_cols = [
+        F.col("__k").alias(key_col),
+        F.col("__nd").cast("bigint").alias("n_days"),
+    ] + [
+        (
+            F.round(
+                F.col(f"__num{k}").cast("double") / F.col("__den").cast("double"), 6
+            )
+            + F.lit(0.0)
+        ).alias(f"acf{k}")
+        for k in range(1, max_lag + 1)
+    ]
+    return g.filter((F.col("__den") > 0) & (F.col("__nd") > max_lag)).select(*out_cols)

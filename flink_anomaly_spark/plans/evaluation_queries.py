@@ -1,14 +1,16 @@
-"""Round-9 session-2 breadth: classifier-evaluation metrics, corpus
-keyness, conformal anomaly p-values, all-pairs binary cosine, and
-kNN-graph statistics.
+"""Round-9 session-2 breadth: classifier-evaluation metrics (AUC),
+corpus keyness and RAKE keywords, conformal anomaly p-values and LOF,
+all-pairs binary cosine, kNN-graph statistics, OLS/ACF time-series
+fits, and the Hilbert-curve file layout.
 
 Reference scope note: GlebSolovev/flink-anomaly (Main.java:23-58) is a
 DataStream anomaly repro with none of these; they extend the engine's
-text/anomaly/similarity families (SURVEY §2.9 breadth) with the
+text/anomaly/similarity/layout families (SURVEY §2.9 breadth) with the
 measurement layer a training-data pipeline runs on top of its filters:
 "is my quality score actually separating classes" (AUC), "which terms
-define each slice" (keyness), "which new events are distribution-free
-anomalies" (conformal), plus two scale-first similarity shapes.
+define each slice" (keyness/RAKE), "which new events are
+distribution-free anomalies" (conformal/LOF), "is the trend/seasonality
+real" (OLS/ACF), plus the scale-first similarity and layout shapes.
 """
 
 from __future__ import annotations
@@ -296,7 +298,7 @@ def q_knn_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type AS k,
              CAST(date_diff('day', DATE '2024-01-01',
                             CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
-             CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS y
+             CAST(sum(CAST(round(value*100) AS BIGINT)) // 100 AS BIGINT) AS y
       FROM events GROUP BY 1, 2
     ),
     s AS (
@@ -307,9 +309,9 @@ def q_knn_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT k AS event_type, n AS n_days,
            round(CAST(n*sxy - sx*sy AS DOUBLE)
-                 / CAST(n*sxx - sx*sx AS DOUBLE) / 100.0, 6) + 0.0 AS slope_per_day,
+                 / CAST(n*sxx - sx*sx AS DOUBLE), 6) + 0.0 AS slope_per_day,
            round(CAST(sy*sxx - sx*sxy AS DOUBLE)
-                 / CAST(n*sxx - sx*sx AS DOUBLE) / 100.0, 6) + 0.0 AS intercept,
+                 / CAST(n*sxx - sx*sx AS DOUBLE), 6) + 0.0 AS intercept,
            round(CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE)
                  / (CAST(n*sxx - sx*sx AS DOUBLE)
                     * CAST(n*syy - sy*sy AS DOUBLE)), 6) AS r2
@@ -561,3 +563,58 @@ def q_hilbert_file_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+@register(
+    "acf_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS k, date_trunc('day', ts) AS d,
+             CAST(sum(CAST(round(value*10) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    e AS (
+      SELECT k, d,
+             CAST(count(*) OVER w AS BIGINT) AS n,
+             CAST(count(*) OVER w AS BIGINT) * y
+               - CAST(sum(y) OVER w AS BIGINT) AS e
+      FROM daily
+      WINDOW w AS (PARTITION BY k)
+    ),
+    l AS (
+      SELECT k, n, e,
+             lead(e, 1) OVER w2 AS e1,
+             lead(e, 2) OVER w2 AS e2,
+             lead(e, 3) OVER w2 AS e3
+      FROM e
+      WINDOW w2 AS (PARTITION BY k ORDER BY d)
+    ),
+    g AS (
+      SELECT k, max(n) AS nd,
+             CAST(sum(e * e) AS BIGINT) AS den,
+             CAST(sum(e * e1) AS BIGINT) AS num1,
+             CAST(sum(e * e2) AS BIGINT) AS num2,
+             CAST(sum(e * e3) AS BIGINT) AS num3
+      FROM l GROUP BY k
+    )
+    SELECT k AS event_type, CAST(nd AS BIGINT) AS n_days,
+           round(CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE), 6) + 0.0 AS acf1,
+           round(CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE), 6) + 0.0 AS acf2,
+           round(CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE), 6) + 0.0 AS acf3
+    FROM g WHERE den > 0 AND nd > 3
+    """,
+    doc="Per-type autocorrelation of daily revenue totals at lags 1-3 "
+    "(row-based over observed days, the moving_median convention) — "
+    "the persistence screen before forecasting/drift models. The "
+    "rational mean is cleared by multiplying both sides by n^2, so "
+    "numerators and denominator are exact BIGINT cross-products in "
+    "deci-units and each acf is ONE exactly-rounded division (+0.0 "
+    "negative-zero guard). One keyed exchange+sort serves the (n, S) "
+    "window and all three leads.",
+)
+def q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.mining import acf_daily
+
+    events = load_table(spark, sf_dir, "events")
+    return acf_daily(events, key_col="event_type", ts_col="ts", value_col="value",
+                     max_lag=3)

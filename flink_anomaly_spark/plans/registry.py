@@ -141,6 +141,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "streaming_twap_final",
     "rake_keywords",
     "hilbert_file_layout",
+    "acf_daily",
     # ---- (b) plans CHANGED in round 9
     "asof_join_nearest",
     "hbos_outliers",
@@ -174,10 +175,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "streaming_dim_enrich",
     "streaming_session_count",
     "streaming_sliding_count",
-    "streaming_window_count_final",
 )
 # Displaced by session-2 new queries (r4-green, lead the round-10
-# refill queue): temperature_resampled_corpus,
+# refill queue): streaming_window_count_final,
+# temperature_resampled_corpus,
 # tokenizer_fertility_by_lang, tpch_q21_late_blame,
 # tpch_q2_min_cost_supplier, tpch_q5_local_supplier,
 # tpch_q7_volume_shipping, tpch_q8_market_share,

@@ -380,13 +380,13 @@ def test_ols_trend_matches_closed_form(spark):
                 continue
             x = (ts.date() - base.date()).days
             daily[x] = daily.get(x, 0) + round(v * 100)
-        xs, ys = zip(*sorted(daily.items()))
+        xs, ys = zip(*sorted((x, c // 100) for x, c in daily.items()))
         n = len(xs)
         sx, sy = sum(xs), sum(ys)
         sxy = sum(x * y for x, y in zip(xs, ys))
         sxx, syy = sum(x * x for x in xs), sum(y * y for y in ys)
-        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx) / 100.0
-        intercept = (sy * sxx - sx * sxy) / (n * sxx - sx * sx) / 100.0
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        intercept = (sy * sxx - sx * sxy) / (n * sxx - sx * sx)
         r2 = (n * sxy - sx * sy) ** 2 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
         return slope, intercept, r2
 
@@ -659,3 +659,65 @@ def test_hilbert_layout_partitions_the_corpus(spark):
     # both layouts place every document exactly once
     assert sum(r.n_docs for r in got) == sum(r.n_docs for r in zorder)
     assert all(0 <= r.file_id < 256 for r in got)
+
+
+# ---------------------------------------------------------------------------
+# acf_daily
+# ---------------------------------------------------------------------------
+
+
+def test_acf_matches_pure_python(spark):
+    import datetime
+
+    from flink_anomaly_spark.operators.mining import acf_daily
+
+    rng = random.Random(3)
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for d in range(24):
+        # key "per2": period-2 alternation -> acf1 < 0, acf2 > 0;
+        # key "noise": iid
+        for _ in range(4):
+            rows.append(("per2", base + datetime.timedelta(days=d, hours=3),
+                         100.0 if d % 2 == 0 else 10.0))
+            rows.append(("noise", base + datetime.timedelta(days=d, hours=5),
+                         rng.uniform(0, 100)))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    got = {r.k: r for r in acf_daily(df, "k", "ts", "value", max_lag=3).collect()}
+
+    def brute(key):
+        daily = {}
+        for kk, ts, v in rows:
+            if kk != key:
+                continue
+            x = (ts.date() - base.date()).days
+            daily[x] = daily.get(x, 0) + round(v * 10)
+        ys = [y for _, y in sorted(daily.items())]
+        n = len(ys)
+        s = sum(ys)
+        e = [n * y - s for y in ys]
+        den = sum(x * x for x in e)
+        return [
+            sum(e[t] * e[t + k] for t in range(n - k)) / den for k in (1, 2, 3)
+        ], n
+
+    for key in ("per2", "noise"):
+        expect, n = brute(key)
+        assert got[key].n_days == n
+        for k in (1, 2, 3):
+            assert abs(getattr(got[key], f"acf{k}") - expect[k - 1]) < 1e-6, (key, k)
+    assert got["per2"].acf1 < -0.9 and got["per2"].acf2 > 0.9
+
+
+def test_acf_drops_short_and_constant_keys(spark):
+    import datetime
+
+    from flink_anomaly_spark.operators.mining import acf_daily
+
+    d0 = datetime.datetime(2024, 1, 1)
+    rows = [("short", d0 + datetime.timedelta(days=d), float(d)) for d in range(3)]
+    rows += [("const", d0 + datetime.timedelta(days=d), 7.0) for d in range(10)]
+    rows += [("ok", d0 + datetime.timedelta(days=d), float(d % 3)) for d in range(10)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    got = acf_daily(df, "k", "ts", "value", max_lag=3).collect()
+    assert [r.k for r in got] == ["ok"]
