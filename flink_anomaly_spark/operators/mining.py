@@ -991,3 +991,86 @@ def acf_daily(
         for k in range(1, max_lag + 1)
     ]
     return g.filter((F.col("__den") > 0) & (F.col("__nd") > max_lag)).select(*out_cols)
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test over daily totals
+# ---------------------------------------------------------------------------
+
+
+def mann_kendall_trend(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-key Mann-Kendall trend TEST over daily totals (Mann 1945,
+    Kendall's tau) — the significance companion of ``theil_sen_trend``
+    (which gives the slope, this gives the z-score): ``S = sum over
+    day pairs i<j of sign(y_j - y_i)``, tie-corrected variance
+    ``18*Var = n(n-1)(2n+5) - sum_t t(t-1)(2t+5)``, and the
+    continuity-corrected ``z = (S - sign(S)) / sqrt(Var)``.
+    Distribution-free — no normality assumption, robust to outliers,
+    the standard hydrology/monitoring trend screen.
+
+    Exactness: daily totals are whole currency units (exact cents
+    floored by 100, the ols_trend_daily convention); S and both
+    variance terms are EXACT BIGINT (sign sums and closed-form tie
+    counts — association-order-free); z is one deterministic
+    sqrt+division over the integers, identical in both engines. The
+    day pre-aggregation bounds the pair self-join by the CALENDAR
+    (<= days^2/2 pairs per key, the Theil-Sen shape); tie groups come
+    from a domain-sized (key, value) agg. Keys with < 2 days or zero
+    variance (all days tied) are dropped on both engines.
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    daily = (
+        df.select(F.col(key_col).alias("__k"), day.alias("__d"), cents.alias("__c"))
+        .groupBy("__k", "__d")
+        .agg(F.expr("CAST(sum(__c) DIV 100 AS BIGINT)").alias("__y"))
+    )
+    from flink_anomaly_spark.operators.dedup import _persist
+
+    daily = _persist(daily)
+    a = daily.select("__k", F.col("__d").alias("__da"), F.col("__y").alias("__ya"))
+    b = daily.select("__k", F.col("__d").alias("__db"), F.col("__y").alias("__yb"))
+    s_stat = (
+        a.join(b, "__k")
+        .filter(F.col("__da") < F.col("__db"))
+        .groupBy("__k")
+        .agg(
+            F.sum(F.signum(F.col("__yb") - F.col("__ya")).cast("bigint"))
+            .cast("bigint")
+            .alias("__s")
+        )
+    )
+    base_var = daily.groupBy("__k").agg(F.count("*").cast("bigint").alias("__n"))
+    ties = (
+        daily.groupBy("__k", "__y")
+        .agg(F.count("*").cast("bigint").alias("__t"))
+        .groupBy("__k")
+        .agg(
+            F.sum(
+                F.col("__t") * (F.col("__t") - 1) * (2 * F.col("__t") + 5)
+            )
+            .cast("bigint")
+            .alias("__tiecorr")
+        )
+    )
+    j = s_stat.join(base_var, "__k").join(ties, "__k")
+    var18 = (
+        F.col("__n") * (F.col("__n") - 1) * (2 * F.col("__n") + 5) - F.col("__tiecorr")
+    )
+    sgn = F.signum(F.col("__s")).cast("bigint")
+    z = (F.col("__s") - sgn).cast("double") / F.sqrt(var18.cast("double") / 18.0)
+    return (
+        j.filter((F.col("__n") >= 2) & (var18 > 0))
+        .select(
+            F.col("__k").alias(key_col),
+            F.col("__n").alias("n_days"),
+            F.col("__s").alias("s_stat"),
+            (F.round(z, 4) + F.lit(0.0)).alias("z_mk"),
+            (F.abs(F.round(z, 4)) > F.lit(1.96)).alias("significant"),
+        )
+    )

@@ -618,3 +618,52 @@ def q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return acf_daily(events, key_col="event_type", ts_col="ts", value_col="value",
                      max_lag=3)
+
+
+@register(
+    "mann_kendall_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS k, date_trunc('day', ts) AS d,
+             CAST(sum(CAST(round(value*100) AS BIGINT)) // 100 AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT a.k, CAST(sum(sign(b.y - a.y)) AS BIGINT) AS s
+      FROM daily a JOIN daily b ON a.k = b.k AND a.d < b.d
+      GROUP BY a.k
+    ),
+    n AS (SELECT k, CAST(count(*) AS BIGINT) AS n FROM daily GROUP BY k),
+    ties AS (
+      SELECT k, CAST(sum(t*(t-1)*(2*t+5)) AS BIGINT) AS tiecorr
+      FROM (SELECT k, y, CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY k, y)
+      GROUP BY k
+    ),
+    j AS (
+      SELECT s.k, n.n, s.s,
+             n.n*(n.n-1)*(2*n.n+5) - ties.tiecorr AS var18
+      FROM s JOIN n USING (k) JOIN ties USING (k)
+    )
+    SELECT k AS event_type, n AS n_days, s AS s_stat,
+           round(CAST(s - CAST(sign(s) AS BIGINT) AS DOUBLE)
+                 / sqrt(CAST(var18 AS DOUBLE) / 18.0), 4) + 0.0 AS z_mk,
+           abs(round(CAST(s - CAST(sign(s) AS BIGINT) AS DOUBLE)
+                     / sqrt(CAST(var18 AS DOUBLE) / 18.0), 4)) > 1.96
+             AS significant
+    FROM j WHERE n >= 2 AND var18 > 0
+    """,
+    doc="Mann-Kendall trend test over daily revenue totals per type — "
+    "the significance companion of theil_sen_trend (slope) and "
+    "ols_trend_daily (parametric fit): S is an exact BIGINT sign sum "
+    "over calendar-bounded day pairs, the tie-corrected 18*Var is a "
+    "closed-form BIGINT from a domain-sized (key, value) agg, and the "
+    "continuity-corrected z is ONE deterministic sqrt+division. "
+    "Distribution-free, outlier-robust; the day pre-agg keeps the "
+    "pair join <= days^2/2 per key.",
+)
+def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.mining import mann_kendall_trend
+
+    events = load_table(spark, sf_dir, "events")
+    return mann_kendall_trend(events, key_col="event_type", ts_col="ts",
+                              value_col="value")

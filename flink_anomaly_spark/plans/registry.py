@@ -142,6 +142,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "rake_keywords",
     "hilbert_file_layout",
     "acf_daily",
+    "mann_kendall_trend",
     # ---- (b) plans CHANGED in round 9
     "asof_join_nearest",
     "hbos_outliers",
@@ -174,10 +175,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "streaming_dedup",
     "streaming_dim_enrich",
     "streaming_session_count",
-    "streaming_sliding_count",
 )
 # Displaced by session-2 new queries (r4-green, lead the round-10
-# refill queue): streaming_window_count_final,
+# refill queue): streaming_sliding_count, streaming_window_count_final,
 # temperature_resampled_corpus,
 # tokenizer_fertility_by_lang, tpch_q21_late_blame,
 # tpch_q2_min_cost_supplier, tpch_q5_local_supplier,

@@ -721,3 +721,73 @@ def test_acf_drops_short_and_constant_keys(spark):
     df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
     got = acf_daily(df, "k", "ts", "value", max_lag=3).collect()
     assert [r.k for r in got] == ["ok"]
+
+
+# ---------------------------------------------------------------------------
+# mann_kendall_trend
+# ---------------------------------------------------------------------------
+
+
+def test_mann_kendall_matches_pure_python(spark):
+    import datetime
+    import math
+
+    from flink_anomaly_spark.operators.mining import mann_kendall_trend
+
+    rng = random.Random(11)
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for d in range(25):
+        for _ in range(3):
+            rows.append(("up", base + datetime.timedelta(days=d, hours=2),
+                         5.0 * d + rng.uniform(0, 3)))
+            # heavy ties: values from a 3-point domain
+            rows.append(("tied", base + datetime.timedelta(days=d, hours=4),
+                         float(rng.choice([10, 10, 20]))))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    got = {r.k: r for r in mann_kendall_trend(df, "k", "ts", "value").collect()}
+
+    def brute(key):
+        daily = {}
+        for kk, ts, v in rows:
+            if kk != key:
+                continue
+            x = (ts.date() - base.date()).days
+            daily[x] = daily.get(x, 0) + round(v * 100)
+        ys = [c // 100 for _, c in sorted(daily.items())]
+        n = len(ys)
+        s = sum(
+            (ys[j] > ys[i]) - (ys[j] < ys[i])
+            for i in range(n) for j in range(i + 1, n)
+        )
+        from collections import Counter
+
+        ties = Counter(ys)
+        var18 = n * (n - 1) * (2 * n + 5) - sum(
+            t * (t - 1) * (2 * t + 5) for t in ties.values()
+        )
+        sgn = (s > 0) - (s < 0)
+        z = (s - sgn) / math.sqrt(var18 / 18.0)
+        return n, s, round(z, 4)
+
+    for key in ("up", "tied"):
+        n, s, z = brute(key)
+        r = got[key]
+        assert (r.n_days, r.s_stat) == (n, s), key
+        assert abs(r.z_mk - z) < 1e-9, key
+    assert got["up"].significant and got["up"].z_mk > 3
+    assert abs(got["tied"].z_mk) < got["up"].z_mk
+
+
+def test_mann_kendall_drops_constant_keys(spark):
+    import datetime
+
+    from flink_anomaly_spark.operators.mining import mann_kendall_trend
+
+    d0 = datetime.datetime(2024, 1, 1)
+    rows = [("const", d0 + datetime.timedelta(days=d), 5.0) for d in range(8)]
+    rows += [("ok", d0 + datetime.timedelta(days=d), float(d)) for d in range(8)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    got = mann_kendall_trend(df, "k", "ts", "value").collect()
+    assert [r.k for r in got] == ["ok"]
+    assert got[0].s_stat == 28  # strictly increasing: all pairs +1

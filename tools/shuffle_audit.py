@@ -137,6 +137,7 @@ PROBE = [
     ("rake_keywords", "word-domain hash agg only; phrase split is per-row narrow"),
     ("hilbert_file_layout", "narrow unrolled xy2d bit-math; final exchange bounded at 256 groups"),
     ("acf_daily", "one day agg + ONE keyed sort serving the (n,S) window and all three leads"),
+    ("mann_kendall_trend", "day agg + calendar-bounded pair self-join (the theil_sen shape, x100-probed there); tie terms from a domain-sized (key, value) agg"),
 ]
 
 
