@@ -449,6 +449,55 @@ def benford_deviation(df: DataFrame, group_col: str, value_col: str) -> DataFram
 CONFORMAL_SPLIT_TS = "2024-01-08"
 
 
+def conformal_ge_map(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    split_ts: str = CONFORMAL_SPLIT_TS,
+) -> DataFrame:
+    """The FROZEN calibration exceedance map shared by the batch
+    conformal screen and its streaming twin (the tv_hist_bin
+    shared-fragment discipline — twin and oracle cannot diverge): one
+    row per DISTINCT score cents in the corpus, carrying
+    ``__ge = #{calibration scores >= s}`` (suffix-cumulative sum over
+    the merged calib ∪ post-split distinct-score domain — the Gini/KS
+    value-domain pattern, never a quadratic inequality join) and the
+    calibration size ``__n`` on every row (broadcast-friendly: the map
+    is |distinct cents| rows of three BIGINTs).
+
+    The domain is built from the SAME bounded corpus both consumers
+    replay, so every arriving score hits the map; a live deployment
+    scoring genuinely unseen values would quantize scores to a fixed
+    grid first (the TV-drift bin pattern) to keep the broadcast map
+    constant-size.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    split = F.lit(split_ts).cast("timestamp")
+    base = df.select(F.col(ts_col).alias("__ts"), cents.alias("__s"))
+    calib = base.filter(F.col("__ts") < split)
+    test_scores = (
+        base.filter(F.col("__ts") >= split)
+        .select("__s")
+        .distinct()
+        .withColumn("__c", F.lit(0).cast("bigint"))
+    )
+    calib_hist = calib.groupBy("__s").agg(F.count("*").cast("bigint").alias("__c"))
+    dom = (
+        calib_hist.unionByName(test_scores)
+        .groupBy("__s")
+        .agg(F.sum("__c").alias("__c"))
+    )
+    w = Window.orderBy(F.col("__s").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    n_calib = calib.agg(F.count("*").cast("bigint").alias("__n"))
+    return (
+        dom.withColumn("__ge", F.sum("__c").over(w))
+        .select("__s", "__ge")
+        .join(F.broadcast(n_calib))
+    )
+
+
 def conformal_anomaly_pvalues(
     df: DataFrame,
     id_col: str,
@@ -483,21 +532,9 @@ def conformal_anomaly_pvalues(
         F.col(ts_col).alias("__ts"),
         cents.alias("__s"),
     )
-    calib = base.filter(F.col("__ts") < split)
     test = base.filter(F.col("__ts") >= split)
-    calib_hist = calib.groupBy("__s").agg(F.count("*").cast("bigint").alias("__c"))
-    test_scores = test.select("__s").distinct().withColumn("__c", F.lit(0).cast("bigint"))
-    dom = (
-        calib_hist.unionByName(test_scores)
-        .groupBy("__s")
-        .agg(F.sum("__c").alias("__c"))
-    )
-    w = Window.orderBy(F.col("__s").desc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    ge = dom.withColumn("__ge", F.sum("__c").over(w)).select("__s", "__ge")
-    n_calib = calib.agg(F.count("*").cast("bigint").alias("__n"))
-    scored = test.join(ge, "__s").join(F.broadcast(n_calib))
+    ge = conformal_ge_map(df, ts_col, value_col, split_ts)
+    scored = test.join(ge, "__s")
     return (
         scored.orderBy(F.col("__ge").asc(), F.col("__id").asc())
         .limit(top_k)
@@ -731,3 +768,274 @@ def lof_outliers(
             F.col("__lof").alias("lof"),
         )
     )
+
+
+#: Streaming-conformal alarm level: events with conformal p <= 1/20
+#: (alpha = 0.05) count as anomalies; a window whose anomaly RATE
+#: exceeds 2*alpha trips the alarm. Both comparisons are evaluated
+#: cross-multiplied in INTEGERS (no float boundary at the alarm).
+CONFORMAL_ALPHA = (1, 20)
+CONFORMAL_RATE_MULT = 2
+
+
+def conformal_anom_flag(ge, n_calib) -> "F.Column":
+    """The per-event integer anomaly decision shared by the streaming
+    stage and the oracle: conformal ``p = (1+ge)/(n_calib+1) <= alpha``
+    cross-multiplied to ``(1+ge)*alpha_den <= alpha_num*(n_calib+1)``
+    — pure BIGINT comparison, no division in the row path."""
+    a_num, a_den = CONFORMAL_ALPHA
+    return ((1 + ge) * a_den <= a_num * (n_calib + 1)).cast("bigint")
+
+
+def conformal_windowed_rates(
+    day_rows: DataFrame,
+    split_ts: str = CONFORMAL_SPLIT_TS,
+) -> DataFrame:
+    """Finalize per-window conformal anomaly rates from streamed
+    (window_start, window_end, n_scored, n_anom) rows — the batch half
+    of the streaming conformal screen's serve-layer split (the
+    tv_drift_finalize shape): keep TEST-period windows only (the
+    calibration period streams through the same stateless map — its
+    windows emit but are excluded here, mirroring the Benford
+    digits-outside-1-9 exclusion), rate is ONE terminal division, and
+    the ``alarm`` flag is the INTEGER cross-multiplied comparison
+    ``n_anom * alpha_den > mult * alpha_num * n_scored`` (rate >
+    mult*alpha — under exchangeability the expected rate is <= alpha,
+    so a doubled rate is a distribution change).
+    """
+    a_num, a_den = CONFORMAL_ALPHA
+    split = F.lit(split_ts).cast("timestamp")
+    return (
+        day_rows.filter(F.col("window_start") >= split)
+        .filter(F.col("n_scored") > 0)
+        .select(
+            F.col("window_start").alias("day"),
+            F.col("n_scored").cast("bigint").alias("n_scored"),
+            F.col("n_anom").cast("bigint").alias("n_anom"),
+            F.round(
+                F.col("n_anom").cast("double") / F.col("n_scored").cast("double"), 6
+            ).alias("anom_rate"),
+            (
+                F.col("n_anom") * a_den
+                > F.lit(CONFORMAL_RATE_MULT) * a_num * F.col("n_scored")
+            )
+            .cast("int")
+            .alias("alarm"),
+        )
+    )
+
+
+def conformal_windowed_oracle_sql(
+    ts_col: str, value_col: str, table: str, split_ts: str = CONFORMAL_SPLIT_TS
+) -> str:
+    """DuckDB replay of the streaming conformal screen from raw events:
+    the identical calibration exceedance map (suffix-cumsum over the
+    merged distinct-cents domain), the identical integer anomaly
+    decision per test event, the identical per-day rate + alarm."""
+    a_num, a_den = CONFORMAL_ALPHA
+    return f"""
+    WITH base AS (
+      SELECT {ts_col} AS ts, CAST(round({value_col}*100) AS BIGINT) AS s
+      FROM {table} WHERE {value_col} IS NOT NULL
+    ),
+    calib AS (SELECT s FROM base WHERE ts < TIMESTAMP '{split_ts}'),
+    nc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM calib),
+    dom AS (
+      SELECT s, CAST(sum(c) AS BIGINT) AS c FROM (
+        SELECT s, CAST(count(*) AS BIGINT) AS c FROM calib GROUP BY s
+        UNION ALL
+        SELECT DISTINCT s, CAST(0 AS BIGINT) AS c FROM base
+        WHERE ts >= TIMESTAMP '{split_ts}'
+      ) GROUP BY s
+    ),
+    ge AS (
+      SELECT s, CAST(sum(c) OVER (ORDER BY s DESC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ge
+      FROM dom
+    ),
+    flagged AS (
+      SELECT date_trunc('day', b.ts) AS day,
+             CASE WHEN (1 + g.ge) * {a_den} <= {a_num} * (nc.n + 1)
+                  THEN 1 ELSE 0 END AS anom
+      FROM base b JOIN ge g USING (s) CROSS JOIN nc
+      WHERE b.ts >= TIMESTAMP '{split_ts}'
+    )
+    SELECT day, CAST(count(*) AS BIGINT) AS n_scored,
+           CAST(sum(anom) AS BIGINT) AS n_anom,
+           round(CAST(sum(anom) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             AS anom_rate,
+           CASE WHEN sum(anom) * {a_den} > {CONFORMAL_RATE_MULT} * {a_num} * count(*)
+                THEN 1 ELSE 0 END AS alarm
+    FROM flagged GROUP BY day
+    """
+
+
+# ---------------------------------------------------------------------------
+# Mahalanobis outliers over embeddings (closed-form d=3)
+# ---------------------------------------------------------------------------
+
+#: Quantization scale for the Mahalanobis sufficient statistics: unit-
+#: normalized embedding coordinates scaled to integer ten-thousandths.
+#: The statistic is SCALE-INVARIANT (adjugate/determinant scaling
+#: cancels: s²·s⁴/s⁶ = 1 for d=3), so the scale only sets the integer
+#: grid the two engines must agree on, not the answer.
+MAHA_SCALE = 10_000
+
+
+def _maha3_sufficient_sql(q: tuple[str, str, str]) -> list[str]:
+    """Shared aggregate-stage SQL fragments: the ten exact-BIGINT
+    sufficient statistics of the 3-dim covariance over quantized
+    coordinates ``q`` — one aliased expression per statistic, emitted
+    verbatim into both engines' plans (Spark takes them as individual
+    agg expressions, the oracle comma-joins them)."""
+    q0, q1, q2 = q
+    return [
+        "CAST(count(*) AS BIGINT) AS n",
+        f"CAST(sum({q0}) AS BIGINT) AS s0",
+        f"CAST(sum({q1}) AS BIGINT) AS s1",
+        f"CAST(sum({q2}) AS BIGINT) AS s2",
+        f"CAST(sum({q0}*{q0}) AS BIGINT) AS p00",
+        f"CAST(sum({q0}*{q1}) AS BIGINT) AS p01",
+        f"CAST(sum({q0}*{q2}) AS BIGINT) AS p02",
+        f"CAST(sum({q1}*{q1}) AS BIGINT) AS p11",
+        f"CAST(sum({q1}*{q2}) AS BIGINT) AS p12",
+        f"CAST(sum({q2}*{q2}) AS BIGINT) AS p22",
+    ]
+
+
+#: Shared scalar fragments for the closed-form 3x3 inverse: covariance
+#: numerators C = n*P − s·sᵀ cast to DOUBLE (exact: |C| < 2^53 at every
+#: probed SF), the SYMMETRIC adjugate, the determinant, and the
+#: quadratic form. IDENTICAL expression text runs on both engines —
+#: double +,−,× are IEEE-754-exactly specified, so with the same tree
+#: shape over the same exact integers the scores are BIT-IDENTICAL
+#: (no libm anywhere in the chain).
+MAHA3_COV_SQL = {
+    "c00": "CAST(n*p00 - s0*s0 AS DOUBLE)",
+    "c01": "CAST(n*p01 - s0*s1 AS DOUBLE)",
+    "c02": "CAST(n*p02 - s0*s2 AS DOUBLE)",
+    "c11": "CAST(n*p11 - s1*s1 AS DOUBLE)",
+    "c12": "CAST(n*p12 - s1*s2 AS DOUBLE)",
+    "c22": "CAST(n*p22 - s2*s2 AS DOUBLE)",
+}
+MAHA3_ADJ_SQL = {
+    "a00": "c11*c22 - c12*c12",
+    "a01": "c02*c12 - c01*c22",
+    "a02": "c01*c12 - c02*c11",
+    "a11": "c00*c22 - c02*c02",
+    "a12": "c01*c02 - c00*c12",
+    "a22": "c00*c11 - c01*c01",
+}
+MAHA3_DET_SQL = "c00*a00 + c01*a01 + c02*a02"
+MAHA3_M2_SQL = (
+    "(dx0*(a00*dx0 + a01*dx1 + a02*dx2)"
+    " + dx1*(a01*dx0 + a11*dx1 + a12*dx2)"
+    " + dx2*(a02*dx0 + a12*dx1 + a22*dx2)) / det"
+)
+
+
+def mahalanobis_outliers(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top-k Mahalanobis-distance outliers over the first THREE
+    embedding coordinates — the classic multivariate outlier score
+    (Mahalanobis 1936) completing the anomaly family between the
+    univariate screens (z/MAD/EWMA) and the density-based LOF:
+    ``m² = (x−μ)ᵀ Σ⁻¹ (x−μ)``, which unlike the centroid-distance
+    screen accounts for correlated, unequal-variance dimensions.
+
+    Cross-engine exactness WITHOUT a matrix solve: coordinates
+    quantize to the MAHA_SCALE integer grid; the ten sufficient
+    statistics are EXACT BIGINT sums (association-order-free); with
+    C = n·P − s·sᵀ (= n²·Cov, all BIGINT, cast to double exactly),
+    the d=3 inverse is CLOSED-FORM — symmetric adjugate over 2×2
+    determinants — and ``m² = dxᵀ·adj(C)·dx / det(C)`` with
+    dx = n·x − s (the n-scaled centering; the n² and quantization
+    scales cancel exactly). Every scalar stage is the SHARED SQL
+    fragment (MAHA3_*), so both engines evaluate the identical IEEE
+    expression tree over identical integers: scores are BIT-IDENTICAL,
+    no rounding-boundary risk at the top-k selection (ordered by the
+    rounded score desc, id asc — a total order).
+
+    Scale shape: ONE narrow projection (3 ints per row — the vector
+    never shuffles), one map-side-combinable 10-statistic agg to a
+    SINGLE broadcast row, one stateless per-row score pass, and a
+    TakeOrderedAndProject top-k. Higher-d deployments swap the
+    closed-form adjugate for a driver-side d×d solve broadcast the
+    same way (bounded d² collect) — the oracle-checked d=3 form keeps
+    both engines on one expression. Degenerate corpora (det ≤ 0, i.e.
+    collinear dims) emit nothing on either engine.
+    """
+    q = [
+        F.expr(
+            f"CAST(round(CAST(element_at({vec_col}, {i + 1}) AS DOUBLE)"
+            f" * {MAHA_SCALE}) AS BIGINT)"
+        ).alias(f"q{i}")
+        for i in range(3)
+    ]
+    rows = df.select(F.col(id_col).alias("__id"), *q)
+    first, *rest = [F.expr(e) for e in _maha3_sufficient_sql(("q0", "q1", "q2"))]
+    stats = rows.agg(first, *rest)
+    scored = rows.join(F.broadcast(stats))
+    for name, frag in MAHA3_COV_SQL.items():
+        scored = scored.withColumn(name, F.expr(frag))
+    for name, frag in MAHA3_ADJ_SQL.items():
+        scored = scored.withColumn(name, F.expr(frag))
+    scored = scored.withColumn("det", F.expr(MAHA3_DET_SQL))
+    scored = (
+        scored.filter(F.col("det") > 0)
+        .withColumn("dx0", F.expr("CAST(n*q0 - s0 AS DOUBLE)"))
+        .withColumn("dx1", F.expr("CAST(n*q1 - s1 AS DOUBLE)"))
+        .withColumn("dx2", F.expr("CAST(n*q2 - s2 AS DOUBLE)"))
+        .withColumn("m2", F.expr(MAHA3_M2_SQL))
+    )
+    return (
+        scored.select(
+            F.col("__id").alias(id_col),
+            (F.round(F.col("m2"), 6) + F.lit(0.0)).alias("maha2"),
+        )
+        .orderBy(F.col("maha2").desc(), F.col(id_col).asc())
+        .limit(top_k)
+    )
+
+
+def mahalanobis_oracle_sql(
+    id_col: str, vec_col: str, table: str, top_k: int = 20
+) -> str:
+    """DuckDB replay of :func:`mahalanobis_outliers` — the identical
+    shared MAHA3_* fragments over the identical quantized integers
+    (list indexing is 1-based in both engines)."""
+    quant = [
+        f"CAST(round(CAST({vec_col}[{i + 1}] AS DOUBLE) * {MAHA_SCALE}) AS BIGINT)"
+        f" AS q{i}"
+        for i in range(3)
+    ]
+    cov = ", ".join(f"{frag} AS {name}" for name, frag in MAHA3_COV_SQL.items())
+    adj = ", ".join(f"{frag} AS {name}" for name, frag in MAHA3_ADJ_SQL.items())
+    return f"""
+    WITH rows_q AS (
+      SELECT {id_col} AS id, {", ".join(quant)} FROM {table}
+    ),
+    stats AS (
+      SELECT {", ".join(_maha3_sufficient_sql(("q0", "q1", "q2")))} FROM rows_q
+    ),
+    cov AS (SELECT *, {cov} FROM stats),
+    adj AS (SELECT *, {adj} FROM cov),
+    full_s AS (SELECT *, {MAHA3_DET_SQL} AS det FROM adj),
+    scored AS (
+      SELECT r.id,
+             CAST(s.n*r.q0 - s.s0 AS DOUBLE) AS dx0,
+             CAST(s.n*r.q1 - s.s1 AS DOUBLE) AS dx1,
+             CAST(s.n*r.q2 - s.s2 AS DOUBLE) AS dx2,
+             s.a00, s.a01, s.a02, s.a11, s.a12, s.a22, s.det
+      FROM rows_q r CROSS JOIN full_s s
+      WHERE s.det > 0
+    )
+    SELECT id AS {id_col}, round({MAHA3_M2_SQL}, 6) + 0.0 AS maha2
+    FROM scored
+    ORDER BY maha2 DESC, {id_col} ASC
+    LIMIT {top_k}
+    """

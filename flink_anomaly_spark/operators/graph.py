@@ -124,3 +124,53 @@ def bfs_distances(
         )
         dist = truncate(dist)
     return dist
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 2,
+    n_iter: int = 6,
+    reliable_checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Fixed-iteration k-core peeling (Seidman 1983; the distributed
+    formulation of Montresor et al. 2013): repeatedly drop vertices
+    with degree < k and the edges they carry; what survives is (an
+    over-approximation that converges to) the k-core — the standard
+    graph-cohesion filter, here for telling DENSE near-dup families
+    (every member ≥ k neighbors — safe for aggressive canonical-doc
+    pruning) from chains and stars that only LOOK like clusters by
+    transitivity.
+
+    Determinism by FIXED iteration count (the pagerank/Lloyd unroll
+    discipline): both engines run EXACTLY ``n_iter`` peels — a peel
+    past convergence is a no-op on both, so early convergence never
+    desynchronizes them; an unconverged corpus yields the same partial
+    peel on both (the bound is documented, not silent: at most
+    ``n_iter`` "onion layers" are removed, enough for the shallow
+    LSH-verified near-dup graphs this screens). Returns the surviving
+    (node, degree) rows — degree ≥ k over surviving edges by one final
+    half-peel on both engines.
+
+    ``edges``: (src, dst) SYMMETRIZED edge list. Per peel: ONE
+    map-side-combinable degree agg over the edge list plus TWO
+    node-keyed semi-joins (the degree table is |nodes|-sized —
+    broadcast); the edge list (LSH-verification-bounded, n·k̄ rows)
+    never grows, only shrinks, and is checkpoint-truncated per peel so
+    lineage stays O(1) like connected_components.
+    """
+    from flink_anomaly_spark.operators.dedup import _truncate_fn
+
+    truncate = _truncate_fn(edges, reliable_checkpoint_dir)
+    sym = truncate(edges.select("src", "dst"))
+    for _ in range(n_iter):
+        deg = sym.groupBy("src").agg(F.count("*").alias("__deg"))
+        keep = deg.filter(F.col("__deg") >= k).select(F.col("src").alias("__keep"))
+        sym = sym.join(
+            F.broadcast(keep), F.col("src") == F.col("__keep"), "left_semi"
+        ).join(F.broadcast(keep), F.col("dst") == F.col("__keep"), "left_semi")
+        sym = truncate(sym)
+    return (
+        sym.groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").cast("bigint").alias("core_degree"))
+        .filter(F.col("core_degree") >= k)
+    )

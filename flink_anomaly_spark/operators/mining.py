@@ -865,8 +865,10 @@ def ols_trend_daily(
     and R^2 from the closed-form normal equations.
 
     Exactness: x is the small day index, y the day's total in WHOLE
-    currency units — the exact integer-cents sum floored by 100 (a
-    non-negative-domain DIV, identical in both engines) — so the five
+    currency units — the exact integer-cents sum floor-divided by 100
+    (an explicit ``FLOOR(cents / 100)`` on BOTH engines, so negative
+    daily totals agree too — round-10 ADVICE; the double quotient is
+    exact while |cents| < 2^53, far above any SF here) — so the five
     sufficient statistics (Sx, Sy, Sxy, Sxx, Syy) are EXACT BIGINT
     sums — association-order-free, bit-identical across engines — and
     slope/intercept/R^2 are scalar double expressions over them:
@@ -891,7 +893,7 @@ def ols_trend_daily(
             cents.alias("__c"),
         )
         .groupBy("__k", "__x")
-        .agg(F.expr("CAST(sum(__c) DIV 100 AS BIGINT)").alias("__y"))
+        .agg(F.expr("CAST(FLOOR(sum(__c) / 100) AS BIGINT)").alias("__y"))
     )
     s = daily.groupBy("__k").agg(
         F.count("*").cast("bigint").alias("__n"),
@@ -1014,7 +1016,9 @@ def mann_kendall_trend(
     the standard hydrology/monitoring trend screen.
 
     Exactness: daily totals are whole currency units (exact cents
-    floored by 100, the ols_trend_daily convention); S and both
+    floor-divided by 100 — an explicit ``FLOOR(cents / 100)`` on BOTH
+    engines so negative totals agree too, the ols_trend_daily
+    convention); S and both
     variance terms are EXACT BIGINT (sign sums and closed-form tie
     counts — association-order-free); z is one deterministic
     sqrt+division over the integers, identical in both engines. The
@@ -1028,7 +1032,7 @@ def mann_kendall_trend(
     daily = (
         df.select(F.col(key_col).alias("__k"), day.alias("__d"), cents.alias("__c"))
         .groupBy("__k", "__d")
-        .agg(F.expr("CAST(sum(__c) DIV 100 AS BIGINT)").alias("__y"))
+        .agg(F.expr("CAST(FLOOR(sum(__c) / 100) AS BIGINT)").alias("__y"))
     )
     from flink_anomaly_spark.operators.dedup import _persist
 
@@ -1073,4 +1077,197 @@ def mann_kendall_trend(
             (F.round(z, 4) + F.lit(0.0)).alias("z_mk"),
             (F.abs(F.round(z, 4)) > F.lit(1.96)).alias("significant"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation over daily (count, total) pairs
+# ---------------------------------------------------------------------------
+
+
+def spearman_corr_daily(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-key Spearman rank correlation between the DAILY EVENT COUNT
+    and the DAILY TOTAL (whole currency units) — the nonparametric
+    "does volume move with value?" screen (Spearman 1904): Pearson's r
+    computed on midranks, robust to outliers and any monotone
+    transform of either axis.
+
+    Exactness — the integer-midrank trick: with ranks from ``RANK()``
+    (min-rank) and tie-group sizes t, the midrank is ``r + (t-1)/2``,
+    so DOUBLED midranks ``2r + t - 1`` are exact BIGINTs; Pearson on
+    the doubled ranks equals Pearson on the midranks (scale
+    invariance), so the five sufficient statistics are EXACT BIGINT
+    sums (association-order-free) and rho is one fixed-shape
+    double expression — sqrt is IEEE-correctly-rounded (the
+    mann_kendall z convention), no libm divergence. Daily totals use
+    the explicit FLOOR(cents/100) convention shared with
+    ols_trend_daily.
+
+    Scale shape: ONE map-side-combinable (key, day) agg; rank windows
+    partition by KEY (days-per-key frames, calendar-bounded — never a
+    global sort); one |keys|-row hash agg. Keys with < 3 days or a
+    constant axis (zero rank variance) are dropped on both engines.
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    daily = (
+        df.select(F.col(key_col).alias("__k"), day.alias("__d"), cents.alias("__c"))
+        .groupBy("__k", "__d")
+        .agg(
+            F.count("*").cast("bigint").alias("__cnt"),
+            F.expr("CAST(FLOOR(sum(__c) / 100) AS BIGINT)").alias("__y"),
+        )
+    )
+    wx = Window.partitionBy("__k").orderBy("__cnt")
+    wxt = Window.partitionBy("__k", "__cnt")
+    wy = Window.partitionBy("__k").orderBy("__y")
+    wyt = Window.partitionBy("__k", "__y")
+    ranked = daily.select(
+        "__k",
+        (2 * F.rank().over(wx) + F.count("*").over(wxt) - 1)
+        .cast("bigint")
+        .alias("__rx"),
+        (2 * F.rank().over(wy) + F.count("*").over(wyt) - 1)
+        .cast("bigint")
+        .alias("__ry"),
+    )
+    s = ranked.groupBy("__k").agg(
+        F.count("*").cast("bigint").alias("__n"),
+        F.sum("__rx").cast("bigint").alias("__sx"),
+        F.sum("__ry").cast("bigint").alias("__sy"),
+        F.sum(F.col("__rx") * F.col("__ry")).cast("bigint").alias("__sxy"),
+        F.sum(F.col("__rx") * F.col("__rx")).cast("bigint").alias("__sxx"),
+        F.sum(F.col("__ry") * F.col("__ry")).cast("bigint").alias("__syy"),
+    )
+    num = F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    denx = F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    deny = F.col("__n") * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    rho = num.cast("double") / F.sqrt(denx.cast("double") * deny.cast("double"))
+    return (
+        s.filter((F.col("__n") >= 3) & (denx > 0) & (deny > 0))
+        .select(
+            F.col("__k").alias(key_col),
+            F.col("__n").alias("n_days"),
+            (F.round(rho, 6) + F.lit(0.0)).alias("spearman_rho"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fano-factor burstiness of daily event counts
+# ---------------------------------------------------------------------------
+
+
+def fano_burstiness_daily(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Per-key Fano factor (index of dispersion, Fano 1947) of the
+    DAILY EVENT COUNT: ``variance / mean`` of counts per day — the
+    classic burstiness screen (1 = Poisson-like arrivals, > 1 =
+    bursty/overdispersed traffic, the usual bot/incident signature in
+    event telemetry; Church & Gale 1995 use the same statistic for
+    term burstiness).
+
+    Exactness: with biased variance, ``fano = (n*S2 - S1^2) / (n*S1)``
+    over the EXACT BIGINT daily-count moments S1 = sum(c), S2 =
+    sum(c^2) — one terminal division; the ``overdispersed`` flag is
+    the pure INTEGER cross-multiplied comparison
+    ``n*S2 - S1^2 > n*S1`` (variance > mean), no float boundary.
+    Days with zero events do not exist as rows (no gap-fill) — the
+    statistic is over OBSERVED days, identical on both engines.
+
+    Scale shape: ONE map-side-combinable (key, day) count agg, then a
+    |keys|-row hash agg. Keys with < 2 days or zero total are dropped.
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    daily = (
+        df.select(F.col(key_col).alias("__k"), day.alias("__d"))
+        .groupBy("__k", "__d")
+        .agg(F.count("*").cast("bigint").alias("__c"))
+    )
+    s = daily.groupBy("__k").agg(
+        F.count("*").cast("bigint").alias("__n"),
+        F.sum("__c").cast("bigint").alias("__s1"),
+        F.sum(F.col("__c") * F.col("__c")).cast("bigint").alias("__s2"),
+    )
+    varnum = F.col("__n") * F.col("__s2") - F.col("__s1") * F.col("__s1")
+    return (
+        s.filter((F.col("__n") >= 2) & (F.col("__s1") > 0))
+        .select(
+            F.col("__k").alias(key_col),
+            F.col("__n").alias("n_days"),
+            F.col("__s1").alias("n_events"),
+            F.round(
+                F.col("__s1").cast("double") / F.col("__n").cast("double"), 6
+            ).alias("mean_daily"),
+            F.round(
+                varnum.cast("double") / (F.col("__n") * F.col("__s1")).cast("double"),
+                6,
+            ).alias("fano_factor"),
+            (varnum > F.col("__n") * F.col("__s1")).cast("int").alias("overdispersed"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa agreement between two binary raters
+# ---------------------------------------------------------------------------
+
+
+def agreement_kappa(
+    df: DataFrame,
+    group_col: str,
+    rater_a_col: str,
+    rater_b_col: str,
+) -> DataFrame:
+    """Per-group Cohen's kappa (Cohen 1960) between two 0/1 raters —
+    chance-corrected agreement, the standard way to compare two
+    quality screens / labelers / filter stages beyond raw accuracy
+    (kappa 0 = chance-level, 1 = perfect agreement).
+
+    Exactness — the cross-multiplied closed form: from the integer
+    2x2 contingency counts (a = both keep, b = A only, c = B only,
+    d = both drop, N = a+b+c+d),
+
+        kappa = (N*(a+d) - E) / (N*N - E),
+        E     = (a+b)*(a+c) + (c+d)*(b+d)
+
+    where E/N is the chance-agreement expectation — numerator and
+    denominator are EXACT BIGINTs, kappa is ONE terminal division.
+    Groups where raters are constant (denominator 0) are dropped on
+    both engines.
+
+    Scale shape: ONE map-side-combinable hash agg to |groups| rows of
+    four BIGINT cells; everything after is per-group scalar math.
+    """
+    a_ = F.col(rater_a_col).cast("bigint")
+    b_ = F.col(rater_b_col).cast("bigint")
+    cells = df.groupBy(F.col(group_col).alias("__g")).agg(
+        F.sum(a_ * b_).cast("bigint").alias("__a"),
+        F.sum(a_ * (1 - b_)).cast("bigint").alias("__b"),
+        F.sum((1 - a_) * b_).cast("bigint").alias("__c"),
+        F.sum((1 - a_) * (1 - b_)).cast("bigint").alias("__d"),
+    )
+    n = F.col("__a") + F.col("__b") + F.col("__c") + F.col("__d")
+    e = (F.col("__a") + F.col("__b")) * (F.col("__a") + F.col("__c")) + (
+        F.col("__c") + F.col("__d")
+    ) * (F.col("__b") + F.col("__d"))
+    num = n * (F.col("__a") + F.col("__d")) - e
+    den = n * n - e
+    return cells.filter(den > 0).select(
+        F.col("__g").alias(group_col),
+        F.col("__a").alias("both_keep"),
+        F.col("__b").alias("a_only"),
+        F.col("__c").alias("b_only"),
+        F.col("__d").alias("both_drop"),
+        (F.round(num.cast("double") / den.cast("double"), 6) + F.lit(0.0)).alias(
+            "kappa"
+        ),
     )

@@ -1686,6 +1686,15 @@ def rake_stopword_regex(stopwords: list[str] | None = None) -> str:
     return r"\b(" + "|".join(stopwords or STOPWORDS) + r")\b"
 
 
+#: Whitespace class for RAKE phrase-word splitting, shared verbatim by
+#: the Spark split and the DuckDB oracle. Explicit on purpose: Java's
+#: ``\s`` includes vertical tab (\x0B) while RE2's does not, so a bare
+#: ``\s+`` segments a document containing \x0B differently engine vs
+#: oracle (round-10 ADVICE). The explicit class is identical under
+#: both regex dialects.
+RAKE_WS_PATTERN = r"[ \t\n\r\f]+"
+
+
 def rake_keywords(
     df: DataFrame,
     text_col: str,
@@ -1706,13 +1715,22 @@ def rake_keywords(
     map-side combinable and WORD-DOMAIN sized; degree and freq are
     exact BIGINT sums, the score is one deterministic division ranked
     with a (score desc, word asc) TakeOrderedAndProject.
+
+    Simplifications vs Rose et al. (deliberate, identical on both
+    engines): stopword matching is case-sensitive and punctuation is
+    NOT a phrase boundary — only stopwords delimit phrases. Words are
+    split on the explicit shared whitespace class ``RAKE_WS_PATTERN``
+    (Java ``\\s`` ⊃ RE2 ``\\s``, so a bare ``\\s+`` would diverge on
+    \\x0B).
     """
     phrases = F.split(
         F.regexp_replace(F.col(text_col), rake_stopword_regex(stopwords), "|"),
         r"\|",
     )
     phrase = F.explode(phrases).alias("__phrase")
-    words_arr = F.filter(F.split(F.trim(F.col("__phrase")), r"\s+"), lambda t: t != "")
+    words_arr = F.filter(
+        F.split(F.trim(F.col("__phrase")), RAKE_WS_PATTERN), lambda t: t != ""
+    )
     exploded = (
         df.select(phrase)
         .select(words_arr.alias("__ws"))

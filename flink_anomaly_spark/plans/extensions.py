@@ -1484,3 +1484,64 @@ def q_edit_distance_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         band_chars=100,
         threshold=60,
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core of the near-dup graph (round 10)
+# ---------------------------------------------------------------------------
+
+
+def _kcore_oracle(k: int = 2, n_iter: int = 6) -> str:
+    # every CTE is AS MATERIALIZED: each peel references its
+    # predecessor three times (degree agg + two endpoint joins), so an
+    # INLINING planner would re-expand the MinHash pipeline 3^n_iter
+    # times — materialization pins one evaluation per stage (measured:
+    # inlined form timed out at sf0.001, materialized runs in seconds)
+    steps = []
+    prev = "e0"
+    for i in range(1, n_iter + 1):
+        steps.append(f"""
+    n{i} AS MATERIALIZED (SELECT src FROM {prev} GROUP BY src HAVING count(*) >= {k}),
+    e{i} AS MATERIALIZED (SELECT e.src, e.dst FROM {prev} e
+             JOIN n{i} a ON e.src = a.src JOIN n{i} b ON e.dst = b.src)""")
+        prev = f"e{i}"
+    return f"""
+    WITH pairs AS MATERIALIZED ({_minhash_oracle("documents")}),
+    e0 AS MATERIALIZED (
+      SELECT id1 AS src, id2 AS dst FROM pairs
+      UNION
+      SELECT id2 AS src, id1 AS dst FROM pairs
+    ),
+    {",".join(steps)}
+    SELECT src AS node, CAST(count(*) AS BIGINT) AS core_degree
+    FROM {prev} GROUP BY src HAVING count(*) >= {k}
+    """
+
+
+@register(
+    "kcore_neardup",
+    oracle=_kcore_oracle(),
+    doc="2-core of the symmetrized MinHash near-dup graph by "
+    "fixed-iteration peeling (6 peels, the pagerank/Lloyd unroll "
+    "discipline — a peel past convergence is a no-op on both engines, "
+    "so early convergence never desynchronizes them): vertices that "
+    "survive have >= 2 near-dup neighbors INSIDE the surviving set — "
+    "dense duplicate families, safe for aggressive canonical-doc "
+    "pruning, vs the chains/stars connected components lumps in by "
+    "transitivity. Per peel: one map-side degree agg over the "
+    "LSH-verification-bounded edge list + two broadcast semi-joins; "
+    "the edge list only shrinks and is checkpoint-truncated per peel "
+    "(O(1) lineage, the connected_components pattern).",
+)
+def q_kcore_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.graph import kcore
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        docs, id_col="doc_id", text_col="text", k_shingle=3,
+        num_perm=_NUM_PERM, bands=_BANDS, jaccard_threshold=0.5,
+    )
+    edges = pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst")).unionByName(
+        pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst"))
+    ).distinct()
+    return kcore(edges, k=2, n_iter=6)

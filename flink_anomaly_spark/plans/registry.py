@@ -106,84 +106,94 @@ _LOADED = False
 #: ``WINDOW_DRAWN_AFTER_ROUND`` below, which the staleness contract
 #: test uses as its baseline cutoff so the in-flight round's own
 #: CORRECTNESS file never invalidates the test (round-7 ADVICE #1).
-WINDOW_DRAWN_AFTER_ROUND = 8
+WINDOW_DRAWN_AFTER_ROUND = 9
 
-#: ROUND-9 WINDOW: (a) the 7 queries NEW this round, (b) the three
-#: plans CHANGED this round (asof_join_nearest — forward tie-break
-#: fix, ADVICE r8 medium; hbos_outliers — min-relative clamped
-#: binning, ADVICE r8; ann_ivf_recall — both arms share one persisted
-#: corpus projection, VERDICT r8 #2; the doc-only moving_median_daily
-#: change was selectively manifest-refreshed after 3-SF local
-#: re-verification, docs/ROUND9.md), then (c) ALL 40 rows last green
-#: in ROUND 4 — the staleness floor advances r4 → r5 (VERDICT r8 #3).
+#: ROUND-10 WINDOW (VERDICT r9 #3): (a) the 6 queries NEW this round,
+#: (b) the five plans CHANGED this round (conformal_anomaly_pvalues —
+#: the exceedance map extracted into the shared conformal_ge_map so
+#: the streaming twin cannot diverge; ols_trend_daily and
+#: mann_kendall_trend — explicit FLOOR(cents/100) on both engines,
+#: round-10 ADVICE; rake_keywords — explicit shared whitespace class,
+#: round-10 ADVICE; streaming_twap_final — loud negative-step guard in
+#: the fold, round-10 ADVICE; the set is the mechanical
+#: PLAN_MANIFEST fingerprint diff), then (c) the 13 rows STILL
+#: last-green r4 (the session-2 displacements — they lead, per
+#: VERDICT r9 #3), then (d) the first 26 (alphabetical) of the 50
+#: rows last green in round 5. The remaining 24 r5-green rows are the
+#: PLANNED ROUND-11 QUEUE (VERDICT r9 #7), stalest-first:
+#: streaming_running_zscore, streaming_session_count_final,
+#: streaming_two_level_agg, streaming_window_argmax_final,
+#: streaming_window_count_update, string_date_functions,
+#: table_column_profile, topk_events_per_type, tpch_q10_returns,
+#: tpch_q11_important_parts, tpch_q12_priority_class,
+#: tpch_q13_cust_distribution, tpch_q14_promo, tpch_q15_top_supplier,
+#: tpch_q16_supplier_cnt, tpch_q17_small_qty, tpch_q19_disjunct,
+#: tpch_q20_part_promotion, tpch_q22_dormant_customers,
+#: tpch_q4_late_orders, train_val_test_split, udtf_bigram_counts,
+#: unigram_logprob_quality, unpivot_lineitem_measures — these plus
+#: round-10's own additions/changes compose the round-11 window,
+#: after which the oldest cohort is r6.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # ---- (a) NEW round-9 queries (prove them on the driver immediately)
-    "tv_drift_daily",
-    "streaming_tv_drift_final",
-    "unigram_lm_vocab",
-    "sorted_neighborhood_multipass",
-    "weighted_sample_global",
-    "mmr_diversified_topk",
-    "twap_daily",
-    # ---- (a continued) session-2 NEW round-9 queries: each displaces
-    # one round-4 re-confirm filler from section (c) — the round-6
-    # precedent that a never-driver-checked first check outranks a
-    # re-confirm (displaced rows lead the round-10 refill queue and
-    # stay covered by the local 3-SF hash gate)
-    "quality_score_auc",
-    "keyness_chi2_terms",
+    # ---- (a) NEW round-10 queries (prove them on the driver immediately)
+    "streaming_conformal_final",
+    "mahalanobis_outliers",
+    "spearman_corr_daily",
+    "fano_burstiness_daily",
+    "quality_screen_agreement_kappa",
+    "kcore_neardup",
+    # ---- (b) plans CHANGED in round 10 (PLAN_MANIFEST diff)
     "conformal_anomaly_pvalues",
-    "allpairs_binary_cosine",
-    "knn_graph_stats",
-    "streaming_benford_final",
     "ols_trend_daily",
-    "lof_outliers",
-    "streaming_twap_final",
-    "rake_keywords",
-    "hilbert_file_layout",
-    "acf_daily",
     "mann_kendall_trend",
-    # ---- (b) plans CHANGED in round 9
-    "asof_join_nearest",
-    "hbos_outliers",
-    "ann_ivf_recall",
-    # ---- (c) stalest re-confirms: ALL 40 rows last green in ROUND 4
-    "data_quality_suite",
-    "doc_repetition_profile",
-    "doc_token_chunks",
-    "embedding_int8_quantize",
-    "embedding_near_dup_lsh",
-    "embedding_random_projection",
-    "encoding_anomaly_flags",
-    "event_sessionization",
-    "ewma_smoothing",
-    "funnel_transitions",
-    "global_rank_export",
-    "gopher_quality_flags",
-    "heavy_hitter_terms",
-    "incremental_dedup_new_batch",
-    "leakage_free_split",
-    "mad_outliers",
-    "neardup_triangle_count",
-    "ngram_decontamination",
-    "pagerank_neardup",
-    "prefix_filter_jaccard_pairs",
-    "salted_event_type_stats",
-    "scd2_customer_history",
-    "sequence_packing",
-    "snapshot_diff_orders",
-    "streaming_dedup",
-    "streaming_dim_enrich",
-    "streaming_session_count",
+    "rake_keywords",
+    "streaming_twap_final",
+    # ---- (c) the 13 still-r4-green session-2 displacements
+    "streaming_sliding_count",
+    "streaming_window_count_final",
+    "temperature_resampled_corpus",
+    "tokenizer_fertility_by_lang",
+    "tpch_q21_late_blame",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q5_local_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "udaf_weighted_mean",
+    "weighted_doc_sample",
+    "zorder_file_layout",
+    # ---- (d) stalest r5-green re-confirms (first 26 alphabetical)
+    "analytic_functions_extended",
+    "array_functions",
+    "cohort_retention",
+    "compaction_file_plan",
+    "customer_rank_window",
+    "date_functions",
+    "json_extract_props",
+    "kmeans_lloyd_outliers",
+    "language_sampling_weights",
+    "lead_lag_window",
+    "lineitem_cube",
+    "lineitem_grouping_sets",
+    "lineitem_rollup",
+    "map_functions",
+    "media_exact_dedup",
+    "media_pixel_stats",
+    "minhash_near_dup_pairs_capped",
+    "ohlc_resample",
+    "orders_distinct_agg",
+    "quality_quantile_normalize",
+    "rfm_customer_segments",
+    "salted_hot_key_join",
+    "scalar_functions",
+    "semantic_decontamination",
+    "stratified_sample_by_lang",
+    "streaming_ohlc",
 )
-# Displaced by session-2 new queries (r4-green, lead the round-10
-# refill queue): streaming_sliding_count, streaming_window_count_final,
-# temperature_resampled_corpus,
-# tokenizer_fertility_by_lang, tpch_q21_late_blame,
-# tpch_q2_min_cost_supplier, tpch_q5_local_supplier,
-# tpch_q7_volume_shipping, tpch_q8_market_share,
-# tpch_q9_product_profit, udaf_weighted_mean, weighted_doc_sample,
-# zorder_file_layout.
+# ROUND-9 window (historical): 7 session-1 new + 13 session-2 new + 3
+# plan-changed (asof_join_nearest, hbos_outliers, ann_ivf_recall) + 27
+# retained r4 refills — all 50 green in CORRECTNESS_r09. The 13
+# session-2 displacements stayed r4-green and hold section (c) slots
+# above.
 # Rotated OUT in round 9 (all green in CORRECTNESS_r08, 50/50;
 # asof_join_nearest, hbos_outliers and ann_ivf_recall were NOT rotated
 # out — their plans changed this round, per the (b) section above):

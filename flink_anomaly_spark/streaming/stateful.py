@@ -414,6 +414,18 @@ def twap_stream(events: DataFrame, key: str = "event_type") -> DataFrame:
             else:
                 last_us, last_c, num, gap, n = cur
                 step = t - last_us
+                # rows are sorted only WITHIN a micro-batch; a row for
+                # an existing group arriving in a LATER batch with
+                # ts < state.last_us would silently produce a negative
+                # step and a wrong TWAP — fail loudly instead (round-10
+                # ADVICE). Unreachable under the shipped source (one
+                # events file + sentinel, maxFilesPerTrigger=1), but the
+                # helper exposes multi-batch replay.
+                if step < 0:
+                    raise ValueError(
+                        "twap_stream: out-of-order cross-batch arrival for "
+                        f"group {key_t!r}: ts {t}us < state.last {last_us}us"
+                    )
                 cur = (t, c, num + last_c * step, gap + step, n + 1)
         state.update(cur)
         # fire when the event-time watermark passes day end (timeout API

@@ -62,7 +62,13 @@ def test_driver_window_is_first_50():
     # the same-round re-check the fingerprint ledger demands (the
     # companion test test_changed_plans_hold_window_slots enforces the
     # set mechanically; this names the known members for readability)
-    changed_this_round = {"asof_join_nearest", "hbos_outliers", "ann_ivf_recall"}
+    changed_this_round = {
+        "conformal_anomaly_pvalues",
+        "ols_trend_daily",
+        "mann_kendall_trend",
+        "rake_keywords",
+        "streaming_twap_final",
+    }
     assert changed_this_round <= set(qs[:50])
     # stalest-first refill invariant, threshold-free: every filler must
     # be at most as fresh as the freshest-starved row left outside
@@ -129,7 +135,11 @@ def test_bench_emits_driver_json():
         [sys.executable, "bench.py"],
         capture_output=True,
         text=True,
-        timeout=560,
+        # hang guard, not a perf bar (the bench gate is that): the
+        # 229-batch-query registry measured 584 s wall at round 10 on
+        # an idle host (sf0.001, 8 cpus), so the old 560 s ceiling
+        # started failing on registry GROWTH alone
+        timeout=900,
         env=env,
         cwd=repo,
     )

@@ -1,0 +1,325 @@
+"""Unit tests for the round-10 operators: Spearman daily correlation,
+Fano burstiness, Cohen's kappa, Mahalanobis outliers, k-core peeling,
+and the streaming conformal twin. Each is checked against an
+independent pure-Python reference on synthetic data (the 3-SF oracle
+gate covers the parquet corpus separately)."""
+
+from __future__ import annotations
+
+import random
+
+from tests.conftest import SF_SMOKE
+
+
+# ---------------------------------------------------------------------------
+# spearman_corr_daily
+# ---------------------------------------------------------------------------
+
+
+def _midranks(xs):
+    order = sorted(range(len(xs)), key=lambda i: xs[i])
+    out = [0.0] * len(xs)
+    i = 0
+    while i < len(order):
+        j = i
+        while j < len(order) and xs[order[j]] == xs[order[i]]:
+            j += 1
+        mid = (i + 1 + j) / 2.0  # average of ranks i+1 .. j
+        for t in range(i, j):
+            out[order[t]] = mid
+        i = j
+    return out
+
+
+def _pearson(xs, ys):
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    syy = sum(b * b for b in ys)
+    num = n * sxy - sx * sy
+    den = ((n * sxx - sx * sx) * (n * syy - sy * sy)) ** 0.5
+    return num / den
+
+
+def test_spearman_matches_midrank_pearson(spark):
+    from flink_anomaly_spark.operators.mining import spearman_corr_daily
+
+    rng = random.Random(10)
+    rows = []
+    per_key = {}
+    for k in ["up", "down", "noise"]:
+        days = {}
+        for d in range(1, 25):
+            n_ev = rng.randint(1, 6) + (d // 4 if k == "up" else 0)
+            total = 0
+            for i in range(n_ev):
+                cents = rng.randint(100, 5000) * (1 if k != "down" else 1)
+                total += cents
+                rows.append((k, f"2024-03-{d:02d} 08:{i:02d}:00", cents / 100.0))
+            days[d] = (n_ev, total // 100)
+        per_key[k] = days
+    df = spark.createDataFrame(rows, "k string, ts_s string, value double").selectExpr(
+        "k", "CAST(ts_s AS TIMESTAMP) AS ts", "value"
+    )
+    got = {r.k: r for r in spearman_corr_daily(df, "k", "ts", "value").collect()}
+    for k, days in per_key.items():
+        cnts = [c for c, _ in days.values()]
+        ys = [y for _, y in days.values()]
+        rho = _pearson(_midranks(cnts), _midranks(ys))
+        assert abs(got[k].spearman_rho - rho) < 1e-5, k
+        assert got[k].n_days == len(days)
+
+
+def test_spearman_drops_degenerate_keys(spark):
+    from flink_anomaly_spark.operators.mining import spearman_corr_daily
+
+    rows = [
+        # constant count axis: 1 event/day, varying totals -> zero
+        # rank variance on x -> dropped
+        ("flat", "2024-03-01 00:00:00", 1.0),
+        ("flat", "2024-03-02 00:00:00", 2.0),
+        ("flat", "2024-03-03 00:00:00", 3.0),
+        # two days only -> dropped by the n >= 3 guard
+        ("short", "2024-03-01 00:00:00", 1.0),
+        ("short", "2024-03-02 00:00:00", 2.0),
+        ("short", "2024-03-02 01:00:00", 2.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts_s string, value double").selectExpr(
+        "k", "CAST(ts_s AS TIMESTAMP) AS ts", "value"
+    )
+    assert spearman_corr_daily(df, "k", "ts", "value").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# fano_burstiness_daily
+# ---------------------------------------------------------------------------
+
+
+def test_fano_matches_direct_computation(spark):
+    from flink_anomaly_spark.operators.mining import fano_burstiness_daily
+
+    # bursty: counts 1,1,10 -> mean 4, biased var = (9+9+36)/3 = 18
+    # steady: counts 3,3,3 -> var 0
+    rows = []
+    for d, n in [(1, 1), (2, 1), (3, 10)]:
+        rows += [("bursty", f"2024-03-{d:02d} 0{i}:00:00") for i in range(n)]
+    for d in (1, 2, 3):
+        rows += [("steady", f"2024-03-{d:02d} 0{i}:00:00") for i in range(3)]
+    df = spark.createDataFrame(rows, "k string, ts_s string").selectExpr(
+        "k", "CAST(ts_s AS TIMESTAMP) AS ts"
+    )
+    got = {r.k: r for r in fano_burstiness_daily(df, "k", "ts").collect()}
+    assert got["bursty"].n_days == 3 and got["bursty"].n_events == 12
+    assert abs(got["bursty"].fano_factor - 18.0 / 4.0) < 1e-9
+    assert got["bursty"].overdispersed == 1
+    assert got["steady"].fano_factor == 0.0
+    assert got["steady"].overdispersed == 0
+
+
+# ---------------------------------------------------------------------------
+# agreement_kappa
+# ---------------------------------------------------------------------------
+
+
+def _kappa(cells):
+    a, b, c, d = cells
+    n = a + b + c + d
+    e = (a + b) * (a + c) + (c + d) * (b + d)
+    den = n * n - e
+    return None if den == 0 else (n * (a + d) - e) / den
+
+
+def test_kappa_matches_closed_form(spark):
+    from flink_anomaly_spark.operators.mining import agreement_kappa
+
+    rng = random.Random(11)
+    rows = []
+    cells = {"g1": [0, 0, 0, 0], "g2": [0, 0, 0, 0]}
+    for g in cells:
+        for _ in range(200):
+            ra = rng.randint(0, 1)
+            # g1: mostly agrees; g2: independent raters
+            rb = ra if (g == "g1" and rng.random() < 0.9) else rng.randint(0, 1)
+            rows.append((g, ra, rb))
+            idx = {(1, 1): 0, (1, 0): 1, (0, 1): 2, (0, 0): 3}[(ra, rb)]
+            cells[g][idx] += 1
+    df = spark.createDataFrame(rows, "g string, ka int, kb int")
+    got = {r.g: r.kappa for r in agreement_kappa(df, "g", "ka", "kb").collect()}
+    for g, cl in cells.items():
+        assert abs(got[g] - _kappa(cl)) < 1e-6, g
+    assert got["g1"] > got["g2"]  # agreement beats chance
+
+
+def test_kappa_drops_constant_rater_groups(spark):
+    from flink_anomaly_spark.operators.mining import agreement_kappa
+
+    # both raters constant 1 -> pe = 1 -> denominator 0 -> dropped
+    df = spark.createDataFrame([("g", 1, 1)] * 5, "g string, ka int, kb int")
+    assert agreement_kappa(df, "g", "ka", "kb").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# mahalanobis_outliers
+# ---------------------------------------------------------------------------
+
+
+def test_mahalanobis_matches_numpy(spark):
+    import numpy as np
+
+    from flink_anomaly_spark.operators.anomaly import MAHA_SCALE, mahalanobis_outliers
+
+    rng = np.random.default_rng(12)
+    # correlated 3-dim cloud + planted outliers along the LOW-variance
+    # direction (exactly the case centroid distance misranks)
+    cov = np.array([[1.0, 0.8, 0.2], [0.8, 1.0, 0.1], [0.2, 0.1, 0.3]])
+    base = rng.multivariate_normal([0, 0, 0], cov, size=300)
+    outliers = np.array([[0.0, 0.0, 4.0], [0.2, -0.1, -3.5]])
+    data = np.vstack([base, outliers]) / 10.0  # embedding-ish magnitudes
+    rows = [(i, [float(x) for x in v] + [0.0]) for i, v in enumerate(data)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = mahalanobis_outliers(df, "vec_id", "embedding", top_k=10).collect()
+
+    # reference on the SAME quantized grid the operator uses
+    q = np.round(data.astype(np.float32).astype(np.float64) * MAHA_SCALE)
+    n = len(q)
+    c = n * (q.T @ q) - np.outer(q.sum(axis=0), q.sum(axis=0))
+    dx = n * q - q.sum(axis=0)
+    m2 = np.einsum("ij,jk,ik->i", dx, np.linalg.inv(c), dx)
+    ref_rank = sorted(range(n), key=lambda i: (-m2[i], i))[:10]
+    assert [r.vec_id for r in got] == ref_rank
+    # planted outliers dominate
+    assert {300, 301} <= {r.vec_id for r in got[:4]}
+    for r in got:
+        assert abs(r.maha2 - m2[r.vec_id]) < 1e-4
+
+
+def test_mahalanobis_degenerate_corpus_is_empty(spark):
+    from flink_anomaly_spark.operators.anomaly import mahalanobis_outliers
+
+    # collinear dims -> singular covariance -> det <= 0 -> no rows
+    rows = [(i, [float(i), float(2 * i), float(3 * i), 0.0]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assert mahalanobis_outliers(df, "vec_id", "embedding").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# kcore
+# ---------------------------------------------------------------------------
+
+
+def _py_kcore(edges, k, n_iter):
+    sym = set()
+    for a, b in edges:
+        sym.add((a, b))
+        sym.add((b, a))
+    for _ in range(n_iter):
+        deg = {}
+        for a, _ in sym:
+            deg[a] = deg.get(a, 0) + 1
+        keep = {a for a, d in deg.items() if d >= k}
+        sym = {(a, b) for a, b in sym if a in keep and b in keep}
+    deg = {}
+    for a, _ in sym:
+        deg[a] = deg.get(a, 0) + 1
+    return {a: d for a, d in deg.items() if d >= k}
+
+
+def test_kcore_matches_python_peeling(spark):
+    from pyspark.sql import functions as F
+
+    from flink_anomaly_spark.operators.graph import kcore
+
+    # triangle {1,2,3} + K4 {10,11,12,13} survive a 2-core; the chain
+    # 4-5-6-7 and the star around 20 peel away entirely
+    und = [
+        (1, 2), (2, 3), (1, 3),
+        (10, 11), (10, 12), (10, 13), (11, 12), (11, 13), (12, 13),
+        (4, 5), (5, 6), (6, 7),
+        (20, 21), (20, 22), (20, 23),
+        (3, 4),  # bridge: pulls 4 in, peeled once the chain dies
+    ]
+    ref = _py_kcore(und, 2, 6)
+    e = spark.createDataFrame(und, "a long, b long")
+    edges = e.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    got = {r.node: r.core_degree for r in kcore(edges, k=2, n_iter=6).collect()}
+    assert got == ref
+    assert set(got) == {1, 2, 3, 10, 11, 12, 13}
+
+
+def test_kcore_past_convergence_is_noop(spark):
+    from pyspark.sql import functions as F
+
+    from flink_anomaly_spark.operators.graph import kcore
+
+    und = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (6, 7)]
+    e = spark.createDataFrame(und, "a long, b long")
+    edges = e.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    two = sorted(map(tuple, kcore(edges, k=2, n_iter=2).collect()))
+    six = sorted(map(tuple, kcore(edges, k=2, n_iter=6).collect()))
+    assert two == six == [(1, 2), (2, 2), (3, 2)]
+
+
+# ---------------------------------------------------------------------------
+# streaming conformal twin
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_conformal_equals_batch_replay(spark):
+    """The live stream (EOS-sentinel flush) must reproduce row-for-row
+    the batch replay of the same map + decision + day aggregation."""
+    from pyspark.sql import functions as F
+
+    from flink_anomaly_spark.operators.anomaly import (
+        conformal_anom_flag,
+        conformal_ge_map,
+        conformal_windowed_rates,
+    )
+    from flink_anomaly_spark.plans.registry import all_queries
+    from flink_anomaly_spark.tables import load_table
+
+    live = sorted(
+        map(tuple, all_queries()["streaming_conformal_final"](spark, SF_SMOKE).collect())
+    )
+
+    events = load_table(spark, SF_SMOKE, "events")
+    ge_map = conformal_ge_map(events, "ts", "value")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    day_rows = (
+        events.filter(F.col("value").isNotNull())
+        .select("ts", cents.alias("__s"))
+        .join(F.broadcast(ge_map), "__s")
+        .groupBy(F.window("ts", "1 day").alias("win"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_scored"),
+            F.sum(conformal_anom_flag(F.col("__ge"), F.col("__n")))
+            .cast("bigint")
+            .alias("n_anom"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "n_scored",
+            "n_anom",
+        )
+    )
+    batch = sorted(map(tuple, conformal_windowed_rates(day_rows).collect()))
+    assert live == batch and len(live) > 0
+
+
+def test_streaming_conformal_state_is_bounded(spark):
+    from flink_anomaly_spark.plans.registry import all_queries
+    from flink_anomaly_spark.streaming import pipelines
+
+    all_queries()["streaming_conformal_final"](spark, SF_SMOKE).collect()
+    metrics = pipelines.LAST_STATE_METRICS
+    assert metrics, "stream should have a stateful operator"
+    rows = max(m["max_rows_total"] for m in metrics)
+    # one (n_scored, n_anom) pair per open 1-day window: far under one
+    # state row per event (thousands at SF_SMOKE, ~30 day windows + the
+    # sentinel's never-finalizing window)
+    assert 0 < rows <= 64

@@ -68,6 +68,11 @@ HEADLINE = {
     "allpairs_binary_cosine": "df-capped shingle postings self-join; integer cross-multiplied threshold filters BEFORE the cosine projection; sizes join on id only.",
     "hilbert_file_layout": "Narrow unrolled xy2d arithmetic against 1-row stats + |langs|-row rank broadcasts; final exchange bounded at 256 groups (the z-order twin's plan).",
     "rake_keywords": "Regex phrase split is per-row narrow; the (word) hash agg is the only exchange, word-domain sized; TakeOrderedAndProject top-k.",
+    # round-10 operators
+    "mahalanobis_outliers": "One 10-statistic map-side agg to a single broadcast row; per-row quadratic form is join-free narrow math into TakeOrderedAndProject; vectors never cross an exchange.",
+    "spearman_corr_daily": "One (key, day) partial agg; both rank windows share the per-key partitioning; |keys|-row moment agg.",
+    "quality_screen_agreement_kappa": "Two narrow document scans exchange (doc_id, flag) pairs only; |langs|-row contingency agg; kappa is per-group scalar math.",
+    "kcore_neardup": "Six peels, each one degree agg + two broadcast semi-joins over the checkpoint-truncated, only-shrinking edge list (O(1) lineage).",
 }
 
 

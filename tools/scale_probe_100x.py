@@ -156,6 +156,23 @@ PROBE = [
     ("ols_trend_daily", "events"),
     ("rake_keywords", "documents"),
     ("hilbert_file_layout", "documents"),
+    # round-10 extension: mann_kendall gets its OWN row (VERDICT r9 #8
+    # asked for the delegation to theil_sen to be stated or measured —
+    # now both: the day pre-agg is theil_sen's, the extra tie-term agg
+    # is day-frame bounded, B/row must DROP ~n-fold). Spearman/Fano are
+    # the same calendar-bounded signature (DROP). Kappa exchanges one
+    # (doc_id, flag) pair per screen (flat B/row). Mahalanobis
+    # exchanges a single 10-BIGINT stats row + TakeOrdered (DROPS;
+    # verbatim-replicated vectors are fine here — no pair space, just a
+    # bigger mean/covariance population). kcore_neardup: disjoint
+    # replica token spaces keep each replica's near-dup edges internal,
+    # so the peeled edge list grows linearly (flat B/row).
+    ("mann_kendall_trend", "events"),
+    ("spearman_corr_daily", "events"),
+    ("fano_burstiness_daily", "events"),
+    ("quality_screen_agreement_kappa", "documents"),
+    ("mahalanobis_outliers", "embeddings"),
+    ("kcore_neardup", "documents"),
 ]
 
 _KEY_SHIFT = {
@@ -249,8 +266,37 @@ def measure(spark, app_id, sf_dir: str) -> dict[str, dict]:
     return out
 
 
+def _existing_rows() -> dict[str, str]:
+    """Parse the committed probe table so a SUBSET run (names on argv)
+    can re-measure only new/changed shapes and keep every other row —
+    re-running all ~47 entries costs ~an hour (allpairs x100 alone is
+    ~12 min), which would make adding one probe row prohibitive."""
+    try:
+        cur = open("docs/SCALE_NOTES.md").read()
+    except OSError:
+        return {}
+    m = re.search(r"\n## x100 scale probe.*?\n\|---.*?\n(.*?)(?:\n\n|\n?$)", cur, re.S)
+    if not m:
+        return {}
+    rows = {}
+    for line in m.group(1).splitlines():
+        parts = line.split("|")
+        if len(parts) > 2:
+            rows[parts[1].strip()] = line
+    return rows
+
+
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    n = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 100
+    only = {a for a in sys.argv[2:]} if len(sys.argv) > 2 else None
+    global PROBE
+    full_order = [name for name, _ in PROBE]
+    kept_rows = _existing_rows()
+    if only:
+        missing = only - {name for name, _ in PROBE}
+        if missing:
+            raise SystemExit(f"not in PROBE: {sorted(missing)}")
+        PROBE = [(name, fact) for name, fact in PROBE if name in only]
     spark = get_spark("scale-probe-100x", extra_conf={"spark.ui.enabled": "true"})
     app_id = spark.sparkContext.applicationId
     big_dir = tempfile.mkdtemp(prefix="scaleprobe100_")
@@ -259,7 +305,7 @@ def main() -> None:
         replicate(spark, n, big_dir)
         big = measure(spark, app_id, big_dir)
         lines = [
-            f"## x100 scale probe (rounds 4-9) — shuffle bytes/row at x{n} facts",
+            f"## x100 scale probe (rounds 4-10) — shuffle bytes/row at x{n} facts",
             "",
             f"Generated by `python tools/scale_probe_100x.py {n}`. Documents are",
             "replicated with DISJOINT per-replica token spaces (every token gets",
@@ -272,7 +318,13 @@ def main() -> None:
             f"| query | sf0.1 s | x{n} s | sf0.1 shuffle | x{n} shuffle | sf0.1 B/row | x{n} B/row | B/row ratio |",
             "|---|---|---|---|---|---|---|---|",
         ]
-        for name, _ in PROBE:
+        measured = {name for name, _ in PROBE}
+        for name in full_order:
+            if name not in measured:
+                # subset run: carry the committed row forward untouched
+                if name in kept_rows:
+                    lines.append(kept_rows[name])
+                continue
             b, g = base[name], big[name]
             bpr_b = b["shuffle"] / b["rows"]
             bpr_g = g["shuffle"] / g["rows"]

@@ -138,6 +138,12 @@ PROBE = [
     ("hilbert_file_layout", "narrow unrolled xy2d bit-math; final exchange bounded at 256 groups"),
     ("acf_daily", "one day agg + ONE keyed sort serving the (n,S) window and all three leads"),
     ("mann_kendall_trend", "day agg + calendar-bounded pair self-join (the theil_sen shape, x100-probed there); tie terms from a domain-sized (key, value) agg"),
+    # round 10
+    ("spearman_corr_daily", "one day agg; rank windows partition by KEY over calendar-bounded frames; |keys|-row moment agg"),
+    ("fano_burstiness_daily", "one map-side (key, day) count agg, then a |keys|-row moment agg"),
+    ("quality_screen_agreement_kappa", "two narrow doc scans exchange (doc_id, flag) pairs; |langs|-row contingency agg"),
+    ("mahalanobis_outliers", "one 10-BIGINT stats row broadcast; vectors never shuffle; TakeOrdered top-k"),
+    ("kcore_neardup", "6 peels x (degree agg + 2 broadcast semi-joins) over the LSH-verified edge list, which only shrinks"),
 ]
 
 
