@@ -174,3 +174,68 @@ def kcore(
         .agg(F.count("*").cast("bigint").alias("core_degree"))
         .filter(F.col("core_degree") >= k)
     )
+
+
+def local_clustering_coeff(pairs: DataFrame, min_degree: int = 2) -> DataFrame:
+    """Per-node local clustering coefficient (Watts & Strogatz 1998)
+    over an UNDIRECTED edge list given as ordered pairs (a < b):
+    ``cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1))`` — the node-level
+    refinement of the global triangle count: cc ≈ 1 marks nodes whose
+    neighborhoods are cliques (dense duplicate families, safe to
+    canonicalize aggressively), cc ≈ 0 marks hubs of unrelated
+    near-dups (transitivity artifacts).
+
+    Exactness: triangle and degree counts are EXACT BIGINTs (the
+    ordered a<b<c wedge join counts each triangle once; a triangle
+    increments all three corners), the coefficient is ONE terminal
+    division. Nodes with degree < ``min_degree`` are dropped on both
+    engines (cc undefined below 2).
+
+    Scale shape: the same two ordered-edge self-joins as the global
+    triangle count (no vertex sees more than its degree² wedges on a
+    verification-bounded edge list), then an explode of each triangle
+    into its three corners feeding a map-side-combinable per-node agg,
+    and a broadcast-joined |nodes|-row degree frame.
+    """
+    from flink_anomaly_spark.operators.dedup import _persist
+
+    e = _persist(pairs.select(F.col("a").cast("long"), F.col("b").cast("long")))
+    tri = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e.alias("e3"),
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("__x"),
+            F.col("e1.b").alias("__y"),
+            F.col("e2.b").alias("__z"),
+        )
+    )
+    corners = tri.select(
+        F.explode(F.array("__x", "__y", "__z")).alias("node")
+    )
+    tri_per_node = corners.groupBy("node").agg(
+        F.count("*").cast("bigint").alias("triangles")
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+    )
+    out = deg.filter(F.col("degree") >= min_degree).join(
+        F.broadcast(tri_per_node), "node", "left"
+    )
+    t = F.coalesce(F.col("triangles"), F.lit(0)).cast("bigint")
+    return out.select(
+        "node",
+        "degree",
+        t.alias("triangles"),
+        F.round(
+            (2 * t).cast("double")
+            / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+            6,
+        ).alias("clustering_coeff"),
+    )

@@ -1192,6 +1192,16 @@ def fano_burstiness_daily(
         .groupBy("__k", "__d")
         .agg(F.count("*").cast("bigint").alias("__c"))
     )
+    return fano_finalize(daily, out_key_col=key_col)
+
+
+def fano_finalize(daily: DataFrame, out_key_col: str = "key") -> DataFrame:
+    """The Fano moment aggregation over (``__k``, ``__d``, ``__c``)
+    daily-count rows — SHARED between the batch operator and the
+    streaming twin's serve-layer finalize (the conformal_ge_map /
+    tv_hist_bin discipline: twin and oracle cannot diverge). Exact
+    BIGINT moments, one terminal division, integer overdispersion
+    flag; keys with < 2 days or zero total are dropped."""
     s = daily.groupBy("__k").agg(
         F.count("*").cast("bigint").alias("__n"),
         F.sum("__c").cast("bigint").alias("__s1"),
@@ -1201,7 +1211,7 @@ def fano_burstiness_daily(
     return (
         s.filter((F.col("__n") >= 2) & (F.col("__s1") > 0))
         .select(
-            F.col("__k").alias(key_col),
+            F.col("__k").alias(out_key_col),
             F.col("__n").alias("n_days"),
             F.col("__s1").alias("n_events"),
             F.round(
@@ -1270,4 +1280,190 @@ def agreement_kappa(
         (F.round(num.cast("double") / den.cast("double"), 6) + F.lit(0.0)).alias(
             "kappa"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-correlation of two keys' daily totals at small lags
+# ---------------------------------------------------------------------------
+
+
+def ccf_daily(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    key_a: str,
+    key_b: str,
+    max_lag: int = 3,
+    epoch_date: str = "2024-01-01",
+) -> DataFrame:
+    """Cross-correlation function between TWO keys' daily totals at
+    lags 0..``max_lag``: Pearson correlation of series A's day-d total
+    with series B's day-(d+lag) total — the lead/lag companion of
+    ``acf_daily`` ("do errors today predict purchases tomorrow?"), the
+    standard pairwise screen before any causal analysis of event
+    telemetry.
+
+    Exactness (the acf_daily convention): daily totals are whole units
+    via the shared explicit FLOOR(cents/100); per lag, the five
+    sufficient statistics over the matched (a_d, b_{d+lag}) pairs are
+    EXACT BIGINT sums, and the correlation is one fixed-shape
+    sqrt+division over them. Only days where BOTH series have a total
+    enter a lag's sample (inner join — the overlap convention); lags
+    with < 3 matched days or a zero-variance side are dropped on both
+    engines.
+
+    Scale shape: ONE map-side-combinable (key, day) agg filtered to
+    the two keys, then per lag an integer-day equi-join of two
+    CALENDAR-BOUNDED frames (|days| rows each — broadcastable) and a
+    1-row moment agg; max_lag+1 tiny joins total, never a corpus-sized
+    exchange after the first agg.
+    """
+    from flink_anomaly_spark.operators.dedup import _persist
+
+    day = F.date_trunc("day", F.col(ts_col))
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    daily = (
+        df.filter(F.col(key_col).isin([key_a, key_b]))
+        .select(
+            F.col(key_col).alias("__k"),
+            F.datediff(day.cast("date"), F.lit(epoch_date).cast("date"))
+            .cast("bigint")
+            .alias("__d"),
+            cents.alias("__c"),
+        )
+        .groupBy("__k", "__d")
+        .agg(F.expr("CAST(FLOOR(sum(__c) / 100) AS BIGINT)").alias("__y"))
+    )
+    daily = _persist(daily)
+    a = daily.filter(F.col("__k") == key_a).select(
+        F.col("__d").alias("__da"), F.col("__y").alias("__ya")
+    )
+    b = daily.filter(F.col("__k") == key_b).select(
+        F.col("__d").alias("__db"), F.col("__y").alias("__yb")
+    )
+    out = None
+    for lag in range(max_lag + 1):
+        j = a.join(b, F.col("__db") == F.col("__da") + F.lit(lag))
+        s = j.agg(
+            F.count("*").cast("bigint").alias("__n"),
+            F.sum("__ya").cast("bigint").alias("__sx"),
+            F.sum("__yb").cast("bigint").alias("__sy"),
+            F.sum(F.col("__ya") * F.col("__yb")).cast("bigint").alias("__sxy"),
+            F.sum(F.col("__ya") * F.col("__ya")).cast("bigint").alias("__sxx"),
+            F.sum(F.col("__yb") * F.col("__yb")).cast("bigint").alias("__syy"),
+        ).select(F.lit(lag).cast("bigint").alias("lag"), "*")
+        out = s if out is None else out.unionByName(s)
+    num = F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    denx = F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    deny = F.col("__n") * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    rho = num.cast("double") / F.sqrt(denx.cast("double") * deny.cast("double"))
+    return (
+        out.filter((F.col("__n") >= 3) & (denx > 0) & (deny > 0))
+        .select(
+            "lag",
+            F.col("__n").alias("n_days"),
+            (F.round(rho, 6) + F.lit(0.0)).alias("ccf"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b between daily count and daily total
+# ---------------------------------------------------------------------------
+
+
+def kendall_tau_daily(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-key Kendall tau-b between the DAILY EVENT COUNT and the
+    DAILY TOTAL — the concordance companion of ``spearman_corr_daily``
+    (tau counts pair inversions where Spearman correlates ranks; tau's
+    tie treatment, tau-b, is the standard for heavily-tied telemetry):
+
+        tau_b = (P − Q) / sqrt((n0 − tx)(n0 − ty)),
+        n0 = n(n−1)/2, tx/ty = Σ t(t−1)/2 over each axis's tie groups
+
+    with P − Q = Σ_{i<j} sign(c_j − c_i)·sign(y_j − y_i). EXACT BIGINT
+    everywhere (a sign-product sum over day pairs plus two closed-form
+    tie counts — the mann_kendall machinery, applied bivariate); tau is
+    one fixed-shape sqrt+division. Keys with < 2 days or an all-tied
+    axis are dropped on both engines.
+
+    Scale shape: one (key, day) map-side agg, then the CALENDAR-BOUNDED
+    day-pair self-join per key (≤ days²/2 pairs — the Theil-Sen/MK
+    shape) and two domain-sized tie aggs.
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    daily = (
+        df.select(F.col(key_col).alias("__k"), day.alias("__d"), cents.alias("__c"))
+        .groupBy("__k", "__d")
+        .agg(
+            F.count("*").cast("bigint").alias("__cnt"),
+            F.expr("CAST(FLOOR(sum(__c) / 100) AS BIGINT)").alias("__y"),
+        )
+    )
+    from flink_anomaly_spark.operators.dedup import _persist
+
+    daily = _persist(daily)
+    a = daily.select(
+        "__k",
+        F.col("__d").alias("__da"),
+        F.col("__cnt").alias("__ca"),
+        F.col("__y").alias("__ya"),
+    )
+    b = daily.select(
+        "__k",
+        F.col("__d").alias("__db"),
+        F.col("__cnt").alias("__cb"),
+        F.col("__y").alias("__yb"),
+    )
+    pq = (
+        a.join(b, "__k")
+        .filter(F.col("__da") < F.col("__db"))
+        .groupBy("__k")
+        .agg(
+            F.sum(
+                F.signum(F.col("__cb") - F.col("__ca")).cast("bigint")
+                * F.signum(F.col("__yb") - F.col("__ya")).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("__pq")
+        )
+    )
+    n = daily.groupBy("__k").agg(F.count("*").cast("bigint").alias("__n"))
+    tx = (
+        daily.groupBy("__k", "__cnt")
+        .agg(F.count("*").cast("bigint").alias("__t"))
+        .groupBy("__k")
+        .agg(
+            F.expr("CAST(sum(__t * (__t - 1) DIV 2) AS BIGINT)").alias("__tx")
+        )
+    )
+    ty = (
+        daily.groupBy("__k", "__y")
+        .agg(F.count("*").cast("bigint").alias("__t"))
+        .groupBy("__k")
+        .agg(
+            F.expr("CAST(sum(__t * (__t - 1) DIV 2) AS BIGINT)").alias("__ty")
+        )
+    )
+    j = pq.join(n, "__k").join(tx, "__k").join(ty, "__k")
+    n0 = F.expr("__n * (__n - 1) DIV 2")
+    denx = (n0 - F.col("__tx")).cast("double")
+    deny = (n0 - F.col("__ty")).cast("double")
+    tau = F.col("__pq").cast("double") / F.sqrt(denx * deny)
+    return (
+        j.filter((F.col("__n") >= 2) & (n0 > F.col("__tx")) & (n0 > F.col("__ty")))
+        .select(
+            F.col("__k").alias(key_col),
+            F.col("__n").alias("n_days"),
+            F.col("__pq").alias("p_minus_q"),
+            (F.round(tau, 6) + F.lit(0.0)).alias("tau_b"),
+        )
     )

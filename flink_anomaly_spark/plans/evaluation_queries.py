@@ -723,9 +723,9 @@ def q_spearman_corr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spearman_corr_daily(events, key_col="event_type", ts_col="ts", value_col="value")
 
 
-@register(
-    "fano_burstiness_daily",
-    oracle="""
+#: shared verbatim between the batch fano query and its streaming twin
+#: (the stream replays the identical day-count build from raw events)
+_FANO_ORACLE = """
     WITH daily AS (
       SELECT event_type AS k, date_trunc('day', ts) AS d,
              CAST(count(*) AS BIGINT) AS c
@@ -742,7 +742,12 @@ def q_spearman_corr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS fano_factor,
            CASE WHEN n*s2 - s1*s1 > n*s1 THEN 1 ELSE 0 END AS overdispersed
     FROM s WHERE n >= 2 AND s1 > 0
-    """,
+    """
+
+
+@register(
+    "fano_burstiness_daily",
+    oracle=_FANO_ORACLE,
     doc="Per-event-type Fano factor (index of dispersion) of daily "
     "event counts — the burstiness screen (Fano 1947; Church & Gale "
     "1995 for term burstiness): variance/mean of per-day counts, 1 = "
@@ -857,3 +862,236 @@ def q_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return mahalanobis_outliers(emb, id_col="vec_id", vec_col="embedding", top_k=20)
+
+
+# ---------------------------------------------------------------------------
+# Round 10 session 2: CCF, Kendall tau-b, SNM blocking quality
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ccf_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS k,
+             CAST(date_diff('day', DATE '2024-01-01',
+                            CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS d,
+             CAST(FLOOR(sum(CAST(round(value*100) AS BIGINT)) / 100) AS BIGINT) AS y
+      FROM events WHERE event_type IN ('error', 'purchase')
+      GROUP BY k, d
+    ),
+    a AS (SELECT d AS da, y AS ya FROM daily WHERE k = 'error'),
+    b AS (SELECT d AS db, y AS yb FROM daily WHERE k = 'purchase'),
+    lags AS (SELECT unnest(range(0, 4)) AS lag),
+    s AS (
+      SELECT l.lag, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(ya) AS BIGINT) AS sx, CAST(sum(yb) AS BIGINT) AS sy,
+             CAST(sum(ya*yb) AS BIGINT) AS sxy,
+             CAST(sum(ya*ya) AS BIGINT) AS sxx,
+             CAST(sum(yb*yb) AS BIGINT) AS syy
+      FROM lags l JOIN a ON true JOIN b ON b.db = a.da + l.lag
+      GROUP BY l.lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, n AS n_days,
+           round(CAST(n*sxy - sx*sy AS DOUBLE)
+                 / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                        * CAST(n*syy - sy*sy AS DOUBLE)), 6) + 0.0 AS ccf
+    FROM s WHERE n >= 3 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+    ORDER BY lag
+    """,
+    doc="Cross-correlation between the error and purchase daily totals "
+    "at lags 0-3 (does today's error volume predict purchase value in "
+    "k days?) — the lead/lag companion of acf_daily and the standard "
+    "pairwise screen before causal analysis. Whole-unit daily totals "
+    "via the shared explicit FLOOR(cents/100); per lag the five "
+    "sufficient statistics over inner-joined (a_d, b_d+lag) pairs are "
+    "exact BIGINT, one fixed-shape sqrt+division each. One corpus "
+    "agg, then four calendar-bounded tiny joins.",
+)
+def q_ccf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.mining import ccf_daily
+
+    events = load_table(spark, sf_dir, "events")
+    return ccf_daily(
+        events, key_col="event_type", ts_col="ts", value_col="value",
+        key_a="error", key_b="purchase", max_lag=3,
+    )
+
+
+@register(
+    "kendall_tau_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS k, date_trunc('day', ts) AS d,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(FLOOR(sum(CAST(round(value*100) AS BIGINT)) / 100) AS BIGINT) AS y
+      FROM events GROUP BY k, d
+    ),
+    pq AS (
+      SELECT a.k,
+             CAST(sum(CAST(sign(b.cnt - a.cnt) AS BIGINT)
+                      * CAST(sign(b.y - a.y) AS BIGINT)) AS BIGINT) AS pq
+      FROM daily a JOIN daily b ON a.k = b.k AND a.d < b.d
+      GROUP BY a.k
+    ),
+    n AS (SELECT k, CAST(count(*) AS BIGINT) AS n FROM daily GROUP BY k),
+    tx AS (
+      SELECT k, CAST(sum(t*(t-1)//2) AS BIGINT) AS tx FROM (
+        SELECT k, CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY k, cnt
+      ) GROUP BY k
+    ),
+    ty AS (
+      SELECT k, CAST(sum(t*(t-1)//2) AS BIGINT) AS ty FROM (
+        SELECT k, CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY k, y
+      ) GROUP BY k
+    ),
+    j AS (
+      SELECT pq.k, pq.pq, n.n, tx.tx, ty.ty, n.n*(n.n-1)//2 AS n0
+      FROM pq JOIN n USING (k) JOIN tx USING (k) JOIN ty USING (k)
+    )
+    SELECT k AS event_type, n AS n_days, pq AS p_minus_q,
+           round(CAST(pq AS DOUBLE)
+                 / sqrt(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE)), 6)
+             + 0.0 AS tau_b
+    FROM j WHERE n >= 2 AND n0 > tx AND n0 > ty
+    """,
+    doc="Per-event-type Kendall tau-b between daily count and daily "
+    "total — the concordance companion of spearman_corr_daily with "
+    "the standard tie correction for heavily-tied telemetry. P-Q is "
+    "an exact BIGINT sign-product sum over CALENDAR-BOUNDED day pairs "
+    "(the mann_kendall machinery applied bivariate), tie terms are "
+    "closed-form from domain-sized aggs (t(t-1) is even, so the "
+    "integer halving is lossless), tau is one fixed-shape "
+    "sqrt+division.",
+)
+def q_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.mining import kendall_tau_daily
+
+    events = load_table(spark, sf_dir, "events")
+    return kendall_tau_daily(events, key_col="event_type", ts_col="ts", value_col="value")
+
+
+def _snm_blocking_oracle(window: int = 6, threshold: int = 60, key_chars: int = 16) -> str:
+    """Composed oracle: the edit_distance_near_dup oracle body is the
+    TRUTH set (complete within (lang, source) blocks at ``threshold``),
+    the sorted_neighborhood_dup_pairs oracle body is the CANDIDATE
+    method — both mirrored verbatim from their registered forms except
+    the shared ``threshold`` (the registered SNM screen runs at 80;
+    the comparison must score both methods at the SAME cutoff)."""
+    return rf"""
+    WITH d AS MATERIALIZED (
+      SELECT doc_id AS id,
+             regexp_replace(text, '[^\x00-\x7F]', '', 'g') AS t,
+             lang, source
+      FROM documents
+    ),
+    p AS (SELECT id, t, lang, source, length(t) AS n, length(t) // 100 AS band
+          FROM d),
+    truth AS MATERIALIZED (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM p a JOIN p b
+        ON a.lang = b.lang AND a.source = b.source
+       AND a.id < b.id
+       AND abs(a.band - b.band) <= 1
+       AND abs(a.n - b.n) <= {threshold}
+      WHERE levenshtein(a.t, b.t) <= {threshold}
+    ),
+    k AS (
+      SELECT id, t, length(t) AS n,
+             substr(regexp_replace(lower(t), '[^a-z0-9]', '', 'g'),
+                    1, {key_chars}) AS key
+      FROM d
+    ),
+    r AS (
+      SELECT id, t, n, row_number() OVER (ORDER BY key, id) AS rk FROM k
+    ),
+    snm AS MATERIALIZED (
+      SELECT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b
+      FROM r a JOIN r b
+        ON b.rk > a.rk AND b.rk <= a.rk + {window - 1}
+      WHERE abs(a.n - b.n) <= {threshold}
+        AND levenshtein(a.t, b.t) <= {threshold}
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM d),
+    c AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+             (SELECT CAST(count(*) AS BIGINT) FROM snm) AS n_snm,
+             (SELECT CAST(count(*) AS BIGINT)
+              FROM truth t JOIN snm s USING (id_a, id_b)) AS n_common,
+             (SELECT nd FROM nn) AS n_docs
+    )
+    SELECT n_docs, n_truth, n_snm AS n_snm_verified, n_common,
+           round(CAST(n_common AS DOUBLE) / CAST(n_truth AS DOUBLE), 6)
+             AS recall,
+           CAST({window - 1} * n_docs
+                - {window} * {window - 1} // 2 AS BIGINT) AS n_candidates,
+           round(1.0 - CAST({window - 1} * n_docs
+                            - {window} * {window - 1} // 2 AS DOUBLE)
+                       / CAST(n_docs * (n_docs - 1) // 2 AS DOUBLE), 6)
+             AS reduction_ratio
+    FROM c WHERE n_truth > 0
+    """
+
+
+@register(
+    "snm_blocking_quality",
+    oracle=_snm_blocking_oracle(),
+    doc="Record-linkage blocking-quality evaluation (Christen 2012): "
+    "pair-completeness (recall) and reduction ratio of the "
+    "sorted-neighborhood method against the COMPLETE in-block "
+    "edit-distance truth at the same lev<=60 cutoff — the measurement "
+    "that tells you whether a cheap O(w*n) blocking is safe to run "
+    "instead of the O(sum block^2) exhaustive pass. SNM pairs are "
+    "canonicalized (least/greatest) before the intersection; the "
+    "candidate count (w-1)*n - w(w-1)/2 and the n(n-1)/2 pair space "
+    "are closed-form integers, recall and RR are the only divisions. "
+    "One row out; every input is a 1-row aggregate of the two "
+    "already-verified pair pipelines.",
+)
+def q_snm_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from flink_anomaly_spark.operators.dedup import (
+        edit_distance_near_dup,
+        sorted_neighborhood_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    truth = edit_distance_near_dup(
+        docs, id_col="doc_id", text_col="text",
+        block_cols=["lang", "source"], band_chars=100, threshold=60,
+    ).select("id_a", "id_b")
+    snm = sorted_neighborhood_pairs(
+        docs, id_col="doc_id", text_col="text",
+        window=6, threshold=60, key_chars=16,
+    ).select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+    )
+    from flink_anomaly_spark.operators.dedup import _persist
+
+    truth = _persist(truth)
+    snm = _persist(snm)
+    n_truth = truth.agg(F.count("*").cast("bigint").alias("n_truth"))
+    n_snm = snm.agg(F.count("*").cast("bigint").alias("n_snm_verified"))
+    n_common = truth.join(snm, ["id_a", "id_b"]).agg(
+        F.count("*").cast("bigint").alias("n_common")
+    )
+    n_docs = docs.agg(F.count("*").cast("bigint").alias("n_docs"))
+    w = 6
+    out = n_docs.join(n_truth).join(n_snm).join(n_common)
+    cand = (w - 1) * F.col("n_docs") - F.lit(w * (w - 1) // 2)
+    space = F.expr("n_docs * (n_docs - 1) DIV 2")
+    return out.filter(F.col("n_truth") > 0).select(
+        "n_docs",
+        "n_truth",
+        "n_snm_verified",
+        "n_common",
+        F.round(
+            F.col("n_common").cast("double") / F.col("n_truth").cast("double"), 6
+        ).alias("recall"),
+        cand.cast("bigint").alias("n_candidates"),
+        F.round(
+            F.lit(1.0) - cand.cast("double") / space.cast("double"), 6
+        ).alias("reduction_ratio"),
+    )

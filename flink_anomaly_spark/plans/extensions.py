@@ -1545,3 +1545,62 @@ def q_kcore_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst"))
     ).distinct()
     return kcore(edges, k=2, n_iter=6)
+
+
+# ---------------------------------------------------------------------------
+# Local clustering coefficient over the near-dup graph (round 10 s2)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "neardup_clustering_coeff",
+    oracle=f"""
+    WITH pairs AS MATERIALIZED ({_minhash_oracle("documents")}),
+    e AS MATERIALIZED (SELECT id1 AS a, id2 AS b FROM pairs),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1 JOIN e e2 ON e1.b = e2.a
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    corners AS (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    ),
+    tpn AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles
+            FROM corners GROUP BY node),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+        SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e
+      ) GROUP BY node
+    )
+    SELECT d.node, d.degree,
+           CAST(coalesce(t.triangles, 0) AS BIGINT) AS triangles,
+           round(CAST(2 * coalesce(t.triangles, 0) AS DOUBLE)
+                 / CAST(d.degree * (d.degree - 1) AS DOUBLE), 6)
+             AS clustering_coeff
+    FROM deg d LEFT JOIN tpn t USING (node)
+    WHERE d.degree >= 2
+    """,
+    doc="Per-node local clustering coefficient over the MinHash "
+    "near-dup graph (Watts-Strogatz): 2*tri(v)/(deg(v)*(deg(v)-1)) — "
+    "the node-level refinement of the global triangle count; cc ~= 1 "
+    "marks clique-like duplicate families (safe to canonicalize "
+    "aggressively), cc ~= 0 marks transitivity-artifact hubs. Exact "
+    "BIGINT triangle/degree counts from the same ordered a<b<c wedge "
+    "join as neardup_triangle_count, each triangle exploded to its "
+    "three corners into a map-side-combinable per-node agg; ONE "
+    "terminal division. Oracle CTEs materialized (the kcore lesson: "
+    "inlining re-expands the MinHash pipeline per reference).",
+)
+def q_neardup_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.graph import local_clustering_coeff
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        docs, id_col="doc_id", text_col="text", k_shingle=3,
+        num_perm=_NUM_PERM, bands=_BANDS, jaccard_threshold=0.5,
+    )
+    return local_clustering_coeff(
+        pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
+    )

@@ -119,7 +119,10 @@ WINDOW_DRAWN_AFTER_ROUND = 9
 #: PLAN_MANIFEST fingerprint diff), then (c) the 13 rows STILL
 #: last-green r4 (the session-2 displacements — they lead, per
 #: VERDICT r9 #3), then (d) the first 26 (alphabetical) of the 50
-#: rows last green in round 5. The remaining 24 r5-green rows are the
+#: rows last green in round 5. The remaining 24 r5-green rows — plus
+#: the 5 r5 fillers later displaced by the session-2 additions
+#: (salted_hot_key_join, scalar_functions, semantic_decontamination,
+#: stratified_sample_by_lang, streaming_ohlc), 29 in all — are the
 #: PLANNED ROUND-11 QUEUE (VERDICT r9 #7), stalest-first:
 #: streaming_running_zscore, streaming_session_count_final,
 #: streaming_two_level_agg, streaming_window_argmax_final,
@@ -141,6 +144,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "fano_burstiness_daily",
     "quality_screen_agreement_kappa",
     "kcore_neardup",
+    # ---- (a continued) session-2 NEW round-10 queries: each displaces
+    # one r5-green re-confirm filler from the TAIL of section (d) (the
+    # round-6/round-9 precedent — first checks outrank re-confirms; the
+    # five displaced rows join the round-11 queue and stay covered by
+    # the local 3-SF hash gate). fano_burstiness_daily's finalize
+    # refactor (shared with the streaming twin) keeps it plan-changed
+    # AND already slotted in (a).
+    "ccf_daily",
+    "kendall_tau_daily",
+    "snm_blocking_quality",
+    "neardup_clustering_coeff",
+    "streaming_fano_final",
     # ---- (b) plans CHANGED in round 10 (PLAN_MANIFEST diff)
     "conformal_anomaly_pvalues",
     "ols_trend_daily",
@@ -183,12 +198,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "orders_distinct_agg",
     "quality_quantile_normalize",
     "rfm_customer_segments",
-    "salted_hot_key_join",
-    "scalar_functions",
-    "semantic_decontamination",
-    "stratified_sample_by_lang",
-    "streaming_ohlc",
 )
+# Displaced by session-2 new queries (r5-green, join the round-11
+# queue): salted_hot_key_join, scalar_functions,
+# semantic_decontamination, stratified_sample_by_lang, streaming_ohlc.
 # ROUND-9 window (historical): 7 session-1 new + 13 session-2 new + 3
 # plan-changed (asof_join_nearest, hbos_outliers, ann_ivf_recall) + 27
 # retained r4 refills — all 50 green in CORRECTNESS_r09. The 13

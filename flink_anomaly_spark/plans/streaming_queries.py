@@ -994,3 +994,43 @@ def q_streaming_conformal_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     ge_map = conformal_ge_map(load_table(spark, sf_dir, "events"), "ts", "value")
     sunk = run_to_memory(conformal_flag_stream(events, ge_map, value_col="value"))
     return conformal_windowed_rates(sunk)
+
+
+def _fano_stream_oracle() -> str:
+    from flink_anomaly_spark.plans.evaluation_queries import _FANO_ORACLE
+
+    return _FANO_ORACLE
+
+
+@register(
+    "streaming_fano_final",
+    oracle=_fano_stream_oracle(),
+    doc="Streaming per-key Fano-factor burstiness screen — the live "
+    "twin of fano_burstiness_daily: each event statelessly projects "
+    "to its key, the stateful stage is a windowed count whose state "
+    "is ONE BIGINT per (key, open 1-day window) — bounded by the key "
+    "domain, constant in event volume; NULL keys stream through (the "
+    "Benford pushdown lesson — no pre-watermark predicate) and are "
+    "dropped at finalize; EOS-sentinel flush closes every real "
+    "window, and the batch side is the SHARED fano_finalize moment "
+    "aggregation (exact BIGINT moments, one division, integer "
+    "overdispersion flag), so the stream replays the batch operator "
+    "row-for-row. Oracle = the batch fano oracle verbatim.",
+)
+def q_streaming_fano_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_anomaly_spark.operators.mining import fano_finalize
+    from flink_anomaly_spark.streaming.pipelines import keyed_day_count_stream
+
+    work = tempfile.mkdtemp(prefix="eos_flush_")
+    events = stream_events_with_final_flush(spark, sf_dir, work)
+    sunk = run_to_memory(keyed_day_count_stream(events, key_col="event_type"))
+    daily = sunk.filter(F.col("key").isNotNull()).select(
+        F.col("key").alias("__k"),
+        F.col("window_start").alias("__d"),
+        F.col("c").alias("__c"),
+    )
+    return fano_finalize(daily, out_key_col="event_type")

@@ -230,6 +230,35 @@ def conformal_flag_stream(
     )
 
 
+def keyed_day_count_stream(
+    events: DataFrame,
+    key_col: str = "event_type",
+    duration: str = "1 day",
+) -> DataFrame:
+    """Streaming per-(key, window) event count — the live feed of the
+    Fano burstiness screen (and any other daily-count statistic): a
+    fully stateless projection, then a windowed count whose state is
+    ONE BIGINT per (key, open window) — bounded by the key domain
+    times open windows, constant in event volume. NULL keys stream
+    through (the Benford no-pre-filter lesson: a key predicate would
+    be pushed below the watermark and could drop the EOS sentinel);
+    the finalize drops them. Finalized counts feed
+    :func:`~flink_anomaly_spark.operators.mining.fano_finalize`
+    batch-side (the serve-layer split all sketch finals use)."""
+    return (
+        events.select("ts", F.col(key_col).alias("key"))
+        .withWatermark("ts", "20 seconds")
+        .groupBy(F.window("ts", duration).alias("win"), "key")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "key",
+            "c",
+        )
+    )
+
+
 def cms_cell_stream(
     events: DataFrame,
     key_col: str = "user_id",

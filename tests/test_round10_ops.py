@@ -323,3 +323,168 @@ def test_streaming_conformal_state_is_bounded(spark):
     # state row per event (thousands at SF_SMOKE, ~30 day windows + the
     # sentinel's never-finalizing window)
     assert 0 < rows <= 64
+
+
+# ---------------------------------------------------------------------------
+# session 2: ccf_daily
+# ---------------------------------------------------------------------------
+
+
+def test_ccf_matches_direct_pearson(spark):
+    from flink_anomaly_spark.operators.mining import ccf_daily
+
+    rng = random.Random(13)
+    # b follows a with a 2-day lag (plus noise): ccf must peak at lag 2
+    a_days = {d: rng.randint(10, 500) for d in range(1, 28)}
+    rows = []
+    for d, units in a_days.items():
+        rows.append(("a", f"2024-03-{d:02d} 01:00:00", float(units)))
+    for d in range(3, 28):
+        units = a_days[d - 2] + rng.randint(0, 3)
+        rows.append(("b", f"2024-03-{d:02d} 02:00:00", float(units)))
+    df = spark.createDataFrame(rows, "k string, ts_s string, value double").selectExpr(
+        "k", "CAST(ts_s AS TIMESTAMP) AS ts", "value"
+    )
+    got = {r.lag: r for r in ccf_daily(
+        df, "k", "ts", "value", key_a="a", key_b="b", max_lag=3,
+        epoch_date="2024-03-01",
+    ).collect()}
+    for lag in range(4):
+        xs, ys = [], []
+        for d in a_days:
+            if 3 <= d + lag <= 27:
+                xs.append(a_days[d])
+                ys.append(a_days[d + lag - 2] + 0)  # noise ignored below
+        # recompute exactly from the same generated series instead
+        b_days = {d: None for d in range(3, 28)}
+    # exact check at the peak lag only (noise makes closed-form messy):
+    assert got[2].ccf > 0.95
+    assert got[2].ccf > got[0].ccf and got[2].ccf > got[1].ccf and got[2].ccf > got[3].ccf
+
+
+def test_ccf_exact_against_python(spark):
+    from flink_anomaly_spark.operators.mining import ccf_daily
+
+    rng = random.Random(14)
+    a = {d: rng.randint(1, 50) for d in range(0, 15)}
+    b = {d: rng.randint(1, 50) for d in range(0, 15)}
+    rows = [("x", f"2024-03-{d + 1:02d} 01:00:00", float(v)) for d, v in a.items()]
+    rows += [("y", f"2024-03-{d + 1:02d} 02:00:00", float(v)) for d, v in b.items()]
+    df = spark.createDataFrame(rows, "k string, ts_s string, value double").selectExpr(
+        "k", "CAST(ts_s AS TIMESTAMP) AS ts", "value"
+    )
+    got = {r.lag: r for r in ccf_daily(
+        df, "k", "ts", "value", key_a="x", key_b="y", max_lag=3,
+        epoch_date="2024-03-01",
+    ).collect()}
+    for lag in range(4):
+        xs = [a[d] for d in a if d + lag in b]
+        ys = [b[d + lag] for d in a if d + lag in b]
+        assert abs(got[lag].ccf - _pearson(xs, ys)) < 1e-5, lag
+        assert got[lag].n_days == len(xs)
+
+
+# ---------------------------------------------------------------------------
+# session 2: kendall_tau_daily
+# ---------------------------------------------------------------------------
+
+
+def _brute_tau_b(pairs):
+    n = len(pairs)
+    p_q = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = (pairs[j][0] > pairs[i][0]) - (pairs[j][0] < pairs[i][0])
+            dy = (pairs[j][1] > pairs[i][1]) - (pairs[j][1] < pairs[i][1])
+            p_q += dx * dy
+    n0 = n * (n - 1) // 2
+    from collections import Counter
+
+    tx = sum(t * (t - 1) // 2 for t in Counter(x for x, _ in pairs).values())
+    ty = sum(t * (t - 1) // 2 for t in Counter(y for _, y in pairs).values())
+    den = ((n0 - tx) * (n0 - ty)) ** 0.5
+    return None if den == 0 else p_q / den
+
+
+def test_kendall_tau_matches_brute_force(spark):
+    from flink_anomaly_spark.operators.mining import kendall_tau_daily
+
+    rng = random.Random(15)
+    rows, per_key = [], {}
+    for k in ["pos", "mix"]:
+        pts = []
+        for d in range(1, 22):
+            cnt = rng.randint(1, 5) + (d // 3 if k == "pos" else 0)
+            total = 0
+            for i in range(cnt):
+                c = rng.randint(100, 900) + (100 * d if k == "pos" else 0)
+                total += c
+                rows.append((k, f"2024-03-{d:02d} 03:{i:02d}:00", c / 100.0))
+            pts.append((cnt, total // 100))
+        per_key[k] = pts
+    df = spark.createDataFrame(rows, "k string, ts_s string, value double").selectExpr(
+        "k", "CAST(ts_s AS TIMESTAMP) AS ts", "value"
+    )
+    got = {r.k: r for r in kendall_tau_daily(df, "k", "ts", "value").collect()}
+    for k, pts in per_key.items():
+        ref = _brute_tau_b(pts)
+        assert abs(got[k].tau_b - ref) < 1e-6, k
+    assert got["pos"].tau_b > 0.5  # constructed monotone key
+
+
+# ---------------------------------------------------------------------------
+# session 2: local_clustering_coeff
+# ---------------------------------------------------------------------------
+
+
+def test_clustering_coeff_matches_hand_graph(spark):
+    from flink_anomaly_spark.operators.graph import local_clustering_coeff
+
+    # K4 on {1,2,3,4}: every node deg 3, tri 3, cc = 1.0
+    # path 5-6-7 with extra edge 5-7: a triangle; node 8 pendant on 5
+    und = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        (5, 6), (6, 7), (5, 7), (5, 8),
+    ]
+    df = spark.createDataFrame(und, "a long, b long")
+    got = {r.node: r for r in local_clustering_coeff(df).collect()}
+    for v in (1, 2, 3, 4):
+        assert got[v].degree == 3 and got[v].triangles == 3
+        assert got[v].clustering_coeff == 1.0
+    # node 5: deg 3 (6,7,8), one triangle -> 2*1/(3*2) = 1/3
+    assert got[5].degree == 3 and got[5].triangles == 1
+    assert got[5].clustering_coeff == round(1 / 3, 6)  # operator rounds to 6
+    assert got[6].clustering_coeff == 1.0 and got[7].clustering_coeff == 1.0
+    assert 8 not in got  # degree 1 dropped
+
+
+# ---------------------------------------------------------------------------
+# session 2: snm_blocking_quality invariants
+# ---------------------------------------------------------------------------
+
+
+def test_snm_blocking_quality_invariants(spark):
+    from flink_anomaly_spark.plans.registry import all_queries
+
+    row = all_queries()["snm_blocking_quality"](spark, SF_SMOKE).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert 0 < r.n_truth and 0 <= r.n_common <= min(r.n_truth, r.n_snm_verified)
+    assert 0.0 <= r.recall <= 1.0
+    assert abs(r.recall - round(r.n_common / r.n_truth, 6)) < 1e-9
+    assert r.n_candidates == 5 * r.n_docs - 15
+    assert 0.9 < r.reduction_ratio < 1.0  # blocking must prune ~all pairs
+
+
+# ---------------------------------------------------------------------------
+# session 2: streaming fano twin
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_fano_equals_batch(spark):
+    from flink_anomaly_spark.plans.registry import all_queries
+
+    q = all_queries()
+    live = sorted(map(tuple, q["streaming_fano_final"](spark, SF_SMOKE).collect()))
+    batch = sorted(map(tuple, q["fano_burstiness_daily"](spark, SF_SMOKE).collect()))
+    assert live == batch and len(live) > 0

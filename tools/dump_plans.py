@@ -73,6 +73,9 @@ HEADLINE = {
     "spearman_corr_daily": "One (key, day) partial agg; both rank windows share the per-key partitioning; |keys|-row moment agg.",
     "quality_screen_agreement_kappa": "Two narrow document scans exchange (doc_id, flag) pairs only; |langs|-row contingency agg; kappa is per-group scalar math.",
     "kcore_neardup": "Six peels, each one degree agg + two broadcast semi-joins over the checkpoint-truncated, only-shrinking edge list (O(1) lineage).",
+    "ccf_daily": "One (key, day) partial agg persisted; each lag is a tiny integer-day equi-join of two calendar-bounded frames into a 1-row moment agg.",
+    "kendall_tau_daily": "Day agg persisted; sign-product pair join is calendar-bounded per key; tie aggs are domain-sized; tau is per-key scalar math.",
+    "neardup_clustering_coeff": "Two ordered-edge wedge joins (the triangle-count plan) + corner explode into a map-side per-node agg; degree frame broadcast-joined.",
 }
 
 

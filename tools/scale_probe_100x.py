@@ -173,6 +173,16 @@ PROBE = [
     ("quality_screen_agreement_kappa", "documents"),
     ("mahalanobis_outliers", "embeddings"),
     ("kcore_neardup", "documents"),
+    # round-10 session 2: ccf/kendall are the calendar-bounded day-agg
+    # signature (B/row DROPS ~n-fold); snm_blocking_quality reduces two
+    # pair pipelines to 1-row counts — its exchanges are the pipelines'
+    # own (flat, see their rows) plus the id-pair intersection;
+    # clustering coeff re-shuffles only the LSH-verified edge list and
+    # its corner explode (flat B/row, the kcore argument).
+    ("ccf_daily", "events"),
+    ("kendall_tau_daily", "events"),
+    ("snm_blocking_quality", "documents"),
+    ("neardup_clustering_coeff", "documents"),
 ]
 
 _KEY_SHIFT = {

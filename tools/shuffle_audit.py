@@ -144,6 +144,11 @@ PROBE = [
     ("quality_screen_agreement_kappa", "two narrow doc scans exchange (doc_id, flag) pairs; |langs|-row contingency agg"),
     ("mahalanobis_outliers", "one 10-BIGINT stats row broadcast; vectors never shuffle; TakeOrdered top-k"),
     ("kcore_neardup", "6 peels x (degree agg + 2 broadcast semi-joins) over the LSH-verified edge list, which only shrinks"),
+    # round 10 session 2
+    ("ccf_daily", "one corpus day agg, then 4 calendar-bounded lag joins of two |days|-row frames"),
+    ("kendall_tau_daily", "day agg + calendar-bounded day-pair self-join (the mann_kendall shape) + two domain-sized tie aggs"),
+    ("snm_blocking_quality", "two verified pair pipelines reduced to 1-row counts; the intersection joins id pairs only"),
+    ("neardup_clustering_coeff", "ordered wedge joins over the LSH-verified edge list; corner explode feeds a map-side per-node agg"),
 ]
 
 
