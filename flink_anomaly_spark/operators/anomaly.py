@@ -1039,3 +1039,270 @@ def mahalanobis_oracle_sql(
     ORDER BY maha2 DESC, {id_col} ASC
     LIMIT {top_k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Mahalanobis outliers at arbitrary dimension (generated Cholesky fragments)
+# ---------------------------------------------------------------------------
+
+
+def maha_sufficient_sql_d(cols: tuple[str, ...]) -> list[str]:
+    """Generalizes :func:`_maha3_sufficient_sql` to ``d = len(cols)``:
+    ``1 + d + d(d+1)/2`` exact-BIGINT sufficient statistics (count,
+    coordinate sums, upper-triangle cross-product sums), one aliased
+    fragment per statistic, emitted verbatim into both engines."""
+    d = len(cols)
+    frags = ["CAST(count(*) AS BIGINT) AS n"]
+    frags += [f"CAST(sum({cols[i]}) AS BIGINT) AS s{i}" for i in range(d)]
+    frags += [
+        f"CAST(sum({cols[i]}*{cols[j]}) AS BIGINT) AS p{i}_{j}"
+        for i in range(d)
+        for j in range(i, d)
+    ]
+    return frags
+
+
+def maha_chol_fragments(d: int) -> list[tuple[str, str]]:
+    """Dependency-ordered (name, expression) fragments that factor the
+    n²-scaled covariance ``C = n·P − s·sᵀ`` as ``C = L·Lᵀ`` (Cholesky)
+    USING ONLY +,−,×,÷,sqrt — every one an IEEE-754 exactly-rounded op,
+    so identical fragment text over identical BIGINT statistics yields
+    BIT-IDENTICAL factors on Spark and DuckDB (the MAHA3_* shared-
+    fragment discipline, generated instead of hand-written so it holds
+    at any d). Emits ``c{i}_{j}`` (exact-integer covariance numerators
+    cast to double), ``g{j}`` (the j-th pivot — SPD iff every pivot is
+    a finite positive, see :func:`maha_pivot_condition`) and
+    ``l{i}_{j}``. Each fragment references only earlier names: Spark
+    applies them as sequential withColumn, the oracle as one chained
+    CTE stage per fragment."""
+    frags: list[tuple[str, str]] = []
+    for i in range(d):
+        for j in range(i, d):
+            frags.append((f"c{i}_{j}", f"CAST(n*p{i}_{j} - s{i}*s{j} AS DOUBLE)"))
+    for j in range(d):
+        dot = " + ".join(f"l{j}_{k}*l{j}_{k}" for k in range(j))
+        frags.append((f"g{j}", f"c{j}_{j} - ({dot})" if dot else f"c{j}_{j}"))
+        frags.append((f"l{j}_{j}", f"sqrt(g{j})"))
+        for i in range(j + 1, d):
+            dot = " + ".join(f"l{i}_{k}*l{j}_{k}" for k in range(j))
+            num = f"c{j}_{i} - ({dot})" if dot else f"c{j}_{i}"
+            frags.append((f"l{i}_{j}", f"({num}) / l{j}_{j}"))
+    return frags
+
+
+#: Relative pivot tolerance: a mathematically rank-deficient corpus
+#: leaves pivots that are FLOAT NOISE (g_j/c_jj ~ 2⁻⁵⁰) rather than
+#: exact zeros — a strict g > 0 would pass or fail it by rounding
+#: luck and emit astronomically inflated scores when it passes. The
+#: ratio g_j/c_jj is 1 − R²(dim j | dims < j), so any real corpus sits
+#: orders of magnitude above 1e-9 and any collinear one orders below;
+#: the comparison is the same IEEE expression on both engines.
+MAHA_PIVOT_RTOL = "1.0e-9"
+
+
+def maha_pivot_condition(d: int) -> str:
+    """SPD guard shared by both engines: every Cholesky pivot finite
+    and RELATIVELY positive (see MAHA_PIVOT_RTOL). NaN guards matter —
+    both Spark and DuckDB order NaN ABOVE all values, so a bare
+    ``g > …`` would pass a degenerate (collinear) corpus instead of
+    emitting nothing."""
+    return " AND ".join(
+        f"(NOT isnan(g{j}) AND g{j} > {MAHA_PIVOT_RTOL} * c{j}_{j})"
+        for j in range(d)
+    )
+
+
+def maha_solve_fragments(d: int) -> list[tuple[str, str]]:
+    """Per-row forward substitution ``L·y = dx`` and the quadratic form
+    ``m² = Σ y_i²`` (since ``dxᵀC⁻¹dx = ‖L⁻¹dx‖²``); same shared-
+    fragment bit-identity argument as :func:`maha_chol_fragments`."""
+    frags: list[tuple[str, str]] = []
+    for i in range(d):
+        dot = " + ".join(f"l{i}_{k}*y{k}" for k in range(i))
+        num = f"dx{i} - ({dot})" if dot else f"dx{i}"
+        frags.append((f"y{i}", f"({num}) / l{i}_{i}"))
+    frags.append(("m2", " + ".join(f"y{i}*y{i}" for i in range(d))))
+    return frags
+
+
+def maha_chol_values(stats: dict[str, int], d: int) -> dict[str, float] | None:
+    """Pure-Python evaluation of EXACTLY the fragments
+    :func:`maha_chol_fragments` emits, in the same order with the same
+    association (left-folded dot products, one subtraction, one sqrt or
+    division per entry). Python floats are IEEE-754 doubles and
+    ``math.sqrt`` is correctly rounded, so these values are
+    BIT-IDENTICAL to what DuckDB computes from the same fragments —
+    which is what lets the Spark side inject them as exact round-trip
+    literals instead of chaining 80 dependent columns through Catalyst
+    (CollapseProject inlines dependent projections, making the fully
+    expanded Cholesky expression tree EXPONENTIAL in d — the direct
+    in-plan form hangs the analyzer at d=8). Returns None when any
+    pivot is non-positive/NaN (degenerate corpus), mirroring
+    :func:`maha_pivot_condition`."""
+    import math
+
+    v: dict[str, float] = {}
+    n = stats["n"]
+    for i in range(d):
+        for j in range(i, d):
+            v[f"c{i}_{j}"] = float(
+                n * stats[f"p{i}_{j}"] - stats[f"s{i}"] * stats[f"s{j}"]
+            )
+    for j in range(d):
+        dot = None
+        for k in range(j):
+            t = v[f"l{j}_{k}"] * v[f"l{j}_{k}"]
+            dot = t if dot is None else dot + t
+        g = v[f"c{j}_{j}"] if dot is None else v[f"c{j}_{j}"] - dot
+        v[f"g{j}"] = g
+        if math.isnan(g) or not (g > 1.0e-9 * v[f"c{j}_{j}"]):
+            return None
+        v[f"l{j}_{j}"] = math.sqrt(g)
+        for i in range(j + 1, d):
+            dot = None
+            for k in range(j):
+                t = v[f"l{i}_{k}"] * v[f"l{j}_{k}"]
+                dot = t if dot is None else dot + t
+            num = v[f"c{j}_{i}"] if dot is None else v[f"c{j}_{i}"] - dot
+            v[f"l{i}_{j}"] = num / v[f"l{j}_{j}"]
+    return v
+
+
+def _dlit(x: float) -> str:
+    """An exactly-round-tripping double literal: repr() is the shortest
+    string that parses back to the same double, and string→double
+    parsing is correctly rounded in both engines."""
+    return f"CAST('{x!r}' AS DOUBLE)"
+
+
+def mahalanobis_outliers_d(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    d: int = 8,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top-k Mahalanobis outliers over the first ``d`` embedding
+    coordinates — the higher-dimensional path the d=3 closed-form
+    adjugate (:func:`mahalanobis_outliers`) documents. The Cholesky
+    factor of the n²-scaled covariance comes from a BOUNDED
+    d²-statistic collect (one row of ``1 + d + d(d+1)/2`` exact
+    BIGINTs — the promised driver-side d×d solve), evaluated in pure
+    Python by :func:`maha_chol_values` with op-for-op the same IEEE
+    expression order as the generated SQL fragments the DuckDB oracle
+    runs, so the factors — and therefore the scores — stay
+    BIT-IDENTICAL cross-engine (+,−,×,÷,sqrt are all exactly rounded;
+    no libm). Per-row work stays in the engine: ``dx = n·x − s``
+    against integer literals, forward substitution ``L·y = dx`` from
+    :func:`maha_solve_fragments` with L injected as exact round-trip
+    double literals, ``m² = ‖y‖²``.
+
+    int64 headroom: |q| ≤ MAHA_SCALE·max|coord|; ``n·Σq²`` must stay
+    below 2⁶³ — at the probed corpora (|coord| ≤ ~0.53, n ≤ 2·10⁵ at
+    x100) the worst product is ~10¹⁸. Past that, widen the sufficient
+    statistics to DECIMAL(38,0) on both engines.
+
+    Scale shape: ONE narrow projection (d ints per row), one map-side-
+    combinable agg collected as a SINGLE bounded row, the O(d³)
+    factorization on the driver (microseconds), then a stateless
+    per-row substitution pass (literals — no join at all) and a
+    TakeOrderedAndProject top-k. Degenerate corpora (any non-positive
+    pivot — collinear dims) return an EMPTY frame on both engines.
+    """
+    q = [
+        F.expr(
+            f"CAST(round(CAST(element_at({vec_col}, {i + 1}) AS DOUBLE)"
+            f" * {MAHA_SCALE}) AS BIGINT)"
+        ).alias(f"q{i}")
+        for i in range(d)
+    ]
+    rows = df.select(F.col(id_col).alias("__id"), *q)
+    first, *rest = [
+        F.expr(e) for e in maha_sufficient_sql_d(tuple(f"q{i}" for i in range(d)))
+    ]
+    stats = rows.agg(first, *rest).collect()[0].asDict()
+    chol = maha_chol_values(stats, d)
+    out_schema = f"{id_col} {dict(df.dtypes)[id_col]}, maha2 double"
+    if chol is None:
+        return df.sparkSession.createDataFrame([], out_schema)
+    scored = rows
+    for i in range(d):
+        scored = scored.withColumn(
+            f"dx{i}",
+            F.expr(f"CAST({stats['n']}L * q{i} - {stats[f's{i}']}L AS DOUBLE)"),
+        )
+    for name, frag in maha_solve_fragments(d):
+        for lname in sorted(chol, reverse=True):  # longest names first
+            if lname.startswith("l"):
+                frag = frag.replace(lname, _dlit(chol[lname]))
+        scored = scored.withColumn(name, F.expr(frag))
+    return (
+        scored.select(
+            F.col("__id").alias(id_col),
+            (F.round(F.col("m2"), 6) + F.lit(0.0)).alias("maha2"),
+        )
+        .orderBy(F.col("maha2").desc(), F.col(id_col).asc())
+        .limit(top_k)
+    )
+
+
+def mahalanobis_d_oracle_sql(
+    id_col: str, vec_col: str, table: str, d: int = 8, top_k: int = 20
+) -> str:
+    """DuckDB replay of :func:`mahalanobis_outliers_d`: the identical
+    generated fragments, one chained CTE stage per Cholesky/solve step
+    (each stage references only earlier names, mirroring Spark's
+    sequential withColumn)."""
+    quant = [
+        f"CAST(round(CAST({vec_col}[{i + 1}] AS DOUBLE) * {MAHA_SCALE}) AS BIGINT)"
+        f" AS q{i}"
+        for i in range(d)
+    ]
+    stages = []
+    prev = "stats0"
+    for idx, (name, frag) in enumerate(maha_chol_fragments(d)):
+        cur = f"chol{idx}"
+        # MATERIALIZED: single-use chained CTEs otherwise get INLINED by
+        # the optimizer, expanding the dependent Cholesky chain into an
+        # exponentially large expression tree (83 s at d=8; 0.1 s
+        # materialized — each stage is ONE row)
+        stages.append(f"{cur} AS MATERIALIZED (SELECT *, {frag} AS {name} FROM {prev})")
+        prev = cur
+    chol_sql = ",\n    ".join(stages)
+    solve_stages = []
+    sprev = "scored0"
+    for idx, (name, frag) in enumerate(maha_solve_fragments(d)):
+        cur = f"solve{idx}"
+        solve_stages.append(
+            f"{cur} AS MATERIALIZED (SELECT *, {frag} AS {name} FROM {sprev})"
+        )
+        sprev = cur
+    solve_sql = ",\n    ".join(solve_stages)
+    dx = ",\n             ".join(
+        f"CAST(s.n*r.q{i} - s.s{i} AS DOUBLE) AS dx{i}" for i in range(d)
+    )
+    lcols = ", ".join(
+        f"s.l{i}_{j}" for j in range(d) for i in range(j, d)
+    )
+    return f"""
+    WITH rows_q AS (
+      SELECT {id_col} AS id, {", ".join(quant)} FROM {table}
+    ),
+    stats0 AS (
+      SELECT {", ".join(maha_sufficient_sql_d(tuple(f"q{i}" for i in range(d))))}
+      FROM rows_q
+    ),
+    {chol_sql},
+    stats_ok AS (SELECT * FROM {prev} WHERE {maha_pivot_condition(d)}),
+    scored0 AS (
+      SELECT r.id,
+             {dx},
+             {lcols}
+      FROM rows_q r CROSS JOIN stats_ok s
+    ),
+    {solve_sql}
+    SELECT id AS {id_col}, round(m2, 6) + 0.0 AS maha2
+    FROM {sprev}
+    ORDER BY maha2 DESC, {id_col} ASC
+    LIMIT {top_k}
+    """

@@ -932,6 +932,46 @@ def ols_trend_daily(
 # ---------------------------------------------------------------------------
 
 
+def _acf_sufficient_stats(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    max_lag: int,
+) -> DataFrame:
+    """Shared exact-BIGINT autocovariance sufficient statistics over
+    daily deci-unit totals: per key ``__nd`` (day count), ``__den``
+    (n²-scaled centered sum of squares) and ``__num1..__num{max_lag}``
+    (n²-scaled centered cross-products at each lead). ``acf_daily``
+    divides them directly; ``pacf_daily`` feeds them through the
+    closed-form Durbin-Levinson unroll. ONE keyed exchange+sort serves
+    the unbounded (n, S) window and every lead(k)."""
+    day = F.date_trunc("day", F.col(ts_col))
+    deci = F.round(F.col(value_col) * 10).cast("bigint")
+    daily = (
+        df.select(F.col(key_col).alias("__k"), day.alias("__d"), deci.alias("__c"))
+        .groupBy("__k", "__d")
+        .agg(F.sum("__c").cast("bigint").alias("__y"))
+    )
+    wall = Window.partitionBy("__k")
+    word = Window.partitionBy("__k").orderBy("__d")
+    cur = (
+        daily.withColumn("__n", F.count("*").over(wall))
+        .withColumn("__s", F.sum("__y").over(wall))
+        .withColumn("__e", F.col("__n") * F.col("__y") - F.col("__s"))
+    )
+    for k in range(1, max_lag + 1):
+        cur = cur.withColumn(f"__e{k}", F.lead("__e", k).over(word))
+    aggs = [
+        F.sum(F.col("__e") * F.col("__e")).cast("bigint").alias("__den"),
+        F.max("__n").alias("__nd"),
+    ] + [
+        F.sum(F.col("__e") * F.col(f"__e{k}")).cast("bigint").alias(f"__num{k}")
+        for k in range(1, max_lag + 1)
+    ]
+    return cur.groupBy("__k").agg(*aggs)
+
+
 def acf_daily(
     df: DataFrame,
     key_col: str,
@@ -956,30 +996,7 @@ def acf_daily(
     variance or fewer than ``max_lag + 1`` days are dropped on both
     engines.
     """
-    day = F.date_trunc("day", F.col(ts_col))
-    deci = F.round(F.col(value_col) * 10).cast("bigint")
-    daily = (
-        df.select(F.col(key_col).alias("__k"), day.alias("__d"), deci.alias("__c"))
-        .groupBy("__k", "__d")
-        .agg(F.sum("__c").cast("bigint").alias("__y"))
-    )
-    wall = Window.partitionBy("__k")
-    word = Window.partitionBy("__k").orderBy("__d")
-    cur = (
-        daily.withColumn("__n", F.count("*").over(wall))
-        .withColumn("__s", F.sum("__y").over(wall))
-        .withColumn("__e", F.col("__n") * F.col("__y") - F.col("__s"))
-    )
-    for k in range(1, max_lag + 1):
-        cur = cur.withColumn(f"__e{k}", F.lead("__e", k).over(word))
-    aggs = [
-        F.sum(F.col("__e") * F.col("__e")).cast("bigint").alias("__den"),
-        F.max("__n").alias("__nd"),
-    ] + [
-        F.sum(F.col("__e") * F.col(f"__e{k}")).cast("bigint").alias(f"__num{k}")
-        for k in range(1, max_lag + 1)
-    ]
-    g = cur.groupBy("__k").agg(*aggs)
+    g = _acf_sufficient_stats(df, key_col, ts_col, value_col, max_lag)
     out_cols = [
         F.col("__k").alias(key_col),
         F.col("__nd").cast("bigint").alias("n_days"),
@@ -993,6 +1010,64 @@ def acf_daily(
         for k in range(1, max_lag + 1)
     ]
     return g.filter((F.col("__den") > 0) & (F.col("__nd") > max_lag)).select(*out_cols)
+
+
+def pacf_daily(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-key PARTIAL autocorrelation of daily totals at lags 1..3 —
+    the AR-order-selection companion of ``acf_daily`` (Box & Jenkins:
+    the PACF of an AR(p) process cuts off after lag p, where the ACF
+    only decays; users read the two plots together). Computed by the
+    Durbin-Levinson recursion (Durbin 1960) UNROLLED to closed form
+    over the exact ACF ratios — at 3 lags the recursion is three
+    algebraic steps, so it stays a per-key column expression (fully
+    distributed, no driver-side fold, oracle-expressible):
+
+        φ11 = ρ1
+        φ22 = (ρ2 − ρ1²) / (1 − ρ1²)
+        φ21 = ρ1 − φ22·ρ1
+        φ33 = (ρ3 − φ21·ρ2 − φ22·ρ1) / (1 − φ21·ρ1 − φ22·ρ2)
+
+    Determinism: ρk = numk/den over the SAME exact-BIGINT sufficient
+    statistics as ``acf_daily`` (shared ``_acf_sufficient_stats`` — the
+    two queries cannot diverge), and every subsequent +,−,×,÷ is an
+    exactly-rounded IEEE double op written in the identical association
+    order in the DuckDB oracle, so the unrounded doubles are
+    bit-identical across engines; one terminal round(…, 6) + negative-
+    zero guard per lag. Keys with zero variance, fewer than 4 days, or
+    a degenerate level-2/3 innovation variance (|ρ|→1, denominator 0 —
+    both engines filter on the same expression) are dropped.
+
+    Scale shape: identical to acf_daily — one keyed exchange+sort for
+    the windows, then a |keys|-row aggregate; the Durbin-Levinson
+    algebra is free column math on the aggregate.
+    """
+    g = _acf_sufficient_stats(df, key_col, ts_col, value_col, 3)
+    d = F.col("__den").cast("double")
+    r1 = F.col("__num1").cast("double") / d
+    r2 = F.col("__num2").cast("double") / d
+    r3 = F.col("__num3").cast("double") / d
+    phi11 = r1
+    den2 = F.lit(1.0) - r1 * r1
+    phi22 = (r2 - r1 * r1) / den2
+    phi21 = r1 - phi22 * r1
+    den3 = F.lit(1.0) - phi21 * r1 - phi22 * r2
+    phi33 = (r3 - phi21 * r2 - phi22 * r1) / den3
+    return (
+        g.filter((F.col("__den") > 0) & (F.col("__nd") > 3))
+        .filter((den2 != 0.0) & (den3 != 0.0))
+        .select(
+            F.col("__k").alias(key_col),
+            F.col("__nd").cast("bigint").alias("n_days"),
+            (F.round(phi11, 6) + F.lit(0.0)).alias("pacf1"),
+            (F.round(phi22, 6) + F.lit(0.0)).alias("pacf2"),
+            (F.round(phi33, 6) + F.lit(0.0)).alias("pacf3"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -551,10 +551,42 @@ def test_idempotent_foreach_batch_skips_replayed_batch(spark, tmp_path):
     assert open(effects_file).read().splitlines() == first
 
 
+def test_synthetic_stream_source_offset_contract():
+    """The per-call offset contract, asserted deterministically (no
+    streaming engine in the loop): read({"next":0}) at batchRows=200
+    yields exactly rows 0..199 and offset {"next":200}; the tail batch
+    is short; readBetweenOffsets replays any committed range exactly.
+    (Round-11 deflake, VERDICT r10 #2: the end-to-end twin below used
+    to assert ≥3 recentProgress entries, but Spark's prefetching
+    wrapper around SimpleDataSourceStreamReader legally coalesces
+    prefetched ranges into one batch when scheduling starves under
+    whole-suite load — batch COUNT is not part of the source's
+    contract, the offset arithmetic is.)"""
+    from flink_anomaly_spark.sources.synthetic import SyntheticEventsStreamReader
+
+    r = SyntheticEventsStreamReader({"rows": "500", "batchRows": "200"})
+    assert r.initialOffset() == {"next": 0}
+    rows, off = r.read({"next": 0})
+    assert len(rows) == 200 and off == {"next": 200}
+    rows2, off2 = r.read(off)
+    assert len(rows2) == 200 and off2 == {"next": 400}
+    tail, off3 = r.read(off2)
+    assert len(tail) == 100 and off3 == {"next": 500}
+    drained, off4 = r.read(off3)
+    assert drained == [] and off4 == {"next": 500}
+    # replay determinism: a committed range re-reads bit-identically
+    assert r.readBetweenOffsets({"next": 0}, {"next": 200}) == rows
+    assert r.readBetweenOffsets({"next": 200}, {"next": 400}) == rows2
+    # exactly-once partition of the id space: no overlap, no gap
+    all_rows = rows + rows2 + tail
+    assert len({t[0] for t in all_rows}) == 500
+
+
 def test_synthetic_stream_source_drains_in_micro_batches(spark, tmp_path):
-    """The custom Python streaming source must advance its offset per
-    micro-batch and deliver every row exactly once: 500 rows at 200
-    rows/batch → ≥3 micro-batches, 100 rows per event_type."""
+    """End-to-end: the custom Python streaming source must deliver every
+    row exactly once — 500 rows, 100 per event_type. Batch-count is NOT
+    asserted (prefetch coalescing under load merges micro-batches; the
+    offset contract is pinned by the deterministic test above)."""
     import time
     import uuid
 
@@ -587,7 +619,11 @@ def test_synthetic_stream_source_drains_in_micro_batches(spark, tmp_path):
                 break
             time.sleep(0.5)
         assert rows == {f"type_{i}": 100 for i in range(5)}, rows
-        assert len(q.recentProgress) >= 3  # 500/200 → at least 3 batches
+        # exactly-once totals only: progress-entry COUNT is scheduling-
+        # dependent (prefetched ranges coalesce under load) — the
+        # per-batch offset arithmetic is pinned deterministically in
+        # test_synthetic_stream_source_offset_contract
+        assert len(q.recentProgress) >= 1
     finally:
         q.stop()
 

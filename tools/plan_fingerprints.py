@@ -164,7 +164,12 @@ def _add_obj(obj, seen: set, parts: list) -> None:
                     _add_obj(cv, seen, parts)
 
 
-def query_fingerprint(name: str) -> str:
+def query_source_blob(name: str) -> str:
+    """The transitive source text a query's fingerprint hashes: oracle
+    SQL + the builder and every package function/class/constant it
+    reaches. Exposed separately so tools/bench_gate.py can classify
+    queries as Python-worker-backed (mapInPandas/pandas_udf in the
+    blob) without duplicating the closure walk."""
     from flink_anomaly_spark.plans.registry import QUERIES, _load_all
 
     _load_all()
@@ -172,8 +177,11 @@ def query_fingerprint(name: str) -> str:
     seen: set = set()
     parts: list[str] = []
     _add_obj(spec.build, seen, parts)
-    blob = (spec.oracle or "<rows-only>") + "\n".join(sorted(parts))
-    return hashlib.sha256(blob.encode()).hexdigest()[:16]
+    return (spec.oracle or "<rows-only>") + "\n".join(sorted(parts))
+
+
+def query_fingerprint(name: str) -> str:
+    return hashlib.sha256(query_source_blob(name).encode()).hexdigest()[:16]
 
 
 def compute_all() -> dict[str, str]:

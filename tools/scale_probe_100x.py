@@ -183,6 +183,12 @@ PROBE = [
     ("kendall_tau_daily", "events"),
     ("snm_blocking_quality", "documents"),
     ("neardup_clustering_coeff", "documents"),
+    # round-11 (VERDICT r10 #3): the forced |nodes|-frame broadcasts
+    # came OFF the graph family — these rows re-measure the hint-free
+    # plans (AQE picks broadcast at probe scale, shuffle past the
+    # threshold; the per-iteration exchanges are the edge list + the
+    # node-sized degree/keep frames, flat B/row either way).
+    ("pagerank_neardup", "documents"),
 ]
 
 _KEY_SHIFT = {
