@@ -932,6 +932,32 @@ def ols_trend_daily(
 # ---------------------------------------------------------------------------
 
 
+def _daily_centered(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-key daily deci-unit totals with the n-scaled centering the
+    autocovariance family shares: ``__e = n·y − S`` is an EXACT BIGINT
+    (clearing the rational mean S/n), so every downstream sum of
+    products of ``__e`` values is association-order-free. One (key,
+    day) hash agg + one unbounded key window."""
+    day = F.date_trunc("day", F.col(ts_col))
+    deci = F.round(F.col(value_col) * 10).cast("bigint")
+    daily = (
+        df.select(F.col(key_col).alias("__k"), day.alias("__d"), deci.alias("__c"))
+        .groupBy("__k", "__d")
+        .agg(F.sum("__c").cast("bigint").alias("__y"))
+    )
+    wall = Window.partitionBy("__k")
+    return (
+        daily.withColumn("__n", F.count("*").over(wall))
+        .withColumn("__s", F.sum("__y").over(wall))
+        .withColumn("__e", F.col("__n") * F.col("__y") - F.col("__s"))
+    )
+
+
 def _acf_sufficient_stats(
     df: DataFrame,
     key_col: str,
@@ -946,20 +972,8 @@ def _acf_sufficient_stats(
     divides them directly; ``pacf_daily`` feeds them through the
     closed-form Durbin-Levinson unroll. ONE keyed exchange+sort serves
     the unbounded (n, S) window and every lead(k)."""
-    day = F.date_trunc("day", F.col(ts_col))
-    deci = F.round(F.col(value_col) * 10).cast("bigint")
-    daily = (
-        df.select(F.col(key_col).alias("__k"), day.alias("__d"), deci.alias("__c"))
-        .groupBy("__k", "__d")
-        .agg(F.sum("__c").cast("bigint").alias("__y"))
-    )
-    wall = Window.partitionBy("__k")
+    cur = _daily_centered(df, key_col, ts_col, value_col)
     word = Window.partitionBy("__k").orderBy("__d")
-    cur = (
-        daily.withColumn("__n", F.count("*").over(wall))
-        .withColumn("__s", F.sum("__y").over(wall))
-        .withColumn("__e", F.col("__n") * F.col("__y") - F.col("__s"))
-    )
     for k in range(1, max_lag + 1):
         cur = cur.withColumn(f"__e{k}", F.lead("__e", k).over(word))
     aggs = [
@@ -1542,3 +1556,96 @@ def kendall_tau_daily(
             (F.round(tau, 6) + F.lit(0.0)).alias("tau_b"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Durbin-Watson serial-correlation screen over daily totals
+# ---------------------------------------------------------------------------
+
+
+def dw_autocorr_daily(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-key Durbin-Watson statistic over MEAN-CENTERED daily totals:
+    ``DW = Σ_{t≥2} (e_t − e_{t−1})² / Σ e_t²`` with ``e_t = y_t − ȳ``
+    (Durbin & Watson 1950) — the classic 0..4 serial-correlation screen
+    (≈2 none, →0 positive, →4 negative) read next to acf1/pacf1.
+    Stated honestly: this is DW of the level-adjusted series (the
+    residuals of an intercept-only fit), not of OLS-trend residuals —
+    trend-fit residuals are rationals with denominator n·Sxx − Sx²,
+    whose exact squares overflow both engines' 64-bit integers; the
+    mean-only centering keeps every sum an EXACT BIGINT via the shared
+    ``_daily_centered`` trick (e scaled by n cancels in the ratio).
+
+    Exactness: numerator and denominator are association-order-free
+    BIGINT sums of squares of the n-scaled centered values (the
+    acf_daily headroom bound applies ×4 for the difference squares);
+    DW is ONE terminal division. Keys with < 2 days or zero variance
+    are dropped on both engines. ONE keyed exchange+sort serves the
+    (n, S) window and the lag.
+    """
+    cur = _daily_centered(df, key_col, ts_col, value_col)
+    word = Window.partitionBy("__k").orderBy("__d")
+    cur = cur.withColumn("__ep", F.lag("__e", 1).over(word))
+    diff = F.col("__e") - F.col("__ep")
+    g = cur.groupBy("__k").agg(
+        F.sum(F.col("__e") * F.col("__e")).cast("bigint").alias("__den"),
+        F.sum(F.when(F.col("__ep").isNotNull(), diff * diff)).cast("bigint").alias("__num"),
+        F.max("__n").alias("__nd"),
+    )
+    return g.filter((F.col("__den") > 0) & (F.col("__nd") >= 2)).select(
+        F.col("__k").alias(key_col),
+        F.col("__nd").cast("bigint").alias("n_days"),
+        (
+            F.round(F.col("__num").cast("double") / F.col("__den").cast("double"), 6)
+            + F.lit(0.0)
+        ).alias("dw"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hodges-Lehmann robust location over daily totals
+# ---------------------------------------------------------------------------
+
+
+def hodges_lehmann_daily(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-key Hodges-Lehmann location estimator over daily totals:
+    the MEDIAN of all Walsh averages ``(y_i + y_j)/2, i ≤ j`` (Hodges
+    & Lehmann 1963) — the robust "typical daily revenue" companion of
+    the Theil-Sen median SLOPE: ~29% breakdown point, far less
+    outlier-sensitive than the mean, more efficient than the plain
+    median under near-normal data.
+
+    Exactness: daily totals are whole units (the shared
+    ``FLOOR(cents/100)`` convention); Walsh SUMS ``y_i + y_j`` are
+    exact BIGINTs, the median interpolates identically in both engines
+    (midpoint of two int64s is exact in a double far below 2⁵²), and
+    the terminal ``/2`` is exact scaling. The day pre-aggregation
+    bounds the pair self-join by the CALENDAR (≤ days·(days+1)/2
+    Walsh pairs per key — the Theil-Sen/Mann-Kendall shape), so the
+    pair space is a per-key constant, not corpus-proportional.
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    daily = (
+        df.select(F.col(key_col).alias("__k"), day.alias("__d"), cents.alias("__c"))
+        .groupBy("__k", "__d")
+        .agg(F.expr("CAST(FLOOR(sum(__c) / 100) AS BIGINT)").alias("__y"))
+    )
+    a = daily.select("__k", F.col("__d").alias("__da"), F.col("__y").alias("__ya"))
+    b = daily.select("__k", F.col("__d").alias("__db"), F.col("__y").alias("__yb"))
+    walsh = a.join(b, "__k").filter(F.col("__da") <= F.col("__db")).select(
+        "__k", (F.col("__ya") + F.col("__yb")).cast("bigint").alias("__s")
+    )
+    return walsh.groupBy("__k").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        (F.median("__s") / F.lit(2.0)).alias("hl_location"),
+    ).select(F.col("__k").alias(key_col), "n_pairs", "hl_location")

@@ -610,6 +610,44 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, nodes)
 
 
+@register(
+    "neardup_component_size_histogram",
+    oracle=f"""
+    WITH clusters AS ({_CLUSTERS_ORACLE})
+    SELECT size, CAST(count(*) AS BIGINT) AS n_components,
+           CAST(size * count(*) AS BIGINT) AS n_docs
+    FROM (
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS size
+      FROM clusters GROUP BY cluster_id
+    ) GROUP BY size
+    """,
+    doc="Size distribution of the near-dup connected components — the "
+    "standard dedup-report summary (how much of the corpus sits in "
+    "singletons vs 2-clusters vs large families; the large tail is "
+    "what canonical-doc pruning reclaims). Composes the verified "
+    "dedup_clusters pipeline; both GROUP BYs collapse to component- "
+    "then size-domain frames, so everything past the CC iteration is "
+    "domain-sized. n_docs = size x n_components reconciles to the "
+    "corpus total (singletons included — nodes enter the CC with "
+    "their own label).",
+)
+def q_neardup_component_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        docs, id_col="doc_id", text_col="text", k_shingle=3,
+        num_perm=_NUM_PERM, bands=_BANDS, jaccard_threshold=0.5,
+    )
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    cc = connected_components(pairs, nodes)
+    sizes = cc.groupBy("cluster_id").agg(F.count("*").cast("bigint").alias("size"))
+    return sizes.groupBy("size").agg(
+        F.count("*").cast("bigint").alias("n_components"),
+        (F.col("size") * F.count("*")).cast("bigint").alias("n_docs"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Approximate aggregates (sketches differ across engines → rows-only)
 # ---------------------------------------------------------------------------

@@ -106,99 +106,118 @@ _LOADED = False
 #: ``WINDOW_DRAWN_AFTER_ROUND`` below, which the staleness contract
 #: test uses as its baseline cutoff so the in-flight round's own
 #: CORRECTNESS file never invalidates the test (round-7 ADVICE #1).
-WINDOW_DRAWN_AFTER_ROUND = 9
+WINDOW_DRAWN_AFTER_ROUND = 10
 
-#: ROUND-10 WINDOW (VERDICT r9 #3): (a) the 6 queries NEW this round,
-#: (b) the five plans CHANGED this round (conformal_anomaly_pvalues —
-#: the exceedance map extracted into the shared conformal_ge_map so
-#: the streaming twin cannot diverge; ols_trend_daily and
-#: mann_kendall_trend — explicit FLOOR(cents/100) on both engines,
-#: round-10 ADVICE; rake_keywords — explicit shared whitespace class,
-#: round-10 ADVICE; streaming_twap_final — loud negative-step guard in
-#: the fold, round-10 ADVICE; the set is the mechanical
-#: PLAN_MANIFEST fingerprint diff), then (c) the 13 rows STILL
-#: last-green r4 (the session-2 displacements — they lead, per
-#: VERDICT r9 #3), then (d) the first 26 (alphabetical) of the 50
-#: rows last green in round 5. The remaining 24 r5-green rows — plus
-#: the 5 r5 fillers later displaced by the session-2 additions
-#: (salted_hot_key_join, scalar_functions, semantic_decontamination,
-#: stratified_sample_by_lang, streaming_ohlc), 29 in all — are the
-#: PLANNED ROUND-11 QUEUE (VERDICT r9 #7), stalest-first:
-#: streaming_running_zscore, streaming_session_count_final,
-#: streaming_two_level_agg, streaming_window_argmax_final,
-#: streaming_window_count_update, string_date_functions,
-#: table_column_profile, topk_events_per_type, tpch_q10_returns,
-#: tpch_q11_important_parts, tpch_q12_priority_class,
-#: tpch_q13_cust_distribution, tpch_q14_promo, tpch_q15_top_supplier,
-#: tpch_q16_supplier_cnt, tpch_q17_small_qty, tpch_q19_disjunct,
-#: tpch_q20_part_promotion, tpch_q22_dormant_customers,
-#: tpch_q4_late_orders, train_val_test_split, udtf_bigram_counts,
-#: unigram_logprob_quality, unpivot_lineitem_measures — these plus
-#: round-10's own additions/changes compose the round-11 window,
-#: after which the oldest cohort is r6.
+#: ROUND-11 WINDOW (VERDICT r10 #4): (a) the queries NEW this round
+#: (pacf_daily — Durbin-Levinson over the shared ACF statistics;
+#: mahalanobis_outliers_d8 — the generated-Cholesky general-d path),
+#: (b) the plans CHANGED this round per the mechanical PLAN_MANIFEST
+#: fingerprint diff (kcore_neardup / neardup_clustering_coeff /
+#: pagerank_neardup — the forced |nodes|-frame broadcast hints came
+#: off per VERDICT r10 #3; acf_daily — its statistics pipeline was
+#: extracted into _acf_sufficient_stats, now shared with pacf_daily),
+#: then (c) the PLANNED ROUND-11 QUEUE drawn in round 10: all 29
+#: remaining r5-green rows (24 enumerated + the 5 session-2
+#: displacements), then (d) the first 12 (of 15 drawn alphabetically;
+#: 3 later displaced by the session additions in (a)) of the 41 rows
+#: last green in round 6.
+#: After this window the oldest cohort is r6 (29 rows) — the PLANNED
+#: ROUND-12 QUEUE, stalest-first, is the remaining r6 rows (including
+#: the three session displacements embedding_dim_stats,
+#: equi_depth_histogram, gap_fill_forward_daily):
+#: embedding_dim_stats, equi_depth_histogram, gap_fill_forward_daily,
+#: hot_key_skew_report, incremental_mv_refresh, kmv_custkey_difference,
+#: kmv_custkey_overlap, kmv_distinct_users, langid_accuracy_by_lang,
+#: media_dhash_near_dup, media_resize_stats, minhash_estimate_accuracy,
+#: pii_redaction_stats, quality_logistic_score, semdedup_survivors,
+#: streaming_interval_join_left_final, streaming_sliding_count_final,
+#: streaming_topk_per_window_final, streaming_two_level_agg_final,
+#: streaming_window_count_complete, synthetic_source_agg,
+#: time_range_moving_avg, token_count_histogram, variant_props_stats,
+#: video_frame_sample_stats, video_scene_cut_stats, winnowing_dup_pairs,
+#: winnowing_fingerprint_stats, winsorized_event_stats (plus any
+#: section-(d) rows displaced late this round).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # ---- (a) NEW round-10 queries (prove them on the driver immediately)
-    "streaming_conformal_final",
-    "mahalanobis_outliers",
-    "spearman_corr_daily",
-    "fano_burstiness_daily",
-    "quality_screen_agreement_kappa",
+    # ---- (a) NEW round-11 queries (prove them on the driver immediately)
+    "pacf_daily",
+    "mahalanobis_outliers_d8",
+    # ---- (a continued) session additions: each displaces one r6-green
+    # re-confirm from the TAIL of section (d) (the established
+    # first-checks-outrank-re-confirms precedent; the three displaced
+    # rows — embedding_dim_stats, equi_depth_histogram,
+    # gap_fill_forward_daily — join the round-12 queue and stay covered
+    # by the local 3-SF hash gate)
+    "dw_autocorr_daily",
+    "hodges_lehmann_daily",
+    "neardup_component_size_histogram",
+    # ---- (b) plans CHANGED in round 11 (PLAN_MANIFEST diff)
     "kcore_neardup",
-    # ---- (a continued) session-2 NEW round-10 queries: each displaces
-    # one r5-green re-confirm filler from the TAIL of section (d) (the
-    # round-6/round-9 precedent — first checks outrank re-confirms; the
-    # five displaced rows join the round-11 queue and stay covered by
-    # the local 3-SF hash gate). fano_burstiness_daily's finalize
-    # refactor (shared with the streaming twin) keeps it plan-changed
-    # AND already slotted in (a).
-    "ccf_daily",
-    "kendall_tau_daily",
-    "snm_blocking_quality",
     "neardup_clustering_coeff",
-    "streaming_fano_final",
-    # ---- (b) plans CHANGED in round 10 (PLAN_MANIFEST diff)
-    "conformal_anomaly_pvalues",
-    "ols_trend_daily",
-    "mann_kendall_trend",
-    "rake_keywords",
-    "streaming_twap_final",
-    # ---- (c) the 13 still-r4-green session-2 displacements
-    "streaming_sliding_count",
-    "streaming_window_count_final",
-    "temperature_resampled_corpus",
-    "tokenizer_fertility_by_lang",
-    "tpch_q21_late_blame",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q5_local_supplier",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "udaf_weighted_mean",
-    "weighted_doc_sample",
-    "zorder_file_layout",
-    # ---- (d) stalest r5-green re-confirms (first 26 alphabetical)
-    "analytic_functions_extended",
-    "array_functions",
-    "cohort_retention",
-    "compaction_file_plan",
-    "customer_rank_window",
-    "date_functions",
-    "json_extract_props",
-    "kmeans_lloyd_outliers",
-    "language_sampling_weights",
-    "lead_lag_window",
-    "lineitem_cube",
-    "lineitem_grouping_sets",
-    "lineitem_rollup",
-    "map_functions",
-    "media_exact_dedup",
-    "media_pixel_stats",
-    "minhash_near_dup_pairs_capped",
-    "ohlc_resample",
-    "orders_distinct_agg",
-    "quality_quantile_normalize",
-    "rfm_customer_segments",
+    "pagerank_neardup",
+    "acf_daily",
+    # ---- (c) the planned 29-row queue (all remaining r5-green rows)
+    "streaming_running_zscore",
+    "streaming_session_count_final",
+    "streaming_two_level_agg",
+    "streaming_window_argmax_final",
+    "streaming_window_count_update",
+    "string_date_functions",
+    "table_column_profile",
+    "topk_events_per_type",
+    "tpch_q10_returns",
+    "tpch_q11_important_parts",
+    "tpch_q12_priority_class",
+    "tpch_q13_cust_distribution",
+    "tpch_q14_promo",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt",
+    "tpch_q17_small_qty",
+    "tpch_q19_disjunct",
+    "tpch_q20_part_promotion",
+    "tpch_q22_dormant_customers",
+    "tpch_q4_late_orders",
+    "train_val_test_split",
+    "udtf_bigram_counts",
+    "unigram_logprob_quality",
+    "unpivot_lineitem_measures",
+    "salted_hot_key_join",
+    "scalar_functions",
+    "semantic_decontamination",
+    "stratified_sample_by_lang",
+    "streaming_ohlc",
+    # ---- (d) stalest r6-green re-confirms (first 15 alphabetical)
+    "ann_matryoshka_recall",
+    "audio_pcm_stats",
+    "audio_zcr_stats",
+    "bitmap_distinct_by_type",
+    "bm25_topk",
+    "char_entropy",
+    "countmin_top_terms",
+    "cumulative_distinct_users",
+    "dsir_importance_weights",
+    "embedding_ann_pq",
+    "embedding_ann_pq_lloyd",
+    "embedding_covariance",
 )
+# ROUND-10 window (historical; WINDOW_DRAWN_AFTER_ROUND was 9) —
+# all 50 green in CORRECTNESS_r10:
+#   streaming_conformal_final, mahalanobis_outliers, spearman_corr_daily,
+#   fano_burstiness_daily, quality_screen_agreement_kappa, kcore_neardup,
+#   ccf_daily, kendall_tau_daily, snm_blocking_quality,
+#   neardup_clustering_coeff, streaming_fano_final, conformal_anomaly_pvalues,
+#   ols_trend_daily, mann_kendall_trend, rake_keywords,
+#   streaming_twap_final, streaming_sliding_count, streaming_window_count_final,
+#   temperature_resampled_corpus, tokenizer_fertility_by_lang, tpch_q21_late_blame,
+#   tpch_q2_min_cost_supplier, tpch_q5_local_supplier, tpch_q7_volume_shipping,
+#   tpch_q8_market_share, tpch_q9_product_profit, udaf_weighted_mean,
+#   weighted_doc_sample, zorder_file_layout, analytic_functions_extended,
+#   array_functions, cohort_retention, compaction_file_plan,
+#   customer_rank_window, date_functions, json_extract_props,
+#   kmeans_lloyd_outliers, language_sampling_weights, lead_lag_window,
+#   lineitem_cube, lineitem_grouping_sets, lineitem_rollup,
+#   map_functions, media_exact_dedup, media_pixel_stats,
+#   minhash_near_dup_pairs_capped, ohlc_resample, orders_distinct_agg,
+#   quality_quantile_normalize, rfm_customer_segments,
 # Displaced by session-2 new queries (r5-green, join the round-11
 # queue): salted_hot_key_join, scalar_functions,
 # semantic_decontamination, stratified_sample_by_lang, streaming_ohlc.

@@ -63,11 +63,10 @@ def test_driver_window_is_first_50():
     # companion test test_changed_plans_hold_window_slots enforces the
     # set mechanically; this names the known members for readability)
     changed_this_round = {
-        "conformal_anomaly_pvalues",
-        "ols_trend_daily",
-        "mann_kendall_trend",
-        "rake_keywords",
-        "streaming_twap_final",
+        "kcore_neardup",
+        "neardup_clustering_coeff",
+        "pagerank_neardup",
+        "acf_daily",
     }
     assert changed_this_round <= set(qs[:50])
     # stalest-first refill invariant, threshold-free: every filler must

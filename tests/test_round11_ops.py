@@ -204,3 +204,79 @@ def test_graph_family_has_no_forced_nodes_broadcast():
         if "F.broadcast" in line and not line.strip().startswith("#")
     ]
     assert hints == [".join(F.broadcast(dangling))"], hints
+
+
+def test_dw_autocorr_matches_numpy(spark, duck):
+    """DW over mean-centered daily totals vs the definition computed in
+    numpy: sum of squared first differences / centered sum of squares
+    (the n-scaling cancels in the ratio)."""
+    from flink_anomaly_spark.plans.registry import all_queries
+
+    got = {
+        r.event_type: (r.n_days, r.dw)
+        for r in all_queries()["dw_autocorr_daily"](spark, SF_SMOKE).collect()
+    }
+    series: dict[str, list[int]] = {}
+    for et, _d, y in _daily_totals(duck):
+        series.setdefault(et, []).append(y)
+    for et, ys in series.items():
+        y = np.array(ys, dtype=np.float64)
+        e = y - y.mean()
+        den = float(np.dot(e, e))
+        if len(ys) < 2 or den == 0.0:
+            assert et not in got
+            continue
+        want = float(np.sum(np.diff(e) ** 2)) / den
+        nd, dw = got[et]
+        assert nd == len(ys)
+        assert dw == pytest.approx(want, abs=1e-6), et
+        assert 0.0 <= dw <= 4.0
+
+
+def test_hodges_lehmann_matches_numpy(spark, duck):
+    """HL estimator vs the brute-force median of all Walsh averages
+    over the whole-unit daily totals."""
+    from flink_anomaly_spark.plans.registry import all_queries
+
+    got = {
+        r.event_type: (r.n_pairs, r.hl_location)
+        for r in all_queries()["hodges_lehmann_daily"](spark, SF_SMOKE).collect()
+    }
+    daily = duck.execute(
+        """
+        SELECT event_type, date_trunc('day', ts) AS d,
+               CAST(FLOOR(sum(CAST(round(value*100) AS BIGINT)) / 100)
+                    AS BIGINT) AS y
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).fetchall()
+    series: dict[str, list[int]] = {}
+    for et, _d, y in daily:
+        series.setdefault(et, []).append(y)
+    for et, ys in series.items():
+        walsh = [
+            (ys[i] + ys[j]) / 2.0
+            for i in range(len(ys))
+            for j in range(i, len(ys))
+        ]
+        n_pairs, hl = got[et]
+        assert n_pairs == len(walsh)
+        assert hl == pytest.approx(float(np.median(walsh)), abs=1e-9), et
+
+
+def test_component_size_histogram_reconciles(spark, duck):
+    """The histogram must partition the corpus: sum(n_docs) = |docs|,
+    and every component size must equal the dedup_clusters grouping."""
+    from flink_anomaly_spark.plans.registry import all_queries
+
+    rows = all_queries()["neardup_component_size_histogram"](
+        spark, SF_SMOKE
+    ).collect()
+    n_docs = duck.execute("SELECT count(*) FROM documents").fetchone()[0]
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert all(r.n_docs == r.size * r.n_components for r in rows)
+    cc = all_queries()["dedup_clusters"](spark, SF_SMOKE).collect()
+    from collections import Counter
+
+    sizes = Counter(Counter(r.cluster_id for r in cc).values())
+    assert {r.size: r.n_components for r in rows} == dict(sizes)

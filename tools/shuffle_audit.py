@@ -143,12 +143,16 @@ PROBE = [
     ("fano_burstiness_daily", "one map-side (key, day) count agg, then a |keys|-row moment agg"),
     ("quality_screen_agreement_kappa", "two narrow doc scans exchange (doc_id, flag) pairs; |langs|-row contingency agg"),
     ("mahalanobis_outliers", "one 10-BIGINT stats row broadcast; vectors never shuffle; TakeOrdered top-k"),
-    ("kcore_neardup", "6 peels x (degree agg + 2 broadcast semi-joins) over the LSH-verified edge list, which only shrinks"),
+    ("kcore_neardup", "6 peels x (degree agg + 2 node-keyed semi-joins, AQE-planned) over the LSH-verified edge list, which only shrinks"),
     # round 10 session 2
     ("ccf_daily", "one corpus day agg, then 4 calendar-bounded lag joins of two |days|-row frames"),
     ("kendall_tau_daily", "day agg + calendar-bounded day-pair self-join (the mann_kendall shape) + two domain-sized tie aggs"),
     ("snm_blocking_quality", "two verified pair pipelines reduced to 1-row counts; the intersection joins id pairs only"),
     ("neardup_clustering_coeff", "ordered wedge joins over the LSH-verified edge list; corner explode feeds a map-side per-node agg"),
+    # round 11
+    ("pacf_daily", "acf_daily's single keyed exchange+sort; Durbin-Levinson is column math on the |keys|-row aggregate"),
+    ("mahalanobis_outliers_d8", "one 45-BIGINT stats row (bounded d^2 collect); per-row substitution is literal math; TakeOrdered top-k"),
+    ("pagerank_neardup", "per iteration: rank-onto-edges join + dst agg; node frames AQE-planned (no forced broadcast)"),
 ]
 
 
