@@ -843,3 +843,127 @@ def audio_zero_crossings(media: DataFrame, quiet_below: int = 100) -> DataFrame:
             )
 
     return media.mapInPandas(op, AUDIO_ZCR_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hash #2: pHash (8x8 integer DCT of the NN-resized thumbnail)
+# ---------------------------------------------------------------------------
+
+#: Fixed-point 8-point DCT-II matrix: round(M * 2^15) where M is the
+#: orthonormal DCT basis (M[0][x] = sqrt(1/8), M[u][x] =
+#: sqrt(2/8)·cos((2x+1)uπ/16)). HARDCODED so no libm runs anywhere at
+#: query time — the same 64 integers are embedded into the engine-side
+#: numpy matmul and the oracle's VALUES table, making every DCT
+#: coefficient an EXACT int64 (max |coef| = 64·16069²·765 ≈ 1.3e13,
+#: far under 2^63) and the whole pipeline association-order-free.
+PHASH_DCT_Q: tuple[tuple[int, ...], ...] = (
+    (11585, 11585, 11585, 11585, 11585, 11585, 11585, 11585),
+    (16069, 13623, 9102, 3196, -3196, -9102, -13623, -16069),
+    (15137, 6270, -6270, -15137, -15137, -6270, 6270, 15137),
+    (13623, -3196, -16069, -9102, 9102, 16069, 3196, -13623),
+    (11585, -11585, -11585, 11585, 11585, -11585, -11585, 11585),
+    (9102, -16069, 3196, 13623, -13623, -3196, 16069, -9102),
+    (6270, -15137, 15137, -6270, -6270, 15137, -15137, 6270),
+    (3196, -9102, 13623, -16069, 16069, -13623, 9102, -3196),
+)
+
+PHASH_SCHEMA = "media_id long, phash long, n_set_bits int"
+
+
+def image_phash(media: DataFrame) -> DataFrame:
+    """Perceptual DCT hash (pHash) over REAL decoded pixels — the
+    second standard perceptual fingerprint next to :func:`image_dhash`
+    (dHash = gradient signs, robust to brightness; pHash = low-
+    frequency DCT signs, robust to resizing/blur — LAION-class dedup
+    runs both). Classic pHash resizes to 32x32 and takes the top-left
+    8x8 of the DCT; these thumbnails are at most 8x6, so the pipeline
+    is NN-resize to the 8x8 grid and the full 8x8 DCT.
+
+    Per image: decode the P6 payload; NN-resize to 8x8 (integer index
+    map ``src = (gy·h)//8 row, (gx·w)//8 col`` — the media_resize
+    map); integer luma ``gray = r+g+b`` (sum, no division); exact
+    fixed-point DCT ``Fq = Mq·G·Mqᵀ`` (int64 matmul over the
+    PHASH_DCT_Q integers — EXACT, so association order is
+    irrelevant and a SQL oracle reproduces every coefficient);
+    median of the 63 AC coefficients (odd count → an exact order
+    statistic, the element at sorted index 31); bit ``8u+v−1`` set
+    iff ``Fq[u][v] > median``. 63 bits — never touches the int64
+    sign bit. The DC coefficient anchors the median but carries no
+    bit (it encodes brightness, not structure — standard pHash
+    convention).
+
+    Scale shape: decode + DCT is a narrow mapInPandas stage (payload
+    bytes born and consumed inside one Arrow batch); only
+    (id, 8-byte fingerprint, popcount) rows reach an exchange.
+    """
+    import numpy as np
+
+    mq = np.array(PHASH_DCT_Q, dtype=np.int64)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, raster = decode_ppm(bytes(payload))
+                px = np.frombuffer(raster, dtype=np.uint8).astype(np.int64)
+                gray = (px[0::3] + px[1::3] + px[2::3]).reshape(h, w)
+                gy = (np.arange(8) * h) // 8
+                gx = (np.arange(8) * w) // 8
+                g8 = gray[np.ix_(gy, gx)]  # (8, 8): rows y, cols x
+                fq = mq @ g8 @ mq.T  # exact int64
+                ac = np.delete(fq.ravel(), 0)  # row-major, drop DC
+                med = int(np.sort(ac)[31])
+                bits = (ac > med).astype(np.int64)
+                weights = np.int64(1) << np.arange(63, dtype=np.int64)
+                rows.append(
+                    (int(mid), int((bits * weights).sum()), int(bits.sum()))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "phash", "n_set_bits"])
+
+    return media.mapInPandas(op, PHASH_SCHEMA)
+
+
+def phash_oracle_sql(doc_table: str = "documents") -> str:
+    """DuckDB replay of :func:`image_phash` against the closed-form
+    synthetic raster rule (the media_pixel_stats convention: the
+    oracle never touches bytes, so a decode/resize/DCT bug cannot
+    hash-match). Same PHASH_DCT_Q integers via a VALUES table; every
+    coefficient is the same exact int64."""
+    mrows = ", ".join(
+        f"({u}, {x}, {PHASH_DCT_Q[u][x]})" for u in range(8) for x in range(8)
+    )
+    return f"""
+    WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+               FROM {doc_table}),
+    grid AS (SELECT unnest(range(0, 8)) AS gi),
+    px AS (
+      SELECT d.doc_id, gy.gi AS gy, gx.gi AS gx,
+             ((d.doc_id * 31 + ((gy.gi * d.h) // 8 * d.w + (gx.gi * d.w) // 8) * 3) % 256
+              + (d.doc_id * 31 + ((gy.gi * d.h) // 8 * d.w + (gx.gi * d.w) // 8) * 3 + 1) % 256
+              + (d.doc_id * 31 + ((gy.gi * d.h) // 8 * d.w + (gx.gi * d.w) // 8) * 3 + 2) % 256
+             ) AS g
+      FROM d CROSS JOIN grid gy CROSS JOIN grid gx
+    ),
+    m(u, x, wt) AS (VALUES {mrows}),
+    f AS (
+      SELECT px.doc_id, a.u AS u, b.u AS v,
+             CAST(sum(a.wt * b.wt * px.g) AS BIGINT) AS fq
+      FROM px JOIN m a ON a.x = px.gy JOIN m b ON b.x = px.gx
+      GROUP BY px.doc_id, a.u, b.u
+    ),
+    med AS (
+      SELECT doc_id, median(fq) AS med FROM f
+      WHERE NOT (u = 0 AND v = 0) GROUP BY doc_id
+    ),
+    bits AS (
+      SELECT f.doc_id,
+             CASE WHEN f.fq > med.med THEN 1 ELSE 0 END AS bit,
+             8 * f.u + f.v - 1 AS pos
+      FROM f JOIN med USING (doc_id)
+      WHERE NOT (f.u = 0 AND f.v = 0)
+    )
+    SELECT doc_id AS media_id,
+           CAST(sum(bit * (CAST(1 AS BIGINT) << pos)) AS BIGINT) AS phash,
+           CAST(sum(bit) AS INTEGER) AS n_set_bits
+    FROM bits GROUP BY doc_id
+    """

@@ -782,6 +782,43 @@ def q_hodges_lehmann_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sn_scale_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS k, date_trunc('day', ts) AS d,
+             CAST(FLOOR(sum(CAST(round(value*100) AS BIGINT)) / 100)
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    inner_med AS (
+      SELECT a.k, a.d AS da,
+             CAST(median(abs(a.y - b.y)) AS DOUBLE) AS im
+      FROM daily a JOIN daily b ON a.k = b.k AND a.d <> b.d
+      GROUP BY a.k, a.d
+    )
+    SELECT k AS event_type, CAST(count(*) AS BIGINT) AS n_days,
+           round(1.1926 * CAST(median(im) AS DOUBLE), 6) + 0.0 AS sn_scale
+    FROM inner_med GROUP BY k
+    """,
+    doc="Per-type Rousseeuw-Croux Sn robust scale over whole-unit "
+    "daily totals: 1.1926 * med_i(med_{j!=i} |y_i - y_j|) — the scale "
+    "companion of hodges_lehmann_daily's location and theil_sen's "
+    "slope (~50% breakdown; unlike MAD, no symmetry assumption). Both "
+    "nested medians are the engine-shared INTERPOLATED median (stated "
+    "deviation from the paper's high/low order statistics); inner "
+    "|differences| are exact BIGINTs, the outer median midpoints two "
+    "exact doubles, the consistency factor is one exactly-rounded "
+    "multiply. Calendar-bounded day-pair self-join (the theil_sen "
+    "shape).",
+)
+def q_sn_scale_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.mining import sn_scale_daily
+
+    events = load_table(spark, sf_dir, "events")
+    return sn_scale_daily(events, key_col="event_type", ts_col="ts", value_col="value")
+
+
+@register(
     "mann_kendall_trend",
     oracle="""
     WITH daily AS (

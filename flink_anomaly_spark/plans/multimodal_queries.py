@@ -484,3 +484,32 @@ def q_audio_zcr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quiet_ratio"
         ),
     )
+
+
+def _phash_oracle() -> str:
+    from flink_anomaly_spark.operators.multimodal import phash_oracle_sql
+
+    return phash_oracle_sql("documents")
+
+
+@register(
+    "media_phash_dct",
+    oracle=_phash_oracle(),
+    doc="Perceptual DCT hash (pHash) per synthetic image — the second "
+    "standard perceptual fingerprint next to media_dhash_near_dup's "
+    "dHash (gradient signs vs low-frequency DCT signs; LAION-class "
+    "image dedup runs both). REAL decode -> NN-resize to 8x8 -> "
+    "integer luma -> EXACT fixed-point 8x8 DCT (hardcoded "
+    "round(M*2^15) basis, int64 matmul — association-order-free, no "
+    "libm anywhere) -> median of the 63 AC coefficients (odd count = "
+    "exact order statistic) -> 63 sign bits packed into one BIGINT. "
+    "The oracle replays the identical integers from the closed-form "
+    "raster rule without touching bytes, so a decode/resize/DCT bug "
+    "cannot hash-match. Payload bytes never cross an exchange — only "
+    "(id, 8-byte fingerprint, popcount) rows do.",
+)
+def q_media_phash_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.multimodal import image_phash, synth_ppm_media
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return image_phash(synth_ppm_media(docs))

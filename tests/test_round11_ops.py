@@ -280,3 +280,74 @@ def test_component_size_histogram_reconciles(spark, duck):
 
     sizes = Counter(Counter(r.cluster_id for r in cc).values())
     assert {r.size: r.n_components for r in rows} == dict(sizes)
+
+
+def test_sn_scale_matches_numpy(spark, duck):
+    """Sn (interpolated-median convention) vs the nested-median
+    definition computed brute-force in numpy over the whole-unit daily
+    totals."""
+    from flink_anomaly_spark.plans.registry import all_queries
+
+    got = {
+        r.event_type: (r.n_days, r.sn_scale)
+        for r in all_queries()["sn_scale_daily"](spark, SF_SMOKE).collect()
+    }
+    daily = duck.execute(
+        """
+        SELECT event_type, date_trunc('day', ts) AS d,
+               CAST(FLOOR(sum(CAST(round(value*100) AS BIGINT)) / 100)
+                    AS BIGINT) AS y
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).fetchall()
+    series: dict[str, list[int]] = {}
+    for et, _d, y in daily:
+        series.setdefault(et, []).append(y)
+    for et, ys in series.items():
+        if len(ys) < 2:
+            assert et not in got
+            continue
+        inner = [
+            float(np.median([abs(ys[i] - ys[j]) for j in range(len(ys)) if j != i]))
+            for i in range(len(ys))
+        ]
+        want = 1.1926 * float(np.median(inner))
+        nd, sn = got[et]
+        assert nd == len(ys)
+        assert sn == pytest.approx(want, abs=1e-6), et
+        assert sn >= 0.0
+
+
+def test_phash_properties(spark):
+    """pHash invariants the oracle can't see: identical payloads hash
+    identically; the strict >-median split sets at most 31 of 63 bits;
+    the DCT matrix is the exactly-scaled orthonormal basis."""
+    import math
+
+    from flink_anomaly_spark.operators.multimodal import (
+        PHASH_DCT_Q,
+        image_phash,
+        synth_ppm_media,
+    )
+
+    for u in range(8):
+        for x in range(8):
+            want = (
+                math.sqrt(1 / 8)
+                if u == 0
+                else math.sqrt(2 / 8) * math.cos((2 * x + 1) * u * math.pi / 16)
+            ) * (1 << 15)
+            assert PHASH_DCT_Q[u][x] == round(want), (u, x)
+    # ids 0 and 20 produce IDENTICAL images (w, h, and raster all
+    # depend on id only through id % 5, % 4, and *31 % 256... w/h
+    # repeat with lcm(5,4)=20; raster offset 20*31=620 differs mod 256)
+    ids = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    got = {r.media_id: (r.phash, r.n_set_bits) for r in
+           image_phash(synth_ppm_media(ids)).collect()}
+    assert len(got) == 40
+    for mid, (ph, nb) in got.items():
+        assert 0 <= nb <= 31, (mid, nb)
+        assert 0 <= ph < (1 << 63)
+    # same dims, different raster phase -> hashes may collide rarely
+    # but not ALL collide: structure must vary across the corpus
+    assert len({ph for ph, _ in got.values()}) > 10

@@ -153,6 +153,11 @@ PROBE = [
     ("pacf_daily", "acf_daily's single keyed exchange+sort; Durbin-Levinson is column math on the |keys|-row aggregate"),
     ("mahalanobis_outliers_d8", "one 45-BIGINT stats row (bounded d^2 collect); per-row substitution is literal math; TakeOrdered top-k"),
     ("pagerank_neardup", "per iteration: rank-onto-edges join + dst agg; node frames AQE-planned (no forced broadcast)"),
+    ("dw_autocorr_daily", "acf_daily's single keyed exchange+sort; DW is one BIGINT ratio on the |keys|-row aggregate"),
+    ("hodges_lehmann_daily", "calendar-bounded Walsh-pair self-join; |keys|-row median agg"),
+    ("sn_scale_daily", "calendar-bounded day-pair self-join; (key, day) median then |keys|-row median"),
+    ("neardup_component_size_histogram", "the CC pipeline's exchanges; both added GROUP BYs are component-/size-domain sized"),
+    ("media_phash_dct", "narrow mapInPandas decode+DCT; only (id, 8-byte fingerprint, popcount) rows reach an exchange"),
 ]
 
 
