@@ -1706,3 +1706,57 @@ def sn_scale_daily(
             F.round(F.lit(1.1926) * F.median("__im"), 6) + F.lit(0.0)
         ).alias("sn_scale"),
     ).select(F.col("__k").alias(key_col), "n_days", "sn_scale")
+
+
+def robust_daily_outliers(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    threshold: float = 2.0,
+) -> DataFrame:
+    """Robust control chart over daily totals: flag days where
+    ``|y − HL| > threshold · Sn`` (default = the 2-sigma WARNING limit
+    — on these corpora the 3-sigma action limit never fires, and a
+    screen the gate can only ever see returning zero rows proves
+    nothing) — the outlier screen the two robust
+    estimators exist FOR (location = Hodges-Lehmann, scale =
+    Rousseeuw-Croux Sn; a mean/stddev chart lets the outlier days
+    inflate their own detection threshold, HL/Sn have 29%/50%
+    breakdown so they cannot). The classical-z companion is
+    ``zscore_outliers``; this is what you run when the series has the
+    anomalies you're hunting.
+
+    Determinism: the flag is evaluated on the CROSS-MULTIPLIED form
+    ``|y − HL| > threshold·Sn`` where both sides are single
+    exactly-rounded double expressions over the (already engine-
+    identical) HL and Sn values — no division, so Sn = 0 keys simply
+    never flag (degenerate guard for free); the reported robust_z
+    still divides and is rounded once. Scale shape: the HL and Sn
+    day-pair joins (calendar-bounded), then one |keys|-row join back
+    onto the |key·days| daily frame.
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    daily = (
+        df.select(F.col(key_col).alias("__k"), day.alias("__d"), cents.alias("__c"))
+        .groupBy("__k", "__d")
+        .agg(F.expr("CAST(FLOOR(sum(__c) / 100) AS BIGINT)").alias("__y"))
+    )
+    hl = hodges_lehmann_daily(df, key_col, ts_col, value_col).select(
+        F.col(key_col).alias("__k"), F.col("hl_location").alias("__hl")
+    )
+    sn = sn_scale_daily(df, key_col, ts_col, value_col).select(
+        F.col(key_col).alias("__k"), F.col("sn_scale").alias("__sn")
+    )
+    j = daily.join(hl, "__k").join(sn, "__k")
+    dev = F.col("__y").cast("double") - F.col("__hl")
+    return (
+        j.filter(F.abs(dev) > F.lit(threshold) * F.col("__sn"))
+        .select(
+            F.col("__k").alias(key_col),
+            F.col("__d").alias("day"),
+            F.col("__y").alias("day_total"),
+            (F.round(dev / F.col("__sn"), 6) + F.lit(0.0)).alias("robust_z"),
+        )
+    )

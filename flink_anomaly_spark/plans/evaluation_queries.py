@@ -819,6 +819,56 @@ def q_sn_scale_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "robust_daily_outliers",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS k, date_trunc('day', ts) AS d,
+             CAST(FLOOR(sum(CAST(round(value*100) AS BIGINT)) / 100)
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    hl AS (
+      SELECT k, CAST(median(s) AS DOUBLE) / 2.0 AS hl
+      FROM (
+        SELECT a.k, CAST(a.y + b.y AS BIGINT) AS s
+        FROM daily a JOIN daily b ON a.k = b.k AND a.d <= b.d
+      ) GROUP BY k
+    ),
+    sn AS (
+      SELECT k, round(1.1926 * CAST(median(im) AS DOUBLE), 6) + 0.0 AS sn
+      FROM (
+        SELECT a.k, a.d, CAST(median(abs(a.y - b.y)) AS DOUBLE) AS im
+        FROM daily a JOIN daily b ON a.k = b.k AND a.d <> b.d
+        GROUP BY a.k, a.d
+      ) GROUP BY k
+    )
+    SELECT daily.k AS event_type, daily.d AS day, daily.y AS day_total,
+           round((CAST(daily.y AS DOUBLE) - hl.hl) / sn.sn, 6) + 0.0 AS robust_z
+    FROM daily JOIN hl ON daily.k = hl.k JOIN sn ON daily.k = sn.k
+    WHERE abs(CAST(daily.y AS DOUBLE) - hl.hl) > 2.0 * sn.sn
+    """,
+    doc="Robust control chart over whole-unit daily totals: flag days "
+    "with |y - HL| > 2*Sn (the warning limit — the 3-sigma action "
+    "limit never fires on these corpora and an always-empty result "
+    "proves nothing) — the screen the two robust estimators "
+    "exist for (mean/stddev charts let outlier days inflate their own "
+    "threshold; HL/Sn have 29%/50% breakdown). The flag is the "
+    "CROSS-MULTIPLIED no-division form (Sn=0 keys never flag — "
+    "degenerate guard for free); the reported robust_z divides once "
+    "and rounds once. The oracle embeds the HL and Sn oracle "
+    "fragments as CTEs so the estimators cannot drift from their "
+    "verified definitions (the kappa precedent).",
+)
+def q_robust_daily_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.mining import robust_daily_outliers
+
+    events = load_table(spark, sf_dir, "events")
+    return robust_daily_outliers(
+        events, key_col="event_type", ts_col="ts", value_col="value"
+    )
+
+
+@register(
     "mann_kendall_trend",
     oracle="""
     WITH daily AS (

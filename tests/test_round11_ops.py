@@ -351,3 +351,49 @@ def test_phash_properties(spark):
     # same dims, different raster phase -> hashes may collide rarely
     # but not ALL collide: structure must vary across the corpus
     assert len({ph for ph, _ in got.values()}) > 10
+
+
+def test_robust_outliers_matches_numpy(spark, duck):
+    """The flagged set and robust z-scores vs a brute-force numpy
+    recomputation of HL, Sn, and the 2.0-warning-limit screen."""
+    from flink_anomaly_spark.plans.registry import all_queries
+
+    def _day(d):
+        return d.date() if hasattr(d, "date") else d
+
+    got = {
+        (r.event_type, _day(r.day)): (r.day_total, r.robust_z)
+        for r in all_queries()["robust_daily_outliers"](spark, SF_SMOKE).collect()
+    }
+    daily = duck.execute(
+        """
+        SELECT event_type, date_trunc('day', ts) AS d,
+               CAST(FLOOR(sum(CAST(round(value*100) AS BIGINT)) / 100)
+                    AS BIGINT) AS y
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).fetchall()
+    series: dict[str, list[tuple]] = {}
+    for et, d, y in daily:
+        series.setdefault(et, []).append((d, y))
+    want = {}
+    for et, rows in series.items():
+        ys = [y for _d, y in rows]
+        if len(ys) < 2:
+            continue
+        walsh = [
+            (ys[i] + ys[j]) / 2.0 for i in range(len(ys)) for j in range(i, len(ys))
+        ]
+        hl = float(np.median(walsh))
+        inner = [
+            float(np.median([abs(ys[i] - ys[j]) for j in range(len(ys)) if j != i]))
+            for i in range(len(ys))
+        ]
+        sn = round(1.1926 * float(np.median(inner)), 6)
+        for d, y in rows:
+            if sn > 0 and abs(y - hl) > 2.0 * sn:
+                want[(et, _day(d))] = (y, (y - hl) / sn)
+    assert set(got) == set(want)
+    for k, (y, rz) in want.items():
+        assert got[k][0] == y
+        assert got[k][1] == pytest.approx(rz, abs=1e-6), k

@@ -158,6 +158,7 @@ PROBE = [
     ("sn_scale_daily", "calendar-bounded day-pair self-join; (key, day) median then |keys|-row median"),
     ("neardup_component_size_histogram", "the CC pipeline's exchanges; both added GROUP BYs are component-/size-domain sized"),
     ("media_phash_dct", "narrow mapInPandas decode+DCT; only (id, 8-byte fingerprint, popcount) rows reach an exchange"),
+    ("robust_daily_outliers", "the HL + Sn calendar-bounded pair joins; |keys|-row frames join back onto the daily frame"),
 ]
 
 
