@@ -963,10 +963,11 @@ def mahalanobis_outliers(
     Scale shape: ONE narrow projection (3 ints per row — the vector
     never shuffles), one map-side-combinable 10-statistic agg to a
     SINGLE broadcast row, one stateless per-row score pass, and a
-    TakeOrderedAndProject top-k. Higher-d deployments swap the
-    closed-form adjugate for a driver-side d×d solve broadcast the
-    same way (bounded d² collect) — the oracle-checked d=3 form keeps
-    both engines on one expression. Degenerate corpora (det ≤ 0, i.e.
+    TakeOrderedAndProject top-k. Higher-d deployments use
+    :func:`mahalanobis_outliers_d` (round 11): the same sufficient-
+    statistic discipline with a generated Cholesky in place of the
+    closed-form adjugate — oracle-checked at d=8 as
+    ``mahalanobis_outliers_d8``. Degenerate corpora (det ≤ 0, i.e.
     collinear dims) emit nothing on either engine.
     """
     q = [
