@@ -1749,6 +1749,23 @@ def robust_daily_outliers(
     sn = sn_scale_daily(df, key_col, ts_col, value_col).select(
         F.col(key_col).alias("__k"), F.col("sn_scale").alias("__sn")
     )
+    return robust_flag_finalize(daily, hl, sn, key_col, threshold)
+
+
+def robust_flag_finalize(
+    daily: DataFrame,
+    hl: DataFrame,
+    sn: DataFrame,
+    key_col: str,
+    threshold: float = 2.0,
+) -> DataFrame:
+    """The flag/report stage SHARED by the batch robust chart and its
+    streaming twin (the fano_finalize discipline — twin and oracle
+    cannot diverge): join (__k, __d, __y) daily totals onto the (__k,
+    __hl) / (__k, __sn) estimator frames, keep days failing the
+    CROSS-MULTIPLIED ``|y − HL| > threshold·Sn`` warning limit (no
+    division — Sn = 0 keys never flag), report the divided-once
+    rounded robust z."""
     j = daily.join(hl, "__k").join(sn, "__k")
     dev = F.col("__y").cast("double") - F.col("__hl")
     return (

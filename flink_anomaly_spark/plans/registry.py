@@ -121,14 +121,14 @@ WINDOW_DRAWN_AFTER_ROUND = 10
 #: displacements), then (d) the first 12 (of 15 drawn alphabetically;
 #: 3 later displaced by the session additions in (a)) of the 41 rows
 #: last green in round 6.
-#: After this window the oldest cohort is r6 (32 rows) — the PLANNED
+#: After this window the oldest cohort is r6 (33 rows) — the PLANNED
 #: ROUND-12 QUEUE, stalest-first, is the remaining r6 rows (including
-#: the six session displacements embedding_dim_stats,
+#: the seven session displacements embedding_dim_stats,
 #: equi_depth_histogram, gap_fill_forward_daily, embedding_covariance,
-#: embedding_ann_pq_lloyd, embedding_ann_pq):
-#: embedding_ann_pq, embedding_ann_pq_lloyd, embedding_covariance,
-#: embedding_dim_stats, equi_depth_histogram, gap_fill_forward_daily,
-#: hot_key_skew_report, incremental_mv_refresh, kmv_custkey_difference,
+#: embedding_ann_pq_lloyd, embedding_ann_pq, dsir_importance_weights):
+#: dsir_importance_weights, embedding_ann_pq, embedding_ann_pq_lloyd,
+#: embedding_covariance, embedding_dim_stats, equi_depth_histogram,
+#: gap_fill_forward_daily, hot_key_skew_report, incremental_mv_refresh, kmv_custkey_difference,
 #: kmv_custkey_overlap, kmv_distinct_users, langid_accuracy_by_lang,
 #: media_dhash_near_dup, media_resize_stats, minhash_estimate_accuracy,
 #: pii_redaction_stats, quality_logistic_score, semdedup_survivors,
@@ -148,14 +148,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # first-checks-outrank-re-confirms precedent; the three displaced
     # rows — embedding_dim_stats, equi_depth_histogram,
     # gap_fill_forward_daily, embedding_covariance,
-    # embedding_ann_pq_lloyd, embedding_ann_pq — join the round-12
-    # queue and stay covered by the local 3-SF hash gate)
+    # embedding_ann_pq_lloyd, embedding_ann_pq, dsir_importance_weights
+    # — join the round-12 queue and stay covered by the local 3-SF
+    # hash gate)
     "dw_autocorr_daily",
     "hodges_lehmann_daily",
     "neardup_component_size_histogram",
     "sn_scale_daily",
     "media_phash_dct",
     "robust_daily_outliers",
+    "streaming_robust_final",
     # ---- (b) plans CHANGED in round 11 (PLAN_MANIFEST diff)
     "kcore_neardup",
     "neardup_clustering_coeff",
@@ -200,7 +202,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "char_entropy",
     "countmin_top_terms",
     "cumulative_distinct_users",
-    "dsir_importance_weights",
 )
 # ROUND-10 window (historical; WINDOW_DRAWN_AFTER_ROUND was 9) —
 # all 50 green in CORRECTNESS_r10:

@@ -1034,3 +1034,85 @@ def q_streaming_fano_final(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").alias("__c"),
     )
     return fano_finalize(daily, out_key_col="event_type")
+
+
+@register(
+    "streaming_robust_final",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS k, date_trunc('day', ts) AS d,
+             CAST(FLOOR(sum(CAST(round(value*100) AS BIGINT)) / 100)
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    calib AS (SELECT * FROM daily WHERE d < TIMESTAMP '2024-01-08'),
+    hl AS (
+      SELECT k, CAST(median(s) AS DOUBLE) / 2.0 AS hl
+      FROM (
+        SELECT a.k, CAST(a.y + b.y AS BIGINT) AS s
+        FROM calib a JOIN calib b ON a.k = b.k AND a.d <= b.d
+      ) GROUP BY k
+    ),
+    sn AS (
+      SELECT k, round(1.1926 * CAST(median(im) AS DOUBLE), 6) + 0.0 AS sn
+      FROM (
+        SELECT a.k, a.d, CAST(median(abs(a.y - b.y)) AS DOUBLE) AS im
+        FROM calib a JOIN calib b ON a.k = b.k AND a.d <> b.d
+        GROUP BY a.k, a.d
+      ) GROUP BY k
+    )
+    SELECT daily.k AS event_type, daily.d AS day, daily.y AS day_total,
+           round((CAST(daily.y AS DOUBLE) - hl.hl) / sn.sn, 6) + 0.0 AS robust_z
+    FROM daily JOIN hl ON daily.k = hl.k JOIN sn ON daily.k = sn.k
+    WHERE daily.d >= TIMESTAMP '2024-01-08'
+      AND abs(CAST(daily.y AS DOUBLE) - hl.hl) > 2.0 * sn.sn
+    """,
+    doc="Streaming robust control chart — the live twin of "
+    "robust_daily_outliers, run the way robust monitoring is actually "
+    "deployed: HL location and Sn scale are FROZEN on the calibration "
+    "prefix (days before 2024-01-08, the conformal split convention) "
+    "and live days are flagged against them. The stateful stage is a "
+    "windowed cents SUM: ONE BIGINT per (key, open 1-day window) — "
+    "constant in event volume; NULL keys/values stream through (the "
+    "Benford pushdown lesson) and drop at finalize; EOS-sentinel "
+    "flush closes every real window. The finalize is the SHARED "
+    "robust_flag_finalize (cross-multiplied no-division flag), so "
+    "twin, batch operator, and oracle cannot diverge. The oracle "
+    "replays calibration estimators and post-split flags from raw "
+    "events.",
+)
+def q_streaming_robust_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_anomaly_spark.operators.anomaly import CONFORMAL_SPLIT_TS
+    from flink_anomaly_spark.operators.mining import (
+        hodges_lehmann_daily,
+        robust_flag_finalize,
+        sn_scale_daily,
+    )
+    from flink_anomaly_spark.streaming.pipelines import keyed_day_sum_stream
+    from flink_anomaly_spark.tables import load_table
+
+    work = tempfile.mkdtemp(prefix="eos_flush_")
+    events = stream_events_with_final_flush(spark, sf_dir, work)
+    sunk = run_to_memory(keyed_day_sum_stream(events, key_col="event_type"))
+    split = F.lit(CONFORMAL_SPLIT_TS).cast("timestamp")
+    daily = (
+        sunk.filter(F.col("key").isNotNull())
+        .filter(F.col("window_start") >= split)
+        .select(
+            F.col("key").alias("__k"),
+            F.col("window_start").alias("__d"),
+            F.expr("CAST(FLOOR(cents / 100) AS BIGINT)").alias("__y"),
+        )
+    )
+    calib = load_table(spark, sf_dir, "events").filter(F.col("ts") < split)
+    hl = hodges_lehmann_daily(calib, "event_type", "ts", "value").select(
+        F.col("event_type").alias("__k"), F.col("hl_location").alias("__hl")
+    )
+    sn = sn_scale_daily(calib, "event_type", "ts", "value").select(
+        F.col("event_type").alias("__k"), F.col("sn_scale").alias("__sn")
+    )
+    return robust_flag_finalize(daily, hl, sn, "event_type")

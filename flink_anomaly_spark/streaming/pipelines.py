@@ -894,3 +894,36 @@ def benford_digit_stream(
             "c",
         )
     )
+
+
+def keyed_day_sum_stream(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    duration: str = "1 day",
+) -> DataFrame:
+    """Streaming per-(key, window) integer-cents revenue total — the
+    live feed of the robust control chart (and any daily-total
+    statistic): a stateless cents projection, then a windowed sum whose
+    state is ONE BIGINT per (key, open window) — bounded by the key
+    domain times open windows, constant in event volume. NULL keys and
+    NULL values stream through un-filtered (the Benford no-pre-filter
+    lesson: a predicate would be pushed below the watermark and could
+    drop the EOS sentinel; ``sum`` skips NULL cents natively) and the
+    finalize drops them. Finalized cents feed
+    :func:`~flink_anomaly_spark.operators.mining.robust_flag_finalize`
+    batch-side against FROZEN calibration HL/Sn (the conformal
+    frozen-map pattern)."""
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    return (
+        events.select("ts", F.col(key_col).alias("key"), cents.alias("__c"))
+        .withWatermark("ts", "20 seconds")
+        .groupBy(F.window("ts", duration).alias("win"), "key")
+        .agg(F.sum("__c").cast("bigint").alias("cents"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "key",
+            "cents",
+        )
+    )

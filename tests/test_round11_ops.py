@@ -397,3 +397,47 @@ def test_robust_outliers_matches_numpy(spark, duck):
     for k, (y, rz) in want.items():
         assert got[k][0] == y
         assert got[k][1] == pytest.approx(rz, abs=1e-6), k
+
+
+def test_streaming_robust_equals_batch_split_replay(spark):
+    """The streaming twin must equal the batch replay of the same
+    frozen-calibration logic: HL/Sn on pre-split days, flags on
+    post-split days — built here from the same operators the twin
+    shares (robust_flag_finalize cannot diverge; this pins the
+    streaming windowed-sum path against the batch day-agg path)."""
+    from pyspark.sql import functions as F
+
+    from flink_anomaly_spark.operators.anomaly import CONFORMAL_SPLIT_TS
+    from flink_anomaly_spark.operators.mining import (
+        hodges_lehmann_daily,
+        robust_flag_finalize,
+        sn_scale_daily,
+    )
+    from flink_anomaly_spark.plans.registry import all_queries
+    from flink_anomaly_spark.tables import load_table
+
+    live = sorted(
+        map(tuple, all_queries()["streaming_robust_final"](spark, SF_SMOKE).collect())
+    )
+    events = load_table(spark, SF_SMOKE, "events")
+    split = F.lit(CONFORMAL_SPLIT_TS).cast("timestamp")
+    day = F.date_trunc("day", F.col("ts"))
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    daily = (
+        events.select(F.col("event_type").alias("__k"), day.alias("__d"),
+                      cents.alias("__c"))
+        .groupBy("__k", "__d")
+        .agg(F.expr("CAST(FLOOR(sum(__c) / 100) AS BIGINT)").alias("__y"))
+        .filter(F.col("__d") >= split)
+    )
+    calib = events.filter(F.col("ts") < split)
+    hl = hodges_lehmann_daily(calib, "event_type", "ts", "value").select(
+        F.col("event_type").alias("__k"), F.col("hl_location").alias("__hl")
+    )
+    sn = sn_scale_daily(calib, "event_type", "ts", "value").select(
+        F.col("event_type").alias("__k"), F.col("sn_scale").alias("__sn")
+    )
+    batch = sorted(
+        map(tuple, robust_flag_finalize(daily, hl, sn, "event_type").collect())
+    )
+    assert live == batch and len(live) > 0

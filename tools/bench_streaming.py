@@ -12,9 +12,12 @@ final batch materialization of the sink contents (noop write — no
 driver transfer).
 
 Output: the same ``{"sf", "queries": {...}}`` detail shape as
-``bench.py``, written to ``BENCH_STREAMING.json`` (or
-``$SPARK_GRAFT_BENCH_STREAMING_DETAIL``), so ``tools/bench_gate.py``
-gates streaming regressions exactly like batch ones:
+``bench.py``, written to the non-committed ``BENCH_STREAMING_run.json``
+(or ``$SPARK_GRAFT_BENCH_STREAMING_DETAIL``; the committed
+``BENCH_STREAMING.json`` is the judged BASELINE — re-baselining is an
+explicit act, the round-11 bench.py convention), so
+``tools/bench_gate.py`` gates streaming regressions exactly like
+batch ones:
 
     python tools/bench_streaming.py                       # run at SF_DIR
     python tools/bench_gate.py /tmp/fresh.json BENCH_STREAMING.json
@@ -80,7 +83,7 @@ def main() -> None:
         "SPARK_GRAFT_BENCH_STREAMING_DETAIL",
         os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "BENCH_STREAMING.json",
+            "BENCH_STREAMING_run.json",
         ),
     )
     try:
