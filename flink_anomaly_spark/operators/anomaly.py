@@ -1307,3 +1307,132 @@ def mahalanobis_d_oracle_sql(
     ORDER BY maha2 DESC, {id_col} ASC
     LIMIT {top_k}
     """
+
+
+def mahalanobis_dim_attribution(
+    df: DataFrame,
+    vec_col: str,
+    d: int = 8,
+    z: float = 3.0,
+) -> DataFrame:
+    """Per-dimension outlier ATTRIBUTION via the whitened coordinates —
+    the diagnostic that answers "WHICH dimensions drive the
+    multivariate outliers?": with ``y = L⁻¹·dx`` (the same forward
+    substitution :func:`mahalanobis_outliers_d` scores with),
+    ``Σ_rows y·yᵀ = n·I`` exactly — the whitened coordinates have unit
+    empirical variance and zero cross-correlation by construction — so
+    ``|y_i| > z`` is a calibrated per-dimension z-screen and the
+    counts decompose m² outliers dimension by dimension (a correlated
+    pair of raw dimensions shows up in ONE whitened direction, not
+    two).
+
+    Exactness: y values are the same engine-identical doubles as the
+    d8 scorer (bounded stats collect + fragment-order Cholesky +
+    literal injection); the flag is ONE comparison of exact doubles
+    (z is a literal); counts are integers. Emits exactly ``d`` rows
+    (dim, n_extreme, n_rows) — zero counts included.
+
+    Scale shape: one narrow d-int projection, the bounded stats
+    collect, a stateless substitution scan, ONE map-side-combinable
+    d-counter aggregate to a single row, unpivoted to d rows.
+    """
+    q = [
+        F.expr(
+            f"CAST(round(CAST(element_at({vec_col}, {i + 1}) AS DOUBLE)"
+            f" * {MAHA_SCALE}) AS BIGINT)"
+        ).alias(f"q{i}")
+        for i in range(d)
+    ]
+    rows = df.select(*q)
+    first, *rest = [
+        F.expr(e) for e in maha_sufficient_sql_d(tuple(f"q{i}" for i in range(d)))
+    ]
+    stats = rows.agg(first, *rest).collect()[0].asDict()
+    chol = maha_chol_values(stats, d)
+    if chol is None:
+        return df.sparkSession.createDataFrame(
+            [], "dim int, n_extreme bigint, n_rows bigint"
+        )
+    scored = rows
+    for i in range(d):
+        scored = scored.withColumn(
+            f"dx{i}",
+            F.expr(f"CAST({stats['n']}L * q{i} - {stats[f's{i}']}L AS DOUBLE)"),
+        )
+    for name, frag in maha_solve_fragments(d):
+        if name == "m2":
+            continue
+        for lname in sorted(chol, reverse=True):
+            if lname.startswith("l"):
+                frag = frag.replace(lname, _dlit(chol[lname]))
+        scored = scored.withColumn(name, F.expr(frag))
+    agg = scored.agg(
+        *[
+            F.sum(F.when(F.abs(F.col(f"y{i}")) > F.lit(z), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"e{i}")
+            for i in range(d)
+        ],
+        F.count("*").cast("bigint").alias("nr"),
+    )
+    stack = ", ".join(f"{i}, e{i}" for i in range(d))
+    return agg.selectExpr(
+        f"stack({d}, {stack}) AS (dim, n_extreme)", "nr AS n_rows"
+    ).select(F.col("dim").cast("int"), "n_extreme", "n_rows")
+
+
+def mahalanobis_dim_attribution_oracle_sql(
+    vec_col: str, table: str, d: int = 8, z: float = 3.0
+) -> str:
+    """DuckDB replay: the d8 oracle's Cholesky/solve CTE chain, then one
+    d-counter aggregate unioned into d rows."""
+    quant = [
+        f"CAST(round(CAST({vec_col}[{i + 1}] AS DOUBLE) * {MAHA_SCALE}) AS BIGINT)"
+        f" AS q{i}"
+        for i in range(d)
+    ]
+    stages = []
+    prev = "stats0"
+    for idx, (name, frag) in enumerate(maha_chol_fragments(d)):
+        cur = f"chol{idx}"
+        stages.append(f"{cur} AS MATERIALIZED (SELECT *, {frag} AS {name} FROM {prev})")
+        prev = cur
+    chol_sql = ",\n    ".join(stages)
+    solve_stages = []
+    sprev = "scored0"
+    for idx, (name, frag) in enumerate(maha_solve_fragments(d)):
+        if name == "m2":
+            continue
+        cur = f"solve{idx}"
+        solve_stages.append(
+            f"{cur} AS MATERIALIZED (SELECT *, {frag} AS {name} FROM {sprev})"
+        )
+        sprev = cur
+    solve_sql = ",\n    ".join(solve_stages)
+    dx = ",\n             ".join(
+        f"CAST(s.n*r.q{i} - s.s{i} AS DOUBLE) AS dx{i}" for i in range(d)
+    )
+    lcols = ", ".join(f"s.l{i}_{j}" for j in range(d) for i in range(j, d))
+    unions = "\n    UNION ALL ".join(
+        f"SELECT {i} AS dim, CAST(sum(CASE WHEN abs(y{i}) > {z!r} THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS n_extreme, CAST(count(*) AS BIGINT) AS n_rows FROM {sprev}"
+        for i in range(d)
+    )
+    return f"""
+    WITH rows_q AS (
+      SELECT {", ".join(quant)} FROM {table}
+    ),
+    stats0 AS (
+      SELECT {", ".join(maha_sufficient_sql_d(tuple(f"q{i}" for i in range(d))))}
+      FROM rows_q
+    ),
+    {chol_sql},
+    stats_ok AS (SELECT * FROM {prev} WHERE {maha_pivot_condition(d)}),
+    scored0 AS (
+      SELECT {dx},
+             {lcols}
+      FROM rows_q r CROSS JOIN stats_ok s
+    ),
+    {solve_sql}
+    {unions}
+    """

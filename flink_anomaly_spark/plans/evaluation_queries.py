@@ -1145,6 +1145,36 @@ def q_mahalanobis_outliers_d8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _maha_attr_oracle() -> str:
+    from flink_anomaly_spark.operators.anomaly import (
+        mahalanobis_dim_attribution_oracle_sql,
+    )
+
+    return mahalanobis_dim_attribution_oracle_sql("embedding", "embeddings", d=8)
+
+
+@register(
+    "maha_dim_attribution",
+    oracle=_maha_attr_oracle(),
+    doc="Per-dimension outlier attribution via the whitened "
+    "coordinates y = L^-1 dx of the d=8 Mahalanobis system: "
+    "sum_rows(y y') = n*I exactly, so |y_i| > 3 is a calibrated "
+    "per-dimension z-screen and the counts decompose the "
+    "multivariate outliers dimension by dimension (a correlated raw "
+    "pair shows up in ONE whitened direction). Same engine-identical "
+    "Cholesky machinery as mahalanobis_outliers_d8 (bounded stats "
+    "collect, fragment-order evaluation, literal injection); the "
+    "flag is one exact-double comparison, counts are integers; emits "
+    "exactly d rows including zero counts. One d-counter map-side "
+    "aggregate, unpivoted by stack().",
+)
+def q_maha_dim_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.anomaly import mahalanobis_dim_attribution
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mahalanobis_dim_attribution(emb, vec_col="embedding", d=8, z=3.0)
+
+
 # ---------------------------------------------------------------------------
 # Round 10 session 2: CCF, Kendall tau-b, SNM blocking quality
 # ---------------------------------------------------------------------------
@@ -1375,4 +1405,63 @@ def q_snm_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.lit(1.0) - cand.cast("double") / space.cast("double"), 6
         ).alias("reduction_ratio"),
+    )
+
+
+def _dedup_quality_shift_oracle() -> str:
+    from flink_anomaly_spark.plans.extensions import _PIPELINE_ORACLE
+    from flink_anomaly_spark.plans.quality_queries import _GOPHER_FLAGS_ORACLE
+
+    return f"""
+    WITH flags AS ({_GOPHER_FLAGS_ORACLE}),
+    surv AS ({_PIPELINE_ORACLE})
+    SELECT CASE WHEN s.doc_id IS NOT NULL THEN 'survivor' ELSE 'removed' END
+             AS cohort,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(f.keep) AS BIGINT) AS n_keep,
+           round(CAST(sum(f.keep) AS DOUBLE) / count(*), 6) AS keep_rate
+    FROM flags f LEFT JOIN surv s ON f.doc_id = s.doc_id
+    GROUP BY 1
+    """
+
+
+@register(
+    "dedup_quality_shift",
+    oracle=_dedup_quality_shift_oracle(),
+    doc="Does deduplication BIAS the corpus? Gopher keep-rate among "
+    "the composed dedup pipeline's survivors vs the removed docs — "
+    "the reconciliation report a curation pipeline publishes before "
+    "anyone trains on the survivors (near-dup families skew toward "
+    "boilerplate, so removal usually RAISES survivor quality; a drop "
+    "flags an aggressive blocker). Composes two independently "
+    "verified pipelines (the snm_blocking_quality / kappa precedent): "
+    "the oracle embeds the gopher-flags and dedup-survivor oracle "
+    "fragments as CTEs so neither rater can drift. 2-row output; the "
+    "only new shuffles are a doc_id semi-join marker and a 2-group "
+    "map-side agg.",
+)
+def q_dedup_quality_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from flink_anomaly_spark.operators.text import gopher_quality_flags
+    from flink_anomaly_spark.plans.extensions import q_dedup_pipeline
+
+    docs = load_table(spark, sf_dir, "documents")
+    flags = gopher_quality_flags(docs, id_col="doc_id", text_col="text").select(
+        "doc_id", "keep"
+    )
+    surv = q_dedup_pipeline(spark, sf_dir).withColumn("__s", F.lit(1))
+    cohort = F.when(F.col("__s").isNotNull(), F.lit("survivor")).otherwise(
+        F.lit("removed")
+    )
+    return (
+        flags.join(surv, "doc_id", "left")
+        .groupBy(cohort.alias("cohort"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("keep").cast("bigint").alias("n_keep"),
+            F.round(
+                F.sum("keep").cast("double") / F.count("*"), 6
+            ).alias("keep_rate"),
+        )
     )

@@ -121,11 +121,13 @@ WINDOW_DRAWN_AFTER_ROUND = 10
 #: displacements), then (d) the first 12 (of 15 drawn alphabetically;
 #: 3 later displaced by the session additions in (a)) of the 41 rows
 #: last green in round 6.
-#: After this window the oldest cohort is r6 (33 rows) — the PLANNED
+#: After this window the oldest cohort is r6 (35 rows) — the PLANNED
 #: ROUND-12 QUEUE, stalest-first, is the remaining r6 rows (including
-#: the seven session displacements embedding_dim_stats,
+#: the nine session displacements embedding_dim_stats,
 #: equi_depth_histogram, gap_fill_forward_daily, embedding_covariance,
-#: embedding_ann_pq_lloyd, embedding_ann_pq, dsir_importance_weights):
+#: embedding_ann_pq_lloyd, embedding_ann_pq, dsir_importance_weights,
+#: cumulative_distinct_users, countmin_top_terms):
+#: countmin_top_terms, cumulative_distinct_users,
 #: dsir_importance_weights, embedding_ann_pq, embedding_ann_pq_lloyd,
 #: embedding_covariance, embedding_dim_stats, equi_depth_histogram,
 #: gap_fill_forward_daily, hot_key_skew_report, incremental_mv_refresh, kmv_custkey_difference,
@@ -148,9 +150,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # first-checks-outrank-re-confirms precedent; the three displaced
     # rows — embedding_dim_stats, equi_depth_histogram,
     # gap_fill_forward_daily, embedding_covariance,
-    # embedding_ann_pq_lloyd, embedding_ann_pq, dsir_importance_weights
-    # — join the round-12 queue and stay covered by the local 3-SF
-    # hash gate)
+    # embedding_ann_pq_lloyd, embedding_ann_pq, dsir_importance_weights,
+    # cumulative_distinct_users, countmin_top_terms — join the round-12
+    # queue and stay covered by the local 3-SF hash gate)
     "dw_autocorr_daily",
     "hodges_lehmann_daily",
     "neardup_component_size_histogram",
@@ -158,6 +160,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "media_phash_dct",
     "robust_daily_outliers",
     "streaming_robust_final",
+    "maha_dim_attribution",
+    "dedup_quality_shift",
     # ---- (b) plans CHANGED in round 11 (PLAN_MANIFEST diff)
     "kcore_neardup",
     "neardup_clustering_coeff",
@@ -200,8 +204,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "bitmap_distinct_by_type",
     "bm25_topk",
     "char_entropy",
-    "countmin_top_terms",
-    "cumulative_distinct_users",
 )
 # ROUND-10 window (historical; WINDOW_DRAWN_AFTER_ROUND was 9) —
 # all 50 green in CORRECTNESS_r10:

@@ -441,3 +441,33 @@ def test_streaming_robust_equals_batch_split_replay(spark):
         map(tuple, robust_flag_finalize(daily, hl, sn, "event_type").collect())
     )
     assert live == batch and len(live) > 0
+
+
+def test_maha_dim_attribution_whitening_identity(spark, duck):
+    """The identity the screen is calibrated on: Σ_rows y·yᵀ = n·I —
+    per-dim sum of squared whitened coordinates equals the row count
+    (float tolerance), and the counts match a numpy recomputation."""
+    from flink_anomaly_spark.operators.anomaly import MAHA_SCALE
+    from flink_anomaly_spark.plans.registry import all_queries
+
+    got = {
+        r.dim: (r.n_extreme, r.n_rows)
+        for r in all_queries()["maha_dim_attribution"](spark, SF_SMOKE).collect()
+    }
+    raw = duck.execute("SELECT vec_id, embedding FROM embeddings ORDER BY vec_id").fetchall()
+    x = np.array(
+        [[round(float(v) * MAHA_SCALE) for v in r[1][:8]] for r in raw],
+        dtype=np.float64,
+    )
+    n = len(raw)
+    s = x.sum(axis=0)
+    C = n * (x.T @ x) - np.outer(s, s)
+    L = np.linalg.cholesky(C)
+    y = np.linalg.solve(L, (n * x - s).T).T  # (n, 8) whitened
+    ss = (y * y).sum(axis=0)
+    assert np.allclose(ss, n, rtol=1e-9), ss
+    want = (np.abs(y) > 3.0).sum(axis=0)
+    assert set(got) == set(range(8))
+    for dim, (ne, nr) in got.items():
+        assert nr == n
+        assert ne == want[dim], (dim, ne, int(want[dim]))

@@ -159,6 +159,8 @@ PROBE = [
     ("neardup_component_size_histogram", "the CC pipeline's exchanges; both added GROUP BYs are component-/size-domain sized"),
     ("media_phash_dct", "narrow mapInPandas decode+DCT; only (id, 8-byte fingerprint, popcount) rows reach an exchange"),
     ("robust_daily_outliers", "the HL + Sn calendar-bounded pair joins; |keys|-row frames join back onto the daily frame"),
+    ("maha_dim_attribution", "stateless literal-substitution scan; ONE d-counter map-side agg to a single row, stack()ed to d rows"),
+    ("dedup_quality_shift", "the dedup pipeline's own exchanges + a doc_id marker join + a 2-group map-side agg"),
 ]
 
 
