@@ -471,3 +471,20 @@ def test_maha_dim_attribution_whitening_identity(spark, duck):
     for dim, (ne, nr) in got.items():
         assert nr == n
         assert ne == want[dim], (dim, ne, int(want[dim]))
+
+
+def test_dedup_quality_shift_reconciles(spark, duck):
+    """The two cohorts must partition the corpus, and the survivor
+    cohort must equal the verified dedup pipeline's survivor count."""
+    from flink_anomaly_spark.plans.registry import all_queries
+
+    q = all_queries()
+    rows = {r.cohort: (r.n_docs, r.n_keep) for r in
+            q["dedup_quality_shift"](spark, SF_SMOKE).collect()}
+    n_docs = duck.execute("SELECT count(*) FROM documents").fetchone()[0]
+    assert set(rows) <= {"survivor", "removed"}
+    assert sum(n for n, _ in rows.values()) == n_docs
+    surv = q["dedup_pipeline_survivors"](spark, SF_SMOKE).count()
+    assert rows["survivor"][0] == surv
+    for n, k in rows.values():
+        assert 0 <= k <= n
