@@ -13,8 +13,11 @@ excluded but the full plan executes) and prints TWO JSON lines:
        complete inside a tail capture, so the driver's line-wise JSON
        parse finds a valid record whichever line it picks.
 
-The per-query map is also written to ``BENCH_DETAIL.json`` next to this
-file (``detail_file`` in the headline points at it).
+The per-query map is also written to the NON-COMMITTED
+``BENCH_DETAIL_run.json`` next to this file (``detail_file`` in the
+headline points at it); the committed ``BENCH_DETAIL.json`` is the
+judged baseline — re-baselining is an explicit
+``SPARK_GRAFT_BENCH_DETAIL=BENCH_DETAIL.json`` act (round 11).
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default all cores).
