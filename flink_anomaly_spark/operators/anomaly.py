@@ -1142,6 +1142,13 @@ def maha_chol_values(stats: dict[str, int], d: int) -> dict[str, float] | None:
     :func:`maha_pivot_condition`."""
     import math
 
+    # Empty corpus / all-NULL coordinates: n = 0 or NULL sums (round-11
+    # review finding: `0 * None` raised TypeError where the docstring
+    # promises an empty frame). Degenerate -> None, same as a failed
+    # pivot.
+    if not stats.get("n") or any(v is None for v in stats.values()):
+        return None
+
     v: dict[str, float] = {}
     n = stats["n"]
     for i in range(d):
@@ -1413,9 +1420,14 @@ def mahalanobis_dim_attribution_oracle_sql(
         f"CAST(s.n*r.q{i} - s.s{i} AS DOUBLE) AS dx{i}" for i in range(d)
     )
     lcols = ", ".join(f"s.l{i}_{j}" for j in range(d) for i in range(j, d))
+    # HAVING count(*) > 0: each branch is an ungrouped aggregate, which
+    # would emit one (dim, NULL, 0) row even over the EMPTY solved frame
+    # of a rank-deficient corpus — where the Spark side returns an empty
+    # frame (round-11 review finding). The guard makes both paths empty.
     unions = "\n    UNION ALL ".join(
         f"SELECT {i} AS dim, CAST(sum(CASE WHEN abs(y{i}) > {z!r} THEN 1 ELSE 0 END)"
         f" AS BIGINT) AS n_extreme, CAST(count(*) AS BIGINT) AS n_rows FROM {sprev}"
+        f" HAVING count(*) > 0"
         for i in range(d)
     )
     return f"""

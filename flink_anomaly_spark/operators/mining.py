@@ -1611,6 +1611,61 @@ def dw_autocorr_daily(
 # ---------------------------------------------------------------------------
 
 
+def _daily_units(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-key whole-unit daily totals (the shared FLOOR(cents/100)
+    convention): the (__k, __d, __y) frame the robust family — HL
+    location, Sn scale, the control chart, and the streaming twin's
+    calibration side — all consume. Extracted (round-11 review) so a
+    composed caller aggregates the corpus ONCE: the identical-looking
+    inline copies did NOT collapse at runtime (0 ReusedExchange, 5
+    parquet scans in the robust chart's executed plan)."""
+    day = F.date_trunc("day", F.col(ts_col))
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    return (
+        df.select(F.col(key_col).alias("__k"), day.alias("__d"), cents.alias("__c"))
+        .groupBy("__k", "__d")
+        .agg(F.expr("CAST(FLOOR(sum(__c) / 100) AS BIGINT)").alias("__y"))
+    )
+
+
+def hodges_lehmann_from_daily(daily: DataFrame) -> DataFrame:
+    """HL over a pre-built (__k, __d, __y) daily frame — returns
+    (__k, n_pairs, hl_location)."""
+    a = daily.select("__k", F.col("__d").alias("__da"), F.col("__y").alias("__ya"))
+    b = daily.select("__k", F.col("__d").alias("__db"), F.col("__y").alias("__yb"))
+    walsh = a.join(b, "__k").filter(F.col("__da") <= F.col("__db")).select(
+        "__k", (F.col("__ya") + F.col("__yb")).cast("bigint").alias("__s")
+    )
+    return walsh.groupBy("__k").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        (F.median("__s") / F.lit(2.0)).alias("hl_location"),
+    )
+
+
+def sn_scale_from_daily(daily: DataFrame) -> DataFrame:
+    """Sn over a pre-built (__k, __d, __y) daily frame — returns
+    (__k, n_days, sn_scale)."""
+    a = daily.select("__k", F.col("__d").alias("__da"), F.col("__y").alias("__ya"))
+    b = daily.select("__k", F.col("__d").alias("__db"), F.col("__y").alias("__yb"))
+    inner = (
+        a.join(b, "__k")
+        .filter(F.col("__da") != F.col("__db"))
+        .groupBy("__k", "__da")
+        .agg(F.median(F.abs(F.col("__ya") - F.col("__yb"))).alias("__im"))
+    )
+    return inner.groupBy("__k").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        (
+            F.round(F.lit(1.1926) * F.median("__im"), 6) + F.lit(0.0)
+        ).alias("sn_scale"),
+    )
+
+
 def hodges_lehmann_daily(
     df: DataFrame,
     key_col: str,
@@ -1633,21 +1688,8 @@ def hodges_lehmann_daily(
     Walsh pairs per key — the Theil-Sen/Mann-Kendall shape), so the
     pair space is a per-key constant, not corpus-proportional.
     """
-    day = F.date_trunc("day", F.col(ts_col))
-    cents = F.round(F.col(value_col) * 100).cast("bigint")
-    daily = (
-        df.select(F.col(key_col).alias("__k"), day.alias("__d"), cents.alias("__c"))
-        .groupBy("__k", "__d")
-        .agg(F.expr("CAST(FLOOR(sum(__c) / 100) AS BIGINT)").alias("__y"))
-    )
-    a = daily.select("__k", F.col("__d").alias("__da"), F.col("__y").alias("__ya"))
-    b = daily.select("__k", F.col("__d").alias("__db"), F.col("__y").alias("__yb"))
-    walsh = a.join(b, "__k").filter(F.col("__da") <= F.col("__db")).select(
-        "__k", (F.col("__ya") + F.col("__yb")).cast("bigint").alias("__s")
-    )
-    return walsh.groupBy("__k").agg(
-        F.count("*").cast("bigint").alias("n_pairs"),
-        (F.median("__s") / F.lit(2.0)).alias("hl_location"),
+    return hodges_lehmann_from_daily(
+        _daily_units(df, key_col, ts_col, value_col)
     ).select(F.col("__k").alias(key_col), "n_pairs", "hl_location")
 
 
@@ -1685,26 +1727,8 @@ def sn_scale_daily(
     (key, day)-grouped median, a |keys|-row median. Keys with < 2
     days are dropped on both engines (no j≠i partner).
     """
-    day = F.date_trunc("day", F.col(ts_col))
-    cents = F.round(F.col(value_col) * 100).cast("bigint")
-    daily = (
-        df.select(F.col(key_col).alias("__k"), day.alias("__d"), cents.alias("__c"))
-        .groupBy("__k", "__d")
-        .agg(F.expr("CAST(FLOOR(sum(__c) / 100) AS BIGINT)").alias("__y"))
-    )
-    a = daily.select("__k", F.col("__d").alias("__da"), F.col("__y").alias("__ya"))
-    b = daily.select("__k", F.col("__d").alias("__db"), F.col("__y").alias("__yb"))
-    inner = (
-        a.join(b, "__k")
-        .filter(F.col("__da") != F.col("__db"))
-        .groupBy("__k", "__da")
-        .agg(F.median(F.abs(F.col("__ya") - F.col("__yb"))).alias("__im"))
-    )
-    return inner.groupBy("__k").agg(
-        F.count("*").cast("bigint").alias("n_days"),
-        (
-            F.round(F.lit(1.1926) * F.median("__im"), 6) + F.lit(0.0)
-        ).alias("sn_scale"),
+    return sn_scale_from_daily(
+        _daily_units(df, key_col, ts_col, value_col)
     ).select(F.col("__k").alias(key_col), "n_days", "sn_scale")
 
 
@@ -1736,19 +1760,17 @@ def robust_daily_outliers(
     day-pair joins (calendar-bounded), then one |keys|-row join back
     onto the |key·days| daily frame.
     """
-    day = F.date_trunc("day", F.col(ts_col))
-    cents = F.round(F.col(value_col) * 100).cast("bigint")
-    daily = (
-        df.select(F.col(key_col).alias("__k"), day.alias("__d"), cents.alias("__c"))
-        .groupBy("__k", "__d")
-        .agg(F.expr("CAST(FLOOR(sum(__c) / 100) AS BIGINT)").alias("__y"))
+    from flink_anomaly_spark.operators.dedup import _persist
+
+    # ONE corpus scan + (key, day) aggregate feeds the chart, HL, and
+    # Sn (round-11 review: the three inline copies did not collapse —
+    # 0 ReusedExchange, 5 parquet scans in the executed plan; the
+    # persisted |keys·days|-row frame makes it 1 scan + cached reuse)
+    daily = _persist(_daily_units(df, key_col, ts_col, value_col))
+    hl = hodges_lehmann_from_daily(daily).select(
+        "__k", F.col("hl_location").alias("__hl")
     )
-    hl = hodges_lehmann_daily(df, key_col, ts_col, value_col).select(
-        F.col(key_col).alias("__k"), F.col("hl_location").alias("__hl")
-    )
-    sn = sn_scale_daily(df, key_col, ts_col, value_col).select(
-        F.col(key_col).alias("__k"), F.col("sn_scale").alias("__sn")
-    )
+    sn = sn_scale_from_daily(daily).select("__k", F.col("sn_scale").alias("__sn"))
     return robust_flag_finalize(daily, hl, sn, key_col, threshold)
 
 

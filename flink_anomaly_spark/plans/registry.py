@@ -108,19 +108,24 @@ _LOADED = False
 #: CORRECTNESS file never invalidates the test (round-7 ADVICE #1).
 WINDOW_DRAWN_AFTER_ROUND = 10
 
-#: ROUND-11 WINDOW (VERDICT r10 #4): (a) the queries NEW this round
-#: (pacf_daily — Durbin-Levinson over the shared ACF statistics;
-#: mahalanobis_outliers_d8 — the generated-Cholesky general-d path),
-#: (b) the plans CHANGED this round per the mechanical PLAN_MANIFEST
-#: fingerprint diff (kcore_neardup / neardup_clustering_coeff /
-#: pagerank_neardup — the forced |nodes|-frame broadcast hints came
-#: off per VERDICT r10 #3; acf_daily — its statistics pipeline was
-#: extracted into _acf_sufficient_stats, now shared with pacf_daily),
+#: ROUND-11 WINDOW (VERDICT r10 #4), FINAL composition: (a) the ELEVEN
+#: queries NEW this round (pacf_daily, mahalanobis_outliers_d8, then
+#: the session additions dw_autocorr_daily, hodges_lehmann_daily,
+#: neardup_component_size_histogram, sn_scale_daily, media_phash_dct,
+#: robust_daily_outliers, streaming_robust_final, maha_dim_attribution,
+#: dedup_quality_shift), (b) the plans CHANGED this round per the
+#: mechanical PLAN_MANIFEST fingerprint diff (kcore_neardup /
+#: neardup_clustering_coeff / pagerank_neardup — the forced
+#: |nodes|-frame broadcast hints came off per VERDICT r10 #3;
+#: acf_daily — its statistics pipeline was extracted into
+#: _acf_sufficient_stats, now shared with pacf_daily; later in the
+#: session the HL/Sn/robust/streaming-robust plans changed again via
+#: the shared _daily_units refactor — all four already hold slots),
 #: then (c) the PLANNED ROUND-11 QUEUE drawn in round 10: all 29
 #: remaining r5-green rows (24 enumerated + the 5 session-2
-#: displacements), then (d) the first 12 (of 15 drawn alphabetically;
-#: 3 later displaced by the session additions in (a)) of the 41 rows
-#: last green in round 6.
+#: displacements), then (d) the first SIX (of 15 drawn alphabetically;
+#: 9 were displaced one-per-new-query by the session additions in (a))
+#: of the 41 rows last green in round 6.
 #: After this window the oldest cohort is r6 (35 rows) — the PLANNED
 #: ROUND-12 QUEUE, stalest-first, is the remaining r6 rows (including
 #: the nine session displacements embedding_dim_stats,
@@ -145,9 +150,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # ---- (a) NEW round-11 queries (prove them on the driver immediately)
     "pacf_daily",
     "mahalanobis_outliers_d8",
-    # ---- (a continued) session additions: each displaces one r6-green
+    # ---- (a continued) session additions: each displaced one r6-green
     # re-confirm from the TAIL of section (d) (the established
-    # first-checks-outrank-re-confirms precedent; the three displaced
+    # first-checks-outrank-re-confirms precedent; the NINE displaced
     # rows — embedding_dim_stats, equi_depth_histogram,
     # gap_fill_forward_daily, embedding_covariance,
     # embedding_ann_pq_lloyd, embedding_ann_pq, dsir_importance_weights,
@@ -197,7 +202,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "semantic_decontamination",
     "stratified_sample_by_lang",
     "streaming_ohlc",
-    # ---- (d) stalest r6-green re-confirms (first 15 alphabetical)
+    # ---- (d) stalest r6-green re-confirms (first 6 alphabetical of the
+    # 15 drawn; the other 9 were displaced by (a) — list above)
     "ann_matryoshka_recall",
     "audio_pcm_stats",
     "audio_zcr_stats",

@@ -1087,10 +1087,12 @@ def q_streaming_robust_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from flink_anomaly_spark.operators.anomaly import CONFORMAL_SPLIT_TS
+    from flink_anomaly_spark.operators.dedup import _persist
     from flink_anomaly_spark.operators.mining import (
-        hodges_lehmann_daily,
+        _daily_units,
+        hodges_lehmann_from_daily,
         robust_flag_finalize,
-        sn_scale_daily,
+        sn_scale_from_daily,
     )
     from flink_anomaly_spark.streaming.pipelines import keyed_day_sum_stream
     from flink_anomaly_spark.tables import load_table
@@ -1109,10 +1111,12 @@ def q_streaming_robust_final(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     calib = load_table(spark, sf_dir, "events").filter(F.col("ts") < split)
-    hl = hodges_lehmann_daily(calib, "event_type", "ts", "value").select(
-        F.col("event_type").alias("__k"), F.col("hl_location").alias("__hl")
+    # one calibration scan + (key, day) agg feeds both frozen estimators
+    calib_daily = _persist(_daily_units(calib, "event_type", "ts", "value"))
+    hl = hodges_lehmann_from_daily(calib_daily).select(
+        "__k", F.col("hl_location").alias("__hl")
     )
-    sn = sn_scale_daily(calib, "event_type", "ts", "value").select(
-        F.col("event_type").alias("__k"), F.col("sn_scale").alias("__sn")
+    sn = sn_scale_from_daily(calib_daily).select(
+        "__k", F.col("sn_scale").alias("__sn")
     )
     return robust_flag_finalize(daily, hl, sn, "event_type")

@@ -488,3 +488,64 @@ def test_dedup_quality_shift_reconciles(spark, duck):
     assert rows["survivor"][0] == surv
     for n, k in rows.values():
         assert 0 <= k <= n
+
+
+def test_maha_empty_and_null_corpora(spark, duck):
+    """Round-11 review findings: an empty corpus (or all-NULL first-d
+    coordinates) must yield an empty frame on BOTH engines for both
+    maha queries — not a TypeError on the Spark side or d rows of
+    (dim, NULL, 0) from the oracle's ungrouped aggregates."""
+    from flink_anomaly_spark.operators.anomaly import (
+        maha_chol_values,
+        mahalanobis_dim_attribution,
+        mahalanobis_dim_attribution_oracle_sql,
+        mahalanobis_outliers_d,
+    )
+
+    assert maha_chol_values({"n": 0, "s0": None, "p0_0": None}, 1) is None
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    assert mahalanobis_outliers_d(empty, "vec_id", "embedding", d=3).count() == 0
+    assert mahalanobis_dim_attribution(empty, "embedding", d=3).count() == 0
+    nulls = spark.createDataFrame(
+        [(i, None) for i in range(5)], "vec_id bigint, embedding array<float>"
+    )
+    assert mahalanobis_outliers_d(nulls, "vec_id", "embedding", d=3).count() == 0
+    # oracle side: a collinear corpus must come back EMPTY, not d rows
+    duck.execute(
+        "CREATE OR REPLACE TEMP VIEW deg_emb AS "
+        "SELECT CAST(range AS BIGINT) AS vec_id, "
+        "[CAST(range % 7 AS FLOAT), CAST(range % 7 AS FLOAT), "
+        " CAST(range % 3 AS FLOAT)] AS embedding FROM range(40)"
+    )
+    rows = duck.execute(
+        mahalanobis_dim_attribution_oracle_sql("embedding", "deg_emb", d=3)
+    ).fetchall()
+    assert rows == []
+
+
+def test_fingerprints_ignore_runtime_cache_state():
+    """Round-11 review follow-up: the fingerprint ledger must be a pure
+    function of SOURCE, not of what ran earlier in the process — the
+    dedup persist registry grows as queries execute, and hashing it
+    made test_changed_plans_hold_window_slots order-dependent (the
+    whole-suite flake this round). A fingerprint computed with a dirty
+    registry must equal the fresh-process value."""
+    from flink_anomaly_spark.operators import dedup
+    from flink_anomaly_spark.streaming import pipelines
+    from tools.plan_fingerprints import query_fingerprint
+
+    before = query_fingerprint("dedup_clusters")
+    dedup._PERSISTED.append(object())  # simulate an in-flight cache entry
+    try:
+        assert query_fingerprint("dedup_clusters") == before
+    finally:
+        dedup._PERSISTED.pop()
+    # the streaming twin of the same bug: the state-metrics capture
+    # global is populated by every streaming run
+    before = query_fingerprint("streaming_window_count")
+    saved = pipelines.LAST_STATE_METRICS
+    pipelines.LAST_STATE_METRICS = [{"operator": "x", "max_rows_total": 1}]
+    try:
+        assert query_fingerprint("streaming_window_count") == before
+    finally:
+        pipelines.LAST_STATE_METRICS = saved

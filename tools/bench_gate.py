@@ -21,8 +21,9 @@ queries whose idle re-measurement sat at baseline. Median-based load
 factors (JVM + Python-worker classes) normalize UNIFORM load but
 cannot see a spike that hits one query's timed window. --recheck
 mechanizes the adjudication the round-10 judge performed by hand:
-re-time ONLY the flagged queries on this host (bench.py protocol —
-warm run, then best-of-2) and judge the re-measured time against the
+re-time ONLY the flagged queries on this host (batch: bench.py's warm
+run then best-of-2; streaming_*: cold min-of-2, matching each
+baseline's own protocol) and judge the re-measured time against the
 baseline directly. A regression that survives its own idle
 re-measurement is real; one that vanishes was weather. Exit code then
 reflects the SURVIVING set.
@@ -195,9 +196,14 @@ def compare(
 def recheck_regressions(
     regressions: list, base: dict[str, float], sf: object
 ) -> list:
-    """Re-time the flagged queries on this host with bench.py's warm +
-    best-of-2 protocol and keep only those still breaching vs baseline.
-    Runs at the SF directory matching the detail files' recorded sf."""
+    """Re-time the flagged queries on this host with the matching bench
+    protocol — bench.py's warm + best-of-2 for batch queries, but COLD
+    min-of-2 for streaming_* queries (BENCH_STREAMING baselines are
+    deliberately cold: the dominant cost IS the fixed micro-batch
+    machinery, which a warm run would hide and thereby clear real
+    streaming regressions as weather) — and keep only those still
+    breaching vs baseline. Runs at the SF directory matching the detail
+    files' recorded sf."""
     from flink_anomaly_spark.operators.dedup import release_cached
     from flink_anomaly_spark.plans.registry import all_queries
     from flink_anomaly_spark.session import get_spark
@@ -213,8 +219,9 @@ def recheck_regressions(
             continue
         import time as _time
 
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        release_cached()
+        if not name.startswith("streaming_"):
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            release_cached()
         best = float("inf")
         for _ in range(2):
             t0 = _time.perf_counter()

@@ -64,6 +64,20 @@ def _is_package_obj(obj) -> bool:
     return isinstance(mod, str) and mod.startswith(_PKG)
 
 
+#: Module-level names that are RUNTIME STATE, not plan configuration:
+#: they mutate as queries execute (e.g. the dedup persist registry grows
+#: with every _persist call), so hashing them makes a fingerprint depend
+#: on what ELSE ran in the process before it was computed — the ledger
+#: then reports phantom drift in any long-lived session (the round-11
+#: order-dependent test_changed_plans_hold_window_slots failure). Plan-
+#: shaping constants stay hashed; only execution-state registries are
+#: excluded.
+RUNTIME_STATE_NAMES = {
+    ("flink_anomaly_spark.operators.dedup", "_PERSISTED"),
+    ("flink_anomaly_spark.streaming.pipelines", "LAST_STATE_METRICS"),
+}
+
+
 def _const_repr(obj) -> str | None:
     """Deterministic repr for module-level constants worth hashing.
     Sets are ordered by repr (iteration order varies with PYTHONHASHSEED,
@@ -103,6 +117,7 @@ def _walk_code(code: types.CodeType, globalns: dict, seen: set, parts: list) -> 
             not name.startswith("__")
             and isinstance(modname, str)
             and modname.startswith(_PKG)
+            and (modname, name) not in RUNTIME_STATE_NAMES
         ):
             rep = _const_repr(obj)
             if rep is not None:
