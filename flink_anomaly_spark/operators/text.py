@@ -765,6 +765,124 @@ def unigram_logprob_quality(
     )
 
 
+#: stupid-backoff discount (Brants et al. 2007 use 0.4 throughout)
+BIGRAM_BACKOFF_ALPHA = 0.4
+
+#: bigrams below this corpus count are pruned from the model — the
+#: count-cutoff pruning Brants et al. apply to their n-gram tables.
+#: Without pruning, a model trained on the scored corpus itself would
+#: contain every bigram it scores and the backoff path would be dead.
+BIGRAM_MIN_COUNT = 3
+
+
+def bigram_logprob_quality(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = BIGRAM_MIN_COUNT,
+    alpha: float = BIGRAM_BACKOFF_ALPHA,
+) -> DataFrame:
+    """Bigram stupid-backoff LM quality scoring (Brants et al., EMNLP
+    2007, "Large Language Models in Machine Translation") — the order-2
+    step up from :func:`unigram_logprob_quality` for perplexity-style
+    corpus filtering: per document, the mean negative log2 score of
+    each token under a count-pruned bigram model with unigram backoff,
+    trained on the scored corpus itself.
+
+    Per position i (1-based) with tokens w:
+    - i = 1: unigram, ``log2(c(w1) / N)`` (sentence-start backoff);
+    - i > 1, bigram kept (corpus count >= ``min_count``):
+      ``log2(cb(w_{i-1}, w_i) / c(w_{i-1}))``;
+    - i > 1, bigram pruned: ``log2(alpha) + log2(c(w_i) / N)``.
+
+    Stupid backoff is a SCORE, not a probability (it doesn't normalize
+    — Brants et al. §3) which is exactly why it replays exactly in SQL:
+    no discount-mass bookkeeping, just counts and one constant.
+
+    Output: ``(id_col, n_tok, n_backoff, mean_neglog2p)`` — n_backoff
+    (exact BIGINT: positions that fell to the unigram path) anchors the
+    hash; the float mean rounds to 4 decimals, the same cross-engine
+    sum-association containment unigram_logprob_quality documents.
+    Empty/whitespace-only documents are excluded (no scorable token),
+    matching the unigram scorer.
+
+    Plan shape at 100 TB:
+    - the pairs frame is built ARRAY-SIDE per document (slice/zip via
+      ``transform(sequence(...))``) — no per-doc Window, no lag()
+      shuffle;
+    - bigram counts: one (w1, w2) shuffle with map-side partials,
+      pruned by ``min_count`` BEFORE the join back (the pruned table is
+      orders of magnitude smaller than the raw pair stream);
+    - the score join on (w1, w2) is hint-free: both sides are
+      corpus-derived, AQE broadcasts the pruned model while it fits
+      and shuffles past the threshold (the r12 no-forced-broadcast
+      rule);
+    - unigram counts and the 1-row total attach hint-free for the same
+      reason (vocab-class frames under DEPLOY.md's policy — AQE
+      broadcasts them in practice);
+    - the final per-doc agg reuses the doc_id grouping with map-side
+      partials. Floats appear only in reported values, never in join
+      or selection keys (the libm/selection-key rule).
+    """
+    base = spread(
+        df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
+    ).filter(F.size("toks") >= 1)
+    toks_pos = base.select("id", F.explode("toks").alias("w"))
+    uni = toks_pos.groupBy("w").agg(F.count("*").cast("bigint").alias("c"))
+    tot = uni.agg(F.sum("c").cast("bigint").alias("n_corpus"))
+    pairs = base.filter(F.size("toks") >= 2).select(
+        "id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"
+            )
+        ).alias("p"),
+    ).select("id", "p.w1", "p.w2")
+    bi = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("cb"))
+        .filter(F.col("cb") >= min_count)
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    lp = F.when(
+        F.col("cb").isNotNull(), F.log2("cb") - F.log2("c1")
+    ).otherwise(F.log2(F.lit(alpha)) + F.log2("c2") - F.log2("n_corpus"))
+    pagg = (
+        pairs.join(bi, ["w1", "w2"], "left")
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(tot)
+        .groupBy("id")
+        .agg(
+            F.sum(lp).alias("__slp"),
+            F.sum(F.col("cb").isNull().cast("bigint")).alias("n_backoff"),
+            F.count("*").cast("bigint").alias("__np"),
+        )
+    )
+    first = (
+        base.select("id", F.element_at("toks", 1).alias("w"))
+        .join(uni, "w")
+        .crossJoin(tot)
+        .select("id", (F.log2("c") - F.log2("n_corpus")).alias("__flp"))
+    )
+    n_tok = (F.coalesce(F.col("__np"), F.lit(0)) + 1).cast("bigint")
+    return (
+        first.join(pagg, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            n_tok.alias("n_tok"),
+            F.coalesce(F.col("n_backoff"), F.lit(0)).cast("bigint").alias("n_backoff"),
+            F.round(
+                -(F.col("__flp") + F.coalesce(F.col("__slp"), F.lit(0.0)))
+                / n_tok.cast("double"),
+                4,
+            ).alias("mean_neglog2p"),
+        )
+    )
+
+
 #: (name, pattern, replacement) — patterns restricted to the regex
 #: subset where Java (Spark) and RE2 (DuckDB) agree exactly: character
 #: classes, bounded repetition, \b word boundaries; no lookaround, no

@@ -143,9 +143,10 @@ def q_boilerplate_segment_removal(spark: SparkSession, sf_dir: str) -> DataFrame
     "checks over four tables, one (check_name, metric, passed) row per "
     "constraint. Plan: ONE single-pass aggregation per table computes "
     "all of that table's metrics map-side (partial agg -> 1-row "
-    "exchange), the referential check broadcasts the distinct dim keys "
-    "(the standard fact->dim containment pattern), and the per-table "
-    "rows are unioned. No full-table shuffle anywhere.",
+    "exchange), the referential check joins the distinct dim keys "
+    "hint-free (customer is SF-proportional — AQE broadcasts the "
+    "key list while it fits, shuffles past the threshold), and the "
+    "per-table rows are unioned.",
 )
 def q_data_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
@@ -197,7 +198,7 @@ def q_data_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r")
     ).select("r.*")
 
-    dim_keys = F.broadcast(customer.select("c_custkey").distinct())
+    dim_keys = customer.select("c_custkey").distinct()
     ref = orders.join(
         dim_keys, orders["o_custkey"] == dim_keys["c_custkey"], "left"
     )

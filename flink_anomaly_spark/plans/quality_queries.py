@@ -208,6 +208,66 @@ def q_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob_quality(docs, id_col="doc_id", text_col="text")
 
 
+@register(
+    "bigram_logprob_quality",
+    oracle=rf"""
+    WITH base AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents WHERE len({_TOKS}) >= 1
+    ), tk AS (
+      SELECT doc_id, unnest(toks) AS w FROM base
+    ), uni AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY w
+    ), tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n_corpus FROM uni
+    ), pidx AS (
+      SELECT doc_id, toks, unnest(range(2, len(toks) + 1)) AS i
+      FROM base WHERE len(toks) >= 2
+    ), pe AS (
+      SELECT doc_id, toks[i - 1] AS w1, toks[i] AS w2 FROM pidx
+    ), bi AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
+      FROM pe GROUP BY w1, w2 HAVING count(*) >= 3
+    ), ps AS (
+      SELECT pe.doc_id,
+             CASE WHEN bi.cb IS NOT NULL THEN log2(bi.cb) - log2(u1.c)
+                  ELSE log2(0.4) + log2(u2.c) - log2(n_corpus) END AS lp,
+             CASE WHEN bi.cb IS NULL THEN 1 ELSE 0 END AS bo
+      FROM pe
+      JOIN uni u1 ON pe.w1 = u1.w
+      JOIN uni u2 ON pe.w2 = u2.w
+      LEFT JOIN bi ON pe.w1 = bi.w1 AND pe.w2 = bi.w2
+      CROSS JOIN tot
+    ), pagg AS (
+      SELECT doc_id, sum(lp) AS slp, CAST(sum(bo) AS BIGINT) AS n_backoff,
+             CAST(count(*) AS BIGINT) AS np
+      FROM ps GROUP BY doc_id
+    ), first AS (
+      SELECT base.doc_id, log2(u.c) - log2(n_corpus) AS flp
+      FROM base JOIN uni u ON toks[1] = u.w CROSS JOIN tot
+    )
+    SELECT f.doc_id,
+           CAST(coalesce(p.np, 0) + 1 AS BIGINT) AS n_tok,
+           coalesce(p.n_backoff, 0) AS n_backoff,
+           round(-(f.flp + coalesce(p.slp, 0.0)) / (coalesce(p.np, 0) + 1), 4)
+             AS mean_neglog2p
+    FROM first f LEFT JOIN pagg p USING (doc_id)
+    """,
+    doc="Bigram stupid-backoff LM quality scoring (Brants et al. 2007): "
+    "per-doc mean -log2 score under a count-pruned (>= 3) bigram model "
+    "with alpha = 0.4 unigram backoff, trained on the scored corpus "
+    "itself — the order-2 step up from unigram_logprob_quality that "
+    "VERDICT r11 queued. n_backoff is the exact-integer hash anchor; "
+    "the float mean rounds to 4 (the unigram containment). Pairs build "
+    "array-side (no lag window); the pruned model joins back hint-free "
+    "(AQE-decided, per the r12 no-forced-broadcast rule).",
+)
+def q_bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_anomaly_spark.operators.text import bigram_logprob_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_logprob_quality(docs, id_col="doc_id", text_col="text")
+
+
 #: per-language keep rates (out of 1000) for the stratified rebalance:
 #: downsample the dominant language, keep the tail. Integer thresholds
 #: so both engines compare exact ints — no float-boundary hazard.

@@ -106,111 +106,118 @@ _LOADED = False
 #: ``WINDOW_DRAWN_AFTER_ROUND`` below, which the staleness contract
 #: test uses as its baseline cutoff so the in-flight round's own
 #: CORRECTNESS file never invalidates the test (round-7 ADVICE #1).
-WINDOW_DRAWN_AFTER_ROUND = 10
+WINDOW_DRAWN_AFTER_ROUND = 11
 
-#: ROUND-11 WINDOW (VERDICT r10 #4), FINAL composition: (a) the ELEVEN
-#: queries NEW this round (pacf_daily, mahalanobis_outliers_d8, then
-#: the session additions dw_autocorr_daily, hodges_lehmann_daily,
-#: neardup_component_size_histogram, sn_scale_daily, media_phash_dct,
-#: robust_daily_outliers, streaming_robust_final, maha_dim_attribution,
-#: dedup_quality_shift), (b) the plans CHANGED this round per the
-#: mechanical PLAN_MANIFEST fingerprint diff (kcore_neardup /
-#: neardup_clustering_coeff / pagerank_neardup — the forced
-#: |nodes|-frame broadcast hints came off per VERDICT r10 #3;
-#: acf_daily — its statistics pipeline was extracted into
-#: _acf_sufficient_stats, now shared with pacf_daily; later in the
-#: session the HL/Sn/robust/streaming-robust plans changed again via
-#: the shared _daily_units refactor — all four already hold slots),
-#: then (c) the PLANNED ROUND-11 QUEUE drawn in round 10: all 29
-#: remaining r5-green rows (24 enumerated + the 5 session-2
-#: displacements), then (d) the first SIX (of 15 drawn alphabetically;
-#: 9 were displaced one-per-new-query by the session additions in (a))
-#: of the 41 rows last green in round 6.
-#: After this window the oldest cohort is r6 (35 rows) — the PLANNED
-#: ROUND-12 QUEUE, stalest-first, is the remaining r6 rows (including
-#: the nine session displacements embedding_dim_stats,
-#: equi_depth_histogram, gap_fill_forward_daily, embedding_covariance,
-#: embedding_ann_pq_lloyd, embedding_ann_pq, dsir_importance_weights,
-#: cumulative_distinct_users, countmin_top_terms):
-#: countmin_top_terms, cumulative_distinct_users,
-#: dsir_importance_weights, embedding_ann_pq, embedding_ann_pq_lloyd,
-#: embedding_covariance, embedding_dim_stats, equi_depth_histogram,
-#: gap_fill_forward_daily, hot_key_skew_report, incremental_mv_refresh, kmv_custkey_difference,
-#: kmv_custkey_overlap, kmv_distinct_users, langid_accuracy_by_lang,
-#: media_dhash_near_dup, media_resize_stats, minhash_estimate_accuracy,
-#: pii_redaction_stats, quality_logistic_score, semdedup_survivors,
-#: streaming_interval_join_left_final, streaming_sliding_count_final,
-#: streaming_topk_per_window_final, streaming_two_level_agg_final,
-#: streaming_window_count_complete, synthetic_source_agg,
-#: time_range_moving_avg, token_count_histogram, variant_props_stats,
-#: video_frame_sample_stats, video_scene_cut_stats, winnowing_dup_pairs,
-#: winnowing_fingerprint_stats, winsorized_event_stats (plus any
-#: section-(d) rows displaced late this round).
+#: ROUND-12 WINDOW (VERDICT r11 tasks #1 and #3), drawn against
+#: CORRECTNESS_r01..r11: (a) the ONE query NEW this round
+#: (bigram_logprob_quality — the Brants et al. 2007 stupid-backoff
+#: bigram scorer VERDICT r11 queued as missing item #2), (b) the
+#: FOURTEEN plans CHANGED this round per the mechanical PLAN_MANIFEST
+#: fingerprint diff — the r12 forced-broadcast removal (VERDICT r11
+#: "What's wrong" #1): the twelve TPC-H queries whose part/supplier/
+#: partsupp-derived frames lost their F.broadcast hints, plus
+#: data_quality_suite (customer-key referential frame de-hinted) and
+#: streaming_dim_enrich (customer enrichment dim de-hinted) — all
+#: re-verified by the local 3-SF gate post-change and guarded by
+#: tests/test_round12_ops.py's package-wide allowlist, then (c) the
+#: PLANNED ROUND-12 QUEUE drawn in round 11: all 35 remaining r6-green
+#: rows. 1 + 14 + 35 = 50, zero spare slots.
+#: After this window the oldest cohort is r7 (48 rows) — the PLANNED
+#: ROUND-13 QUEUE, stalest-first (48 rows; the window holds 50, so
+#: round 13 has 2 spare slots for new/changed plans before any
+#: displacement): asof_last_signup, bpe_fertility_by_lang,
+#: bpe_learn_merges, clean_text_corpus, cross_join_grid,
+#: custkeys_except, custkeys_intersect, customers_with_orders_semi,
+#: customers_without_orders_anti, dedup_clusters, docs_by_lang_source,
+#: edit_distance_near_dup, embedding_ann_ivf, embedding_ann_ivfpq,
+#: embedding_ann_ivfpq_rerank, embedding_topk, exact_dedup,
+#: exact_percentiles, exact_substring_spans, filter_project,
+#: flagship_running_concat, full_outer_join, global_concat_single_key,
+#: hash_sample_10pct, hll_distinct_users, interval_event_pairs,
+#: langid_char_ngram, left_outer_join_nulls, map_upper,
+#: merge_upsert_customers, minhash_near_dup_pairs,
+#: normalized_exact_dedup, pivot_order_status, priority_sample_per_lang,
+#: revenue_by_nation, rrf_hybrid_retrieval, session_window_agg,
+#: sliding_window_agg, span_dedup_clean, streaming_cms_topk_final,
+#: streaming_hll_distinct_final, tfidf_top_terms, topk_orders,
+#: tpch_q18_big_orders, tpch_q3_sql, tpch_q6_forecast, union_bag,
+#: zscore_outliers.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # ---- (a) NEW round-11 queries (prove them on the driver immediately)
-    "pacf_daily",
-    "mahalanobis_outliers_d8",
-    # ---- (a continued) session additions: each displaced one r6-green
-    # re-confirm from the TAIL of section (d) (the established
-    # first-checks-outrank-re-confirms precedent; the NINE displaced
-    # rows — embedding_dim_stats, equi_depth_histogram,
-    # gap_fill_forward_daily, embedding_covariance,
-    # embedding_ann_pq_lloyd, embedding_ann_pq, dsir_importance_weights,
-    # cumulative_distinct_users, countmin_top_terms — join the round-12
-    # queue and stay covered by the local 3-SF hash gate)
-    "dw_autocorr_daily",
-    "hodges_lehmann_daily",
-    "neardup_component_size_histogram",
-    "sn_scale_daily",
-    "media_phash_dct",
-    "robust_daily_outliers",
-    "streaming_robust_final",
-    "maha_dim_attribution",
-    "dedup_quality_shift",
-    # ---- (b) plans CHANGED in round 11 (PLAN_MANIFEST diff)
-    "kcore_neardup",
-    "neardup_clustering_coeff",
-    "pagerank_neardup",
-    "acf_daily",
-    # ---- (c) the planned 29-row queue (all remaining r5-green rows)
-    "streaming_running_zscore",
-    "streaming_session_count_final",
-    "streaming_two_level_agg",
-    "streaming_window_argmax_final",
-    "streaming_window_count_update",
-    "string_date_functions",
-    "table_column_profile",
-    "topk_events_per_type",
-    "tpch_q10_returns",
-    "tpch_q11_important_parts",
-    "tpch_q12_priority_class",
-    "tpch_q13_cust_distribution",
+    # ---- (a) NEW round-12 query (prove it on the driver immediately)
+    "bigram_logprob_quality",
+    # ---- (b) plans CHANGED in round 12 (PLAN_MANIFEST diff): the
+    # forced-broadcast removal on SF-proportional frames
     "tpch_q14_promo",
     "tpch_q15_top_supplier",
     "tpch_q16_supplier_cnt",
     "tpch_q17_small_qty",
     "tpch_q19_disjunct",
     "tpch_q20_part_promotion",
-    "tpch_q22_dormant_customers",
-    "tpch_q4_late_orders",
-    "train_val_test_split",
-    "udtf_bigram_counts",
-    "unigram_logprob_quality",
-    "unpivot_lineitem_measures",
-    "salted_hot_key_join",
-    "scalar_functions",
-    "semantic_decontamination",
-    "stratified_sample_by_lang",
-    "streaming_ohlc",
-    # ---- (d) stalest r6-green re-confirms (first 6 alphabetical of the
-    # 15 drawn; the other 9 were displaced by (a) — list above)
-    "ann_matryoshka_recall",
-    "audio_pcm_stats",
-    "audio_zcr_stats",
-    "bitmap_distinct_by_type",
-    "bm25_topk",
-    "char_entropy",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q5_local_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q21_late_blame",
+    "data_quality_suite",
+    "streaming_dim_enrich",
+    # ---- (c) the planned 35-row queue (all remaining r6-green rows)
+    "countmin_top_terms",
+    "cumulative_distinct_users",
+    "dsir_importance_weights",
+    "embedding_ann_pq",
+    "embedding_ann_pq_lloyd",
+    "embedding_covariance",
+    "embedding_dim_stats",
+    "equi_depth_histogram",
+    "gap_fill_forward_daily",
+    "hot_key_skew_report",
+    "incremental_mv_refresh",
+    "kmv_custkey_difference",
+    "kmv_custkey_overlap",
+    "kmv_distinct_users",
+    "langid_accuracy_by_lang",
+    "media_dhash_near_dup",
+    "media_resize_stats",
+    "minhash_estimate_accuracy",
+    "pii_redaction_stats",
+    "quality_logistic_score",
+    "semdedup_survivors",
+    "streaming_interval_join_left_final",
+    "streaming_sliding_count_final",
+    "streaming_topk_per_window_final",
+    "streaming_two_level_agg_final",
+    "streaming_window_count_complete",
+    "synthetic_source_agg",
+    "time_range_moving_avg",
+    "token_count_histogram",
+    "variant_props_stats",
+    "video_frame_sample_stats",
+    "video_scene_cut_stats",
+    "winnowing_dup_pairs",
+    "winnowing_fingerprint_stats",
+    "winsorized_event_stats",
 )
+# ROUND-11 window (historical; WINDOW_DRAWN_AFTER_ROUND was 10) —
+# all 50 green in CORRECTNESS_r11: pacf_daily, mahalanobis_outliers_d8,
+#   dw_autocorr_daily, hodges_lehmann_daily,
+#   neardup_component_size_histogram, sn_scale_daily, media_phash_dct,
+#   robust_daily_outliers, streaming_robust_final, maha_dim_attribution,
+#   dedup_quality_shift, kcore_neardup, neardup_clustering_coeff,
+#   pagerank_neardup, acf_daily, streaming_running_zscore,
+#   streaming_session_count_final, streaming_two_level_agg,
+#   streaming_window_argmax_final, streaming_window_count_update,
+#   string_date_functions, table_column_profile, topk_events_per_type,
+#   tpch_q10_returns, tpch_q11_important_parts, tpch_q12_priority_class,
+#   tpch_q13_cust_distribution, tpch_q14_promo, tpch_q15_top_supplier,
+#   tpch_q16_supplier_cnt, tpch_q17_small_qty, tpch_q19_disjunct,
+#   tpch_q20_part_promotion, tpch_q22_dormant_customers,
+#   tpch_q4_late_orders, train_val_test_split, udtf_bigram_counts,
+#   unigram_logprob_quality, unpivot_lineitem_measures,
+#   salted_hot_key_join, scalar_functions, semantic_decontamination,
+#   stratified_sample_by_lang, streaming_ohlc, ann_matryoshka_recall,
+#   audio_pcm_stats, audio_zcr_stats, bitmap_distinct_by_type,
+#   bm25_topk, char_entropy.
 # ROUND-10 window (historical; WINDOW_DRAWN_AFTER_ROUND was 9) —
 # all 50 green in CORRECTNESS_r10:
 #   streaming_conformal_final, mahalanobis_outliers, spearman_corr_daily,

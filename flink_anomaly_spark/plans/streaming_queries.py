@@ -482,9 +482,10 @@ def q_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     HAVING date_trunc('day', e.ts) + INTERVAL 1 DAY
            <= (SELECT max(ts) - INTERVAL 20 SECONDS FROM events)
     """,
-    doc="Stream–static dimension enrichment: the event stream "
-    "broadcast-joins the bounded customer dim (no streaming state — "
-    "the static side is re-planned per micro-batch), then daily "
+    doc="Stream–static dimension enrichment: the event stream joins the "
+    "static customer dim hint-free (SF-proportional — the per-batch "
+    "planner broadcasts it while it fits; no streaming state either "
+    "way), then daily "
     "windowed count/sum per market segment under the 20 s watermark. "
     "Single-batch finalization oracle like streaming_window_count.",
 )

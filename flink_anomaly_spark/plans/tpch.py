@@ -922,9 +922,10 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
     """,
-    doc="TPC-H Q14 shape: month-filtered lineitem ⋈ broadcast part, "
-    "conditional aggregation ratio — a single map-side-combined agg, "
-    "no wide shuffle beyond the final 1-row reduce.",
+    doc="TPC-H Q14 shape: month-filtered lineitem ⋈ part (hint-free: "
+    "part is SF-proportional, so AQE broadcasts while it fits and "
+    "shuffles past the threshold), conditional aggregation ratio — a "
+    "single map-side-combined agg beyond the join.",
 )
 def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
@@ -934,7 +935,7 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
                 100.0
@@ -963,19 +964,20 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q17 shape (adapted: the synthetic part table has no "
     "p_container, so the filter is brand-only): the correlated "
     "avg-quantity subquery is decorrelated into a per-part pre-agg "
-    "broadcast-joined back — the standard Catalyst rewrite. The avg "
+    "joined back (hint-free: the pre-agg is part-cardinality, so the "
+    "join strategy is AQE-decided). The avg "
     "threshold is exact on both engines (integer-valued quantities sum "
     "exactly in doubles), so the comparison cannot flip.",
 )
 def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#9")
-    li_brand = li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+    li_brand = li.join(part.select("p_partkey"), li.l_partkey == F.col("p_partkey"))
     thr = li_brand.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
         (0.2 * F.avg("l_quantity")).alias("thr")
     )
     return (
-        li_brand.join(F.broadcast(thr), F.col("l_partkey") == F.col("t_partkey"))
+        li_brand.join(thr, F.col("l_partkey") == F.col("t_partkey"))
         .filter(F.col("l_quantity") < F.col("thr"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
@@ -999,12 +1001,13 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     "missing container column): an OR of conjunctive predicates "
     "spanning both join sides. Catalyst extracts the common "
     "l_quantity <= 30 / p-side disjunction bounds as pushable filters "
-    "before the broadcast join; the full disjunction evaluates post-join.",
+    "before the part join (strategy AQE-decided — part grows with SF); "
+    "the full disjunction evaluates post-join.",
 )
 def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    j = li.join(part, F.col("p_partkey") == F.col("l_partkey"))
     pred = (
         ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 11))
         | ((F.col("p_brand") == "Brand#9") & F.col("p_size").between(10, 25) & F.col("l_quantity").between(10, 20))
@@ -1075,11 +1078,12 @@ def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY n_name
     """,
     doc="TPC-H Q5: the classic local-supplier-volume snowflake. "
-    "supplier/nation/region broadcast (tiny dims); lineitem⋈orders and "
-    "orders⋈customer are the only shuffles, both on their natural keys. "
+    "nation/region broadcast (25/5 rows at any SF); supplier is "
+    "SF-proportional so its join is hint-free (AQE-decided); "
+    "lineitem⋈orders and orders⋈customer shuffle on their natural keys. "
     "The same-nation constraint (c_nationkey = s_nationkey) rides the "
     "supplier join condition instead of a post-join filter, so the "
-    "broadcast hash join drops non-local rows immediately.",
+    "join drops non-local rows immediately.",
 )
 def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -1098,7 +1102,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(supp),
+            supp,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -1137,9 +1141,9 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H Q7: nation-pair trade volume by ship year. The nation "
     "dim is joined twice under different roles (supplier side / "
-    "customer side) — both broadcasts — and the disjunctive pair "
-    "filter evaluates after both are attached. Only two shuffles "
-    "(lineitem⋈orders, orders⋈customer) regardless of fact size.",
+    "customer side) — both broadcast (25 rows at any SF) — and the "
+    "disjunctive pair filter evaluates after both are attached. The "
+    "supplier join is hint-free (SF-proportional, AQE-decided).",
 )
 def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -1159,7 +1163,7 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
@@ -1201,8 +1205,10 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     "table, so the part filter is p_type). Market share of NATION_1 "
     "suppliers in AMERICA-region ECONOMY sales per order year. The "
     "nation dim joins twice (customer region membership / supplier "
-    "nationality); part filter broadcasts as a semi-reduction before "
-    "the fact join; conditional-sum ratio needs no second pass.",
+    "nationality); the filtered part key-list semi-reduces lineitem "
+    "before the fact join (hint-free — part/supplier are "
+    "SF-proportional, AQE picks the strategy); conditional-sum ratio "
+    "needs no second pass.",
 )
 def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
@@ -1218,11 +1224,11 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation"))
     volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part.select("p_partkey"), F.col("l_partkey") == F.col("p_partkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(america_nations), F.col("c_nationkey") == F.col("cn_key"), "left_semi")
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sn_key"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -1345,7 +1351,8 @@ def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H Q15: top supplier by quarterly revenue. The revenue "
     "view aggregates once (|suppliers| rows); the scalar max is a "
-    "1-row broadcast joined back — no second scan of lineitem, no "
+    "1-row broadcast joined back (supplier attaches hint-free) — no "
+    "second scan of lineitem, no "
     "global sort. Revenue is rounded BEFORE the equality compare on "
     "both engines so summation-order ulp drift cannot flip the winner.",
 )
@@ -1363,7 +1370,7 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
-        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -1512,7 +1519,7 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return (
-        blame.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        blame.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
@@ -1600,8 +1607,9 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sum, so equality matches bit-for-bit. The emitted cost is the raw "
     "double, NOT rounded: per-row IEEE division is bit-identical on "
     "both engines, while decimal rounding of a tie like 2549.81375 is "
-    "not (observed at sf0.1). supplier/nation/region and the filtered part list are "
-    "broadcast; the only large shuffle is the lineitem "
+    "not (observed at sf0.1). nation/region broadcast; the filtered "
+    "part list and the region-supplier frame attach hint-free "
+    "(SF-proportional); the only large shuffle is the lineitem "
     "(partkey, suppkey) pre-agg, which runs map-side partial first.",
 )
 def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1623,8 +1631,8 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_acctbal", "s_name", "n_name")
     )
     eligible = costs.join(
-        F.broadcast(region_supp), costs.l_suppkey == F.col("s_suppkey")
-    ).join(F.broadcast(wanted), costs.l_partkey == F.col("p_partkey"))
+        region_supp, costs.l_suppkey == F.col("s_suppkey")
+    ).join(wanted, costs.l_partkey == F.col("p_partkey"))
     best = eligible.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
         F.min("unit_cost").alias("min_cost")
     )
@@ -1667,7 +1675,8 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "as 0.6 x p_retailprice instead of ps_supplycost; the spec's "
     "'%red%' part-name filter is kept verbatim — the synthetic "
     "p_name is '<adjective> <noun>'). Profit per supplier nation per "
-    "order year. part (filtered ~1/8), supplier, and nation broadcast; "
+    "order year. nation broadcasts; part (filtered ~1/8) and supplier "
+    "attach hint-free (SF-proportional, AQE-decided); "
     "the lineitem-orders join is the one fact-fact shuffle, on "
     "orderkey, and the final agg carries |nations| x |years| groups.",
 )
@@ -1685,8 +1694,8 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice"
     ) * F.col("l_quantity")
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
         .groupBy(
@@ -1718,8 +1727,10 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     "DISTINCT (l_partkey, l_suppkey) from lineitem instead of the "
     "missing partsupp, and 'Customer Complaints' suppliers are proxied "
     "by s_acctbal < 0). NOT IN over a non-nullable key column compiles "
-    "to a broadcast anti join (no null-check penalty: s_suppkey and "
-    "l_suppkey are non-null by construction); part filters broadcast; "
+    "to an anti join (no null-check penalty: s_suppkey and "
+    "l_suppkey are non-null by construction; strategy AQE-decided — "
+    "the bad-supplier list is supplier-cardinality); part attaches "
+    "hint-free; "
     "the distinct and the count-distinct agg reuse the same "
     "(partkey, suppkey) shuffle partitioning.",
 )
@@ -1737,8 +1748,8 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ps = li.select("l_partkey", "l_suppkey").distinct()
     return (
-        ps.join(F.broadcast(bad_supp), ps.l_suppkey == F.col("s_suppkey"), "left_anti")
-        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        ps.join(bad_supp, ps.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -1783,10 +1794,10 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cutoff degenerates as per-supplier shares concentrate toward the "
     "calendar mean at higher SF) and compared via cross-multiplication "
     "of exact integral-double sums, so no division ulp on either "
-    "engine. The part filter "
-    "broadcasts into the lineitem scan; one agg shuffle on l_suppkey "
-    "(map-side partials), then the tiny survivor list broadcasts to "
-    "supplier⋈nation.",
+    "engine. The part key-list semi-reduces the lineitem scan "
+    "(hint-free); one agg shuffle on l_suppkey (map-side partials), "
+    "then the survivor list (supplier-cardinality worst case) joins "
+    "supplier⋈nation hint-free.",
 )
 def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -1801,7 +1812,7 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")
     )
     shipped = (
-        li.join(F.broadcast(target), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(target, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("l_suppkey")
         .agg(
             F.sum(F.when(in_1996, F.col("l_quantity")).otherwise(0.0)).alias("qty_1996"),
@@ -1817,7 +1828,7 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_suppkey")
     )
     return (
-        supp.join(F.broadcast(excess), supp.s_suppkey == F.col("l_suppkey"))
+        supp.join(excess, supp.s_suppkey == F.col("l_suppkey"))
         .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
         .select("s_name", "n_name")
     )

@@ -755,15 +755,15 @@ def ohlc_stream(
 
 def dim_enriched_count_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
     """Stream–static enrichment join: the unbounded event stream joins a
-    bounded dimension (broadcast — re-planned per micro-batch, no state
-    store involvement), then aggregates per dimension attribute under
-    the usual 20 s watermark. The canonical "enrich clickstream with
-    user profile" shape; at scale the static side stays a broadcast as
-    long as the dim fits an executor, else Spark plans a shuffled join
-    per micro-batch.
+    static dimension (hint-free — the customer dim is SF-proportional,
+    so the per-micro-batch planner broadcasts it while its file-size
+    estimate fits the threshold and shuffles past it; no state store
+    involvement either way), then aggregates per dimension attribute
+    under the usual 20 s watermark. The canonical "enrich clickstream
+    with user profile" shape.
     """
     enriched = events.withWatermark("ts", "20 seconds").join(
-        F.broadcast(dim), events.user_id == dim.c_custkey
+        dim, events.user_id == dim.c_custkey
     )
     return (
         enriched.groupBy(F.window("ts", "1 day").alias("win"), "c_mktsegment")

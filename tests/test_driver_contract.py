@@ -63,10 +63,23 @@ def test_driver_window_is_first_50():
     # companion test test_changed_plans_hold_window_slots enforces the
     # set mechanically; this names the known members for readability)
     changed_this_round = {
-        "kcore_neardup",
-        "neardup_clustering_coeff",
-        "pagerank_neardup",
-        "acf_daily",
+        # round 12: the forced-broadcast removal on SF-proportional
+        # frames (VERDICT r11 #1) touched 12 TPC-H plans plus the
+        # governance referential check and the streaming enrichment
+        "tpch_q14_promo",
+        "tpch_q15_top_supplier",
+        "tpch_q16_supplier_cnt",
+        "tpch_q17_small_qty",
+        "tpch_q19_disjunct",
+        "tpch_q20_part_promotion",
+        "tpch_q2_min_cost_supplier",
+        "tpch_q5_local_supplier",
+        "tpch_q7_volume_shipping",
+        "tpch_q8_market_share",
+        "tpch_q9_product_profit",
+        "tpch_q21_late_blame",
+        "data_quality_suite",
+        "streaming_dim_enrich",
     }
     assert changed_this_round <= set(qs[:50])
     # stalest-first refill invariant, threshold-free: every filler must

@@ -194,16 +194,40 @@ def compare(
 
 
 def recheck_regressions(
-    regressions: list, base: dict[str, float], sf: object
+    regressions: list,
+    base: dict[str, float],
+    sf: object,
+    py_queries: set[str] | None = None,
 ) -> list:
     """Re-time the flagged queries on this host with the matching bench
-    protocol — bench.py's warm + best-of-2 for batch queries, but COLD
-    min-of-2 for streaming_* queries (BENCH_STREAMING baselines are
-    deliberately cold: the dominant cost IS the fixed micro-batch
-    machinery, which a warm run would hide and thereby clear real
-    streaming regressions as weather) — and keep only those still
-    breaching vs baseline. Runs at the SF directory matching the detail
-    files' recorded sf."""
+    protocol and keep only those still breaching vs baseline.
+
+    Round-12 (VERDICT r11 #2): the round-11 recheck was COLDER than the
+    baseline's own protocol — the committed per-query baselines come
+    from a full bench.py run where each query is timed after ~240
+    predecessors have warmed the JVM/code cache/page cache, while the
+    old recheck re-timed flagged queries in a fresh session. Measured
+    consequence: it "confirmed" 7/8 driver flags that a full idle
+    bench.py run cleared outright (one query re-measured WORSE than the
+    flagged time). The recheck therefore now replays the baseline
+    protocol's thermal state per class:
+
+    - ``streaming_*`` queries re-time FIRST, cold min-of-2 — the
+      BENCH_STREAMING baselines are deliberately cold (the dominant
+      cost IS the fixed micro-batch machinery, which warmth would hide
+      and thereby clear real streaming regressions as weather);
+    - then the session is WARMED by one discarded pass over the
+      CALIBRATION + CALIBRATION_PY sets, and a second TIMED calibration
+      pass estimates this session's residual JVM / Python-worker speed
+      vs baseline (median ratio, same clamps as the main gate);
+    - batch flagged queries then re-time warm (1 discarded + best-of-2)
+      and are judged on the calibration-NORMALIZED best, so an honest
+      still-slower-than-baseline recheck host cannot manufacture
+      confirmations.
+
+    Runs at the SF directory matching the detail files' recorded sf."""
+    import time as _time
+
     from flink_anomaly_spark.operators.dedup import release_cached
     from flink_anomaly_spark.plans.registry import all_queries
     from flink_anomaly_spark.session import get_spark
@@ -211,30 +235,70 @@ def recheck_regressions(
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", f"/root/testdata/sf{sf}")
     spark = get_spark("bench-gate-recheck")
     builders = all_queries()
-    survivors = []
-    for name, b, t, _ta in regressions:
-        fn = builders.get(name)
-        if fn is None:
-            survivors.append((name, b, t, t))
-            continue
-        import time as _time
 
-        if not name.startswith("streaming_"):
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            release_cached()
-        best = float("inf")
-        for _ in range(2):
-            t0 = _time.perf_counter()
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            best = min(best, _time.perf_counter() - t0)
-            release_cached()
-        still = best > b * RATIO and best > b + ABS_SLACK
+    def run(name):
+        builders[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        release_cached()
+
+    def timed(name):
+        t0 = _time.perf_counter()
+        run(name)
+        return _time.perf_counter() - t0
+
+    survivors = []
+    streaming = [r for r in regressions if r[0].startswith("streaming_")]
+    batch = [r for r in regressions if not r[0].startswith("streaming_")]
+
+    def judge(name, b, t, best, factor, note):
+        adj = best / factor
+        still = adj > b * RATIO and adj > b + ABS_SLACK
         print(
-            f"recheck {name}: flagged {t:.3f}s, re-measured {best:.3f}s vs "
-            f"baseline {b:.3f}s -> {'STILL REGRESSED' if still else 'cleared (weather)'}"
+            f"recheck {name}: flagged {t:.3f}s, re-measured {best:.3f}s "
+            f"({adj:.3f}s normalized{note}) vs baseline {b:.3f}s -> "
+            f"{'STILL REGRESSED' if still else 'cleared (weather)'}"
         )
         if still:
-            survivors.append((name, b, t, best))
+            survivors.append((name, b, t, adj))
+
+    # 1. streaming: cold min-of-2, unnormalized (their baselines are
+    # cold too, and micro-batch machinery cost is JVM-load-insensitive
+    # relative to its fixed floor)
+    for name, b, t, _ta in streaming:
+        if name not in builders:
+            survivors.append((name, b, t, t))
+            continue
+        best = min(timed(name) for _ in range(2))
+        judge(name, b, t, best, 1.0, "")
+
+    if not batch:
+        return survivors
+
+    # 2. warm the session the way a full bench.py run would have, then
+    # estimate this session's residual speed vs baseline per class
+    cal_names = [n for n in CALIBRATION + CALIBRATION_PY if n in builders]
+    for n in cal_names:
+        if base.get(n):
+            run(n)  # discarded warm-up pass
+    cal_fresh = {n: timed(n) for n in cal_names if base.get(n)}
+    jvm_f = _median_factor(cal_fresh, base, CALIBRATION, LOAD_FACTOR_CLAMP) or 1.0
+    py_f = _median_factor(cal_fresh, base, CALIBRATION_PY, PY_LOAD_FACTOR_CLAMP)
+    print(
+        f"recheck session factors after warm-up: JVM {jvm_f:.2f}x"
+        + (f", Python-worker {py_f:.2f}x" if py_f is not None else "")
+    )
+
+    # 3. batch flagged queries: warm best-of-2, judged normalized
+    for name, b, t, _ta in batch:
+        if name not in builders:
+            survivors.append((name, b, t, t))
+            continue
+        run(name)  # discarded warm-up of the query itself
+        best = min(timed(name) for _ in range(2))
+        f = jvm_f
+        note = f" /{jvm_f:.2f}"
+        if py_f is not None and py_queries is not None and name in py_queries:
+            f, note = py_f, f" /{py_f:.2f} py"
+        judge(name, b, t, best, f, note)
     return survivors
 
 
@@ -271,7 +335,8 @@ def main() -> int:
             f"baseline sf={base.get('sf')}) — only same-SF runs are comparable"
         )
         return 2
-    r = compare(fresh["queries"], base["queries"], python_backed_queries())
+    py_queries = python_backed_queries()
+    r = compare(fresh["queries"], base["queries"], py_queries)
     print(f"machine load factor (median fresh/base): {r['load_factor']:.2f}x")
     if r.get("py_load_factor") is not None:
         print(f"python-worker load factor: {r['py_load_factor']:.2f}x")
@@ -289,7 +354,9 @@ def main() -> int:
     regressions = r["regressions"]
     if do_recheck and regressions:
         print(f"\nre-measuring {len(regressions)} flagged queries on this host ...")
-        regressions = recheck_regressions(regressions, base["queries"], base.get("sf"))
+        regressions = recheck_regressions(
+            regressions, base["queries"], base.get("sf"), py_queries
+        )
     n = len(regressions)
     print(
         f"\n{'OK' if n == 0 else f'{n} REGRESSIONS'} "

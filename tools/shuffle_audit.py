@@ -84,6 +84,7 @@ PROBE = [
     # round-4 operators
     ("semantic_decontamination", "corpus x eval equi-join on the LSH bucket; eval side broadcast (benchmarks are small)"),
     ("unigram_logprob_quality", "(doc_id, token) pair exchange + vocab join + two-phase rank; no single-partition window over the corpus"),
+    ("bigram_logprob_quality", "(w1,w2) pair-count exchange + pruned-model join-back (AQE-decided side) + per-doc agg; pairs built array-side, no lag window"),
     # round-6 session-2 operators
     ("hll_distinct_users", "bucket groupBy-max partials (<=256 rows/task); sketch state constant in data"),
     ("countmin_top_terms", "token stream collapses map-side to vocab; 3x16 cell table + TakeOrdered top terms"),
