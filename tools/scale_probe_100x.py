@@ -189,6 +189,14 @@ PROBE = [
     # threshold; the per-iteration exchanges are the edge list + the
     # node-sized degree/keep frames, flat B/row either way).
     ("pagerank_neardup", "documents"),
+    # round-12: the bigram stupid-backoff scorer. Replica-suffixed
+    # tokens make BOTH model sides grow xn (unigram vocab and the
+    # count-pruned bigram table — its worst case, like the BPE/unigram
+    # trainer rows); the (w1,w2) pair stream is corpus-linear; the
+    # pruned-model join-back is hint-free, so past the broadcast
+    # threshold its model side crosses the exchange once (the
+    # edit_distance one-time-transition class, bounded B/row).
+    ("bigram_logprob_quality", "documents"),
 ]
 
 _KEY_SHIFT = {

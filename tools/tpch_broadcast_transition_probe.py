@@ -9,10 +9,11 @@ broadcast side outgrows the session's 64 MB
 removal exists for. This probe manufactures that regime and records
 the transition the way the edit_distance precedent did:
 
-- ``part`` and ``supplier`` replicate xP (default 400 — sf0.1's
-  part.parquet is ~176 KB on disk, so x400 pushes its static size
-  estimate past 64 MB; ~8M rows);
-- ``lineitem`` / ``orders`` replicate xL (default 20) with matching
+- ``part`` and ``supplier`` replicate xP (replicated part compresses
+  to ~100 KB/1k-replicas on disk and column pruning shrinks the
+  estimate further, so the threshold crossing needs x2000+ — measured,
+  not assumed: x400 re-compressed to 40 MB and still broadcast);
+- ``lineitem`` / ``orders`` replicate xL with matching
   l_orderkey/o_orderkey shifts, and every lineitem row is REMAPPED to
   a deterministic part/supplier replica
   (``key + pmod(xxhash64(orderkey, linenumber), P) * 1e8``) so the
@@ -25,17 +26,24 @@ the transition the way the edit_distance precedent did:
   STRATEGY nodes of the FINAL adaptive plan (executedPlan() AFTER the
   action: AQE mutates the cached AdaptiveSparkPlan to its final form).
 
-Pass = the base plan broadcasts part/supplier (BroadcastHashJoin),
-the scaled plan joins them with a shuffle strategy
-(SortMergeJoin/ShuffledHashJoin) WITHOUT a code change, and scaled
-B/lineitem-row stays bounded (the dim side crosses the exchange once —
-linear, not super-linear). A forced hint would instead have built an
-~8M-row broadcast table on every executor: the OOM class at 100 TB
-TPC-H, where part alone is ~2 TB.
+Pass = the base plan broadcasts part/supplier (BroadcastHashJoin);
+mid-scale, AQE re-picks the SMALLEST runtime side as broadcast build
+(the side-flips the removed hints forbade); past the threshold on
+BOTH sides the strategy switches to a shuffle join WITHOUT a code
+change, with B/lineitem-row bounded (each join side crosses an
+exchange once — linear, not super-linear). A forced ``broadcast(part)``
+hint would instead have built a tens-of-millions-row hash table on
+every executor: the OOM class at 100 TB TPC-H, where part is ~2 TB.
 
-    python tools/tpch_broadcast_transition_probe.py [P] [L]
+    python tools/tpch_broadcast_transition_probe.py [P:L ...]
 
-Appends/refreshes the "## TPC-H broadcast" section of
+e.g. ``2000:20 6000:100``. Default ``2000:20 6000:100`` — the first
+point lands in the ADAPTIVE regime (one side still under the 64 MB
+threshold at runtime: AQE flips the build side to the month-filtered
+lineitem slice for q14 / the '%red%'-filtered part slice for q9 —
+both flips the removed hints would have FORBIDDEN), the second pushes
+BOTH join sides past the threshold so the strategy switches to a
+shuffle join. Appends/refreshes the "## TPC-H broadcast" section of
 docs/SCALE_NOTES.md.
 """
 
@@ -163,36 +171,41 @@ def fmt_bytes(b: float) -> str:
 
 
 def main() -> None:
-    p = int(sys.argv[1]) if len(sys.argv) > 1 else 400
-    fact = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    points = [
+        (int(a.split(":")[0]), int(a.split(":")[1])) for a in sys.argv[1:]
+    ] or [(2000, 20), (6000, 100)]
     spark = get_spark("tpch-transition-probe", extra_conf={"spark.ui.enabled": "true"})
     app_id = spark.sparkContext.applicationId
-    big_dir = tempfile.mkdtemp(prefix="tpchtrans_")
-    try:
-        base = measure(spark, app_id, BASE_SF)
-        replicate(spark, p, fact, big_dir)
-        big = measure(spark, app_id, big_dir)
-    finally:
-        shutil.rmtree(big_dir, ignore_errors=True)
+    results = [("base sf0.1", measure(spark, app_id, BASE_SF))]
+    for p, fact in points:
+        big_dir = tempfile.mkdtemp(prefix="tpchtrans_")
+        try:
+            replicate(spark, p, fact, big_dir)
+            results.append((f"part x{p} / fact x{fact}", measure(spark, app_id, big_dir)))
+        finally:
+            shutil.rmtree(big_dir, ignore_errors=True)
 
+    args = " ".join(f"{p}:{fact}" for p, fact in points)
     lines = [
         "",
         "## TPC-H broadcast→shuffle transition probe (round 12)",
         "",
-        f"`tools/tpch_broadcast_transition_probe.py {p} {fact}`: part/supplier x{p}",
-        f"(~{big[QUERIES[0]]['part_rows']:,} part rows — past the 64 MB auto-broadcast",
-        f"threshold), lineitem/orders x{fact} with every lineitem row remapped onto",
-        "the full replicated dim key space. Same hint-free query code at both",
-        "scales; the strategy column is read from the FINAL adaptive plan.",
+        f"`tools/tpch_broadcast_transition_probe.py {args}`: part/supplier xP",
+        "(the largest point pushes part past the 64 MB auto-broadcast",
+        "threshold even after column pruning), lineitem/orders xL with every",
+        "lineitem row remapped onto the full replicated dim key space. Same",
+        "hint-free query code at every scale; the strategy column is read",
+        "from the FINAL adaptive plan after execution.",
         "",
-        "| query | scale | wall | shuffle write | B/lineitem row | join strategies |",
-        "|---|---|---|---|---|---|",
+        "| query | scale | part rows | wall | shuffle write | B/lineitem row | join strategies |",
+        "|---|---|---|---|---|---|---|",
     ]
     for name in QUERIES:
-        for label, m in (("base sf0.1", base[name]), (f"part x{p} / fact x{fact}", big[name])):
+        for label, m in ((lbl, r[name]) for lbl, r in results):
             joins = ", ".join(f"{k} x{v}" for k, v in m["joins"].items()) or "(none)"
             lines.append(
-                f"| {name} | {label} | {m['wall']:.2f}s | {fmt_bytes(m['shuffle'])} "
+                f"| {name} | {label} | {m['part_rows']:,} | {m['wall']:.2f}s "
+                f"| {fmt_bytes(m['shuffle'])} "
                 f"| {m['shuffle'] / max(m['li_rows'], 1):.1f} | {joins} |"
             )
     block = "\n".join(lines) + "\n"
