@@ -838,3 +838,37 @@ def test_histogram_quantile_matches_python_reference(spark, values):
                 break
             cum += bins[b]
         assert got[q] == want, (q, got[q], want)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=12),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_bigram_logprob_matches_python_replay(spark, docs):
+    """bigram_logprob_quality vs the pure-Python stupid-backoff replay
+    on arbitrary small corpora over a 4-token alphabet (dense enough
+    that both the kept-bigram and the backoff path are exercised).
+    Also pins the invariants: every lp term is <= 0 so the mean
+    neg-log2 score is >= 0, n_backoff <= n_tok - 1, and
+    empty/whitespace-only docs are excluded."""
+    from flink_anomaly_spark.operators.text import bigram_logprob_quality
+
+    from tests.test_round12_ops import _stupid_backoff_replay
+
+    texts = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(texts, "doc_id bigint, text string")
+    got = {
+        r.doc_id: (r.n_tok, r.n_backoff, r.mean_neglog2p)
+        for r in bigram_logprob_quality(df, "doc_id", "text").collect()
+    }
+    want = _stupid_backoff_replay(texts)
+    assert set(got) == set(want)
+    for k, (n_tok, n_backoff, score) in want.items():
+        assert got[k][:2] == (n_tok, n_backoff), (k, got[k], want[k])
+        assert abs(got[k][2] - score) <= 1e-4, (k, got[k], want[k])
+        assert got[k][2] >= 0.0
+        assert 0 <= got[k][1] <= got[k][0] - 1
