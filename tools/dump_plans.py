@@ -29,7 +29,7 @@ HEADLINE = {
     "embedding_int8_quantize": "Narrow encode against inlined min/max literals; no wide exchange after index build.",
     "funnel_transitions": "lag window and per-user agg share one user_id exchange.",
     "cumulative_distinct_users": "min-day/user + day agg + |days|-row window — the linear expanding-distinct rewrite.",
-    "tpch_q5_local_supplier": "Snowflake join: supplier/nation/region broadcast, same-nation constraint in the join condition; only the two fact joins shuffle.",
+    "tpch_q5_local_supplier": "Snowflake join: nation/region broadcast, supplier hint-free (AQE-decided; broadcast at this scale), same-nation constraint in the join condition.",
     "corpus_curation_pipeline": "Quality vote -> exact dedup -> minhash removal composed by doc_id-only semi/anti joins; final report map-side combined.",
     "char_entropy": "Zero-shuffle Arrow mapInPandas (UTF-32 bincount) — no per-char explode, no exchange.",
     "lineitem_grouping_sets": "Expand over 3 grouping sets collapsed by map-side partial agg before the single exchange.",
@@ -40,7 +40,7 @@ HEADLINE = {
     "prefix_filter_jaccard_pairs": "Prefix postings (rarest grams only) feed the candidate self-join; full shingle arrays travel only to verify survivors.",
     "incremental_dedup_new_batch": "One tagged signature pass; band join constrained corpus x batch, so intra-set candidates never materialize.",
     "embedding_random_projection": "Zero-exchange whole-stage-codegen projection: 16 left-associated add-chains per row.",
-    "tpch_q2_min_cost_supplier": "Decorrelated min-cost join-back: one (partkey,suppkey) pre-agg exchange; dims and the per-part min broadcast.",
+    "tpch_q2_min_cost_supplier": "Decorrelated min-cost join-back: one (partkey,suppkey) pre-agg exchange; nation/region broadcast, part/supplier frames hint-free (AQE-decided).",
     # governance/layout operators
     "boilerplate_segment_removal": "Segment-DF exchange + broadcast blacklist anti-join; doc reassembly is the only other shuffle.",
     "zorder_file_layout": "Narrow Morton bit-math against 1-row stats + |langs|-row rank broadcasts; final exchange bounded at 256 groups.",
