@@ -824,21 +824,35 @@ def bigram_logprob_quality(
       partials. Floats appear only in reported values, never in join
       or selection keys (the libm/selection-key rule).
     """
-    base = spread(
-        df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
-    ).filter(F.size("toks") >= 1)
+    from flink_anomaly_spark.operators.dedup import _persist
+
+    # base feeds three consumers (unigram counts, the pairs frame, the
+    # first-token scorer) and pairs two (model build, scoring join):
+    # Spark dedupes identical exchange subtrees, not raw
+    # scan+tokenize+explode subtrees, so without persistence one action
+    # re-reads and re-tokenizes the corpus ~4x (the
+    # unigram_logprob_quality _persist convention)
+    base = _persist(
+        spread(
+            df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
+        ).filter(F.size("toks") >= 1)
+    )
     toks_pos = base.select("id", F.explode("toks").alias("w"))
     uni = toks_pos.groupBy("w").agg(F.count("*").cast("bigint").alias("c"))
     tot = uni.agg(F.sum("c").cast("bigint").alias("n_corpus"))
-    pairs = base.filter(F.size("toks") >= 2).select(
-        "id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(toks) - 1), "
-                "i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"
-            )
-        ).alias("p"),
-    ).select("id", "p.w1", "p.w2")
+    pairs = _persist(
+        base.filter(F.size("toks") >= 2)
+        .select(
+            "id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), "
+                    "i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select("id", "p.w1", "p.w2")
+    )
     bi = (
         pairs.groupBy("w1", "w2")
         .agg(F.count("*").cast("bigint").alias("cb"))

@@ -279,7 +279,12 @@ def recheck_regressions(
     for n in cal_names:
         if base.get(n):
             run(n)  # discarded warm-up pass
-    cal_fresh = {n: timed(n) for n in cal_names if base.get(n)}
+    # best-of-2 like the baselines themselves (bench.py's protocol) — a
+    # single sample sits above its best-of-2 counterpart in expectation,
+    # which would inflate the factor and clear real regressions
+    cal_fresh = {
+        n: min(timed(n) for _ in range(2)) for n in cal_names if base.get(n)
+    }
     jvm_f = _median_factor(cal_fresh, base, CALIBRATION, LOAD_FACTOR_CLAMP) or 1.0
     py_f = _median_factor(cal_fresh, base, CALIBRATION_PY, PY_LOAD_FACTOR_CLAMP)
     print(

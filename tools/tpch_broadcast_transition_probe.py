@@ -68,7 +68,9 @@ from flink_anomaly_spark.tables import TABLE_NAMES, load_table
 
 BASE_SF = "/root/testdata/sf0.1"
 SHIFT = 100_000_000
-QUERIES = ("tpch_q14_promo", "tpch_q9_product_profit")
+# q20 carries the worst-of-set frame the hints used to force: `excess`
+# is partsupp-cardinality (SF*800k at spec scale) before its semi-use
+QUERIES = ("tpch_q14_promo", "tpch_q9_product_profit", "tpch_q20_part_promotion")
 
 
 def replicate(spark, p: int, fact: int, out_dir: str) -> None:
