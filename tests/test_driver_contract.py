@@ -150,8 +150,11 @@ def test_bench_emits_driver_json():
         # hang guard, not a perf bar (the bench gate is that): the
         # 229-batch-query registry measured 584 s wall at round 10 on
         # an idle host (sf0.001, 8 cpus), so the old 560 s ceiling
-        # started failing on registry GROWTH alone
-        timeout=900,
+        # started failing on registry GROWTH alone. Round 12: the
+        # 244-query registry measured 1257 s wall on THIS idle sandbox
+        # (sf0.001, 8 cpus — hosts differ across rounds), so the 900 s
+        # guard fired on registry growth + host speed, not on a hang.
+        timeout=1800,
         env=env,
         cwd=repo,
     )
