@@ -209,26 +209,42 @@ def kmeans_lloyd_outliers(
       top-N via orderBy+limit (TakeOrderedAndProject: per-partition
       heap + driver merge of top_n rows, never a single-task window).
     """
-    from flink_anomaly_spark.operators.similarity import collect_centroids, cosine
+    from flink_anomaly_spark.operators.dedup import _persist
+    from flink_anomaly_spark.operators.similarity import (
+        collect_centroids,
+        cosine,
+        inline_int_array,
+        inline_matrix,
+    )
 
     def scores(cents: dict[int, list[float]]):
-        return F.array(
-            *[
-                F.struct(
-                    cosine(
-                        F.col("v"), F.array(*[F.lit(float(x)) for x in cvec])
-                    ).alias("cos"),
-                    F.lit(-ci).alias("neg"),
-                    F.lit(ci).alias("cell"),
-                )
-                for ci, cvec in sorted(cents.items())
-            ]
+        # one shared cosine fold over an inline_matrix centroid literal
+        # (the train_pq_codebook pattern) instead of k unrolled copies:
+        # identical doubles per cell, but O(1) expression size in k and
+        # one SQL parse instead of k·dim py4j literal round-trips —
+        # this function is rebuilt n_iter+1 times per query and the
+        # unrolled form cost ~1.5 s of driver planning per rebuild
+        # (r12 optimization; measured at k=8, dim=64).
+        items = sorted(cents.items())
+        cb = inline_matrix([cvec for _, cvec in items])
+        ids = inline_int_array([ci for ci, _ in items])
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(len(items))),
+            lambda t: F.struct(
+                cosine(F.col("v"), F.element_at(cb, t)).alias("cos"),
+                (-F.element_at(ids, t)).alias("neg"),
+                F.element_at(ids, t).alias("cell"),
+            ),
         )
 
     init = collect_centroids(df, id_col, vec_col, init_ids)
     cents = {ci: [float(x) for x in cvec] for ci, cvec in enumerate(init)}
     dim = len(init[0])
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # persisted: the feature frame feeds n_iter update passes plus the
+    # final scoring pass — without it each pass re-scans the corpus
+    # (3 full reads at n_iter=2), the standard iterative-trainer cache
+    # (guide §5: reuse × recompute-cost; released via release_cached)
+    base = _persist(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")))
     for _ in range(n_iter):
         assigned = base.select(
             "v", F.array_max(scores(cents))["cell"].alias("cell")

@@ -1783,15 +1783,26 @@ def allpairs_binary_cosine(
     ``max_postings``. Sizes |A| are counted over the SAME capped
     universe so the cosine is internally consistent.
     """
-    sh = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(F.array_distinct(shingles(F.col(text_col), k_shingle))).alias("__t"),
+    # spread BEFORE the shingle explode: a single small parquet file
+    # arrives as ONE split, serializing the whole interpreted-HOF
+    # shingle pass into one task — measured 4.0 s -> 0.7 s at sf0.1
+    # (the prefix_filter_jaccard_pairs precedent); no-op on an
+    # already-split 100 TB scan (r12 optimization)
+    sh = spread(df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))).select(
+        "__id",
+        F.explode(F.array_distinct(shingles(F.col("__t"), k_shingle))).alias("__t"),
     )
     sh = _persist(sh)
     keep = sh.groupBy("__t").agg(F.count("*").alias("__df")).filter(
         F.col("__df") <= max_df
     )
-    postings = sh.join(keep.select("__t"), "__t")
+    # persisted: the capped postings feed THREE consumers (per-doc
+    # sizes + both sides of the inverted-index self-join). Exchange
+    # reuse does NOT cover this — the r12 plan audit found the
+    # join-above-the-cache subtree (df-cap agg + join) executed FOUR
+    # times in the final adaptive plan; at 100 TB that is four
+    # corpus-shingle passes instead of one (r12 optimization).
+    postings = _persist(sh.join(keep.select("__t"), "__t"))
     sizes = postings.groupBy("__id").agg(F.count("*").cast("bigint").alias("__sz"))
     a = postings.select(F.col("__id").alias("id1"), "__t")
     b = postings.select(F.col("__id").alias("id2"), "__t")

@@ -12,7 +12,7 @@ the persisted edge list).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -41,7 +41,7 @@ def pagerank(
     a cross join; 1 row by construction). Returns (id, pr) with pr
     rounded to 6 (sum-order ulp across engines is ~1e-15 per step).
     """
-    from flink_anomaly_spark.operators.dedup import _truncate_fn
+    from flink_anomaly_spark.operators.dedup import _persist, _truncate_fn
 
     truncate = _truncate_fn(edges, reliable_checkpoint_dir)
     # each rank frame is consumed by TWO branches per iteration (dangling
@@ -50,11 +50,19 @@ def pagerank(
     # recomputes ~2^iterations times. Materialize the edge list once and
     # checkpoint ranks per step, exactly like connected_components.
     edges = truncate(edges.select("src", "dst"))
-    out_deg = edges.groupBy(F.col("src").alias("od_id")).agg(
-        F.count("*").alias("out_deg")
+    # persisted: the out-degree table is read by BOTH per-iteration
+    # branches (dangling mass + contributions) in EVERY iteration —
+    # without the persist that is 2·iterations degree aggregations over
+    # the full edge list (corpus-proportional passes at 100 TB) instead
+    # of one (r12 optimization; released via release_cached)
+    out_deg = _persist(
+        edges.groupBy(F.col("src").alias("od_id")).agg(F.count("*").alias("out_deg"))
     )
-    n_nodes = nodes.count()  # scalar: index-build-style driver fetch
-    nodes = truncate(nodes.select("id"))
+    # the node count rides the checkpoint materialization as an
+    # Observation instead of a separate count() job (r12 optimization)
+    obs_n = Observation()
+    nodes = truncate(nodes.select("id").observe(obs_n, F.count(F.lit(1)).alias("n")))
+    n_nodes = obs_n.get.get("n") or 0
     ranks = nodes.select("id", (F.lit(1.0) / n_nodes).alias("pr"))
     for _ in range(iterations):
         with_deg = ranks.join(out_deg, ranks.id == F.col("od_id"), "left_outer")
@@ -115,17 +123,38 @@ def bfs_distances(
     truncate = _truncate_fn(edges, reliable_checkpoint_dir)
     edges = truncate(edges.select("src", "dst"))
     dist = seeds.select(F.col("id"), F.lit(0).cast("bigint").alias("dist"))
+    # early exit at the fixpoint (r12 optimization): per level, existing
+    # distances never increase (min-agg) and nodes are never dropped, so
+    # (count, Σdist) unchanged ⇔ no node was added AND no distance
+    # decreased ⇔ the frame is identical — every further level is the
+    # identity and the output equals the full max_depth unroll (which
+    # is what the oracle runs). The stats ride each level's checkpoint
+    # as an Observation — no extra job; a converged frontier skips the
+    # remaining edge-join + min-agg passes (corpus-proportional at
+    # 100 TB).
+    prev_n, prev_sum = -1, -1
     for _ in range(max_depth):
         expanded = (
             edges.join(dist.withColumnRenamed("id", "src"), "src")
             .select(F.col("dst").alias("id"), (F.col("dist") + 1).alias("dist"))
         )
+        obs = Observation()
         dist = (
             dist.unionByName(expanded)
             .groupBy("id")
             .agg(F.min("dist").alias("dist"))
         )
-        dist = truncate(dist)
+        dist = truncate(
+            dist.observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.sum("dist").alias("s"),
+            )
+        )
+        n, s = obs.get.get("n") or 0, obs.get.get("s") or 0
+        if (n, s) == (prev_n, prev_sum):
+            break
+        prev_n, prev_sum = n, s
     return dist
 
 
@@ -144,13 +173,18 @@ def kcore(
     pruning) from chains and stars that only LOOK like clusters by
     transitivity.
 
-    Determinism by FIXED iteration count (the pagerank/Lloyd unroll
-    discipline): both engines run EXACTLY ``n_iter`` peels — a peel
-    past convergence is a no-op on both, so early convergence never
-    desynchronizes them; an unconverged corpus yields the same partial
-    peel on both (the bound is documented, not silent: at most
-    ``n_iter`` "onion layers" are removed, enough for the shallow
-    LSH-verified near-dup graphs this screens). Returns the surviving
+    Determinism by FIXED iteration BOUND (the pagerank/Lloyd unroll
+    discipline): the oracle unrolls exactly ``n_iter`` peels; the
+    engine runs at most ``n_iter`` and STOPS at the fixpoint — a peel
+    removes rows only, so an unchanged edge count proves every further
+    peel is the identity, and the outputs coincide (r12: fixpoint
+    detection rides the per-peel checkpoint as an Observation, no
+    extra job; near-dup graphs converge after 1-2 peels, so this
+    skips most of the 6 corpus-proportional passes). An unconverged
+    corpus yields the same partial peel on both (the bound is
+    documented, not silent: at most ``n_iter`` "onion layers" are
+    removed, enough for the shallow LSH-verified near-dup graphs this
+    screens). Returns the surviving
     (node, degree) rows — degree ≥ k over surviving edges by one final
     half-peel on both engines.
 
@@ -168,14 +202,35 @@ def kcore(
     from flink_anomaly_spark.operators.dedup import _truncate_fn
 
     truncate = _truncate_fn(edges, reliable_checkpoint_dir)
-    sym = truncate(edges.select("src", "dst"))
+    obs0 = Observation()
+    sym = truncate(
+        edges.select("src", "dst").observe(obs0, F.count(F.lit(1)).alias("n"))
+    )
+    n_edges = obs0.get.get("n") or 0
+    # early exit at the fixpoint (r12 optimization): a peel only REMOVES
+    # rows, so an unchanged edge count proves the semi-joins dropped
+    # nothing — the frame is identical and every remaining peel is the
+    # identity. The output therefore equals the full n_iter unroll
+    # (which is what the oracle runs; its extra peels are no-ops by the
+    # same argument), while the engine stops paying for them: each
+    # skipped peel is one degree agg + two semi-joins + a checkpoint
+    # over the edge list — full corpus-proportional passes at 100 TB.
+    # The count rides the checkpoint job as an Observation (the
+    # connected_components pattern), costing no extra job.
     for _ in range(n_iter):
+        if n_edges == 0:
+            break
         deg = sym.groupBy("src").agg(F.count("*").alias("__deg"))
         keep = deg.filter(F.col("__deg") >= k).select(F.col("src").alias("__keep"))
-        sym = sym.join(
+        peeled = sym.join(
             keep, F.col("src") == F.col("__keep"), "left_semi"
         ).join(keep, F.col("dst") == F.col("__keep"), "left_semi")
-        sym = truncate(sym)
+        obs = Observation()
+        sym = truncate(peeled.observe(obs, F.count(F.lit(1)).alias("n")))
+        new_n = obs.get.get("n") or 0
+        if new_n == n_edges:
+            break
+        n_edges = new_n
     return (
         sym.groupBy(F.col("src").alias("node"))
         .agg(F.count("*").cast("bigint").alias("core_degree"))

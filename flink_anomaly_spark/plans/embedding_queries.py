@@ -185,10 +185,15 @@ def _rp_oracle() -> str:
 def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
+    from flink_anomaly_spark.operators.similarity import inline_matrix
+
     emb = load_table(spark, sf_dir, "embeddings")
+    # one SQL parse for the 16x64 sign matrix instead of 1024 F.lit
+    # py4j round-trips (identical doubles; r12 optimization)
+    signs_m = inline_matrix([[float(sv) for sv in row] for row in _RP_SIGNS])
     out = [F.col("vec_id")]
     for j in range(_RP_OUT):
-        signs = F.array(*[F.lit(float(sv)) for sv in _RP_SIGNS[j]])
+        signs = F.element_at(signs_m, j + 1)
         proj = F.aggregate(
             F.zip_with(F.col("embedding").cast("array<double>"), signs, lambda v, sv: v * sv),
             F.lit(0.0),
