@@ -108,24 +108,38 @@ _LOADED = False
 #: CORRECTNESS file never invalidates the test (round-7 ADVICE #1).
 WINDOW_DRAWN_AFTER_ROUND = 11
 
-#: ROUND-12 WINDOW (VERDICT r11 tasks #1 and #3), drawn against
-#: CORRECTNESS_r01..r11: (a) the ONE query NEW this round
-#: (bigram_logprob_quality — the Brants et al. 2007 stupid-backoff
-#: bigram scorer VERDICT r11 queued as missing item #2), (b) the
-#: FOURTEEN plans CHANGED this round per the mechanical PLAN_MANIFEST
-#: fingerprint diff — the r12 forced-broadcast removal (VERDICT r11
-#: "What's wrong" #1): the twelve TPC-H queries whose part/supplier/
-#: partsupp-derived frames lost their F.broadcast hints, plus
-#: data_quality_suite (customer-key referential frame de-hinted) and
-#: streaming_dim_enrich (customer enrichment dim de-hinted) — all
-#: re-verified by the local 3-SF gate post-change and guarded by
-#: tests/test_round12_ops.py's package-wide allowlist, then (c) the
-#: PLANNED ROUND-12 QUEUE drawn in round 11: all 35 remaining r6-green
-#: rows. 1 + 14 + 35 = 50, zero spare slots.
-#: After this window the oldest cohort is r7 (48 rows) — the PLANNED
-#: ROUND-13 QUEUE, stalest-first (48 rows; the window holds 50, so
-#: round 13 has 2 spare slots for new/changed plans before any
-#: displacement): asof_last_signup, bpe_fertility_by_lang,
+#: ROUND-12 WINDOW (VERDICT r11 tasks #1 and #3 + the r12 OPTIMIZATION
+#: round), drawn against CORRECTNESS_r01..r11: (a) the ONE query NEW
+#: this round (bigram_logprob_quality — the Brants et al. 2007
+#: stupid-backoff bigram scorer VERDICT r11 queued as missing item
+#: #2), (b) the FOURTEEN plans CHANGED by the build phase per the
+#: mechanical PLAN_MANIFEST fingerprint diff — the r12 forced-broadcast
+#: removal (VERDICT r11 "What's wrong" #1): the twelve TPC-H queries
+#: whose part/supplier/partsupp-derived frames lost their F.broadcast
+#: hints, plus data_quality_suite (customer-key referential frame
+#: de-hinted) and streaming_dim_enrich (customer enrichment dim
+#: de-hinted), then (b') the TWENTY plans changed by the OPTIMIZATION
+#: phase (OPTIMIZATION_r12.md: inline literal helpers across the
+#: ANN/LSH/Lloyd family, kcore/BFS fixpoint early-exit, pagerank
+#: out-degree persist, semdedup star contraction, allpairs spread +
+#: postings persist) — three of those (semdedup_survivors,
+#: embedding_ann_pq, embedding_ann_pq_lloyd) already held queue slots,
+#: so 17 take slots from the stale queue, and ALL 20 were re-verified
+#: by the local gate at sf0.001 AND sf0.01 post-change, then (c) the
+#: 15 rows kept from the round-11-planned 35-row r6-green queue
+#: (family-diverse: the five stale streaming finals + one
+#: representative per batch family). 1 + 14 + 17 + 3 + 15 = 50.
+#: The 17 DISPLACED r6-green rows rejoin the round-13 queue at its
+#: head (stalest-first): cumulative_distinct_users, embedding_dim_stats,
+#: equi_depth_histogram, gap_fill_forward_daily, hot_key_skew_report,
+#: incremental_mv_refresh, kmv_custkey_difference, kmv_distinct_users,
+#: media_resize_stats, minhash_estimate_accuracy,
+#: quality_logistic_score, time_range_moving_avg, token_count_histogram,
+#: variant_props_stats, video_frame_sample_stats,
+#: winnowing_fingerprint_stats, winsorized_event_stats.
+#: After this window the oldest cohort is r6 (those 17) then r7
+#: (48 rows) — the PLANNED ROUND-13 QUEUE is those 17 followed by,
+#: stalest-first: asof_last_signup, bpe_fertility_by_lang,
 #: bpe_learn_merges, clean_text_corpus, cross_join_grid,
 #: custkeys_except, custkeys_intersect, customers_with_orders_semi,
 #: customers_without_orders_anti, dedup_clusters, docs_by_lang_source,
@@ -161,27 +175,38 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "tpch_q21_late_blame",
     "data_quality_suite",
     "streaming_dim_enrich",
-    # ---- (c) the planned 35-row queue (all remaining r6-green rows)
+    # ---- (b') plans CHANGED by the r12 OPTIMIZATION phase (the
+    # PLAN_MANIFEST diff; OPTIMIZATION_r12.md has the per-query log)
+    "allpairs_binary_cosine",
+    "ann_ivf_recall",
+    "centroid_distance_outliers",
+    "copurchase_bfs_distances",
+    "embedding_ann_ivf",
+    "embedding_ann_ivfpq",
+    "embedding_ann_ivfpq_rerank",
+    "embedding_ann_lsh",
+    "embedding_int8_quantize",
+    "embedding_near_dup_lsh",
+    "embedding_random_projection",
+    "kcore_neardup",
+    "kmeans_lloyd_outliers",
+    "knn_graph_stats",
+    "lof_outliers",
+    "pagerank_neardup",
+    "semantic_decontamination",
+    # (semdedup_survivors, embedding_ann_pq, embedding_ann_pq_lloyd
+    # also changed — they already hold queue slots below)
+    # ---- (c) 15 rows kept from the planned 35-row r6-green queue
+    # (the other 17 were displaced by (b') and head the round-13 queue)
     "countmin_top_terms",
-    "cumulative_distinct_users",
     "dsir_importance_weights",
     "embedding_ann_pq",
     "embedding_ann_pq_lloyd",
     "embedding_covariance",
-    "embedding_dim_stats",
-    "equi_depth_histogram",
-    "gap_fill_forward_daily",
-    "hot_key_skew_report",
-    "incremental_mv_refresh",
-    "kmv_custkey_difference",
     "kmv_custkey_overlap",
-    "kmv_distinct_users",
     "langid_accuracy_by_lang",
     "media_dhash_near_dup",
-    "media_resize_stats",
-    "minhash_estimate_accuracy",
     "pii_redaction_stats",
-    "quality_logistic_score",
     "semdedup_survivors",
     "streaming_interval_join_left_final",
     "streaming_sliding_count_final",
@@ -189,14 +214,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "streaming_two_level_agg_final",
     "streaming_window_count_complete",
     "synthetic_source_agg",
-    "time_range_moving_avg",
-    "token_count_histogram",
-    "variant_props_stats",
-    "video_frame_sample_stats",
     "video_scene_cut_stats",
     "winnowing_dup_pairs",
-    "winnowing_fingerprint_stats",
-    "winsorized_event_stats",
 )
 # ROUND-11 window (historical; WINDOW_DRAWN_AFTER_ROUND was 10) —
 # all 50 green in CORRECTNESS_r11: pacf_daily, mahalanobis_outliers_d8,

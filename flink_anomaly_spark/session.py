@@ -37,6 +37,16 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE inside cached plans (default false): without it every
+        # persist()ed subtree — the engine's shared-frame pattern
+        # (minhash signatures, postings, token pairs) — executes with
+        # AQE DISABLED: no partition coalescing, no skew splitting,
+        # fixed shuffle.partitions. Scale-independent (the conf exists
+        # for consumers that depend on cached output partitioning,
+        # which this engine never does); measured at sf0.1:
+        # allpairs 4.2->2.9 s, frequent_item_pairs 3.6->3.0 s,
+        # winnowing 3.4->3.1 s, identical results (r12 optimization).
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")

@@ -80,6 +80,31 @@ def test_driver_window_is_first_50():
         "tpch_q21_late_blame",
         "data_quality_suite",
         "streaming_dim_enrich",
+        # round 12 OPTIMIZATION phase (OPTIMIZATION_r12.md): inline
+        # literal helpers across the ANN/LSH/Lloyd family, kcore/BFS
+        # fixpoint early-exit, pagerank out-degree persist, semdedup
+        # star contraction, allpairs spread + postings persist — all
+        # 20 re-verified vs oracle at sf0.001 + sf0.01 post-change
+        "allpairs_binary_cosine",
+        "ann_ivf_recall",
+        "centroid_distance_outliers",
+        "copurchase_bfs_distances",
+        "embedding_ann_ivf",
+        "embedding_ann_ivfpq",
+        "embedding_ann_ivfpq_rerank",
+        "embedding_ann_lsh",
+        "embedding_ann_pq",
+        "embedding_ann_pq_lloyd",
+        "embedding_int8_quantize",
+        "embedding_near_dup_lsh",
+        "embedding_random_projection",
+        "kcore_neardup",
+        "kmeans_lloyd_outliers",
+        "knn_graph_stats",
+        "lof_outliers",
+        "pagerank_neardup",
+        "semantic_decontamination",
+        "semdedup_survivors",
     }
     assert changed_this_round <= set(qs[:50])
     # stalest-first refill invariant, threshold-free: every filler must
