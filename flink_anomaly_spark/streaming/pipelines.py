@@ -21,6 +21,57 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+#: Source size (bytes) of the most recently constructed streaming
+#: source in this module — read by :func:`stream_state_partitions` to
+#: size the query's state-store partition count from the DATA, not from
+#: a constant. Runtime state (mutates as sources are built), excluded
+#: from plan fingerprints like LAST_STATE_METRICS.
+_STREAM_SOURCE_BYTES: int | None = None
+
+#: Target bytes of source input per state partition. A streaming
+#: stateful operator creates ONE state store instance per shuffle
+#: partition, and every micro-batch pays a per-partition commit
+#: (delta file write + fsync + maintenance) REGARDLESS of how few rows
+#: the partition holds — so at small per-batch volume the fixed
+#: per-partition commit cost dominates the whole query (guide §2.2's
+#: many-tiny-blocks failure mode, state-store flavor). Measured at
+#: sf0.1 (2 MB source, local[32], idle host, min-of-2):
+#: 32 partitions → interval join 15.6 s, window_count_update 6.1 s,
+#: two_level_agg 5.9 s; 4-6 partitions → 4.0 s / 2.9 s / 2.4 s;
+#: 1 partition over-serializes (interval join 9.2 s). 512 KB/partition
+#: lands sf0.1 at the measured sweet spot while growing linearly with
+#: source volume.
+_STATE_PARTITION_TARGET_BYTES = 512 * 1024
+
+
+def stream_state_partitions(spark: SparkSession) -> int | None:
+    """Scale-adaptive shuffle-partition count for a streaming query:
+    ``ceil(source_bytes / 512 KB)`` clamped to [4, defaultParallelism].
+
+    Derived from INPUT SIZE (guide §2: make partitioning scale-adaptive,
+    not a constant tuned for local mode or the cluster): tiny replay
+    sources get few state stores (the per-partition commit floor is the
+    dominant cost there — measured numbers on
+    ``_STATE_PARTITION_TARGET_BYTES``), a 100 TB source saturates the
+    cluster width (``defaultParallelism`` — the cap a production
+    deployment raises together with its core count). AQE cannot do this
+    for streaming: stateful operators pin their partitioning at first
+    checkpoint, so the count must be right at query start.
+
+    ``SPARK_GRAFT_STREAM_PARTITIONS`` overrides (production deployments
+    size state partitions to PEAK throughput, not current file size).
+    Returns None when no streaming source has been built yet (callers
+    leave the session conf untouched).
+    """
+    env = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS")
+    if env:
+        return max(1, int(env))
+    if _STREAM_SOURCE_BYTES is None:
+        return None
+    want = -(-_STREAM_SOURCE_BYTES // _STATE_PARTITION_TARGET_BYTES)  # ceil
+    return max(4, min(spark.sparkContext.defaultParallelism, int(want)))
+
+
 def _events_ts_schema(sf_dir: str) -> tuple[T.StructType, bool]:
     """(streaming read schema, needs nanos→µs conversion) for the events
     table — the data generator has shipped ``ts`` both as parquet
@@ -52,6 +103,8 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     source — each parquet file is a micro-batch input split).
     """
     schema, nanos = _events_ts_schema(sf_dir)
+    global _STREAM_SOURCE_BYTES
+    _STREAM_SOURCE_BYTES = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
     if nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # watermarks demand TIMESTAMP (not NTZ); with the session TZ pinned
@@ -510,6 +563,8 @@ def stream_events_with_final_flush(
     if nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    global _STREAM_SOURCE_BYTES
+    _STREAM_SOURCE_BYTES = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
     reader = spark.readStream.schema(schema).option("pathGlobFilter", "*.parquet")
     if max_files_per_trigger is not None:
         # multi-batch replay: real data and the sentinel land in
@@ -570,6 +625,8 @@ def stream_events_multi_batch(
     if nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    global _STREAM_SOURCE_BYTES
+    _STREAM_SOURCE_BYTES = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
     raw = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "chunk_*.parquet")
@@ -581,6 +638,31 @@ def stream_events_multi_batch(
     else:
         raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def _state_partition_conf(spark: SparkSession):
+    """Apply :func:`stream_state_partitions` to
+    ``spark.sql.shuffle.partitions`` for the duration of ONE streaming
+    query start+drain, then restore the session value — a stateful
+    streaming operator reads the conf at query start and pins it in the
+    checkpoint, while later BATCH queries in the same session must keep
+    seeing the session's own width (the bench/gate loops share one
+    session across hundreds of queries)."""
+    n = stream_state_partitions(spark)
+    if n is None:
+        yield
+        return
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 def run_update_snapshot(
@@ -616,14 +698,15 @@ def run_update_snapshot(
         for r in rows:
             snapshot[tuple(r[k] for k in key_cols)] = tuple(r)
 
-    q = (
-        result.writeStream.outputMode("update")
-        .foreachBatch(upsert)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
     spark = result.sparkSession
+    with _state_partition_conf(spark):
+        q = (
+            result.writeStream.outputMode("update")
+            .foreachBatch(upsert)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.createDataFrame(list(snapshot.values()), schema=result.schema)
 
 
@@ -679,14 +762,15 @@ def run_to_memory(result: DataFrame, output_mode: str = "append") -> DataFrame:
     memory sink; return the sink contents as a batch DataFrame. State
     metrics of the run land in :data:`LAST_STATE_METRICS`."""
     name = f"mem_{uuid.uuid4().hex[:12]}"
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partition_conf(result.sparkSession):
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     _capture_state_metrics(q)
     return result.sparkSession.table(name)
 

@@ -75,6 +75,9 @@ def _is_package_obj(obj) -> bool:
 RUNTIME_STATE_NAMES = {
     ("flink_anomaly_spark.operators.dedup", "_PERSISTED"),
     ("flink_anomaly_spark.streaming.pipelines", "LAST_STATE_METRICS"),
+    # set to the source file size as each streaming source is built —
+    # hashing it would make fingerprints depend on which query ran last
+    ("flink_anomaly_spark.streaming.pipelines", "_STREAM_SOURCE_BYTES"),
 }
 
 
