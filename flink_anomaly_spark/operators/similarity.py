@@ -38,13 +38,24 @@ def inline_vector(vals: list[float]) -> Column:
     is k·d JVM round-trips — measured 5.5 s for 8x64 doubles vs ~5 ms
     parsed (guide §7.3: planning time is single-threaded driver work;
     it neither parallelizes nor shrinks with cluster size). Values are
-    bit-identical to the unrolled form (see :func:`_sql_double`)."""
+    bit-identical to the unrolled form (see :func:`_sql_double`).
+
+    Empty input is rejected loudly: every consumer iterates the literal
+    via ``F.sequence`` over its length, and an empty range makes
+    ``sequence`` infer step -1 — a bogus DESCENDING [1,0] instead of the
+    empty array the old unrolled ``F.array()`` form produced (r12
+    ADVICE)."""
+    if not vals:
+        raise ValueError("inline_vector: empty literal list")
     return F.expr("array(" + ",".join(_sql_double(x) for x in vals) + ")")
 
 
 def inline_matrix(rows: list[list[float]]) -> Column:
     """``array<array<double>>`` literal via one SQL parse — the nested
-    companion of :func:`inline_vector` for centroid/codeword matrices."""
+    companion of :func:`inline_vector` for centroid/codeword matrices.
+    Empty input rejected for the same reason (see inline_vector)."""
+    if not rows:
+        raise ValueError("inline_matrix: empty literal matrix")
     return F.expr(
         "array("
         + ",".join(
@@ -58,8 +69,20 @@ def inline_int_array(vals: list[int]) -> Column:
     """``array<int|bigint>`` literal via one SQL parse. Spark's SQL
     integral literal, like ``F.lit``, is INT when the value fits and
     BIGINT otherwise; every caller keeps values far inside int32 or
-    casts explicitly, so the element type matches the unrolled form."""
-    return F.expr("array(" + ",".join(str(int(v)) for v in vals) + ")")
+    casts explicitly, so the element type matches the unrolled form.
+
+    Non-integer values are rejected loudly (mirroring _sql_double's
+    non-finite guard): ``str(int(v))`` would silently truncate a float
+    where the ``F.lit`` form this replaces preserved it (r12 ADVICE).
+    Empty input rejected for the sequence reason (see inline_vector)."""
+    if not vals:
+        raise ValueError("inline_int_array: empty literal list")
+    parts = []
+    for v in vals:
+        if v != int(v):
+            raise ValueError(f"inline_int_array: non-integer literal {v!r}")
+        parts.append(str(int(v)))
+    return F.expr("array(" + ",".join(parts) + ")")
 
 
 def dot(a: Column, b: Column) -> Column:

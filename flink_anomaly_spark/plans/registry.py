@@ -106,7 +106,7 @@ _LOADED = False
 #: ``WINDOW_DRAWN_AFTER_ROUND`` below, which the staleness contract
 #: test uses as its baseline cutoff so the in-flight round's own
 #: CORRECTNESS file never invalidates the test (round-7 ADVICE #1).
-WINDOW_DRAWN_AFTER_ROUND = 11
+WINDOW_DRAWN_AFTER_ROUND = 12
 
 #: ROUND-12 WINDOW (VERDICT r11 tasks #1 and #3 + the r12 OPTIMIZATION
 #: round), drawn against CORRECTNESS_r01..r11: (a) the ONE query NEW
@@ -156,66 +156,75 @@ WINDOW_DRAWN_AFTER_ROUND = 11
 #: streaming_hll_distinct_final, tfidf_top_terms, topk_orders,
 #: tpch_q18_big_orders, tpch_q3_sql, tpch_q6_forecast, union_bag,
 #: zscore_outliers.
+#: ROUND-13 WINDOW (optimization round 2), drawn against
+#: CORRECTNESS_r01..r12: (a) the plans CHANGED since their last driver
+#: check per the mechanical PLAN_MANIFEST fingerprint diff — ALL 30
+#: streaming queries (the r13 state-partition sizing threaded
+#: stream_state_partitions through the shared runners in
+#: streaming/pipelines.py; commit 88d291f) and the 16 similarity-family
+#: queries whose shared inline-literal helpers gained the r12-ADVICE
+#: validation guards (empty-list / non-integer rejection — no plan
+#: change, but the source fingerprint is stricter than the plan), plus
+#: any plan changed by this round's optimizations (see
+#: OPTIMIZATION_r13.md per-query log); then (c) the head of the
+#: planned round-13 staleness queue (the 17 displaced r6-green rows)
+#: with the remaining slots. The rest of that queue rolls to round 14.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # ---- (a) NEW round-12 query (prove it on the driver immediately)
-    "bigram_logprob_quality",
-    # ---- (b) plans CHANGED in round 12 (PLAN_MANIFEST diff): the
-    # forced-broadcast removal on SF-proportional frames
-    "tpch_q14_promo",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_cnt",
-    "tpch_q17_small_qty",
-    "tpch_q19_disjunct",
-    "tpch_q20_part_promotion",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q5_local_supplier",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q21_late_blame",
-    "data_quality_suite",
-    "streaming_dim_enrich",
-    # ---- (b') plans CHANGED by the r12 OPTIMIZATION phase (the
-    # PLAN_MANIFEST diff; OPTIMIZATION_r12.md has the per-query log)
-    "allpairs_binary_cosine",
+    # ---- (a) similarity-family plans changed by the r12-ADVICE guards
     "ann_ivf_recall",
     "centroid_distance_outliers",
-    "copurchase_bfs_distances",
     "embedding_ann_ivf",
     "embedding_ann_ivfpq",
     "embedding_ann_ivfpq_rerank",
     "embedding_ann_lsh",
+    "embedding_ann_pq",
+    "embedding_ann_pq_lloyd",
     "embedding_int8_quantize",
     "embedding_near_dup_lsh",
     "embedding_random_projection",
-    "kcore_neardup",
     "kmeans_lloyd_outliers",
     "knn_graph_stats",
     "lof_outliers",
-    "pagerank_neardup",
     "semantic_decontamination",
-    # (semdedup_survivors, embedding_ann_pq, embedding_ann_pq_lloyd
-    # also changed — they already hold queue slots below)
-    # ---- (c) 15 rows kept from the planned 35-row r6-green queue
-    # (the other 17 were displaced by (b') and head the round-13 queue)
-    "countmin_top_terms",
-    "dsir_importance_weights",
-    "embedding_ann_pq",
-    "embedding_ann_pq_lloyd",
-    "embedding_covariance",
-    "kmv_custkey_overlap",
-    "langid_accuracy_by_lang",
-    "media_dhash_near_dup",
-    "pii_redaction_stats",
     "semdedup_survivors",
+    # ---- (a) streaming plans changed by the r13 state-partition sizing
+    "streaming_benford_final",
+    "streaming_cms_topk_final",
+    "streaming_conformal_final",
+    "streaming_cusum_alarms",
+    "streaming_dedup",
+    "streaming_dim_enrich",
+    "streaming_fano_final",
+    "streaming_hll_distinct_final",
+    "streaming_interval_join",
     "streaming_interval_join_left_final",
+    "streaming_kmins_distinct_final",
+    "streaming_ohlc",
+    "streaming_robust_final",
+    "streaming_running_concat",
+    "streaming_running_zscore",
+    "streaming_session_count",
+    "streaming_session_count_final",
+    "streaming_sliding_count",
     "streaming_sliding_count_final",
     "streaming_topk_per_window_final",
+    "streaming_tv_drift_final",
+    "streaming_twap_final",
+    "streaming_two_level_agg",
     "streaming_two_level_agg_final",
+    "streaming_window_argmax",
+    "streaming_window_argmax_final",
+    "streaming_window_count",
     "streaming_window_count_complete",
-    "synthetic_source_agg",
-    "video_scene_cut_stats",
-    "winnowing_dup_pairs",
+    "streaming_window_count_final",
+    "streaming_window_count_update",
+    # ---- (c) head of the round-13 staleness queue (r6-green rows
+    # displaced in round 12; the remaining 13 + the r7 cohort roll to
+    # the round-14 queue)
+    "cumulative_distinct_users",
+    "embedding_dim_stats",
+    "equi_depth_histogram",
+    "gap_fill_forward_daily",
 )
 # ROUND-11 window (historical; WINDOW_DRAWN_AFTER_ROUND was 10) —
 # all 50 green in CORRECTNESS_r11: pacf_daily, mahalanobis_outliers_d8,

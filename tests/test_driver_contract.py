@@ -63,32 +63,46 @@ def test_driver_window_is_first_50():
     # companion test test_changed_plans_hold_window_slots enforces the
     # set mechanically; this names the known members for readability)
     changed_this_round = {
-        # round 12: the forced-broadcast removal on SF-proportional
-        # frames (VERDICT r11 #1) touched 12 TPC-H plans plus the
-        # governance referential check and the streaming enrichment
-        "tpch_q14_promo",
-        "tpch_q15_top_supplier",
-        "tpch_q16_supplier_cnt",
-        "tpch_q17_small_qty",
-        "tpch_q19_disjunct",
-        "tpch_q20_part_promotion",
-        "tpch_q2_min_cost_supplier",
-        "tpch_q5_local_supplier",
-        "tpch_q7_volume_shipping",
-        "tpch_q8_market_share",
-        "tpch_q9_product_profit",
-        "tpch_q21_late_blame",
-        "data_quality_suite",
+        # round 13: the streaming state-partition sizing (commit
+        # 88d291f threads stream_state_partitions through the shared
+        # runners in streaming/pipelines.py) touched every streaming
+        # plan's transitive builder source
+        "streaming_benford_final",
+        "streaming_cms_topk_final",
+        "streaming_conformal_final",
+        "streaming_cusum_alarms",
+        "streaming_dedup",
         "streaming_dim_enrich",
-        # round 12 OPTIMIZATION phase (OPTIMIZATION_r12.md): inline
-        # literal helpers across the ANN/LSH/Lloyd family, kcore/BFS
-        # fixpoint early-exit, pagerank out-degree persist, semdedup
-        # star contraction, allpairs spread + postings persist — all
-        # 20 re-verified vs oracle at sf0.001 + sf0.01 post-change
-        "allpairs_binary_cosine",
+        "streaming_fano_final",
+        "streaming_hll_distinct_final",
+        "streaming_interval_join",
+        "streaming_interval_join_left_final",
+        "streaming_kmins_distinct_final",
+        "streaming_ohlc",
+        "streaming_robust_final",
+        "streaming_running_concat",
+        "streaming_running_zscore",
+        "streaming_session_count",
+        "streaming_session_count_final",
+        "streaming_sliding_count",
+        "streaming_sliding_count_final",
+        "streaming_topk_per_window_final",
+        "streaming_tv_drift_final",
+        "streaming_twap_final",
+        "streaming_two_level_agg",
+        "streaming_two_level_agg_final",
+        "streaming_window_argmax",
+        "streaming_window_argmax_final",
+        "streaming_window_count",
+        "streaming_window_count_complete",
+        "streaming_window_count_final",
+        "streaming_window_count_update",
+        # round 13: the r12-ADVICE validation guards on the shared
+        # inline-literal helpers (similarity.py) touched the
+        # similarity-family fingerprints (no plan change — the guards
+        # only reject degenerate input)
         "ann_ivf_recall",
         "centroid_distance_outliers",
-        "copurchase_bfs_distances",
         "embedding_ann_ivf",
         "embedding_ann_ivfpq",
         "embedding_ann_ivfpq_rerank",
@@ -98,11 +112,9 @@ def test_driver_window_is_first_50():
         "embedding_int8_quantize",
         "embedding_near_dup_lsh",
         "embedding_random_projection",
-        "kcore_neardup",
         "kmeans_lloyd_outliers",
         "knn_graph_stats",
         "lof_outliers",
-        "pagerank_neardup",
         "semantic_decontamination",
         "semdedup_survivors",
     }

@@ -64,6 +64,29 @@ def test_run_to_memory_restores_session_shuffle_partitions(spark):
     assert out.count() > 0
 
 
+def test_inline_literal_guards(spark):
+    """r12 ADVICE fixes: the inline literal builders reject degenerate
+    input loudly instead of silently emitting wrong literals — empty
+    lists (every consumer iterates via F.sequence over the length, and
+    an empty range yields a bogus descending [1,0]) and non-integer
+    values in inline_int_array (str(int(v)) truncates where the F.lit
+    form preserved the float)."""
+    from flink_anomaly_spark.operators import similarity as S
+
+    for bad_call in (
+        lambda: S.inline_vector([]),
+        lambda: S.inline_matrix([]),
+        lambda: S.inline_int_array([]),
+        lambda: S.inline_int_array([1, 2.5]),
+    ):
+        with pytest.raises(ValueError):
+            bad_call()
+    # integral floats keep the old F.lit semantics (pre-rounded
+    # micro-unit values arrive as whole floats from some callers)
+    row = spark.range(1).select(S.inline_int_array([7.0, -3]).alias("a")).first()
+    assert list(row["a"]) == [7, -3]
+
+
 def test_streaming_result_identical_across_partition_counts(spark, monkeypatch):
     """State-partition count is an execution knob, not a semantic one:
     the windowed aggregation emits identical rows at 4 and at 11
