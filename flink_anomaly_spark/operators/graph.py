@@ -41,7 +41,7 @@ def pagerank(
     a cross join; 1 row by construction). Returns (id, pr) with pr
     rounded to 6 (sum-order ulp across engines is ~1e-15 per step).
     """
-    from flink_anomaly_spark.operators.dedup import _persist, _truncate_fn
+    from flink_anomaly_spark.operators.dedup import _truncate_fn
 
     truncate = _truncate_fn(edges, reliable_checkpoint_dir)
     # each rank frame is consumed by TWO branches per iteration (dangling
@@ -50,28 +50,38 @@ def pagerank(
     # recomputes ~2^iterations times. Materialize the edge list once and
     # checkpoint ranks per step, exactly like connected_components.
     edges = truncate(edges.select("src", "dst"))
-    # persisted: the out-degree table is read by BOTH per-iteration
-    # branches (dangling mass + contributions) in EVERY iteration —
-    # without the persist that is 2·iterations degree aggregations over
-    # the full edge list (corpus-proportional passes at 100 TB) instead
-    # of one (r12 optimization; released via release_cached)
-    out_deg = _persist(
-        edges.groupBy(F.col("src").alias("od_id")).agg(F.count("*").alias("out_deg"))
+    out_deg = edges.groupBy(F.col("src").alias("od_id")).agg(
+        F.count("*").alias("out_deg")
     )
-    # the node count rides the checkpoint materialization as an
-    # Observation instead of a separate count() job (r12 optimization)
+    # the out-degree column is STATIC across iterations (the edge list
+    # never changes), so attach it to the node frame ONCE and let the
+    # per-step checkpoint carry it — the previous shape re-joined ranks
+    # against a persisted out-degree table in EVERY iteration, a
+    # |nodes|-row hash join per step that is corpus-proportional on a
+    # near-dup graph, plus a persisted out-degree table held in executor
+    # memory for the whole query (r13 optimization, guide §2.4: remove
+    # shuffles outright; measured at sf0.1: 55 → 52 jobs, wall-neutral
+    # at bench scale where the join was a broadcast — the win is the
+    # removed per-iteration exchange once the node frame outgrows the
+    # broadcast threshold, exactly the regime the de-hinting rounds
+    # target). The node count rides the checkpoint materialization as
+    # an Observation instead of a separate count() job (r12).
     obs_n = Observation()
-    nodes = truncate(nodes.select("id").observe(obs_n, F.count(F.lit(1)).alias("n")))
+    nodes = truncate(
+        nodes.select("id")
+        .join(out_deg, F.col("id") == F.col("od_id"), "left_outer")
+        .select("id", "out_deg")
+        .observe(obs_n, F.count(F.lit(1)).alias("n"))
+    )
     n_nodes = obs_n.get.get("n") or 0
-    ranks = nodes.select("id", (F.lit(1.0) / n_nodes).alias("pr"))
+    ranks = nodes.select("id", "out_deg", (F.lit(1.0) / n_nodes).alias("pr"))
     for _ in range(iterations):
-        with_deg = ranks.join(out_deg, ranks.id == F.col("od_id"), "left_outer")
-        dangling = with_deg.filter(F.col("out_deg").isNull()).agg(
+        dangling = ranks.filter(F.col("out_deg").isNull()).agg(
             F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dm")
         )
         contrib = (
             edges.join(
-                with_deg.filter(F.col("out_deg").isNotNull()).select(
+                ranks.filter(F.col("out_deg").isNotNull()).select(
                     F.col("id").alias("c_src"), "pr", "out_deg"
                 ),
                 F.col("src") == F.col("c_src"),
@@ -86,6 +96,7 @@ def pagerank(
             .join(F.broadcast(dangling))
             .select(
                 "id",
+                "out_deg",
                 (
                     F.lit(base)
                     + F.lit(damping)

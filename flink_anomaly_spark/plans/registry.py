@@ -165,11 +165,17 @@ WINDOW_DRAWN_AFTER_ROUND = 12
 #: queries whose shared inline-literal helpers gained the r12-ADVICE
 #: validation guards (empty-list / non-integer rejection — no plan
 #: change, but the source fingerprint is stricter than the plan), plus
-#: any plan changed by this round's optimizations (see
+#: pagerank_neardup — the ONE batch plan changed by this round's
+#: optimizations (the static out-degree column carried through the
+#: per-iteration checkpoint instead of a per-step re-join; see
 #: OPTIMIZATION_r13.md per-query log); then (c) the head of the
 #: planned round-13 staleness queue (the 17 displaced r6-green rows)
-#: with the remaining slots. The rest of that queue rolls to round 14.
+#: with the remaining slots — gap_fill_forward_daily lost its slot to
+#: pagerank_neardup and rejoins the round-14 queue at its head with
+#: the rest.
 DRIVER_WINDOW: tuple[str, ...] = (
+    # ---- (a) batch plan changed by the r13 optimization phase
+    "pagerank_neardup",
     # ---- (a) similarity-family plans changed by the r12-ADVICE guards
     "ann_ivf_recall",
     "centroid_distance_outliers",
@@ -224,7 +230,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "cumulative_distinct_users",
     "embedding_dim_stats",
     "equi_depth_histogram",
-    "gap_fill_forward_daily",
 )
 # ROUND-11 window (historical; WINDOW_DRAWN_AFTER_ROUND was 10) —
 # all 50 green in CORRECTNESS_r11: pacf_daily, mahalanobis_outliers_d8,

@@ -117,6 +117,10 @@ def test_driver_window_is_first_50():
         "lof_outliers",
         "semantic_decontamination",
         "semdedup_survivors",
+        # round 13 optimization phase: the static out-degree column is
+        # carried through pagerank's per-iteration checkpoint instead
+        # of a per-step ranks⋈out_deg re-join (graph.py)
+        "pagerank_neardup",
     }
     assert changed_this_round <= set(qs[:50])
     # stalest-first refill invariant, threshold-free: every filler must

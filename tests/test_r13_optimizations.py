@@ -87,6 +87,42 @@ def test_inline_literal_guards(spark):
     assert list(row["a"]) == [7, -3]
 
 
+def test_pagerank_degree_carry_matches_reference(spark):
+    """r13 optimization: pagerank carries the static out-degree column
+    through the per-iteration checkpoint instead of re-joining a
+    persisted out-degree table every step. Guard the semantics against
+    a pure-Python reference on a graph that exercises every branch:
+    a dangling node (1 has no out-edges... use directed edges), an
+    isolated node, and a 2-cycle."""
+    from flink_anomaly_spark.operators.graph import pagerank
+
+    # directed: 1->2, 2->3, 3->1 (cycle), 4->1 (4 has out-edges, 5
+    # isolated => dangling: 5; also 6->6 excluded — keep it simple)
+    edge_rows = [(1, 2), (2, 3), (3, 1), (4, 1)]
+    edges = spark.createDataFrame(edge_rows, "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in range(1, 6)], "id long")
+    got = {r.id: r.pr for r in pagerank(edges, nodes, iterations=3).collect()}
+
+    # reference: same fixed-iteration update, dangling mass uniform
+    d, n = 0.85, 5
+    out_deg = {1: 1, 2: 1, 3: 1, 4: 1}
+    pr = {i: 1.0 / n for i in range(1, 6)}
+    for _ in range(3):
+        dm = sum(p for i, p in pr.items() if i not in out_deg)
+        contrib = {}
+        for s, t in edge_rows:
+            contrib[t] = contrib.get(t, 0.0) + pr[s] / out_deg[s]
+        pr = {
+            i: (1 - d) / n + d * (contrib.get(i, 0.0) + dm / n)
+            for i in range(1, 6)
+        }
+    assert got == {i: round(pr[i], 6) for i in range(1, 6)}
+    # the carried out_deg column must not leak into the output schema
+    assert set(
+        pagerank(edges, nodes, iterations=1).columns
+    ) == {"id", "pr"}
+
+
 def test_streaming_result_identical_across_partition_counts(spark, monkeypatch):
     """State-partition count is an execution knob, not a semantic one:
     the windowed aggregation emits identical rows at 4 and at 11
