@@ -52,7 +52,20 @@ def release_cached() -> int:
 
     Returns the number of DataFrames released. Safe to call at any time:
     a consumer that re-scans a released plan recomputes it (correctness
-    is unaffected, only the branch-sharing speedup)."""
+    is unaffected, only the branch-sharing speedup).
+
+    Also runs a Python ``gc.collect()``: ``localCheckpoint`` blocks (the
+    CC/pagerank/kcore lineage truncation) are only dropped by Spark's
+    ContextCleaner once the DRIVER-side RDD reference is garbage-
+    collected, and CPython's cyclic collector lags the query loop — a
+    many-query session accumulated 10-20 live checkpoint RDD block sets
+    and the checkpoint-heavy queries degraded 15-60 % vs a fresh
+    session. With the explicit collect the stored-RDD count stays at
+    the per-query working set (5-10) and in-loop times match fresh-
+    session probes (measured r13, OPTIMIZATION_r13.md; collect cost is
+    ~10 ms, outside every timed region)."""
+    import gc
+
     n = 0
     while _PERSISTED:
         df = _PERSISTED.pop()
@@ -61,6 +74,7 @@ def release_cached() -> int:
             n += 1
         except Exception:
             pass  # session already stopped — nothing to release
+    gc.collect()
     return n
 
 # 61-bit Mersenne prime — all (a*h+b) % P arithmetic stays in int64
